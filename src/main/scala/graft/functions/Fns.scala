@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared column builders.
+  *
+  * Oracle-parity policy (see SURVEY.md §7): every double that reaches query
+  * output is either (a) computed row-wise from identical inputs — bit-equal
+  * across engines — or (b) an aggregate routed through exact DECIMAL
+  * arithmetic via [[decSum]]. Transcendentals get rounded to 6 dp.
+  */
+object Fns {
+
+  /** Exact money-sum: cast each row to DECIMAL(18,4) (row-wise, so both
+    * engines round the same binary double), sum exactly, return double.
+    * Avoids float summation-order nondeterminism entirely — which matters
+    * on a 1000-executor cluster even more than for the oracle compare.
+    */
+  def decSum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Deterministic mean: exact decimal sum over count (both engines divide
+    * the same two numbers). */
+  def decAvg(c: Column): Column =
+    (sum(c.cast("decimal(18,4)")).cast("double") / count(c)).as("avg")
+
+  /** Surrogate key as in dbt_utils.generate_surrogate_key: md5 of the
+    * '||'-joined string forms of the business keys.
+    * Ref: /root/reference/macros/scd_type2_macro.sql:28 */
+  def surrogateKey(cols: Column*): Column =
+    md5(concat_ws("||", cols.map(_.cast("string")): _*))
+
+  /** Row-content hash for change detection (CDC). Doubles must be
+    * pre-formatted with [[fmt2]]/[[fmt4]] by the caller for cross-engine
+    * stable string forms. Ref: scd_type2_macro.sql change_hash. */
+  def rowHash(cols: Column*): Column =
+    md5(concat_ws("|", cols.map(_.cast("string")): _*))
+
+  /** printf-style fixed-point formatting — identical in JVM and DuckDB for
+    * the same binary double (both round the exact binary value). */
+  def fmt2(c: Column): Column = format_string("%.2f", c)
+  def fmt4(c: Column): Column = format_string("%.4f", c)
+
+  /** Cross-engine-stable rounding: floor(x*10^k + 0.5)/10^k uses only IEEE
+    * mul/add/floor/div, so identical inputs give bit-identical outputs in
+    * any engine — unlike round(), whose half-way handling differs between
+    * Spark (decimal HALF_UP) and C-family engines. */
+  def r2(c: Column): Column = floor(c * 100d + 0.5d) / 100d
+  def r4(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
+  def r6(c: Column): Column = floor(c * 1000000d + 0.5d) / 1000000d
+
+  /** Oracle-side twin of [[r2]]/[[r4]]/[[r6]] for SQL strings. */
+  def sqlR(expr: String, k: Int): String = {
+    val p = math.pow(10, k).toLong
+    s"FLOOR(($expr) * $p + 0.5) / $p"
+  }
+
+  /** Unix epoch seconds (floor) of a timestamp — the tz/precision-safe way
+    * to emit event timestamps. */
+  def epochS(c: Column): Column = unix_timestamp(c)
+
+  /** Normalized document text: lowercase, collapse whitespace, trim. */
+  def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+}
