@@ -1,0 +1,205 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Analytics / data-quality layer: profiling, date dimension generation,
+  * ranked rollups, behavior pivots, anomaly detection, freshness.
+  *
+  * Covers the reference's data-quality framework and behavior marts
+  * (/root/reference/governance/data_catalog.yml fact_customer_behavior,
+  * README "Quality Framework" / "Anomaly Detection" /
+  * data_freshness_status in fact_sales_daily.sql).
+  */
+object Analytics {
+
+  /** Per-column completeness/cardinality profile (data-quality framework).
+    * One pruned columnar scan per profiled column; each is a tiny agg. */
+  def dataQuality(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val profiles = cols.map { c =>
+      df.agg(
+        count(lit(1)).as("n_rows"),
+        count(col(c)).as("n_filled"),
+        countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_filled"),
+          col("n_distinct"), r4(col("n_filled") / col("n_rows")).as("completeness"))
+    }
+    profiles.reduce(_ unionAll _).orderBy("column_name")
+  }
+
+  /** Calendar date dimension spanning the orders date range (dim_date —
+    * the reference's 128-dim catalog includes a generated date dim). */
+  def dateDim(orders: DataFrame): DataFrame = {
+    val range = orders.agg(
+      min(to_date(col("o_orderdate"))).as("mn"),
+      max(to_date(col("o_orderdate"))).as("mx"))
+    range
+      .select(explode(sequence(col("mn"), col("mx"))).as("d"))
+      .select(
+        surrogateKey(col("d")).as("date_key"),
+        col("d").as("cal_date"),
+        year(col("d")).as("cal_year"),
+        quarter(col("d")).as("cal_quarter"),
+        month(col("d")).as("cal_month"),
+        dayofmonth(col("d")).as("cal_day"),
+        expr("weekday(d)").as("day_of_week"),
+        weekofyear(col("d")).as("iso_week"),
+        date_format(col("d"), "EEEE").as("day_name"),
+        (expr("weekday(d)") >= 5).as("is_weekend"))
+      .orderBy("cal_date")
+  }
+
+  /** Top-N per group: top 3 customers per nation by exact order revenue.
+    * Pre-aggregates before the rank window so the window input is one row
+    * per customer, not per order. */
+  def topNPerGroup(orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                   n: Int = 3): DataFrame = {
+    val perCust = orders.groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+    val named = perCust
+      .join(customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+    val w = Window.partitionBy(col("n_nationkey"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+    named.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= n)
+      .select(col("n_name").as("nation_name"), col("rnk"), col("c_custkey"),
+        col("revenue"), col("n_orders"))
+      .orderBy("nation_name", "rnk")
+  }
+
+  /** Behavior pivot: event_type counts + spend as per-user columns
+    * (fact_customer_behavior). Pivot values are pinned, so no extra
+    * distinct pass over the data at scale. */
+  def pivotBehavior(events: DataFrame): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val counts = types.map(t =>
+      coalesce(sum(when(col("event_type") === t, 1L)), lit(0L)).as(s"n_$t"))
+    events.groupBy(col("user_id"))
+      .agg(counts.head, counts.tail :+
+        decSum(when(col("event_type") === "purchase", col("value"))).as("purchase_value"): _*)
+      .na.fill(0.0, Seq("purchase_value"))
+      .orderBy("user_id")
+  }
+
+  /** Z-score anomaly flagging over events.value per event_type
+    * (README "Anomaly Detection: Statistical outlier identification").
+    * Mean/variance derived from exact decimal sums so the flags are
+    * deterministic under any partitioning. */
+  def anomalyZscore(events: DataFrame): DataFrame = {
+    val stats = events.groupBy(col("event_type").as("et"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+    events.join(broadcast(stats), col("event_type") === col("et"))
+      .select(
+        col("event_id"), col("event_type"), col("value"),
+        r4((col("value") - col("mean")) / col("sd")).as("zscore"),
+        (abs(r4((col("value") - col("mean")) / col("sd"))) > 2.0).as("is_outlier"))
+      .orderBy("event_id")
+  }
+
+  /** Freshness classification relative to the newest event (deterministic
+    * "now"): FRESH <=1h, ACCEPTABLE <=24h, else STALE
+    * (fact_sales_daily.sql data_freshness_status). */
+  def freshness(events: DataFrame): DataFrame = {
+    val ref = events.agg(max(epochS(col("ts"))).as("ref_s"))
+    events.crossJoin(broadcast(ref))
+      .withColumn("age_s", col("ref_s") - epochS(col("ts")))
+      .withColumn("freshness",
+        when(col("age_s") <= 3600, "FRESH")
+          .when(col("age_s") <= 86400, "ACCEPTABLE")
+          .otherwise("STALE"))
+      .groupBy("freshness")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("age_s")).as("min_age_s"),
+        max(col("age_s")).as("max_age_s"))
+      .orderBy("freshness")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_data_quality" -> ((s, d) => dataQuality(Tables.customer(s, d),
+      Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
+    "q_date_dim" -> ((s, d) => dateDim(Tables.orders(s, d))),
+    "q_top_n_per_group" -> ((s, d) =>
+      topNPerGroup(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
+    "q_pivot_behavior" -> ((s, d) => pivotBehavior(Tables.events(s, d))),
+    "q_anomaly_zscore" -> ((s, d) => anomalyZscore(Tables.events(s, d))),
+    "q_freshness" -> ((s, d) => freshness(Tables.events(s, d)))
+  )
+
+  private val profiled = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+
+  val oracles: Map[String, String] = Map(
+    "q_data_quality" -> profiled.map(c =>
+      s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT($c) AS BIGINT) AS n_filled,
+          CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+          FLOOR((CAST(COUNT($c) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS completeness
+          FROM customer""").mkString("", " UNION ALL ", " ORDER BY column_name"),
+    "q_date_dim" ->
+      """WITH r AS (SELECT MIN(CAST(o_orderdate AS DATE)) mn, MAX(CAST(o_orderdate AS DATE)) mx FROM orders),
+         days AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS d FROM r)
+         SELECT md5(CAST(d AS VARCHAR)) AS date_key, d AS cal_date,
+           CAST(year(d) AS INT) AS cal_year, CAST(quarter(d) AS INT) AS cal_quarter,
+           CAST(month(d) AS INT) AS cal_month, CAST(day(d) AS INT) AS cal_day,
+           CAST(isodow(d) - 1 AS INT) AS day_of_week,
+           CAST(weekofyear(d) AS INT) AS iso_week,
+           dayname(d) AS day_name,
+           isodow(d) - 1 >= 5 AS is_weekend
+         FROM days ORDER BY cal_date""",
+    "q_top_n_per_group" ->
+      """WITH perc AS (
+           SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders GROUP BY o_custkey),
+         ranked AS (
+           SELECT n_name AS nation_name, c_custkey, revenue, n_orders,
+             ROW_NUMBER() OVER (PARTITION BY n_nationkey ORDER BY revenue DESC, c_custkey) AS rnk
+           FROM perc
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey)
+         SELECT nation_name, CAST(rnk AS INT) AS rnk, c_custkey, revenue, n_orders
+         FROM ranked WHERE rnk <= 3 ORDER BY nation_name, rnk""",
+    "q_pivot_behavior" ->
+      """SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,4)) END) AS DOUBLE), 0.0) AS purchase_value
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "q_anomaly_zscore" ->
+      """WITH st AS (
+           SELECT event_type AS et, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
+           FROM events GROUP BY event_type),
+         z AS (
+           SELECT event_id, event_type, value,
+             FLOOR(((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) * 10000 + 0.5) / 10000 AS zscore
+           FROM events JOIN st ON event_type = et)
+         SELECT event_id, event_type, value, zscore, abs(zscore) > 2.0 AS is_outlier
+         FROM z ORDER BY event_id""",
+    "q_freshness" ->
+      """WITH ref AS (SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS ref_s FROM events),
+         aged AS (
+           SELECT ref_s - CAST(FLOOR(epoch(ts)) AS BIGINT) AS age_s,
+             CASE WHEN ref_s - CAST(FLOOR(epoch(ts)) AS BIGINT) <= 3600 THEN 'FRESH'
+                  WHEN ref_s - CAST(FLOOR(epoch(ts)) AS BIGINT) <= 86400 THEN 'ACCEPTABLE'
+                  ELSE 'STALE' END AS freshness
+           FROM events, ref)
+         SELECT freshness, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(age_s) AS min_age_s, MAX(age_s) AS max_age_s
+         FROM aged GROUP BY freshness ORDER BY freshness"""
+  )
+}

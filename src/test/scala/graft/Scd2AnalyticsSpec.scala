@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Analytics, Scd2}
+
+class Scd2AnalyticsSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("scd2 history: exactly one current row per key, versions dense") {
+    val scd = Scd2.build(Tables.events(spark, sf)).cache()
+    val keys = scd.select("user_id").distinct().count()
+    val current = scd.filter("is_current").count()
+    assert(current == keys, "each key must have exactly one current row")
+    val badVersions = scd.groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max("version").as("mx"),
+        org.apache.spark.sql.functions.count("*").as("n"))
+      .filter("mx <> n").count()
+    assert(badVersions == 0, "versions must be dense 1..n per key")
+    scd.unpersist()
+  }
+
+  test("scd2 integrity reports zero issues on a well-formed build") {
+    val issues = Scd2.integrity(Tables.events(spark, sf)).collect()
+    assert(issues.forall(_.getAs[Long]("issue_count") == 0L))
+  }
+
+  test("date dim covers the full orders range with no holes") {
+    val dd = Analytics.dateDim(Tables.orders(spark, sf))
+    val n = dd.count()
+    val distinct = dd.select("cal_date").distinct().count()
+    assert(n == distinct && n > 300)
+  }
+
+  test("pivot rows sum back to total event count") {
+    val p = Analytics.pivotBehavior(Tables.events(spark, sf))
+    val total = p.selectExpr("sum(n_click + n_error + n_purchase + n_signup + n_view)")
+      .collect()(0).getLong(0)
+    assert(total == Tables.events(spark, sf).count())
+  }
+
+  test("zscore outliers are a small fraction") {
+    val z = Analytics.anomalyZscore(Tables.events(spark, sf))
+    val frac = z.filter("is_outlier").count().toDouble / z.count()
+    assert(frac < 0.2, s"outlier fraction $frac suspiciously high")
+  }
+}
