@@ -1,0 +1,348 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** ML-platform feature computations.
+  *
+  * Re-expresses /root/reference/ml_platform/feature_store/
+  * feature_store_manager.py (RFM + categorize_rfm, time-series features)
+  * and ml_platform/monitoring/ml_monitoring_system.py (_calculate_psi,
+  * KS drift) as distributed DataFrame transforms: the reference computes
+  * these per-entity in pandas; here every feature is one window/agg pass
+  * so the same code runs on the full 100 TB entity population.
+  */
+object Features {
+
+  /** RFM (recency/frequency/monetary) per user over purchase events, with
+    * ntile quintile scores and segment categorization
+    * (feature_store_manager.py:200-260). The rank windows run over the
+    * per-user aggregate (one row per entity), not raw events. */
+  def rfm(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+    val ref = purchases.agg(max(epochS(col("ts"))).as("ref_s"))
+    val perUser = purchases.groupBy(col("user_id"))
+      .agg(max(epochS(col("ts"))).as("last_s"),
+        count(lit(1)).as("frequency"),
+        decSum(col("value")).as("monetary"))
+      .crossJoin(broadcast(ref))
+      .withColumn("recency_days", floor((col("ref_s") - col("last_s")) / 86400d).cast("long"))
+    val wR = Window.orderBy(col("recency_days"), col("user_id"))
+    val wF = Window.orderBy(col("frequency"), col("user_id"))
+    val wM = Window.orderBy(col("monetary"), col("user_id"))
+    perUser
+      .withColumn("r_score", lit(6) - ntile(5).over(wR))
+      .withColumn("f_score", ntile(5).over(wF))
+      .withColumn("m_score", ntile(5).over(wM))
+      .withColumn("rfm_segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .withColumn("rfm_category",
+        when(col("r_score") >= 4 && col("f_score") >= 4, "CHAMPION")
+          .when(col("r_score") >= 3, "LOYAL")
+          .when(col("r_score") >= 2, "AT_RISK")
+          .otherwise("HIBERNATING"))
+      .select("user_id", "recency_days", "frequency", "monetary",
+        "r_score", "f_score", "m_score", "rfm_segment", "rfm_category")
+      .orderBy("user_id")
+  }
+
+  /** Time-series rolling features per entity: lag, moving sum/avg/max over
+    * the last 3 observations, cumulative count
+    * (extract_time_series_features). */
+  def rolling(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val w3 = w.rowsBetween(-2, 0)
+    events
+      .withColumn("lag1_value", lag(col("value"), 1).over(w))
+      .withColumn("roll_sum3", sum(col("value").cast("decimal(18,4)")).over(w3).cast("double"))
+      .withColumn("roll_avg3",
+        sum(col("value").cast("decimal(18,4)")).over(w3).cast("double") / count(lit(1)).over(w3))
+      .withColumn("roll_max3", max(col("value")).over(w3))
+      .withColumn("n_so_far", count(lit(1)).over(w))
+      .select(col("event_id"), col("user_id"), col("value"), col("lag1_value"),
+        col("roll_sum3"), r4(col("roll_avg3")).as("roll_avg3"),
+        col("roll_max3"), col("n_so_far"))
+      .orderBy("event_id")
+  }
+
+  /** Sessionization: a >30-min gap starts a new session (lag + running sum
+    * of boundary flags — the standard scalable sessionizer, one shuffle on
+    * user_id), then session-grain rollup (fact_customer_behavior, session
+    * grain). */
+  def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("ts_s", epochS(col("ts")))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_seq", sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts_s")).as("start_s"),
+        max(col("ts_s")).as("end_s"),
+        decSum(col("value")).as("session_value"),
+        countDistinct(col("event_type")).as("n_event_types"))
+      .withColumn("session_id", concat_ws("-", col("user_id"), col("session_seq")))
+      .withColumn("duration_s", col("end_s") - col("start_s"))
+      .select("session_id", "user_id", "session_seq", "n_events", "start_s",
+        "end_s", "duration_s", "session_value", "n_event_types")
+      .orderBy("user_id", "session_seq")
+  }
+
+  /** Funnel conversion: signup → engaged (view|click) → purchase, counted
+    * over per-user flags (behavior analytics marts). */
+  def funnel(events: DataFrame): DataFrame = {
+    val flags = events.groupBy(col("user_id")).agg(
+      max(when(col("event_type") === "signup", 1).otherwise(0)).as("f_signup"),
+      max(when(col("event_type").isin("view", "click"), 1).otherwise(0)).as("f_engaged"),
+      max(when(col("event_type") === "purchase", 1).otherwise(0)).as("f_purchase"))
+    val agg = flags.agg(
+      sum(col("f_signup")).cast("long").as("n_signup"),
+      sum(col("f_signup") * col("f_engaged")).cast("long").as("n_engaged"),
+      sum(col("f_signup") * col("f_engaged") * col("f_purchase")).cast("long").as("n_converted"))
+    agg.select(
+      explode(array(
+        struct(lit(1).as("stage"), lit("signup").as("stage_name"), col("n_signup").as("n_users")),
+        struct(lit(2).as("stage"), lit("engaged").as("stage_name"), col("n_engaged").as("n_users")),
+        struct(lit(3).as("stage"), lit("converted").as("stage_name"), col("n_converted").as("n_users")))).as("s"),
+      col("n_signup"))
+      .select(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
+        col("s.n_users").as("n_users"),
+        r4(col("s.n_users") / col("n_signup")).as("conversion_from_top"))
+      .orderBy("stage")
+  }
+
+  /** PSI (population stability index) between the first and second half of
+    * the event stream over 10 equi-width bins (_calculate_psi). Two
+    * aggregate passes, nothing collected: bin counts are the only state. */
+  def psiDrift(events: DataFrame): DataFrame = {
+    val bounds = events.agg(
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      floor(max(col("event_id")) / 2d).cast("long").as("mid"))
+    val eps = 1e-6
+    val binned = events.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / 10d)), lit(9d)).cast("int"))
+      .withColumn("is_ref", (col("event_id") <= col("mid")).cast("int"))
+    val counts = binned.groupBy(col("bin")).agg(
+      sum(col("is_ref")).cast("double").as("n_ref"),
+      sum(lit(1) - col("is_ref")).cast("double").as("n_cur"))
+    val totals = counts.agg(
+      sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val spine = events.sparkSession.range(0, 10).select(col("id").cast("int").as("bin"))
+    val terms = spine.join(counts, Seq("bin"), "left")
+      .na.fill(0.0, Seq("n_ref", "n_cur"))
+      .crossJoin(broadcast(totals))
+      .withColumn("p_ref", greatest(col("n_ref") / col("t_ref"), lit(eps)))
+      .withColumn("p_cur", greatest(col("n_cur") / col("t_cur"), lit(eps)))
+      .withColumn("psi_term", (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+    terms
+      .withColumn("psi_total", sum(col("psi_term")).over(Window.partitionBy(lit(1))))
+      .select(col("bin"), r6(col("p_ref")).as("ref_pct"), r6(col("p_cur")).as("cur_pct"),
+        r6(col("psi_term")).as("psi_term"), r6(col("psi_total")).as("psi_total"))
+      .orderBy("bin")
+  }
+
+  /** Kolmogorov–Smirnov statistic between purchase and click value
+    * distributions: sup |F1 - F2| over the pooled support, computed on the
+    * distinct-value aggregate (KS drift detection). */
+  def ksDrift(events: DataFrame): DataFrame = {
+    val sample = events.filter(col("event_type").isin("purchase", "click"))
+      .withColumn("is_a", (col("event_type") === "purchase").cast("long"))
+    val perValue = sample.groupBy(col("value")).agg(
+      sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
+    val w = Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, 0)
+    val totals = sample.agg(sum(col("is_a")).as("na"), sum(lit(1L) - col("is_a")).as("nb"))
+    perValue
+      .withColumn("cum_a", sum(col("ca")).over(w))
+      .withColumn("cum_b", sum(col("cb")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("d", abs(col("cum_a") / col("na") - col("cum_b") / col("nb")))
+      .agg(r6(max(col("d"))).as("ks_stat"),
+        max(col("na")).as("n_sample_a"), max(col("nb")).as("n_sample_b"))
+  }
+
+  /** Feature statistics profile across numeric features of several tables
+    * (get_feature_statistics): n, nulls, deterministic mean/std from exact
+    * decimal moments, min/max, interpolated median. */
+  def featureStats(named: Seq[(String, DataFrame)]): DataFrame = {
+    val stats = named.map { case (name, dfc) =>
+      val c = col("v")
+      dfc.select(col(dfc.columns.head).as("v")).agg(
+        count(lit(1)).as("n_rows"),
+        count(c).as("n_filled"),
+        sum(c.cast("decimal(18,4)")).cast("double").as("s1"),
+        sum((c * c).cast("decimal(30,8)")).cast("double").as("s2"),
+        min(c).as("min_v"),
+        max(c).as("max_v"),
+        expr("percentile(v, 0.5)").as("median_v"))
+        .select(lit(name).as("feature"), col("n_rows"), col("n_filled"),
+          r6(col("s1") / col("n_filled")).as("mean_v"),
+          r6(sqrt((col("s2") - col("s1") * col("s1") / col("n_filled")) / (col("n_filled") - 1))).as("std_v"),
+          col("min_v"), col("max_v"), r6(col("median_v")).as("median_v"))
+    }
+    stats.reduce(_ unionAll _).orderBy("feature")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rfm_features" -> ((s, d) => rfm(Tables.events(s, d))),
+    "q_rolling_features" -> ((s, d) => rolling(Tables.events(s, d))),
+    "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "q_psi_drift" -> ((s, d) => psiDrift(Tables.events(s, d))),
+    "q_ks_drift" -> ((s, d) => ksDrift(Tables.events(s, d))),
+    "q_feature_stats" -> ((s, d) => featureStats(Seq(
+      "customer.c_acctbal" -> Tables.customer(s, d).select("c_acctbal"),
+      "events.value" -> Tables.events(s, d).select("value"),
+      "lineitem.l_extendedprice" -> Tables.lineitem(s, d).select("l_extendedprice"),
+      "orders.o_totalprice" -> Tables.orders(s, d).select("o_totalprice"))))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_rfm_features" ->
+      """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         ref AS (SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS ref_s FROM p),
+         pu AS (
+           SELECT user_id, MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last_s,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS monetary
+           FROM p GROUP BY user_id),
+         r AS (
+           SELECT user_id, CAST(FLOOR((ref_s - last_s) / 86400.0) AS BIGINT) AS recency_days,
+             frequency, monetary FROM pu, ref),
+         sc AS (
+           SELECT *,
+             6 - NTILE(5) OVER (ORDER BY recency_days, user_id) AS r_score,
+             NTILE(5) OVER (ORDER BY frequency, user_id) AS f_score,
+             NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+           FROM r)
+         SELECT user_id, recency_days, frequency, monetary,
+           CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm_segment,
+           CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'CHAMPION'
+                WHEN r_score >= 3 THEN 'LOYAL'
+                WHEN r_score >= 2 THEN 'AT_RISK'
+                ELSE 'HIBERNATING' END AS rfm_category
+         FROM sc ORDER BY user_id""",
+    "q_rolling_features" ->
+      """SELECT event_id, user_id, value,
+           LAG(value) OVER w AS lag1_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w3 AS DOUBLE) AS roll_sum3,
+           FLOOR((CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w3 AS DOUBLE) / COUNT(*) OVER w3) * 10000 + 0.5) / 10000 AS roll_avg3,
+           MAX(value) OVER w3 AS roll_max3,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_so_far
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+           w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
+    "q_sessionize" ->
+      """WITH t AS (
+           SELECT user_id, event_type, value, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s,
+             ts
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new
+           FROM t),
+         s AS (
+           SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+           FROM f)
+         SELECT CAST(user_id AS VARCHAR) || '-' || CAST(session_seq AS VARCHAR) AS session_id,
+           user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+           MAX(ts_s) - MIN(ts_s) AS duration_s,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS session_value,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_event_types
+         FROM s GROUP BY user_id, session_seq
+         ORDER BY user_id, session_seq""",
+    "q_funnel" ->
+      """WITH fl AS (
+           SELECT user_id,
+             MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS f_signup,
+             MAX(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS f_engaged,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS f_purchase
+           FROM events GROUP BY user_id),
+         a AS (
+           SELECT CAST(SUM(f_signup) AS BIGINT) AS n_signup,
+             CAST(SUM(f_signup * f_engaged) AS BIGINT) AS n_engaged,
+             CAST(SUM(f_signup * f_engaged * f_purchase) AS BIGINT) AS n_converted
+           FROM fl)
+         SELECT 1 AS stage, 'signup' AS stage_name, n_signup AS n_users,
+           FLOOR((CAST(n_signup AS DOUBLE) / n_signup) * 10000 + 0.5) / 10000 AS conversion_from_top FROM a
+         UNION ALL
+         SELECT 2, 'engaged', n_engaged,
+           FLOOR((CAST(n_engaged AS DOUBLE) / n_signup) * 10000 + 0.5) / 10000 FROM a
+         UNION ALL
+         SELECT 3, 'converted', n_converted,
+           FLOOR((CAST(n_converted AS DOUBLE) / n_signup) * 10000 + 0.5) / 10000 FROM a
+         ORDER BY stage""",
+    "q_psi_drift" ->
+      """WITH b AS (SELECT MIN(value) mn, MAX(value) mx, CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) mid FROM events),
+         binned AS (
+           SELECT CAST(LEAST(FLOOR((value - mn) / ((mx - mn) / 10)), 9) AS INT) AS bin,
+             CASE WHEN event_id <= mid THEN 1 ELSE 0 END AS is_ref
+           FROM events, b),
+         counts AS (
+           SELECT bin, CAST(SUM(is_ref) AS DOUBLE) n_ref, CAST(SUM(1 - is_ref) AS DOUBLE) n_cur
+           FROM binned GROUP BY bin),
+         spine AS (SELECT CAST(unnest(generate_series(0, 9)) AS INT) AS bin),
+         filled AS (
+           SELECT spine.bin, COALESCE(n_ref, 0) n_ref, COALESCE(n_cur, 0) n_cur
+           FROM spine LEFT JOIN counts ON spine.bin = counts.bin),
+         t AS (SELECT SUM(n_ref) t_ref, SUM(n_cur) t_cur FROM filled),
+         terms AS (
+           SELECT bin,
+             GREATEST(n_ref / t_ref, 1e-6) AS p_ref,
+             GREATEST(n_cur / t_cur, 1e-6) AS p_cur
+           FROM filled, t),
+         pt AS (
+           SELECT bin, p_ref, p_cur, (p_cur - p_ref) * ln(p_cur / p_ref) AS psi_term
+           FROM terms)
+         SELECT bin,
+           FLOOR(p_ref * 1000000 + 0.5) / 1000000 AS ref_pct,
+           FLOOR(p_cur * 1000000 + 0.5) / 1000000 AS cur_pct,
+           FLOOR(psi_term * 1000000 + 0.5) / 1000000 AS psi_term,
+           FLOOR(SUM(psi_term) OVER () * 1000000 + 0.5) / 1000000 AS psi_total
+         FROM pt ORDER BY bin""",
+    "q_ks_drift" ->
+      """WITH s AS (
+           SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+           FROM events WHERE event_type IN ('purchase', 'click')),
+         pv AS (SELECT value, CAST(SUM(is_a) AS BIGINT) ca, CAST(SUM(1 - is_a) AS BIGINT) cb
+           FROM s GROUP BY value),
+         t AS (SELECT CAST(SUM(is_a) AS BIGINT) na, CAST(SUM(1 - is_a) AS BIGINT) nb FROM s),
+         c AS (
+           SELECT SUM(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_a,
+             SUM(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_b
+           FROM pv)
+         SELECT FLOOR(MAX(ABS(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)) * 1000000 + 0.5) / 1000000 AS ks_stat,
+           MAX(na) AS n_sample_a, MAX(nb) AS n_sample_b
+         FROM c, t""",
+    "q_feature_stats" -> Seq(
+      ("customer.c_acctbal", "c_acctbal", "customer"),
+      ("events.value", "value", "events"),
+      ("lineitem.l_extendedprice", "l_extendedprice", "lineitem"),
+      ("orders.o_totalprice", "o_totalprice", "orders")).map { case (f, c, t) =>
+      s"""SELECT '$f' AS feature, CAST(COUNT(*) AS BIGINT) AS n_rows,
+          CAST(COUNT($c) AS BIGINT) AS n_filled,
+          FLOOR((CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c)) * 1000000 + 0.5) / 1000000 AS mean_v,
+          FLOOR(sqrt((CAST(SUM(CAST($c * $c AS DECIMAL(30,8))) AS DOUBLE)
+            - CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c))
+            / (COUNT($c) - 1)) * 1000000 + 0.5) / 1000000 AS std_v,
+          MIN($c) AS min_v, MAX($c) AS max_v,
+          FLOOR(quantile_cont($c, 0.5) * 1000000 + 0.5) / 1000000 AS median_v
+          FROM $t"""
+    }.mkString("", " UNION ALL ", " ORDER BY feature")
+  )
+}

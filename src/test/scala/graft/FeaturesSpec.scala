@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Features
+
+class FeaturesSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("rfm scores are quintiles in 1..5 and segments well-formed") {
+    val r = Features.rfm(Tables.events(spark, sf)).collect()
+    assert(r.nonEmpty)
+    assert(r.forall { row =>
+      val (rs, fs, ms) = (row.getAs[Int]("r_score"), row.getAs[Int]("f_score"), row.getAs[Int]("m_score"))
+      rs >= 1 && rs <= 5 && fs >= 1 && fs <= 5 && ms >= 1 && ms <= 5 &&
+        row.getAs[String]("rfm_segment") == s"$rs$fs$ms"
+    })
+  }
+
+  test("sessionize: session gaps exceed 30 minutes between consecutive sessions") {
+    val s = Features.sessionize(Tables.events(spark, sf))
+    import spark.implicits._
+    val perUser = s.select("user_id", "session_seq", "start_s", "end_s")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1)
+    perUser.values.foreach { sess =>
+      val sorted = sess.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 - a._4 > 1800, s"gap too small between ${a._2} and ${b._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("funnel is monotone decreasing") {
+    val f = Features.funnel(Tables.events(spark, sf)).orderBy("stage")
+      .select("n_users").collect().map(_.getLong(0))
+    assert(f.sliding(2).forall { case Array(a, b) => b <= a; case _ => true })
+  }
+
+  test("psi bins cover 10 bins and percentages sum to ~1") {
+    val p = Features.psiDrift(Tables.events(spark, sf)).collect()
+    assert(p.length == 10)
+    val refSum = p.map(_.getAs[Double]("ref_pct")).sum
+    assert(math.abs(refSum - 1.0) < 0.01)
+  }
+
+  test("ks stat is in [0, 1]") {
+    val k = Features.ksDrift(Tables.events(spark, sf)).collect()(0)
+    val ks = k.getAs[Double]("ks_stat")
+    assert(ks >= 0.0 && ks <= 1.0)
+  }
+}
