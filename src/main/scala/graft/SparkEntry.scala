@@ -2,6 +2,10 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators.{Analytics, Scd2, Warehouse}
 import graft.ml.Features
+import graft.dedup.Dedup
+import graft.ann.Ann
+import graft.text.TextOps
+import graft.multimodal.Multimodal
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -12,9 +16,11 @@ object SparkEntry {
   }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Warehouse.queries ++ Scd2.queries ++ Analytics.queries ++ Features.queries
+    Warehouse.queries ++ Scd2.queries ++ Analytics.queries ++ Features.queries ++
+      Dedup.queries ++ Ann.queries ++ TextOps.queries ++ Multimodal.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Warehouse.oracles ++ Scd2.oracles ++ Analytics.oracles ++ Features.oracles
+    Warehouse.oracles ++ Scd2.oracles ++ Analytics.oracles ++ Features.oracles ++
+      Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles
 }

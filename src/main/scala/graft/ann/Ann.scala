@@ -1,0 +1,173 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Vector similarity over an embedding column (Array[Float]).
+  *
+  * Dot products run through an in-order `aggregate` fold over DECIMAL
+  * terms — exact arithmetic, so cosine values (and therefore top-k
+  * ordering and thresholds) are bit-deterministic under any partitioning.
+  * No shuffle is spent on the vector math itself; candidate generation is
+  * the only distributed step:
+  *   - near-dup: pairs blocked by coarse cluster (label) — an IVF cell
+  *     join, not an O(n²) cross join;
+  *   - top-k: small probe set broadcast against the corpus;
+  *   - IVF: one broadcast of K centroids, assignments in a single pass.
+  */
+object Ann {
+
+  /** Exact decimal dot product of two float-array columns (in-order fold,
+    * engine-independent). Args are column names resolvable in the frame. */
+  def dot(a: String, b: String): Column =
+    expr(
+      s"CAST(aggregate(zip_with($a, $b, " +
+        "(x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))), " +
+        "CAST(0 AS DECIMAL(38,30)), (acc, v) -> CAST(acc + v AS DECIMAL(38,30))) AS DOUBLE)")
+
+  private def withNorm(emb: DataFrame): DataFrame =
+    emb.withColumn("nrm", sqrt(dot("embedding", "embedding")))
+
+  /** Embedding cosine near-dup pairs within a coarse cluster (label acts
+    * as the IVF cell / blocking key). */
+  def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val v = withNorm(embeddings.select(col("vec_id"), col("label"), col("embedding")))
+    val a = v.select(col("vec_id").as("vec_a"), col("label"),
+      col("embedding").as("e1"), col("nrm").as("nrm1"))
+    val b = v.select(col("vec_id").as("vec_b"), col("label").as("label_b"),
+      col("embedding").as("e2"), col("nrm").as("nrm2"))
+    a.join(b, col("label") === col("label_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cosine", r6(dot("e1", "e2") / (col("nrm1") * col("nrm2"))))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "label", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Brute-force cosine top-k: the exact baseline. Probes broadcast;
+    * corpus streamed once; per-probe rank window over the scored pairs. */
+  def bruteForceTopK(embeddings: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame = {
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val probes = v.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pnrm"))
+    val scored = v.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", r6(dot("embedding", "pe") / (col("nrm") * col("pnrm"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** IVF cell assignment: every vector is assigned to its nearest of K
+    * deterministic centroids (vec_id % step == 0). The scale path: search
+    * only touches the probe's cell instead of the full corpus. */
+  def ivfAssign(embeddings: DataFrame, step: Int = 50): DataFrame = {
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val cents = v.filter(pmod(col("vec_id"), lit(step)) === 0)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"),
+        col("nrm").as("cnrm"))
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("cosine", r6(dot("embedding", "ce") / (col("nrm") * col("cnrm"))))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cosine").desc, col("centroid_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("cosine").as("centroid_cosine"))
+      .orderBy("vec_id")
+  }
+
+  /** IVF search: top-k within the probe's assigned cell (+ the probe's
+    * nProbe nearest cells would be the production refinement). */
+  def ivfSearch(embeddings: DataFrame, nProbes: Int = 10, k: Int = 10,
+                step: Int = 50): DataFrame = {
+    val assign = ivfAssign(embeddings, step).select("vec_id", "centroid_id")
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+      .join(assign, "vec_id")
+    val probes = v.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("nrm").as("pnrm"), col("centroid_id").as("pcell"))
+    val scored = v.join(broadcast(probes),
+        col("centroid_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", r6(dot("embedding", "pe") / (col("nrm") * col("pnrm"))))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("vec_id").as("neighbor_id"), col("cosine"))
+      .orderBy("probe_id", "rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
+    "q_ann_topk" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
+    "q_ann_ivf" -> ((s, d) => ivfAssign(Tables.embeddings(s, d)))
+  )
+
+  /** Oracle-side exact decimal dot product over zipped unnests. */
+  private def dotSql(e1: String, e2: String): String =
+    s"""(SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+        FROM (SELECT unnest($e1) AS x, unnest($e2) AS y))"""
+
+  val oracles: Map[String, String] = Map(
+    "q_embed_neardup" ->
+      """WITH nv AS (
+           SELECT vec_id, label, embedding,
+             sqrt((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x2 AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+                   FROM (SELECT unnest(embedding) AS x, unnest(embedding) AS x2))) AS nrm
+           FROM embeddings),
+         p AS (
+           SELECT a.vec_id vec_a, b.vec_id vec_b, a.label,
+             a.embedding e1, b.embedding e2, a.nrm nrm1, b.nrm nrm2
+           FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id),
+         c AS (
+           SELECT vec_a, vec_b, label,
+             FLOOR(((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+                     FROM (SELECT unnest(e1) AS x, unnest(e2) AS y)) / (nrm1 * nrm2)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM p)
+         SELECT vec_a, vec_b, label, cosine FROM c
+         WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""",
+    "q_ann_topk" ->
+      """WITH nv AS (
+           SELECT vec_id, embedding,
+             sqrt((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x2 AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+                   FROM (SELECT unnest(embedding) AS x, unnest(embedding) AS x2))) AS nrm
+           FROM embeddings),
+         probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm FROM nv WHERE vec_id < 10),
+         scored AS (
+           SELECT probe_id, vec_id,
+             FLOOR(((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+                     FROM (SELECT unnest(embedding) AS x, unnest(pe) AS y)) / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM nv, probes WHERE vec_id <> probe_id),
+         ranked AS (
+           SELECT probe_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+         FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "q_ann_ivf" ->
+      """WITH nv AS (
+           SELECT vec_id, embedding,
+             sqrt((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x2 AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+                   FROM (SELECT unnest(embedding) AS x, unnest(embedding) AS x2))) AS nrm
+           FROM embeddings),
+         cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv WHERE vec_id % 50 = 0),
+         scored AS (
+           SELECT vec_id, centroid_id,
+             FLOOR(((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
+                     FROM (SELECT unnest(embedding) AS x, unnest(ce) AS y)) / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM nv, cents),
+         ranked AS (
+           SELECT vec_id, centroid_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
+           FROM scored)
+         SELECT vec_id, centroid_id, cosine AS centroid_cosine
+         FROM ranked WHERE rn = 1 ORDER BY vec_id"""
+  )
+}

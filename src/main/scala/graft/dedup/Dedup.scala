@@ -1,0 +1,209 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Fns._
+import graft.text.TextPrep
+
+/** Document deduplication family for LLM training-data pipelines:
+  * exact (hash groupBy), MinHash+LSH, SimHash, and word-n-gram Jaccard.
+  *
+  * Scale design: every variant is linear-ish — hashes/signatures are
+  * computed per document, candidate generation is a bucket join on band
+  * or shingle keys (one shuffle on the bucket key), and only candidate
+  * pairs are verified. No O(n²) cross joins anywhere.
+  */
+object Dedup {
+
+  /** Exact dedup: md5 of normalized text; every doc is assigned its
+    * group's canonical (minimum) doc_id. */
+  def exact(documents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("norm_hash"))
+    TextPrep.withWords(documents)
+      .select(col("doc_id"), md5(col("norm").cast("binary")).as("norm_hash"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+      .orderBy("doc_id")
+  }
+
+  /** MinHash+LSH near-dup candidates: 8 string-min hash functions
+    * (salted md5 over distinct shingles), banded 2-per-band into 4 LSH
+    * buckets, candidate pairs = docs sharing a band bucket.
+    * Band-bucket join is the only shuffle that grows with corpus size. */
+  def minhashLsh(documents: DataFrame): DataFrame = {
+    val sh = TextPrep.shingles(documents)
+    val mins = (0 to 7).map(k =>
+      min(md5(concat(lit(s"$k:"), col("shingle")).cast("binary"))).as(s"h$k"))
+    val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 to 3).map(b => struct(lit(b).as("band_idx"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("bh"))): _*)).as("s"))
+      .select(col("doc_id"), col("s.band_idx").as("band_idx"), col("s.bh").as("bh"))
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(countDistinct(col("a.band_idx")).as("n_shared_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash 64-bit fingerprint per document, emitted as four 16-bit
+    * quarters (the standard blocking keys: hamming distance <= 3 implies
+    * at least one identical quarter). Bits derive from md5 so the oracle
+    * can reproduce them; term frequency weights each word's vote. */
+  def simhash(documents: DataFrame): DataFrame = {
+    val tf = TextPrep.withWords(documents)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val bits = tf
+      .withColumn("hx", substring(md5(col("word").cast("binary")), 1, 16))
+      .select(col("doc_id"), col("tf"), col("hx"),
+        explode(sequence(lit(0), lit(63))).as("j"))
+      .withColumn("bit", expr(
+        "pmod(shiftright(instr('0123456789abcdef', substr(hx, CAST(floor(j / 4) AS INT) + 1, 1)) - 1, " +
+          "3 - pmod(j, 4)), 2)"))
+      .groupBy(col("doc_id"), col("j"))
+      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("s"))
+    val quarters = bits
+      .withColumn("q", expr("CAST(floor(j / 16) AS INT)"))
+      .withColumn("term",
+        when(col("s") > 0, expr("shiftleft(1, pmod(j, 16))")).otherwise(lit(0)))
+      .groupBy("doc_id", "q").agg(sum(col("term")).cast("long").as("qv"))
+    quarters.groupBy(col("doc_id")).agg(
+      max(when(col("q") === 0, col("qv"))).as("q0"),
+      max(when(col("q") === 1, col("qv"))).as("q1"),
+      max(when(col("q") === 2, col("qv"))).as("q2"),
+      max(when(col("q") === 3, col("qv"))).as("q3"))
+      .orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs: block on any equal quarter, verify
+    * hamming(fp_a, fp_b) <= maxHamming via bit_count over the four
+    * quarter XORs. Pairs only — built on [[simhash]] output. */
+  def simhashPairs(documents: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(documents)
+    val blocked = fp.select(col("doc_id"), col("q0"), col("q1"), col("q2"), col("q3"),
+      explode(array((0 to 3).map(i =>
+        struct(lit(i).as("qi"), col(s"q$i").as("qval"))): _*)).as("s"))
+      .select(col("doc_id"), col("q0"), col("q1"), col("q2"), col("q3"),
+        col("s.qi").as("qi"), col("s.qval").as("qval"))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b, col("a.qi") === col("b.qi") && col("a.qval") === col("b.qval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (expr("bit_count(a.q0 ^ b.q0)") + expr("bit_count(a.q1 ^ b.q1)") +
+          expr("bit_count(a.q2 ^ b.q2)") + expr("bit_count(a.q3 ^ b.q3)")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Word-3-gram Jaccard near-dup join. Hot shingles (document frequency
+    * > dfLimit) are pruned before the pair join — the standard guard that
+    * keeps the candidate join linear on skewed corpora. */
+  def ngramJaccard(documents: DataFrame, threshold: Double = 0.4,
+                   dfLimit: Int = 100): DataFrame = {
+    val sh = TextPrep.shingles(documents)
+    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfLimit).select("shingle")
+    val shp = sh.join(keep, "shingle")
+    val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shp.as("a")
+      .join(shp.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_intersect"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("n_union", col("na") + col("nb") - col("n_intersect"))
+      .withColumn("jaccard", r6(col("n_intersect") / col("n_union")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "n_intersect", "n_union", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
+    "q_dedup_minhash" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
+    "q_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d)))
+  )
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH n AS (SELECT doc_id, md5($normSql) AS norm_hash FROM documents)
+         SELECT doc_id, norm_hash,
+           MIN(doc_id) OVER (PARTITION BY norm_hash) AS canonical_id,
+           CAST(COUNT(*) OVER (PARTITION BY norm_hash) AS BIGINT) AS group_size,
+           doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash) AS is_duplicate
+         FROM n ORDER BY doc_id""",
+    "q_dedup_minhash" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         w2 AS (SELECT * FROM w WHERE len(words) >= 3),
+         sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM w2, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+         mh AS (SELECT doc_id,
+           MIN(md5('0:' || shingle)) h0, MIN(md5('1:' || shingle)) h1,
+           MIN(md5('2:' || shingle)) h2, MIN(md5('3:' || shingle)) h3,
+           MIN(md5('4:' || shingle)) h4, MIN(md5('5:' || shingle)) h5,
+           MIN(md5('6:' || shingle)) h6, MIN(md5('7:' || shingle)) h7
+           FROM sh GROUP BY doc_id),
+         bands AS (
+           SELECT doc_id, 0 AS band_idx, md5(h0 || h1) bh FROM mh UNION ALL
+           SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
+           SELECT doc_id, 2, md5(h4 || h5) FROM mh UNION ALL
+           SELECT doc_id, 3, md5(h6 || h7) FROM mh),
+         pairs AS (SELECT a.doc_id da, b.doc_id db, a.band_idx FROM bands a
+           JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         SELECT da AS doc_a, db AS doc_b,
+           CAST(COUNT(DISTINCT band_idx) AS BIGINT) AS n_shared_bands
+         FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_dedup_simhash" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),
+         tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) tf FROM w GROUP BY 1, 2),
+         h AS (SELECT doc_id, tf, substr(md5(word), 1, 16) AS hx FROM tf),
+         bits AS (SELECT doc_id, j,
+             SUM(tf * (2 * (((strpos('0123456789abcdef', substr(hx, CAST(FLOOR(j / 4.0) AS INT) + 1, 1)) - 1)
+               >> (3 - (j % 4))) % 2) - 1)) AS s
+           FROM h, UNNEST(generate_series(0, 63)) AS t(j) GROUP BY 1, 2),
+         fp AS (SELECT doc_id, CAST(FLOOR(j / 16.0) AS INT) AS q,
+             CAST(SUM(CASE WHEN s > 0 THEN 1 << (j % 16) ELSE 0 END) AS BIGINT) AS qv
+           FROM bits GROUP BY 1, 2)
+         SELECT doc_id,
+           MAX(CASE WHEN q = 0 THEN qv END) AS q0,
+           MAX(CASE WHEN q = 1 THEN qv END) AS q1,
+           MAX(CASE WHEN q = 2 THEN qv END) AS q2,
+           MAX(CASE WHEN q = 3 THEN qv END) AS q3
+         FROM fp GROUP BY doc_id ORDER BY doc_id""",
+    "q_ngram_jaccard" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         w2 AS (SELECT * FROM w WHERE len(words) >= 3),
+         sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM w2, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+         keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         shp AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM shp GROUP BY doc_id),
+         inter AS (SELECT a.doc_id da, b.doc_id db, CAST(COUNT(*) AS BIGINT) i
+           FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+         SELECT da AS doc_a, db AS doc_b, i AS n_intersect,
+           sa.n + sb.n - i AS n_union,
+           FLOOR((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 AS jaccard
+         FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+         WHERE FLOOR((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 >= 0.4
+         ORDER BY 1, 2"""
+  )
+}

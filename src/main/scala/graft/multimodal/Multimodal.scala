@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** One record per multimodal asset: opaque payload + typed metadata.
+  * This is the schema a 100 TB image/audio/video lake carries — the
+  * payload stays an opaque binary column end to end; only metadata is
+  * columnar. */
+case class Asset(doc_id: Long, payload: Array[Byte], format: String,
+                 width: Int, height: Int, n_frames: Int)
+
+/** Decoded features produced by the (stubbed) decoder. */
+case class AssetFeatures(doc_id: Long, format: String, byte_len: Long,
+                         mean_luma: Double, n_patches: Int)
+
+/** Multimodal column plumbing.
+  *
+  * Real multimodal pipelines ship image/audio bytes as parquet `binary`
+  * columns and run decode / feature-extraction per partition (Spark's
+  * Scala twin of `mapInPandas`): here [[decodeFeatures]] demonstrates the
+  * production shape — `Dataset[Asset].mapPartitions` with a per-partition
+  * "decoder" — while the decoder itself is a DETERMINISTIC STUB (this
+  * container has no image libs; a real deployment swaps `stubDecode`
+  * for libjpeg/ffmpeg and nothing else changes).
+  */
+object Multimodal {
+
+  /** Build an asset table from documents: text bytes stand in for media
+    * payloads; metadata is derived deterministically. */
+  def assets(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "jpeg")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "png")
+        .otherwise("webp").as("format"),
+      pmod(col("n_chars"), lit(640)).cast("int").as("width"),
+      pmod(col("n_chars") * 7, lit(480)).cast("int").as("height"),
+      (pmod(col("doc_id"), lit(30)) + 1).cast("int").as("n_frames"))
+
+  /** STUB decoder: deterministic fake of "decode image, compute mean
+    * luma". A real decoder reads `a.payload` with an image library; the
+    * batch shape (one partition in, iterator out, no driver involvement)
+    * is exactly what production uses. */
+  private def stubDecode(a: Asset): AssetFeatures = {
+    val lenSum = a.payload.length.toLong
+    val luma = ((lenSum * 31 + a.doc_id * 7) % 256).toDouble / 255.0
+    AssetFeatures(a.doc_id, a.format, lenSum,
+      math.floor(luma * 10000 + 0.5) / 10000,
+      math.max(1, (a.width / 16) * (a.height / 16)))
+  }
+
+  /** Per-partition decode: the Spark-side plumbing that matters at scale
+    * (batched, executor-local, zero driver round-trips). */
+  def decodeFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions(_.map(stubDecode))
+  }
+
+  /** Metadata + stub-decoded features as a plain DataFrame query
+    * (column-expression twin of [[decodeFeatures]], used for the oracle
+    * check; same formulas). */
+  def metaQuery(documents: DataFrame): DataFrame =
+    assets(documents)
+      .withColumn("byte_len", length(col("payload")).cast("long"))
+      .withColumn("mean_luma",
+        r4(pmod(col("byte_len") * 31 + col("doc_id") * 7, lit(256)) / 255d))
+      .withColumn("n_patches",
+        greatest(lit(1), (col("width").cast("int") / 16).cast("int") * (col("height").cast("int") / 16).cast("int")))
+      .select("doc_id", "format", "width", "height", "n_frames", "byte_len",
+        "mean_luma", "n_patches")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_meta" -> ((s, d) => metaQuery(Tables.documents(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+                WHEN doc_id % 3 = 1 THEN 'png'
+                ELSE 'webp' END AS format,
+           CAST(n_chars % 640 AS INT) AS width,
+           CAST((n_chars * 7) % 480 AS INT) AS height,
+           CAST(doc_id % 30 + 1 AS INT) AS n_frames,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           FLOOR(((octet_length(encode(text)) * 31 + doc_id * 7) % 256 / 255.0) * 10000 + 0.5) / 10000 AS mean_luma,
+           GREATEST(1, CAST(FLOOR((n_chars % 640) / 16.0) AS INT) * CAST(FLOOR(((n_chars * 7) % 480) / 16.0) AS INT)) AS n_patches
+         FROM documents ORDER BY doc_id"""
+  )
+}

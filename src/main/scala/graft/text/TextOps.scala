@@ -1,0 +1,167 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Text analysis for training-data pipelines: language ID, quality
+  * scoring, token counting, fingerprinting. All per-document column
+  * expressions — embarrassingly parallel, no shuffles at all (the
+  * fingerprint min/max shingle agg is the one exception: a single
+  * groupBy doc_id combine).
+  */
+object TextOps {
+
+  private val stop = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "von"),
+    "fr" -> Seq("le", "les", "des", "et", "du", "une"))
+
+  private def inList(vals: Seq[String]): String =
+    vals.map(v => s"'$v'").mkString("(", ", ", ")")
+
+  /** Stopword-hit language ID heuristic (n-gram-free variant suited to
+    * whitespace-tokenized corpora). Deterministic priority on ties. */
+  def langId(documents: DataFrame): DataFrame = {
+    val scored = TextPrep.withWords(documents)
+      .withColumn("s_en", expr(s"size(filter(words, w -> w IN ${inList(stop("en"))}))"))
+      .withColumn("s_es", expr(s"size(filter(words, w -> w IN ${inList(stop("es"))}))"))
+      .withColumn("s_de", expr(s"size(filter(words, w -> w IN ${inList(stop("de"))}))"))
+      .withColumn("s_fr", expr(s"size(filter(words, w -> w IN ${inList(stop("fr"))}))"))
+    scored.select(
+      col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
+      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+        .when(col("s_de") >= col("s_fr"), "de")
+        .otherwise("fr").as("predicted_lang"),
+      col("lang").as("labeled_lang"))
+      .withColumn("is_match", col("predicted_lang") === col("labeled_lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Quality scoring: length/stopword/punctuation signals combined into a
+    * [0,1] score with tier bucketing (README "99% data quality score";
+    * quality filters are the first stage of any LLM data pipeline). */
+  def quality(documents: DataFrame): DataFrame = {
+    val d = TextPrep.withWords(documents)
+      .withColumn("n_chars_raw", length(col("text")))
+      .withColumn("n_words", size(col("words")))
+      .withColumn("avg_word_len",
+        r4((length(col("norm")) - (col("n_words") - 1)) / col("n_words")))
+      .withColumn("punct_ratio",
+        r4((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text"))))
+      .withColumn("stop_ratio",
+        r4(expr(s"size(filter(words, w -> w IN ${inList(stop("en"))}))") / col("n_words")))
+      .withColumn("digit_ratio",
+        r4((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))) / length(col("text"))))
+    d.withColumn("quality_score", r4(
+        lit(0.4) * col("stop_ratio") +
+          lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+          lit(0.3) * least(col("n_words") / 100d, lit(1.0))))
+      .withColumn("quality_tier",
+        when(col("quality_score") >= 0.7, "HIGH")
+          .when(col("quality_score") >= 0.4, "MEDIUM")
+          .otherwise("LOW"))
+      .select("doc_id", "n_chars_raw", "n_words", "avg_word_len", "punct_ratio",
+        "stop_ratio", "digit_ratio", "quality_score", "quality_tier")
+      .orderBy("doc_id")
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens
+    * (letter-runs | digit-runs | other), and the chars/4 estimate. */
+  def tokenCount(documents: DataFrame): DataFrame =
+    documents
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("ws_tokens", size(split(trim(col("text")), "\\s+")))
+      .withColumn("re_tokens", regexp_count(lower(col("text")), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")))
+      .withColumn("est_bpe_tokens", ceil(col("n_chars") / 4d).cast("long"))
+      .select("doc_id", "n_chars", "ws_tokens", "re_tokens", "est_bpe_tokens")
+      .orderBy("doc_id")
+
+  /** Document fingerprint: whole-content md5 + winnowing-style min/max
+    * shingle hashes (sketch of the shingle set; equal min+max is a cheap
+    * near-dup pre-filter). */
+  def fingerprint(documents: DataFrame): DataFrame = {
+    val content = TextPrep.withWords(documents)
+      .select(col("doc_id"), md5(col("norm").cast("binary")).as("content_md5"))
+    val sketch = TextPrep.shingles(documents)
+      .withColumn("sh", md5(col("shingle").cast("binary")))
+      .groupBy("doc_id")
+      .agg(min(col("sh")).as("min_shingle_hash"),
+        max(col("sh")).as("max_shingle_hash"),
+        count(lit(1)).as("n_shingles"))
+    content.join(sketch, Seq("doc_id"), "left").orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
+    "q_token_count" -> ((s, d) => tokenCount(Tables.documents(s, d))),
+    "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d)))
+  )
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+  private def hits(lang: String): String =
+    s"len(list_filter(words, w -> w IN ${inList(stop(lang))}))"
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split($normSql, ' ') AS words FROM documents),
+         sc AS (SELECT doc_id, lang,
+             CAST(${hits("en")} AS INT) s_en, CAST(${hits("es")} AS INT) s_es,
+             CAST(${hits("de")} AS INT) s_de, CAST(${hits("fr")} AS INT) s_fr
+           FROM w)
+         SELECT doc_id, s_en, s_es, s_de, s_fr,
+           CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END AS predicted_lang,
+           lang AS labeled_lang,
+           (CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                WHEN s_de >= s_fr THEN 'de'
+                ELSE 'fr' END) = lang AS is_match
+         FROM sc ORDER BY doc_id""",
+    "q_text_quality" ->
+      s"""WITH w AS (SELECT doc_id, text, $normSql AS norm,
+             string_split($normSql, ' ') AS words FROM documents),
+         d AS (SELECT doc_id,
+             CAST(length(text) AS INT) AS n_chars_raw,
+             CAST(len(words) AS INT) AS n_words,
+             FLOOR((CAST(length(norm) - (len(words) - 1) AS DOUBLE) / len(words)) * 10000 + 0.5) / 10000 AS avg_word_len,
+             FLOOR((CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 10000 + 0.5) / 10000 AS punct_ratio,
+             FLOOR((CAST(${hits("en")} AS DOUBLE) / len(words)) * 10000 + 0.5) / 10000 AS stop_ratio,
+             FLOOR((CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text)) * 10000 + 0.5) / 10000 AS digit_ratio
+           FROM w)
+         SELECT *,
+           CASE WHEN quality_score >= 0.7 THEN 'HIGH'
+                WHEN quality_score >= 0.4 THEN 'MEDIUM'
+                ELSE 'LOW' END AS quality_tier
+         FROM (SELECT *,
+             FLOOR((0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+               + 0.3 * LEAST(CAST(n_words AS DOUBLE) / 100, 1.0)) * 10000 + 0.5) / 10000 AS quality_score
+           FROM d)
+         ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS ws_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
+         CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         c AS (SELECT doc_id, md5(norm) AS content_md5 FROM n),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         w2 AS (SELECT * FROM w WHERE len(words) >= 3),
+         sh AS (SELECT DISTINCT doc_id, md5(words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS sh
+                FROM w2, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+         sk AS (SELECT doc_id, MIN(sh) AS min_shingle_hash, MAX(sh) AS max_shingle_hash,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles
+           FROM sh GROUP BY doc_id)
+         SELECT c.doc_id, content_md5, min_shingle_hash, max_shingle_hash, n_shingles
+         FROM c LEFT JOIN sk ON c.doc_id = sk.doc_id ORDER BY c.doc_id"""
+  )
+}

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.{Asset, Multimodal}
+import graft.text.TextOps
+
+class LlmDataSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("exact dedup: injected duplicate text collapses to one canonical id") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox", "en", "s", 19L),
+      (2L, "THE  quick   Brown fox ", "en", "s", 23L), // same after normalization
+      (3L, "something else entirely", "en", "s", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.exact(docs).collect()
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(byId(2L).getAs[Long]("canonical_id") == 1L)
+    assert(byId(2L).getAs[Boolean]("is_duplicate"))
+    assert(byId(1L).getAs[Long]("group_size") == 2L)
+    assert(!byId(3L).getAs[Boolean]("is_duplicate"))
+  }
+
+  test("minhash LSH finds the jaccard near-dups (high-sim pairs are candidates)") {
+    val docs = Tables.documents(spark, sf)
+    val jac = Dedup.ngramJaccard(docs, threshold = 0.8)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.minhashLsh(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every very-high-jaccard pair must be recalled by 2-row/4-band LSH
+    assert(jac.nonEmpty && jac.subsetOf(cand), s"missed: ${jac -- cand}")
+  }
+
+  test("simhash: identical docs get identical fingerprints, pairs found via quarters") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L),
+      (2L, "alpha beta gamma delta epsilon zeta", "en", "s", 35L),
+      (3L, "totally different words here now ok", "en", "s", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("doc_a") == 1L && pairs(0).getAs[Long]("doc_b") == 2L)
+  }
+
+  test("ann: ivf search recall vs brute force within the probed cell") {
+    val emb = Tables.embeddings(spark, sf)
+    val bf = Ann.bruteForceTopK(emb, nProbes = 5, k = 5).count()
+    val ivf = Ann.ivfSearch(emb, nProbes = 5, k = 5)
+    assert(bf == 25)
+    assert(ivf.count() > 0)
+    // ivf results must be a subset of the probe's cell
+    val assign = Ann.ivfAssign(emb).select(col("vec_id"), col("centroid_id"))
+    val joined = Ann.ivfSearch(emb, nProbes = 5, k = 5)
+      .join(assign.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("centroid_id", "ncell"), "neighbor_id")
+      .join(assign.withColumnRenamed("vec_id", "probe_id")
+        .withColumnRenamed("centroid_id", "pcell"), "probe_id")
+    assert(joined.filter(col("ncell") =!= col("pcell")).count() == 0)
+  }
+
+  test("multimodal mapPartitions decode matches the column-expression twin") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val ds = Multimodal.assets(docs).as[Asset]
+    val decoded = Multimodal.decodeFeatures(ds)
+      .select(col("doc_id"), col("byte_len"), col("mean_luma"))
+    val twin = Multimodal.metaQuery(docs)
+      .select(col("doc_id"), col("byte_len"), col("mean_luma"))
+    assert(decoded.exceptAll(twin).count() == 0)
+    assert(twin.exceptAll(decoded).count() == 0)
+  }
+
+  test("token counts are internally consistent") {
+    val t = TextOps.tokenCount(Tables.documents(spark, sf)).collect()
+    assert(t.forall { r =>
+      r.getAs[Int]("ws_tokens") <= r.getAs[Int]("re_tokens") + 1 &&
+        r.getAs[Long]("est_bpe_tokens") >= 1
+    })
+  }
+}
