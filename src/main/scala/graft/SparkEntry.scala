@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Analytics, Scd2, Warehouse}
+import graft.operators.{Analytics, Joins, Scd2, Warehouse}
 import graft.ml.Features
 import graft.dedup.Dedup
 import graft.ann.Ann
@@ -17,10 +17,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Warehouse.queries ++ Scd2.queries ++ Analytics.queries ++ Features.queries ++
-      Dedup.queries ++ Ann.queries ++ TextOps.queries ++ Multimodal.queries
+      Dedup.queries ++ Ann.queries ++ TextOps.queries ++ Multimodal.queries ++
+      Joins.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Warehouse.oracles ++ Scd2.oracles ++ Analytics.oracles ++ Features.oracles ++
-      Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles ++
+      Joins.oracles
 }

@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.functions.Fns._
+
+/** Structured Streaming over the events stream.
+  *
+  * The streaming jobs are the readStream twins of the batch operators
+  * (windowTumbling, incrementalMerge): same transforms, plus watermarks
+  * for state bounding. File-source parquet here; at scale the source
+  * swaps for Kafka with no change below `.withWatermark`.
+  */
+object EventStream {
+
+  /** Streaming events with the same ns→µs timestamp handling as
+    * graft.Tables.events. The file stream source needs a directory, so the
+    * single test parquet is staged into a temp dir via symlink (a real
+    * deployment points this at the landing directory / Kafka instead). */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val streamDir = Files.createTempDirectory("graft-stream")
+    Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+      Paths.get(s"$dir/events.parquet"))
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —
+    * streaming twin of Joins.windowTumbling. Runs the stream to
+    * completion against the memory sink and returns the result table. */
+  def windowedCounts(spark: SparkSession, dir: String,
+                     queryName: String = "stream_windowed"): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Custom keyed state via mapGroupsWithState: running event count per
+    * user (the minimal production shape for per-entity state machines —
+    * session trackers, fraud counters, CDC merge). */
+  def runningUserCounts(spark: SparkSession, dir: String,
+                        queryName: String = "stream_user_counts"): DataFrame = {
+    import spark.implicits._
+    val updateFn = (userId: Long, rows: Iterator[(Long, Long)],
+                    state: GroupState[Long]) => {
+      val n = state.getOption.getOrElse(0L) + rows.size
+      state.update(n)
+      (userId, n)
+    }
+    val counts = readEvents(spark, dir)
+      .select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(updateFn)
+      .toDF("user_id", "n_events")
+    val q = counts.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .groupBy("user_id").agg(max("n_events").as("n_events"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Joins
+import graft.streaming.EventStream
+
+class JoinsStreamingSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("asof join picks the latest order at-or-before each event") {
+    import spark.implicits._
+    val orders = Seq(
+      (100L, 1L, "O", 10.0, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "P"),
+      (200L, 1L, "O", 20.0, java.sql.Timestamp.valueOf("2024-01-05 00:00:00"), "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+    val events = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-03 12:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-06 12:00:00"), 1L, "click", 1.0, "{}"),
+      (3L, java.sql.Timestamp.valueOf("2023-12-30 12:00:00"), 1L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Joins.asofJoin(events, orders).collect()
+      .map(r => r.getAs[Long]("event_id") -> Option(r.getAs[java.lang.Long]("asof_orderkey"))).toMap
+    assert(out(1L).contains(100L))
+    assert(out(2L).contains(200L))
+    assert(out(3L).isEmpty)
+  }
+
+  test("range join bucket optimization equals naive between join") {
+    val li = Tables.lineitem(spark, sf)
+    val p = Tables.part(spark, sf)
+    val bucketed = Joins.rangeJoin(li, p)
+    val naive = li.join(p, col("l_extendedprice").between(
+        col("p_retailprice") - 50, col("p_retailprice") + 50))
+      .groupBy(col("p_partkey"))
+      .agg(count(lit(1)).as("n_lines"))
+    val cmp = bucketed.select("p_partkey", "n_lines")
+      .exceptAll(naive.select("p_partkey", "n_lines"))
+    assert(cmp.count() == 0)
+  }
+
+  test("streaming windowed counts equal the batch tumbling window") {
+    val stream = EventStream.windowedCounts(spark, sf)
+    val batch = Joins.windowTumbling(Tables.events(spark, sf))
+    assert(stream.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stream).count() == 0)
+  }
+
+  test("stateful running user counts equal batch per-user counts") {
+    val stateful = EventStream.runningUserCounts(spark, sf)
+    val batch = Tables.events(spark, sf).groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"))
+    assert(stateful.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stateful).count() == 0)
+  }
+
+  test("rollup includes per-nation, per-region and grand-total levels") {
+    val r = Joins.rollupRevenue(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf))
+    val gids = r.select("gid").distinct().collect().map(_.getInt(0)).sorted
+    assert(gids.sameElements(Array(0, 1, 3)))
+    val grand = r.filter("gid = 3").count()
+    assert(grand == 1)
+  }
+}
