@@ -5,15 +5,16 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
+import graft.functions.DotScaled
 import graft.functions.Fns._
 
 /** Vector similarity over an embedding column (Array[Float]).
   *
-  * Dot products run through an in-order `aggregate` fold over DECIMAL
-  * terms — exact arithmetic, so cosine values (and therefore top-k
-  * ordering and thresholds) are bit-deterministic under any partitioning.
-  * No shuffle is spent on the vector math itself; candidate generation is
-  * the only distributed step:
+  * Dot products run through [[graft.functions.DotScaled]] — a codegen'd
+  * scaled-integer sum, so cosine values (and therefore top-k ordering and
+  * thresholds) are bit-deterministic under any partitioning and
+  * reproducible by the SQL oracle. No shuffle is spent on the vector math
+  * itself; candidate generation is the only distributed step:
   *   - near-dup: pairs blocked by coarse cluster (label) — an IVF cell
   *     join, not an O(n²) cross join;
   *   - top-k: small probe set broadcast against the corpus;
@@ -21,16 +22,17 @@ import graft.functions.Fns._
   */
 object Ann {
 
-  /** Exact decimal dot product of two float-array columns (in-order fold,
-    * engine-independent). Args are column names resolvable in the frame. */
+  /** Exact dot product of two float-array columns via the codegen'd
+    * [[graft.functions.DotScaled]] expression (scaled-integer sum —
+    * bit-deterministic and engine-reproducible). Args are column names
+    * resolvable in the frame; `register` must have run on the session. */
   def dot(a: String, b: String): Column =
-    expr(
-      s"CAST(aggregate(zip_with($a, $b, " +
-        "(x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))), " +
-        "CAST(0 AS DECIMAL(38,30)), (acc, v) -> CAST(acc + v AS DECIMAL(38,30))) AS DOUBLE)")
+    expr(s"graft_dot($a, $b)").cast("double") / DotScaled.Scale
 
-  private def withNorm(emb: DataFrame): DataFrame =
+  private def withNorm(emb: DataFrame): DataFrame = {
+    DotScaled.register(emb.sparkSession)
     emb.withColumn("nrm", sqrt(dot("embedding", "embedding")))
+  }
 
   /** Embedding cosine near-dup pairs within a coarse cluster (label acts
     * as the IVF cell / blocking key). */
@@ -104,47 +106,49 @@ object Ann {
       .orderBy("probe_id", "rank")
   }
 
+  private def loadEmb(s: SparkSession, d: String): DataFrame = {
+    DotScaled.register(s)
+    Tables.embeddings(s, d)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_embed_neardup" -> ((s, d) => nearDupPairs(Tables.embeddings(s, d))),
-    "q_ann_topk" -> ((s, d) => bruteForceTopK(Tables.embeddings(s, d))),
-    "q_ann_ivf" -> ((s, d) => ivfAssign(Tables.embeddings(s, d)))
+    "q_embed_neardup" -> ((s, d) => nearDupPairs(loadEmb(s, d))),
+    "q_ann_topk" -> ((s, d) => bruteForceTopK(loadEmb(s, d))),
+    "q_ann_ivf" -> ((s, d) => ivfAssign(loadEmb(s, d)))
   )
 
-  /** Oracle-side exact decimal dot product over zipped unnests. */
+  /** Oracle-side twin of [[dot]]: scaled-integer sum over zipped
+    * unnests, same FLOOR/2^40 fixed-point terms. */
   private def dotSql(e1: String, e2: String): String =
-    s"""(SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
-        FROM (SELECT unnest($e1) AS x, unnest($e2) AS y))"""
+    s"""(SELECT CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
+        FROM (SELECT unnest($e1) AS x, unnest($e2) AS y)) / 1099511627776.0"""
+
+  private def normCte: String =
+    s"""nv AS (
+         SELECT vec_id, label, embedding,
+           sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         FROM embeddings)"""
 
   val oracles: Map[String, String] = Map(
     "q_embed_neardup" ->
-      """WITH nv AS (
-           SELECT vec_id, label, embedding,
-             sqrt((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x2 AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
-                   FROM (SELECT unnest(embedding) AS x, unnest(embedding) AS x2))) AS nrm
-           FROM embeddings),
+      s"""WITH $normCte,
          p AS (
            SELECT a.vec_id vec_a, b.vec_id vec_b, a.label,
              a.embedding e1, b.embedding e2, a.nrm nrm1, b.nrm nrm2
            FROM nv a JOIN nv b ON a.label = b.label AND a.vec_id < b.vec_id),
          c AS (
            SELECT vec_a, vec_b, label,
-             FLOOR(((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
-                     FROM (SELECT unnest(e1) AS x, unnest(e2) AS y)) / (nrm1 * nrm2)) * 1000000 + 0.5) / 1000000 AS cosine
+             FLOOR((${dotSql("e1", "e2")} / (nrm1 * nrm2)) * 1000000 + 0.5) / 1000000 AS cosine
            FROM p)
          SELECT vec_a, vec_b, label, cosine FROM c
          WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""",
     "q_ann_topk" ->
-      """WITH nv AS (
-           SELECT vec_id, embedding,
-             sqrt((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x2 AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
-                   FROM (SELECT unnest(embedding) AS x, unnest(embedding) AS x2))) AS nrm
-           FROM embeddings),
+      s"""WITH $normCte,
          probes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm FROM nv WHERE vec_id < 10),
          scored AS (
-           SELECT probe_id, vec_id,
-             FLOOR(((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
-                     FROM (SELECT unnest(embedding) AS x, unnest(pe) AS y)) / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
-           FROM nv, probes WHERE vec_id <> probe_id),
+           SELECT nv.vec_id, probe_id,
+             FLOOR((${dotSql("embedding", "pe")} / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM nv, probes WHERE nv.vec_id <> probe_id),
          ranked AS (
            SELECT probe_id, vec_id, cosine,
              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
@@ -152,16 +156,11 @@ object Ann {
          SELECT probe_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
          FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
     "q_ann_ivf" ->
-      """WITH nv AS (
-           SELECT vec_id, embedding,
-             sqrt((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x2 AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
-                   FROM (SELECT unnest(embedding) AS x, unnest(embedding) AS x2))) AS nrm
-           FROM embeddings),
+      s"""WITH $normCte,
          cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv WHERE vec_id % 50 = 0),
          scored AS (
-           SELECT vec_id, centroid_id,
-             FLOOR(((SELECT CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(38,30))) AS DOUBLE)
-                     FROM (SELECT unnest(embedding) AS x, unnest(ce) AS y)) / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           SELECT nv.vec_id, centroid_id,
+             FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS cosine
            FROM nv, cents),
          ranked AS (
            SELECT vec_id, centroid_id, cosine,
