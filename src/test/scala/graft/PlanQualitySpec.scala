@@ -1,0 +1,75 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Joins, Sampling, Warehouse}
+
+/** Plan-shape assertions: the properties that decide whether these
+  * operators survive a 100 TB scale-up — filter pushdown to the parquet
+  * scan, column pruning, broadcast of dims, partial aggregation, and
+  * whole-stage codegen coverage.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  import TestSession._
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private def optimizedOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.optimizedPlan.toString
+
+  test("fact sales: business-rule filters are pushed to the parquet scan") {
+    val plan = planOf(Warehouse.factSales(Tables.lineitem(spark, sf), Tables.orders(spark, sf)))
+    assert(plan.contains("PushedFilters"), "no pushdown section in scan")
+    assert(plan.contains("GreaterThan(l_quantity"), s"quantity filter not pushed:\n$plan")
+  }
+
+  test("fact daily agg: scan reads only the needed lineitem columns") {
+    val plan = planOf(Warehouse.factDailyAgg(Tables.lineitem(spark, sf)))
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_shipdate") && readSchema.contains("l_quantity"))
+    assert(!readSchema.contains("l_partkey") && !readSchema.contains("l_shipmode"),
+      s"unpruned columns in scan: $readSchema")
+  }
+
+  test("star join broadcasts the small dims, never the fact") {
+    val plan = planOf(Warehouse.starJoin(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf)))
+    val nBroadcast = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(nBroadcast >= 2, s"expected >=2 broadcast joins, got $nBroadcast")
+  }
+
+  test("aggregations are partial (map-side combine before the shuffle)") {
+    val plan = planOf(Warehouse.factDailyAgg(Tables.lineitem(spark, sf)))
+    val nHashAgg = "HashAggregate".r.findAllIn(plan).size
+    assert(nHashAgg >= 2, s"expected partial+final HashAggregate, got $nHashAgg in\n$plan")
+  }
+
+  test("hot paths run inside whole-stage codegen") {
+    Seq(
+      Warehouse.factSales(Tables.lineitem(spark, sf), Tables.orders(spark, sf)),
+      Sampling.hashSample(Tables.documents(spark, sf)),
+      Joins.rangeJoin(Tables.lineitem(spark, sf), Tables.part(spark, sf))
+    ).foreach { df =>
+      df.collect() // execute THIS plan so AQE finalizes and codegen spans print
+      val plan = planOf(df)
+      assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+        s"no codegen span in\n$plan")
+    }
+  }
+
+  test("hash sample filter is evaluated before any shuffle (no exchange before filter)") {
+    val opt = optimizedOf(Sampling.hashSample(Tables.documents(spark, sf)))
+    // the optimized plan should be Filter directly over the relation
+    assert(opt.contains("Filter"), opt)
+    assert(!opt.contains("Join"), opt)
+  }
+
+  test("dot product expression participates in codegen (no CodegenFallback wrapper)") {
+    graft.functions.DotScaled.register(spark)
+    val df = Tables.embeddings(spark, sf)
+      .selectExpr("graft_dot(embedding, embedding) AS d")
+    val plan = planOf(df)
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
+    assert(df.selectExpr("max(d)").collect()(0).getLong(0) > 0L)
+  }
+}
