@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{ConfigFacts, Warehouse}
+import graft.sources.Writers
+
+class StorageSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("config-driven fact generation equals the hand-written fact") {
+    val byHand = Warehouse.factSales(Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+    val byConfig = ConfigFacts.configFactSales(Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+    val shared = byHand.columns.toSet.intersect(byConfig.columns.toSet).toSeq.sorted
+    assert(shared.size >= 12, s"configs should cover the fact columns, got $shared")
+    val a = byHand.select(shared.map(col): _*)
+    val b = byConfig.select(shared.map(col): _*)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
+  test("partitioned write enables partition pruning on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString
+    val fact = Warehouse.factSales(Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+    Writers.writePartitionedByMonth(fact, "date_key", dir)
+    val back = Writers.readPartitioned(spark, dir)
+      .filter(col("part_month") === "1995-01")
+    back.collect()
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part_month"),
+      s"no partition pruning in:\n$plan")
+    assert(back.count() > 0)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    Seq("b_orders", "b_lines").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val lines = Tables.lineitem(spark, sf).select("l_orderkey", "l_quantity")
+    Writers.writeBucketed(orders, "b_orders", "o_orderkey")
+    Writers.writeBucketed(lines.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lines", "o_orderkey")
+    val joined = spark.table("b_orders").join(spark.table("b_lines"), "o_orderkey")
+      .groupBy("o_custkey").agg(sum("l_quantity").as("q"))
+    joined.collect()
+    val plan = joined.queryExecution.executedPlan.toString
+    val needle = "Exchange hashpartitioning(o_orderkey"
+    val exchangesBeforeAgg = plan.sliding(needle.length).count(_ == needle)
+    assert(exchangesBeforeAgg == 0, s"join key shuffle present despite bucketing:\n$plan")
+  }
+
+  test("extensions class registers graft_dot at session build time") {
+    // applying to a fresh extensions container must succeed and register
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // the session-level path stays the primary registration mechanism
+    graft.functions.DotScaled.register(spark)
+    val n = spark.sql("SELECT graft_dot(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS d")
+      .collect()(0).getLong(0)
+    assert(n == (2.0 * 1099511627776.0).toLong)
+  }
+}
