@@ -43,6 +43,7 @@ object Dedup {
       (0 to 3).map(b => struct(lit(b).as("band_idx"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("bh"))): _*)).as("s"))
       .select(col("doc_id"), col("s.band_idx").as("band_idx"), col("s.bh").as("bh"))
+      .persist() // both sides of the self-join read this; don't re-shingle twice
     val a = bands.as("a")
     val b = bands.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
@@ -112,7 +113,9 @@ object Dedup {
     val sh = TextPrep.shingles(documents)
     val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfLimit).select("shingle")
-    val shp = sh.join(keep, "shingle")
+    // referenced three times (sizes + both self-join sides): cache the
+    // pruned shingle set instead of re-exploding the corpus each time
+    val shp = sh.join(keep, "shingle").persist()
     val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shp.as("a")
       .join(shp.as("b"), col("a.shingle") === col("b.shingle") &&
