@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Analytics, ConfigFacts, Joins, Sampling, Scd2, Warehouse}
+import graft.operators.{Analytics, ConfigFacts, Joins, Marts, Sampling, Scd2, Warehouse}
 import graft.ml.Features
 import graft.dedup.Dedup
 import graft.ann.Ann
@@ -18,11 +18,11 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Warehouse.queries ++ Scd2.queries ++ Analytics.queries ++ Features.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++ Multimodal.queries ++
-      Joins.queries ++ Sampling.queries ++ ConfigFacts.queries
+      Joins.queries ++ Sampling.queries ++ ConfigFacts.queries ++ Marts.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Warehouse.oracles ++ Scd2.oracles ++ Analytics.oracles ++ Features.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles ++
-      Joins.oracles ++ Sampling.oracles ++ ConfigFacts.oracles
+      Joins.oracles ++ Sampling.oracles ++ ConfigFacts.oracles ++ Marts.oracles
 }

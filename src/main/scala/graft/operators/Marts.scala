@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Analytic marts — the drill-down reports the warehouse serves on top of
+  * the fact layer (the reference's marts/ directory). Classic shapes:
+  * shipping-priority (unshipped high-value orders for a segment) and
+  * returned-items (revenue lost to returns per customer). Both follow the
+  * same scale discipline: filters push to scans before the joins, dims
+  * broadcast, exact decimal revenue, rank windows over pre-aggregates.
+  */
+object Marts {
+
+  private val cutoff = "1998-06-01"
+
+  /** Unshipped-revenue priority list: for BUILDING-segment customers,
+    * orders placed before the cutoff with lineitems still shipping after
+    * it, ranked by outstanding revenue (top 10). */
+  def shippingPriority(lineitem: DataFrame, orders: DataFrame,
+                       customer: DataFrame): DataFrame = {
+    val perOrder = lineitem
+      .filter(col("l_shipdate") > lit(cutoff))
+      .join(orders.filter(col("o_orderdate") < lit(cutoff)),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey"), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
+        col("o_orderpriority"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    val w = Window.orderBy(col("revenue").desc, col("l_orderkey"))
+    perOrder.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select(col("rnk"), col("l_orderkey"), col("order_date"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy("rnk")
+  }
+
+  /** Returned-item revenue loss per customer (top 20), with geography. */
+  def returnedItems(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                    nation: DataFrame): DataFrame = {
+    val perCust = lineitem.filter(col("l_returnflag") === "R")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lost_revenue"),
+        count(lit(1)).as("n_returned_lines"))
+    val w = Window.orderBy(col("lost_revenue").desc, col("c_custkey"))
+    perCust.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("c_custkey"), col("c_name"), col("nation_name"),
+        col("lost_revenue"), col("n_returned_lines"))
+      .orderBy("rnk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mart_shipping_priority" -> ((s, d) =>
+      shippingPriority(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
+    "q_mart_returned_items" -> ((s, d) =>
+      returnedItems(Tables.lineitem(s, d), Tables.orders(s, d),
+        Tables.customer(s, d), Tables.nation(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_mart_shipping_priority" ->
+      s"""WITH per_order AS (
+           SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate > TIMESTAMP '$cutoff 00:00:00'
+             AND o_orderdate < TIMESTAMP '$cutoff 00:00:00'
+             AND EXISTS (SELECT 1 FROM customer
+                         WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+           GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rnk
+           FROM per_order)
+         SELECT CAST(rnk AS INT) AS rnk, l_orderkey, order_date, o_orderpriority, revenue
+         FROM ranked WHERE rnk <= 10 ORDER BY rnk""",
+    "q_mart_returned_items" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, c_name, n_name AS nation_name,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS lost_revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_returned_lines
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE l_returnflag = 'R'
+           GROUP BY 1, 2, 3),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (ORDER BY lost_revenue DESC, c_custkey) AS rnk
+           FROM per_cust)
+         SELECT CAST(rnk AS INT) AS rnk, c_custkey, c_name, nation_name,
+           lost_revenue, n_returned_lines
+         FROM ranked WHERE rnk <= 20 ORDER BY rnk"""
+  )
+}

@@ -19,7 +19,10 @@ import graft.functions.Fns._
 object Scd2 {
 
   /** Build the full SCD2 history from a change stream keyed by `user_id`
-    * ordered by `ts` (tie-broken by event_id for determinism). */
+    * ordered by `ts` (tie-broken by event_id for determinism).
+    * `source_event_id` + `effective_from_us` carry enough of the source
+    * to REPLAY a key's history exactly — which is what makes [[merge]]
+    * provably equal to a full rebuild. */
   def build(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     events
@@ -29,15 +32,51 @@ object Scd2 {
       .select(
         surrogateKey(col("user_id"), col("effective_from_s")).as("scd_key"),
         col("user_id"),
+        col("event_id").as("source_event_id"),
         col("event_type").as("attr_type"),
         col("value").as("attr_value"),
         col("version"),
         col("effective_from_s"),
+        unix_micros(col("ts")).as("effective_from_us"),
         col("effective_to_s"),
         col("effective_to_s").isNull.as("is_current"),
         when(col("version") === 1, "NEW").otherwise("UPDATED").as("change_reason"),
         md5(concat_ws("|", col("event_type"), fmt2(col("value"))).cast("binary")).as("change_hash"))
       .orderBy("user_id", "version")
+  }
+
+  /** Incremental merge (incremental_strategy='merge' of the reference
+    * macro, Spark-first): keys untouched by the new batch pass through
+    * byte-identical; each touched key's history is replayed from the
+    * snapshot's own replay columns plus the new changes and rebuilt in
+    * one window pass. Only the touched partitions shuffle — the 100 TB
+    * shape — and the result equals a full rebuild exactly (the
+    * q_scd2_incremental oracle IS the full-rebuild SQL). */
+  def merge(current: DataFrame, newChanges: DataFrame): DataFrame = {
+    val changedKeys = newChanges.select(col("user_id")).distinct()
+    val untouched = current.join(changedKeys, Seq("user_id"), "left_anti")
+    val replayed = current.join(changedKeys, Seq("user_id"), "left_semi")
+      .select(col("user_id"),
+        col("source_event_id").as("event_id"),
+        timestamp_micros(col("effective_from_us")).as("ts"),
+        col("attr_type").as("event_type"),
+        col("attr_value").as("value"))
+    val incoming = newChanges.select("user_id", "event_id", "ts", "event_type", "value")
+    val rebuilt = build(replayed.unionByName(incoming))
+    untouched.select(rebuilt.columns.map(col): _*)
+      .unionByName(rebuilt)
+      .orderBy("user_id", "version")
+  }
+
+  /** Driver-facing incremental demo: build from the first half of the
+    * stream, merge the second half in — must hash-match the full-rebuild
+    * oracle. */
+  def incremental(events: DataFrame): DataFrame = {
+    val mid = events.agg(floor(max(col("event_id")) / 2d).cast("long").as("mid"))
+    val tagged = events.crossJoin(broadcast(mid))
+    val first = tagged.filter(col("event_id") <= col("mid")).drop("mid")
+    val second = tagged.filter(col("event_id") > col("mid")).drop("mid")
+    merge(build(first), second)
   }
 
   /** SCD integrity validation (scd_type2_macro.sql validate_scd_integrity):
@@ -59,25 +98,31 @@ object Scd2 {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_build" -> ((s, d) => build(Tables.events(s, d))),
+    "q_scd2_incremental" -> ((s, d) => incremental(Tables.events(s, d))),
     "q_scd2_integrity" -> ((s, d) => integrity(Tables.events(s, d)))
   )
 
+  private val buildSql =
+    """WITH h AS (
+         SELECT *,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS effective_from_s,
+           CAST(FLOOR(epoch(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS effective_to_s
+         FROM events)
+       SELECT
+         md5(CAST(user_id AS VARCHAR) || '||' || CAST(effective_from_s AS VARCHAR)) AS scd_key,
+         user_id, event_id AS source_event_id,
+         event_type AS attr_type, value AS attr_value, version,
+         effective_from_s, epoch_us(ts) AS effective_from_us, effective_to_s,
+         effective_to_s IS NULL AS is_current,
+         CASE WHEN version = 1 THEN 'NEW' ELSE 'UPDATED' END AS change_reason,
+         md5(event_type || '|' || printf('%.2f', value)) AS change_hash
+       FROM h ORDER BY user_id, version"""
+
   val oracles: Map[String, String] = Map(
-    "q_scd2_build" ->
-      """WITH h AS (
-           SELECT *,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
-             CAST(FLOOR(epoch(ts)) AS BIGINT) AS effective_from_s,
-             CAST(FLOOR(epoch(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS effective_to_s
-           FROM events)
-         SELECT
-           md5(CAST(user_id AS VARCHAR) || '||' || CAST(effective_from_s AS VARCHAR)) AS scd_key,
-           user_id, event_type AS attr_type, value AS attr_value, version,
-           effective_from_s, effective_to_s,
-           effective_to_s IS NULL AS is_current,
-           CASE WHEN version = 1 THEN 'NEW' ELSE 'UPDATED' END AS change_reason,
-           md5(event_type || '|' || printf('%.2f', value)) AS change_hash
-         FROM h ORDER BY user_id, version""",
+    "q_scd2_build" -> buildSql,
+    // incremental merge must equal the full rebuild — same oracle
+    "q_scd2_incremental" -> buildSql,
     "q_scd2_integrity" ->
       """WITH h AS (
            SELECT user_id,

@@ -19,6 +19,23 @@ class Scd2AnalyticsSpec extends AnyFunSuite {
     scd.unpersist()
   }
 
+  test("scd2 incremental merge equals full rebuild exactly") {
+    val events = Tables.events(spark, sf)
+    val full = Scd2.build(events)
+    val inc = Scd2.incremental(events)
+    assert(full.exceptAll(inc).count() == 0 && inc.exceptAll(full).count() == 0)
+  }
+
+  test("scd2 merge leaves untouched keys byte-identical") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+    val current = Scd2.build(events)
+    // merging an empty batch must be a no-op
+    val empty = events.filter(lit(false))
+    val merged = Scd2.merge(current, empty)
+    assert(current.exceptAll(merged).count() == 0 && merged.exceptAll(current).count() == 0)
+  }
+
   test("scd2 integrity reports zero issues on a well-formed build") {
     val issues = Scd2.integrity(Tables.events(spark, sf)).collect()
     assert(issues.forall(_.getAs[Long]("issue_count") == 0L))
