@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Analytics, ConfigFacts, Joins, Marts, Sampling, Scd2, Warehouse}
-import graft.ml.Features
+import graft.operators.{Analytics, ConfigFacts, Joins, Marts, Quality, Sampling, Scd2, Warehouse}
+import graft.ml.{Approx, Features}
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.text.TextOps
@@ -18,11 +18,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Warehouse.queries ++ Scd2.queries ++ Analytics.queries ++ Features.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++ Multimodal.queries ++
-      Joins.queries ++ Sampling.queries ++ ConfigFacts.queries ++ Marts.queries
+      Joins.queries ++ Sampling.queries ++ ConfigFacts.queries ++ Marts.queries ++
+      Quality.queries ++ Approx.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Warehouse.oracles ++ Scd2.oracles ++ Analytics.oracles ++ Features.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles ++
-      Joins.oracles ++ Sampling.oracles ++ ConfigFacts.oracles ++ Marts.oracles
+      Joins.oracles ++ Sampling.oracles ++ ConfigFacts.oracles ++ Marts.oracles ++
+      Quality.oracles ++ Approx.oracles
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-quality expectations runner — the Spark twin of dbt's generic
+  * tests (unique / not_null / accepted_values / relationships; the
+  * reference runs "500+ data quality tests" of exactly these shapes,
+  * README "Quality Framework" + models/staging tests).
+  *
+  * Each expectation compiles to one aggregate; a whole suite is a union
+  * of tiny per-rule aggregates over column-pruned scans, so a 100 TB
+  * table pays one pass per rule (or fuse them per-table if needed).
+  */
+object Quality {
+
+  sealed trait Expectation {
+    def name: String
+    def table: String
+    def violations(tables: String => DataFrame): DataFrame
+  }
+
+  case class NotNull(table: String, column: String) extends Expectation {
+    val name = s"not_null:$table.$column"
+    def violations(t: String => DataFrame): DataFrame =
+      t(table).agg((count(lit(1)) - count(col(column))).as("n_violations"))
+  }
+
+  case class Unique(table: String, column: String) extends Expectation {
+    val name = s"unique:$table.$column"
+    def violations(t: String => DataFrame): DataFrame =
+      t(table).agg((count(col(column)) - countDistinct(col(column))).as("n_violations"))
+  }
+
+  case class AcceptedValues(table: String, column: String, values: Seq[String])
+      extends Expectation {
+    val name = s"accepted_values:$table.$column"
+    def violations(t: String => DataFrame): DataFrame =
+      t(table).agg(sum(when(!col(column).isin(values: _*), 1L).otherwise(0L))
+        .cast("long").as("n_violations"))
+  }
+
+  case class InRange(table: String, column: String, lo: Double, hi: Double)
+      extends Expectation {
+    val name = s"in_range:$table.$column"
+    def violations(t: String => DataFrame): DataFrame =
+      t(table).agg(sum(when(col(column) < lo || col(column) > hi, 1L).otherwise(0L))
+        .cast("long").as("n_violations"))
+  }
+
+  /** FK integrity: every value of table.column exists in refTable.refCol. */
+  case class Relationship(table: String, column: String,
+                          refTable: String, refCol: String) extends Expectation {
+    val name = s"relationships:$table.$column->$refTable.$refCol"
+    def violations(t: String => DataFrame): DataFrame =
+      t(table).select(col(column))
+        .join(t(refTable).select(col(refCol)), col(column) === col(refCol), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+  }
+
+  /** Run a suite: one row per expectation with violation count + verdict. */
+  def run(suite: Seq[Expectation], tables: String => DataFrame): DataFrame =
+    suite.map { e =>
+      e.violations(tables).select(
+        lit(e.name).as("rule_name"),
+        lit(e.table).as("table_name"),
+        col("n_violations").cast("long"),
+        (col("n_violations") === 0).as("passed"))
+    }.reduce(_ unionAll _).orderBy("rule_name")
+
+  /** The default suite over the star schema (mirrors the dbt schema.yml
+    * tests the reference generates per model). */
+  def defaultSuite: Seq[Expectation] = Seq(
+    NotNull("orders", "o_orderkey"),
+    Unique("orders", "o_orderkey"),
+    NotNull("customer", "c_custkey"),
+    Unique("customer", "c_custkey"),
+    AcceptedValues("orders", "o_orderstatus", Seq("O", "F", "P")),
+    AcceptedValues("customer", "c_mktsegment",
+      Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")),
+    InRange("lineitem", "l_discount", 0.0, 1.0),
+    InRange("lineitem", "l_quantity", 0.0, 100.0),
+    Relationship("orders", "o_custkey", "customer", "c_custkey"),
+    Relationship("lineitem", "l_orderkey", "orders", "o_orderkey"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dq_expectations" -> ((s, d) =>
+      run(defaultSuite, name => Tables.load(s, d, name)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dq_expectations" -> Seq(
+      """SELECT 'accepted_values:customer.c_mktsegment' AS rule_name, 'customer' AS table_name,
+         CAST(SUM(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+         SUM(CASE WHEN c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD','MACHINERY') THEN 1 ELSE 0 END) = 0 AS passed
+         FROM customer""",
+      """SELECT 'accepted_values:orders.o_orderstatus', 'orders',
+         CAST(SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+         SUM(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) = 0
+         FROM orders""",
+      """SELECT 'in_range:lineitem.l_discount', 'lineitem',
+         CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) = 0
+         FROM lineitem""",
+      """SELECT 'in_range:lineitem.l_quantity', 'lineitem',
+         CAST(SUM(CASE WHEN l_quantity < 0 OR l_quantity > 100 THEN 1 ELSE 0 END) AS BIGINT),
+         SUM(CASE WHEN l_quantity < 0 OR l_quantity > 100 THEN 1 ELSE 0 END) = 0
+         FROM lineitem""",
+      """SELECT 'not_null:customer.c_custkey', 'customer',
+         CAST(COUNT(*) - COUNT(c_custkey) AS BIGINT),
+         COUNT(*) - COUNT(c_custkey) = 0 FROM customer""",
+      """SELECT 'not_null:orders.o_orderkey', 'orders',
+         CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT),
+         COUNT(*) - COUNT(o_orderkey) = 0 FROM orders""",
+      """SELECT 'relationships:lineitem.l_orderkey->orders.o_orderkey', 'lineitem',
+         CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+         FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)""",
+      """SELECT 'relationships:orders.o_custkey->customer.c_custkey', 'orders',
+         CAST(COUNT(*) AS BIGINT), COUNT(*) = 0
+         FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)""",
+      """SELECT 'unique:customer.c_custkey', 'customer',
+         CAST(COUNT(c_custkey) - COUNT(DISTINCT c_custkey) AS BIGINT),
+         COUNT(c_custkey) - COUNT(DISTINCT c_custkey) = 0 FROM customer""",
+      """SELECT 'unique:orders.o_orderkey', 'orders',
+         CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+         COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0 FROM orders"""
+    ).mkString("", " UNION ALL ", " ORDER BY rule_name")
+  )
+}
