@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -19,56 +19,76 @@ object Quality {
   sealed trait Expectation {
     def name: String
     def table: String
-    def violations(tables: String => DataFrame): DataFrame
+    /** Aggregate expression counting violations — fusible rules share one
+      * scan per table. None → the rule needs its own plan (joins). */
+    def aggExpr: Option[Column] = None
+    def violations(tables: String => DataFrame): DataFrame =
+      sys.error(s"$name has no standalone plan")
   }
 
   case class NotNull(table: String, column: String) extends Expectation {
     val name = s"not_null:$table.$column"
-    def violations(t: String => DataFrame): DataFrame =
-      t(table).agg((count(lit(1)) - count(col(column))).as("n_violations"))
+    override def aggExpr: Option[Column] =
+      Some((count(lit(1)) - count(col(column))).cast("long"))
   }
 
   case class Unique(table: String, column: String) extends Expectation {
     val name = s"unique:$table.$column"
-    def violations(t: String => DataFrame): DataFrame =
-      t(table).agg((count(col(column)) - countDistinct(col(column))).as("n_violations"))
+    override def aggExpr: Option[Column] =
+      Some((count(col(column)) - countDistinct(col(column))).cast("long"))
   }
 
   case class AcceptedValues(table: String, column: String, values: Seq[String])
       extends Expectation {
     val name = s"accepted_values:$table.$column"
-    def violations(t: String => DataFrame): DataFrame =
-      t(table).agg(sum(when(!col(column).isin(values: _*), 1L).otherwise(0L))
-        .cast("long").as("n_violations"))
+    override def aggExpr: Option[Column] =
+      Some(coalesce(sum(when(!col(column).isin(values: _*), 1L).otherwise(0L)), lit(0L)).cast("long"))
   }
 
   case class InRange(table: String, column: String, lo: Double, hi: Double)
       extends Expectation {
     val name = s"in_range:$table.$column"
-    def violations(t: String => DataFrame): DataFrame =
-      t(table).agg(sum(when(col(column) < lo || col(column) > hi, 1L).otherwise(0L))
-        .cast("long").as("n_violations"))
+    override def aggExpr: Option[Column] =
+      Some(coalesce(sum(when(col(column) < lo || col(column) > hi, 1L).otherwise(0L)), lit(0L)).cast("long"))
   }
 
   /** FK integrity: every value of table.column exists in refTable.refCol. */
   case class Relationship(table: String, column: String,
                           refTable: String, refCol: String) extends Expectation {
     val name = s"relationships:$table.$column->$refTable.$refCol"
-    def violations(t: String => DataFrame): DataFrame =
+    override def violations(t: String => DataFrame): DataFrame =
       t(table).select(col(column))
         .join(t(refTable).select(col(refCol)), col(column) === col(refCol), "left_anti")
         .agg(count(lit(1)).as("n_violations"))
   }
 
-  /** Run a suite: one row per expectation with violation count + verdict. */
-  def run(suite: Seq[Expectation], tables: String => DataFrame): DataFrame =
-    suite.map { e =>
+  /** Run a suite: one row per expectation with violation count + verdict.
+    * Scan-fusion: all aggregate-expressible rules on the same table run
+    * in ONE pass over that table (at 100 TB this is the difference
+    * between one scan and one scan per rule); join-based rules keep
+    * their own plans. */
+  def run(suite: Seq[Expectation], tables: String => DataFrame): DataFrame = {
+    val (fusible, standalone) = suite.partition(_.aggExpr.isDefined)
+    val fused = fusible.groupBy(_.table).toSeq.map { case (table, rules) =>
+      val aggs = rules.zipWithIndex.map { case (r, i) => r.aggExpr.get.as(s"v$i") }
+      val wide = tables(table).agg(aggs.head, aggs.tail: _*)
+      wide.select(explode(array(rules.zipWithIndex.map { case (r, i) =>
+        struct(lit(r.name).as("rule_name"), lit(r.table).as("table_name"),
+          col(s"v$i").as("n_violations"))
+      }: _*)).as("e"))
+        .select(col("e.rule_name"), col("e.table_name"),
+          col("e.n_violations").cast("long").as("n_violations"))
+    }
+    val single = standalone.map { e =>
       e.violations(tables).select(
         lit(e.name).as("rule_name"),
         lit(e.table).as("table_name"),
-        col("n_violations").cast("long"),
-        (col("n_violations") === 0).as("passed"))
-    }.reduce(_ unionAll _).orderBy("rule_name")
+        col("n_violations").cast("long"))
+    }
+    (fused ++ single).reduce(_ unionAll _)
+      .withColumn("passed", col("n_violations") === 0)
+      .orderBy("rule_name")
+  }
 
   /** The default suite over the star schema (mirrors the dbt schema.yml
     * tests the reference generates per model). */

@@ -48,6 +48,23 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup on event_id with a watermark bounding the
+    * dedup state — the streaming twin of Dedup.exact (late duplicates
+    * beyond the watermark age out of state instead of growing it
+    * forever). */
+  def dedupedEvents(spark: SparkSession, dir: String,
+                    queryName: String = "stream_dedup"): DataFrame = {
+    val q = readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Custom keyed state via mapGroupsWithState: running event count per
     * user (the minimal production shape for per-entity state machines —
     * session trackers, fraud counters, CDC merge). */

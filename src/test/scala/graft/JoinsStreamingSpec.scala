@@ -54,6 +54,12 @@ class JoinsStreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(stateful).count() == 0)
   }
 
+  test("streaming dedup removes nothing on an already-unique stream and keeps all ids") {
+    val deduped = EventStream.dedupedEvents(spark, sf)
+    val batch = Tables.events(spark, sf)
+    assert(deduped.count() == batch.select("event_id").distinct().count())
+  }
+
   test("rollup includes per-nation, per-region and grand-total levels") {
     val r = Joins.rollupRevenue(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf))
