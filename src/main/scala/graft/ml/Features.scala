@@ -21,7 +21,13 @@ object Features {
   /** RFM (recency/frequency/monetary) per user over purchase events, with
     * ntile quintile scores and segment categorization
     * (feature_store_manager.py:200-260). The rank windows run over the
-    * per-user aggregate (one row per entity), not raw events. */
+    * per-user aggregate (one row per entity), not raw events.
+    *
+    * Scale note: exact ntile is a global window (single partition over
+    * the entity aggregate). Fine up to ~10^8 entities; beyond that swap
+    * the three ntile windows for approx_percentile(…, [0.2,0.4,0.6,0.8])
+    * thresholds + a broadcast bucket join — same scores up to sketch
+    * error, fully parallel. Kept exact here for the oracle gate. */
   def rfm(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
     val ref = purchases.agg(max(epochS(col("ts"))).as("ref_s"))

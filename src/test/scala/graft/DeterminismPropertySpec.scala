@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{DotScaled, Fns}
+
+/** Property tests for the cross-engine determinism invariants the whole
+  * oracle strategy rests on: exact decimal sums and scaled-integer dots
+  * must be invariant to partitioning (= summation order), and the
+  * floor-rounding helpers must be pure functions of the input bits.
+  * (Plain scalacheck Gens sampled with fixed seeds — the scalatestplus
+  * bridge isn't on the offline classpath.)
+  */
+class DeterminismPropertySpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("decSum is partition-order invariant (exact decimal arithmetic)") {
+    val gen = Gen.listOfN(200, Gen.chooseNum(-1e6, 1e6).map(v => math.round(v * 100) / 100.0))
+    samples(gen, 5).foreach { xs =>
+      val one = xs.toDF("v").repartition(1)
+        .agg(Fns.decSum(col("v"))).collect()(0).getDouble(0)
+      val many = xs.toDF("v").repartition(7)
+        .agg(Fns.decSum(col("v"))).collect()(0).getDouble(0)
+      assert(one == many, s"decSum differed across partitionings: $one vs $many")
+    }
+  }
+
+  test("DotScaled matches an independent per-term reference computation") {
+    DotScaled.register(spark)
+    val vecGen = Gen.listOfN(64, Gen.chooseNum(-1f, 1f))
+    samples(Gen.zip(vecGen, vecGen), 10).foreach { case (a, b) =>
+      val got = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .selectExpr("graft_dot(a, b) AS d").collect()(0).getLong(0)
+      val want = a.zip(b).map { case (x, y) =>
+        math.floor(x.toDouble * y.toDouble * DotScaled.Scale).toLong
+      }.sum
+      assert(got == want)
+    }
+  }
+
+  test("r4 floor-rounding is reproduced by the oracle formula") {
+    samples(Gen.chooseNum(-1e6, 1e6), 50).foreach { x =>
+      val viaSpark = Seq(x).toDF("v").select(Fns.r4(col("v"))).collect()(0).getDouble(0)
+      val viaFormula = math.floor(x * 10000d + 0.5d) / 10000d
+      assert(viaSpark == viaFormula)
+    }
+  }
+
+  test("surrogate keys are stable and distinct keys never collide on test data") {
+    val sk = Tables.orders(spark, sf)
+      .select(Fns.surrogateKey(col("o_orderkey")).as("k"))
+    assert(sk.distinct().count() == sk.count())
+  }
+}
