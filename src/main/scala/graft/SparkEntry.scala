@@ -6,6 +6,7 @@ import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.text.TextOps
 import graft.multimodal.Multimodal
+import graft.sources.SemiStructured
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -19,12 +20,12 @@ object SparkEntry {
     Warehouse.queries ++ Scd2.queries ++ Analytics.queries ++ Features.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++ Multimodal.queries ++
       Joins.queries ++ Sampling.queries ++ ConfigFacts.queries ++ Marts.queries ++
-      Quality.queries ++ Approx.queries ++ TopK.queries
+      Quality.queries ++ Approx.queries ++ TopK.queries ++ SemiStructured.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Warehouse.oracles ++ Scd2.oracles ++ Analytics.oracles ++ Features.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles ++
       Joins.oracles ++ Sampling.oracles ++ ConfigFacts.oracles ++ Marts.oracles ++
-      Quality.oracles ++ Approx.oracles ++ TopK.oracles
+      Quality.oracles ++ Approx.oracles ++ TopK.oracles ++ SemiStructured.oracles
 }

@@ -56,6 +56,16 @@ class StorageSpec extends AnyFunSuite {
     assert(exchangesBeforeAgg == 0, s"join key shuffle present despite bucketing:\n$plan")
   }
 
+  test("csv and json round-trips preserve the staging frame exactly") {
+    val df = operators.Warehouse.stagingClean(Tables.customer(spark, sf))
+    val csvDir = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val viaCsv = graft.sources.SemiStructured.csvRoundTrip(df, csvDir)
+    val viaJson = graft.sources.SemiStructured.jsonRoundTrip(df, jsonDir)
+    assert(df.exceptAll(viaCsv).count() == 0 && viaCsv.exceptAll(df).count() == 0)
+    assert(df.exceptAll(viaJson).count() == 0 && viaJson.exceptAll(df).count() == 0)
+  }
+
   test("extensions class registers graft_dot at session build time") {
     // applying to a fresh extensions container must succeed and register
     val ext = new org.apache.spark.sql.SparkSessionExtensions
