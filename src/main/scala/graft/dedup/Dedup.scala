@@ -35,7 +35,8 @@ object Dedup {
     * buckets, candidate pairs = docs sharing a band bucket.
     * Band-bucket join is the only shuffle that grows with corpus size. */
   def minhashLsh(documents: DataFrame): DataFrame = {
-    val sh = TextPrep.shingles(documents)
+    // min() is duplicate-insensitive — use the shuffle-free shingle stream
+    val sh = TextPrep.shinglesAll(documents)
     val mins = (0 to 7).map(k =>
       min(md5(concat(lit(s"$k:"), col("shingle")).cast("binary"))).as(s"h$k"))
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)

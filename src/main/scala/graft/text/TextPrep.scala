@@ -18,13 +18,19 @@ object TextPrep {
       .withColumn("norm", normText(col("text")))
       .withColumn("words", split(col("norm"), " "))
 
-  /** Distinct word-3-gram shingles per doc: (doc_id, shingle).
-    * Docs shorter than 3 words produce no shingles. */
-  def shingles(documents: DataFrame): DataFrame =
+  /** Word-3-gram shingles per doc WITH duplicates: (doc_id, shingle).
+    * Docs shorter than 3 words produce no shingles. No shuffle — pure
+    * explode. Use this when the consumer is dedup-insensitive (min/max
+    * aggregates). */
+  def shinglesAll(documents: DataFrame): DataFrame =
     withWords(documents)
       .filter(size(col("words")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(words) - 3), " +
           "i -> concat_ws(' ', words[i], words[i+1], words[i+2]))")).as("shingle"))
-      .distinct()
+
+  /** Distinct word-3-gram shingles per doc (one dedup shuffle on top of
+    * [[shinglesAll]]) — for set semantics (Jaccard, counts). */
+  def shingles(documents: DataFrame): DataFrame =
+    shinglesAll(documents).distinct()
 }
