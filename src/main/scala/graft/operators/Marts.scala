@@ -60,7 +60,28 @@ object Marts {
       .orderBy("rnk")
   }
 
+  /** Local-supplier volume (TPC-H Q5 shape): revenue from lineitems whose
+    * supplier sits in the customer's own nation, rolled up the geography
+    * hierarchy. Exercises the full 6-table star including supplier; the
+    * supplier⋈customer nation equality rides the existing join keys. */
+  def localSupplierVolume(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+                          supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    lineitem
+      .join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier.select("s_suppkey", "s_nationkey")),
+        col("l_suppkey") === col("s_suppkey") && col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("region_name", "nation_name")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mart_local_supplier" -> ((s, d) =>
+      localSupplierVolume(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
+        Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_mart_shipping_priority" -> ((s, d) =>
       shippingPriority(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d))),
     "q_mart_returned_items" -> ((s, d) =>
@@ -69,6 +90,17 @@ object Marts {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mart_local_supplier" ->
+      """SELECT r_name AS region_name, n_name AS nation_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_mart_shipping_priority" ->
       s"""WITH per_order AS (
            SELECT l_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_orderpriority,
