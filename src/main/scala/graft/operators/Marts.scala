@@ -32,9 +32,12 @@ object Marts {
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"),
         col("o_orderpriority"))
       .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    // orderBy+limit plans as TakeOrderedAndProject: each task keeps its own
+    // top 10, the driver merges — no full aggregate through one rank window.
+    // The rnk window then runs over the 10 surviving rows only.
     val w = Window.orderBy(col("revenue").desc, col("l_orderkey"))
-    perOrder.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    perOrder.orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+      .withColumn("rnk", row_number().over(w))
       .select(col("rnk"), col("l_orderkey"), col("order_date"),
         col("o_orderpriority"), col("revenue"))
       .orderBy("rnk")
@@ -52,9 +55,10 @@ object Marts {
       .groupBy(col("c_custkey"), col("c_name"), col("n_name").as("nation_name"))
       .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lost_revenue"),
         count(lit(1)).as("n_returned_lines"))
+    // Same TakeOrderedAndProject discipline as shippingPriority.
     val w = Window.orderBy(col("lost_revenue").desc, col("c_custkey"))
-    perCust.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 20)
+    perCust.orderBy(col("lost_revenue").desc, col("c_custkey")).limit(20)
+      .withColumn("rnk", row_number().over(w))
       .select(col("rnk"), col("c_custkey"), col("c_name"), col("nation_name"),
         col("lost_revenue"), col("n_returned_lines"))
       .orderBy("rnk")

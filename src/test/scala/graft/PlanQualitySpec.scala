@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Joins, Sampling, Warehouse}
+import graft.operators.{Joins, Marts, Sampling, Warehouse}
 
 /** Plan-shape assertions: the properties that decide whether these
   * operators survive a 100 TB scale-up — filter pushdown to the parquet
@@ -62,6 +62,25 @@ class PlanQualitySpec extends AnyFunSuite {
     // the optimized plan should be Filter directly over the relation
     assert(opt.contains("Filter"), opt)
     assert(!opt.contains("Join"), opt)
+  }
+
+  test("mart top-N plans as TakeOrderedAndProject, not a full-aggregate rank window") {
+    Seq(
+      Marts.shippingPriority(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+        Tables.customer(spark, sf)),
+      Marts.returnedItems(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+        Tables.customer(spark, sf), Tables.nation(spark, sf))
+    ).foreach { df =>
+      val plan = planOf(df)
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"top-N not planned as TakeOrderedAndProject:\n$plan")
+      // the rank window must sit ABOVE the limit (over <=20 rows), i.e. the
+      // pre-aggregate must never flow through a single-partition Window
+      val winIdx = plan.indexOf("Window")
+      val topIdx = plan.indexOf("TakeOrderedAndProject")
+      assert(winIdx >= 0 && topIdx > winIdx,
+        s"rank Window should consume the TakeOrderedAndProject output:\n$plan")
+    }
   }
 
   test("dot product expression participates in codegen (no CodegenFallback wrapper)") {
