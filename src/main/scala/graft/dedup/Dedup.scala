@@ -30,23 +30,44 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** MinHash+LSH near-dup candidates: 8 string-min hash functions
-    * (salted md5 over distinct shingles), banded 2-per-band into 4 LSH
-    * buckets, candidate pairs = docs sharing a band bucket.
-    * Band-bucket join is the only shuffle that grows with corpus size. */
-  def minhashLsh(documents: DataFrame): DataFrame = {
+  /** MinHash+LSH near-dup candidates: 8 string-min hash functions, banded
+    * 2-per-band into 4 LSH buckets, candidate pairs = docs sharing a band
+    * bucket. Band-bucket join is the only shuffle that grows with corpus
+    * size.
+    *
+    * Cost shape: only TWO md5 digests per shingle occurrence — each 32-hex
+    * digest is split into four 8-hex chunks, giving 8 independent-bit hash
+    * functions for a quarter of the hashing work (the old form paid 8
+    * salted md5s per shingle).
+    *
+    * Skew guard: LSH buckets larger than `bucketLimit` docs are dropped
+    * before the self-join (the analog of [[ngramJaccard]]'s dfLimit). On a
+    * boilerplate-heavy corpus one hot bucket would otherwise make the
+    * candidate join quadratic; docs dense enough to share a giant bucket
+    * still pair up through their other 3 bands unless those are hot too —
+    * the standard recall-for-boundedness trade. */
+  def minhashLsh(documents: DataFrame, bucketLimit: Int = 100): DataFrame = {
     // min() is duplicate-insensitive — use the shuffle-free shingle stream
     val sh = TextPrep.shinglesAll(documents)
-    val mins = (0 to 7).map(k =>
-      min(md5(concat(lit(s"$k:"), col("shingle")).cast("binary"))).as(s"h$k"))
+      .withColumn("m0", md5(concat(lit("0:"), col("shingle")).cast("binary")))
+      .withColumn("m1", md5(concat(lit("1:"), col("shingle")).cast("binary")))
+    val mins = (0 to 7).map { k =>
+      val m = if (k < 4) col("m0") else col("m1")
+      min(substring(m, (k % 4) * 8 + 1, 8)).as(s"h$k")
+    }
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 to 3).map(b => struct(lit(b).as("band_idx"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("bh"))): _*)).as("s"))
       .select(col("doc_id"), col("s.band_idx").as("band_idx"), col("s.bh").as("bh"))
-      .persist() // both sides of the self-join read this; don't re-shingle twice
-    val a = bands.as("a")
-    val b = bands.as("b")
+      .persist() // bucket sizing + both self-join sides read this; don't re-shingle
+    val cold = bands.groupBy(col("band_idx"), col("bh"))
+      .agg(count(lit(1)).as("bucket_n"))
+      .filter(col("bucket_n") <= bucketLimit)
+      .select("band_idx", "bh")
+    val kept = bands.join(cold, Seq("band_idx", "bh"), "left_semi")
+    val a = kept.as("a")
+    val b = kept.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
         col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -157,19 +178,22 @@ object Dedup {
          w2 AS (SELECT * FROM w WHERE len(words) >= 3),
          sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
                 FROM w2, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+         hm AS (SELECT doc_id, md5('0:' || shingle) m0, md5('1:' || shingle) m1 FROM sh),
          mh AS (SELECT doc_id,
-           MIN(md5('0:' || shingle)) h0, MIN(md5('1:' || shingle)) h1,
-           MIN(md5('2:' || shingle)) h2, MIN(md5('3:' || shingle)) h3,
-           MIN(md5('4:' || shingle)) h4, MIN(md5('5:' || shingle)) h5,
-           MIN(md5('6:' || shingle)) h6, MIN(md5('7:' || shingle)) h7
-           FROM sh GROUP BY doc_id),
+           MIN(substr(m0, 1, 8)) h0, MIN(substr(m0, 9, 8)) h1,
+           MIN(substr(m0, 17, 8)) h2, MIN(substr(m0, 25, 8)) h3,
+           MIN(substr(m1, 1, 8)) h4, MIN(substr(m1, 9, 8)) h5,
+           MIN(substr(m1, 17, 8)) h6, MIN(substr(m1, 25, 8)) h7
+           FROM hm GROUP BY doc_id),
          bands AS (
            SELECT doc_id, 0 AS band_idx, md5(h0 || h1) bh FROM mh UNION ALL
            SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
            SELECT doc_id, 2, md5(h4 || h5) FROM mh UNION ALL
            SELECT doc_id, 3, md5(h6 || h7) FROM mh),
-         pairs AS (SELECT a.doc_id da, b.doc_id db, a.band_idx FROM bands a
-           JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)
+         cold AS (SELECT band_idx, bh FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 100),
+         kept AS (SELECT bands.* FROM bands JOIN cold USING (band_idx, bh)),
+         pairs AS (SELECT a.doc_id da, b.doc_id db, a.band_idx FROM kept a
+           JOIN kept b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)
          SELECT da AS doc_a, db AS doc_b,
            CAST(COUNT(DISTINCT band_idx) AS BIGINT) AS n_shared_bands
          FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
