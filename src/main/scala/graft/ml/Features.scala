@@ -157,19 +157,34 @@ object Features {
   }
 
   /** Kolmogorov–Smirnov statistic between purchase and click value
-    * distributions: sup |F1 - F2| over the pooled support, computed on the
-    * distinct-value aggregate (KS drift detection). */
-  def ksDrift(events: DataFrame): DataFrame = {
+    * distributions, on a binned CDF (KS drift detection).
+    *
+    * Same two-pass shape as [[psiDrift]]: bounds aggregate, then per-bin
+    * counts. The cumulative window runs over the BIN aggregate — at most
+    * `nBins` rows regardless of data size — never over raw or distinct
+    * values (with continuous doubles at 100 TB, distinct ≈ row count, so
+    * a value-ordered window would funnel the whole sample through one
+    * task). D is evaluated at bin edges: |KS_binned - KS_exact| <= 2/nBins
+    * by the CDF's per-bin variation bound. Empty bins need no spine — the
+    * CDF difference is constant across them, so present bins realize the
+    * max. */
+  def ksDrift(events: DataFrame, nBins: Int = 1000): DataFrame = {
     val sample = events.filter(col("event_type").isin("purchase", "click"))
       .withColumn("is_a", (col("event_type") === "purchase").cast("long"))
-    val perValue = sample.groupBy(col("value")).agg(
-      sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"))
-    val w = Window.orderBy(col("value")).rowsBetween(Window.unboundedPreceding, 0)
-    val totals = sample.agg(sum(col("is_a")).as("na"), sum(lit(1L) - col("is_a")).as("nb"))
-    perValue
+    val bounds = sample.agg(
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      sum(col("is_a")).as("na"), sum(lit(1L) - col("is_a")).as("nb"))
+    val counts = sample.crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        least(floor((col("value") - col("mn")) / ((col("mx") - col("mn")) / nBins)),
+          lit((nBins - 1).toDouble)).cast("int"))
+      .groupBy(col("bin")).agg(
+        sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"))
+    val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    counts
       .withColumn("cum_a", sum(col("ca")).over(w))
       .withColumn("cum_b", sum(col("cb")).over(w))
-      .crossJoin(broadcast(totals))
       .withColumn("d", abs(col("cum_a") / col("na") - col("cum_b") / col("nb")))
       .agg(r6(max(col("d"))).as("ks_stat"),
         max(col("na")).as("n_sample_a"), max(col("nb")).as("n_sample_b"))
@@ -325,16 +340,19 @@ object Features {
       """WITH s AS (
            SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
            FROM events WHERE event_type IN ('purchase', 'click')),
-         pv AS (SELECT value, CAST(SUM(is_a) AS BIGINT) ca, CAST(SUM(1 - is_a) AS BIGINT) cb
-           FROM s GROUP BY value),
-         t AS (SELECT CAST(SUM(is_a) AS BIGINT) na, CAST(SUM(1 - is_a) AS BIGINT) nb FROM s),
+         b AS (SELECT MIN(value) mn, MAX(value) mx,
+           CAST(SUM(is_a) AS BIGINT) na, CAST(SUM(1 - is_a) AS BIGINT) nb FROM s),
+         counts AS (
+           SELECT CAST(LEAST(FLOOR((value - mn) / ((mx - mn) / 1000)), 999) AS INT) AS bin,
+             CAST(SUM(is_a) AS BIGINT) ca, CAST(SUM(1 - is_a) AS BIGINT) cb
+           FROM s, b GROUP BY 1),
          c AS (
-           SELECT SUM(ca) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_a,
-             SUM(cb) OVER (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_b
-           FROM pv)
+           SELECT SUM(ca) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_a,
+             SUM(cb) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_b
+           FROM counts)
          SELECT FLOOR(MAX(ABS(CAST(cum_a AS DOUBLE) / na - CAST(cum_b AS DOUBLE) / nb)) * 1000000 + 0.5) / 1000000 AS ks_stat,
            MAX(na) AS n_sample_a, MAX(nb) AS n_sample_b
-         FROM c, t""",
+         FROM c, b""",
     "q_feature_stats" -> Seq(
       ("customer.c_acctbal", "c_acctbal", "customer"),
       ("events.value", "value", "events"),
