@@ -67,35 +67,53 @@ object Ann {
       .orderBy("probe_id", "rank")
   }
 
-  /** IVF cell assignment: every vector is assigned to its nearest of K
-    * deterministic centroids (vec_id % step == 0). The scale path: search
-    * only touches the probe's cell instead of the full corpus. */
-  def ivfAssign(embeddings: DataFrame, step: Int = 50): DataFrame = {
-    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-    val cents = v.filter(pmod(col("vec_id"), lit(step)) === 0)
+  /** Deterministic fixed-K centroid sample: the k vectors with the
+    * smallest md5(vec_id) — a uniform hash-ranked pick that is
+    * INDEPENDENT of corpus size (plans as TakeOrderedAndProject: each
+    * task keeps its local k, the driver merges; no full sort). At 100×
+    * the corpus the broadcast stays k rows and the assign pass stays
+    * n·k work, unlike a modulo scheme whose centroid count grows with n. */
+  private def centroids(v: DataFrame, k: Int): DataFrame =
+    v.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"),
         col("nrm").as("cnrm"))
-    val scored = v.crossJoin(broadcast(cents))
-      .withColumn("cosine", r6(dot("embedding", "ce") / (col("nrm") * col("cnrm"))))
+
+  /** Per-vector centroid ranking: corpus × K broadcast score, rank window
+    * partitioned by vec_id (K rows per partition — bounded). rn=1 is the
+    * cell assignment; rn<=nCells are a probe's search cells. */
+  private def centroidRanked(v: DataFrame, k: Int): DataFrame = {
+    val scored = v.crossJoin(broadcast(centroids(v, k)))
+      .withColumn("ccos", r6(dot("embedding", "ce") / (col("nrm") * col("cnrm"))))
     val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("cosine").desc, col("centroid_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
+  }
+
+  /** IVF cell assignment: every vector is assigned to its nearest of K
+    * hash-sampled centroids. The scale path: search only touches the
+    * probe's cells instead of the full corpus. */
+  def ivfAssign(embeddings: DataFrame, k: Int = 32): DataFrame = {
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    centroidRanked(v, k)
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("centroid_id"), col("cosine").as("centroid_cosine"))
+      .select(col("vec_id"), col("centroid_id"), col("ccos").as("centroid_cosine"))
       .orderBy("vec_id")
   }
 
-  /** IVF search: top-k within the probe's assigned cell (+ the probe's
-    * nProbe nearest cells would be the production refinement). */
+  /** IVF search: top-k over the union of each probe's nCells nearest
+    * cells (the production nprobe refinement — single-cell probing is
+    * the nCells=1 special case). Work per probe is nCells·(n/kCents)
+    * exact dots instead of n. */
   def ivfSearch(embeddings: DataFrame, nProbes: Int = 10, k: Int = 10,
-                step: Int = 50): DataFrame = {
-    val assign = ivfAssign(embeddings, step).select("vec_id", "centroid_id")
+                kCents: Int = 16, nCells: Int = 5): DataFrame = {
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-      .join(assign, "vec_id")
-    val probes = v.filter(col("vec_id") < nProbes)
+    val ranked = centroidRanked(v, kCents)
+    val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("centroid_id"))
+    val probeCells = ranked.filter(col("vec_id") < nProbes && col("rn") <= nCells)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
         col("nrm").as("pnrm"), col("centroid_id").as("pcell"))
-    val scored = v.join(broadcast(probes),
+    val scored = v.join(assign, "vec_id")
+      .join(broadcast(probeCells),
         col("centroid_id") === col("pcell") && col("vec_id") =!= col("probe_id"))
       .withColumn("cosine", r6(dot("embedding", "pe") / (col("nrm") * col("pnrm"))))
     val w = Window.partitionBy(col("probe_id"))
@@ -114,7 +132,8 @@ object Ann {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_neardup" -> ((s, d) => nearDupPairs(loadEmb(s, d))),
     "q_ann_topk" -> ((s, d) => bruteForceTopK(loadEmb(s, d))),
-    "q_ann_ivf" -> ((s, d) => ivfAssign(loadEmb(s, d)))
+    "q_ann_ivf" -> ((s, d) => ivfAssign(loadEmb(s, d))),
+    "q_ann_ivf_search" -> ((s, d) => ivfSearch(loadEmb(s, d)))
   )
 
   /** Oracle-side twin of [[dot]]: scaled-integer sum over zipped
@@ -157,7 +176,8 @@ object Ann {
          FROM ranked WHERE rank <= 10 ORDER BY probe_id, rank""",
     "q_ann_ivf" ->
       s"""WITH $normCte,
-         cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv WHERE vec_id % 50 = 0),
+         cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
          scored AS (
            SELECT nv.vec_id, centroid_id,
              FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS cosine
@@ -167,6 +187,33 @@ object Ann {
              ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_id) AS rn
            FROM scored)
          SELECT vec_id, centroid_id, cosine AS centroid_cosine
-         FROM ranked WHERE rn = 1 ORDER BY vec_id"""
+         FROM ranked WHERE rn = 1 ORDER BY vec_id""",
+    "q_ann_ivf_search" ->
+      s"""WITH $normCte,
+         cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         scoredc AS (
+           SELECT nv.vec_id, nv.embedding, nv.nrm, centroid_id,
+             FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
+           FROM nv, cents),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+           FROM scoredc),
+         assign AS (SELECT vec_id, centroid_id FROM ranked WHERE rn = 1),
+         probecells AS (
+           SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm, centroid_id AS pcell
+           FROM ranked WHERE vec_id < 10 AND rn <= 5),
+         corpus AS (SELECT nv.vec_id, nv.embedding, nv.nrm, assign.centroid_id
+           FROM nv JOIN assign USING (vec_id)),
+         scored AS (
+           SELECT corpus.vec_id, probe_id,
+             FLOOR((${dotSql("embedding", "pe")} / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM corpus JOIN probecells ON centroid_id = pcell AND vec_id <> probe_id),
+         rk AS (
+           SELECT probe_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+         FROM rk WHERE rank <= 10 ORDER BY probe_id, rank"""
   )
 }
