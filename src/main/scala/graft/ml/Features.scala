@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -18,32 +18,30 @@ import graft.functions.Fns._
   */
 object Features {
 
-  /** RFM (recency/frequency/monetary) per user over purchase events, with
-    * ntile quintile scores and segment categorization
-    * (feature_store_manager.py:200-260). The rank windows run over the
-    * per-user aggregate (one row per entity), not raw events.
-    *
-    * Scale note: exact ntile is a global window (single partition over
-    * the entity aggregate). Fine up to ~10^8 entities; beyond that swap
-    * the three ntile windows for approx_percentile(…, [0.2,0.4,0.6,0.8])
-    * thresholds + a broadcast bucket join — same scores up to sketch
-    * error, fully parallel. Kept exact here for the oracle gate. */
-  def rfm(events: DataFrame): DataFrame = {
+  // RFM (recency/frequency/monetary) per user over purchase events, with
+  // quintile scores and segment categorization
+  // (feature_store_manager.py:200-260). Two scorers over one shared
+  // per-user aggregate: [[rfm]] (exact ntile — the oracle query; rank
+  // windows over one row per entity, fine to ~10^8 entities) and
+  // [[rfmApprox]] (sketch thresholds — the 100 TB path, no global
+  // window anywhere).
+
+  /** Per-user recency/frequency/monetary aggregate — shared by the exact
+    * and approximate scorers. One shuffle on user_id. */
+  private def rfmBase(events: DataFrame): DataFrame = {
     val purchases = events.filter(col("event_type") === "purchase")
     val ref = purchases.agg(max(epochS(col("ts"))).as("ref_s"))
-    val perUser = purchases.groupBy(col("user_id"))
+    purchases.groupBy(col("user_id"))
       .agg(max(epochS(col("ts"))).as("last_s"),
         count(lit(1)).as("frequency"),
         decSum(col("value")).as("monetary"))
       .crossJoin(broadcast(ref))
       .withColumn("recency_days", floor((col("ref_s") - col("last_s")) / 86400d).cast("long"))
-    val wR = Window.orderBy(col("recency_days"), col("user_id"))
-    val wF = Window.orderBy(col("frequency"), col("user_id"))
-    val wM = Window.orderBy(col("monetary"), col("user_id"))
-    perUser
-      .withColumn("r_score", lit(6) - ntile(5).over(wR))
-      .withColumn("f_score", ntile(5).over(wF))
-      .withColumn("m_score", ntile(5).over(wM))
+  }
+
+  /** Segment string + lifecycle category on top of the three scores. */
+  private def rfmFinish(scored: DataFrame): DataFrame =
+    scored
       .withColumn("rfm_segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .withColumn("rfm_category",
@@ -54,6 +52,37 @@ object Features {
       .select("user_id", "recency_days", "frequency", "monetary",
         "r_score", "f_score", "m_score", "rfm_segment", "rfm_category")
       .orderBy("user_id")
+
+  def rfm(events: DataFrame): DataFrame = {
+    val perUser = rfmBase(events)
+    val wR = Window.orderBy(col("recency_days"), col("user_id"))
+    val wF = Window.orderBy(col("frequency"), col("user_id"))
+    val wM = Window.orderBy(col("monetary"), col("user_id"))
+    rfmFinish(perUser
+      .withColumn("r_score", lit(6) - ntile(5).over(wR))
+      .withColumn("f_score", ntile(5).over(wF))
+      .withColumn("m_score", ntile(5).over(wM)))
+  }
+
+  /** Scale path for [[rfm]]: quintile thresholds from one
+    * percentile_approx pass, broadcast back as a bucket expression — no
+    * global ntile window, fully parallel at any entity count. Scores
+    * match exact ntile up to sketch error and tie placement
+    * (RfmApproxSpec bounds the divergence); the exact path stays the
+    * oracle query. */
+  def rfmApprox(events: DataFrame, accuracy: Int = 10000): DataFrame = {
+    val perUser = rfmBase(events)
+    val qs = "array(0.2, 0.4, 0.6, 0.8)"
+    val th = perUser.agg(
+      expr(s"percentile_approx(recency_days, $qs, $accuracy)").as("tr"),
+      expr(s"percentile_approx(frequency, $qs, $accuracy)").as("tf"),
+      expr(s"percentile_approx(monetary, $qs, $accuracy)").as("tm"))
+    def bucket(v: Column, t: Column): Column =
+      (0 to 3).map(i => (v > t.getItem(i)).cast("int")).reduce(_ + _) + lit(1)
+    rfmFinish(perUser.crossJoin(broadcast(th))
+      .withColumn("r_score", lit(6) - bucket(col("recency_days"), col("tr")))
+      .withColumn("f_score", bucket(col("frequency"), col("tf")))
+      .withColumn("m_score", bucket(col("monetary"), col("tm"))))
   }
 
   /** Time-series rolling features per entity: lag, moving sum/avg/max over

@@ -16,6 +16,33 @@ class FeaturesSpec extends AnyFunSuite {
     })
   }
 
+  test("rfm approx path is ntile-equivalent up to tie placement") {
+    // Threshold bucketing and ntile can only disagree where a run of tied
+    // feature values straddles a quintile boundary — there ntile's split
+    // is ordering-arbitrary. So the equivalence claim is: where a value
+    // maps to ONE exact score, approx must equal it; where a tie-run
+    // spans several, approx must land inside that span.
+    val events = Tables.events(spark, sf)
+    val cols = Seq("user_id", "recency_days", "frequency", "monetary",
+      "r_score", "f_score", "m_score")
+    val exact = Features.rfm(events).select(cols.head, cols.tail: _*).collect()
+    val approx = Features.rfmApprox(events).select(cols.head, cols.tail: _*).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(exact.length == approx.size && exact.nonEmpty)
+    Seq(("recency_days", "r_score"), ("frequency", "f_score"), ("monetary", "m_score"))
+      .foreach { case (feat, score) =>
+        val span = exact.groupBy(_.getAs[Any](feat))
+          .map { case (v, rows) =>
+            v -> (rows.map(_.getAs[Int](score)).min, rows.map(_.getAs[Int](score)).max) }
+        exact.foreach { row =>
+          val (lo, hi) = span(row.getAs[Any](feat))
+          val a = approx(row.getAs[Long]("user_id")).getAs[Int](score)
+          assert(a >= lo && a <= hi,
+            s"$score=$a outside exact ntile span [$lo,$hi] for $feat=${row.getAs[Any](feat)}")
+        }
+      }
+  }
+
   test("sessionize: session gaps exceed 30 minutes between consecutive sessions") {
     val s = Features.sessionize(Tables.events(spark, sf))
     import spark.implicits._
