@@ -37,6 +37,93 @@ object Warehouse {
         .otherwise("HIGH").as("balance_tier")
     ).orderBy("c_custkey")
 
+  /** The reference's FULL staging cleanse surface
+    * (staging_customers.sql:17,40,48-50,58-100): regexp email validation,
+    * phone regexp scrubbing, test-record filtering, datediff age/tenure +
+    * age-group bucketing, coalesce-concat address assembly, lifecycle
+    * CASE. TPC-H customer lacks email/birth/address-part columns, so the
+    * raw inputs are synthesized DETERMINISTICALLY from existing columns
+    * (c_custkey residues pick the branch — same approach as
+    * Multimodal.assets); the cleansing operators themselves are the
+    * engine surface under test. Dates are measured against a fixed as-of
+    * (1998-12-01, the TPC-H convention) instead of current_date so runs
+    * are reproducible. All row-wise expressions — shuffle-free at any
+    * scale. */
+  def stagingEnhanced(customer: DataFrame): DataFrame = {
+    val asof = to_date(lit("1998-12-01"))
+    val raw = customer.select(
+      col("c_custkey"),
+      when(pmod(col("c_custkey"), lit(101)) === 0, concat(lit("TEST_"), col("c_name")))
+        .otherwise(col("c_name")).as("raw_name"),
+      when(pmod(col("c_custkey"), lit(7)) === 0, // dropped '@' -> fails validation
+        concat(regexp_replace(lower(trim(col("c_name"))), "#", ""), lit(".example.com")))
+        .otherwise(concat(regexp_replace(lower(trim(col("c_name"))), "#", "."),
+          lit("@example.com"))).as("raw_email"),
+      // testdata customer has no phone/address columns — synthesize both
+      concat(lit("+"), pmod(col("c_custkey"), lit(90)) + 10, lit("-"),
+        lpad(pmod(col("c_custkey") * 7, lit(10000000)).cast("string"), 7, "0"),
+        lit(" x"), pmod(col("c_custkey"), lit(100))).as("raw_phone"),
+      date_add(to_date(lit("1950-01-01")),
+        pmod(col("c_custkey") * 13, lit(17000)).cast("int")).as("birth_date"),
+      date_add(to_date(lit("1992-01-01")),
+        pmod(col("c_custkey") * 37, lit(2500)).cast("int")).as("customer_since_date"),
+      trim(concat(pmod(col("c_custkey"), lit(9999)) + 1, lit(" Main St  "))).as("address_line1"),
+      when(pmod(col("c_custkey"), lit(3)) === 0,
+        concat(lit("Suite "), pmod(col("c_custkey"), lit(90)))).as("address_line2"),
+      concat(lit("CITY "), pmod(col("c_custkey"), lit(50))).as("city0"),
+      when(pmod(col("c_custkey"), lit(5)) =!= 0,
+        concat(lit("ST"), pmod(col("c_custkey"), lit(27)))).as("state0"),
+      lpad(pmod(col("c_custkey"), lit(100000)).cast("string"), 5, "0").as("postal_code"),
+      when(pmod(col("c_custkey"), lit(11)) === 0, "INACTIVE")
+        .when(pmod(col("c_custkey"), lit(17)) === 0, "PENDING")
+        .otherwise("ACTIVE").as("customer_status"))
+    val cleaned = raw
+      .filter(col("c_custkey").isNotNull &&
+        !col("raw_name").like("TEST\\_%") &&
+        !lower(col("raw_name")).like("%test%"))
+      .select(
+        col("c_custkey").as("customer_id"),
+        trim(upper(col("raw_name"))).as("customer_name"),
+        lower(trim(col("raw_email"))).as("email_address"),
+        regexp_replace(col("raw_phone"), "[^0-9+()-]", "").as("phone_number"),
+        col("birth_date"), col("customer_since_date"),
+        col("address_line1"), col("address_line2"),
+        upper(trim(col("city0"))).as("city"),
+        upper(trim(col("state0"))).as("state_province"),
+        col("postal_code"), col("customer_status"),
+        when(col("raw_name").isNull || trim(col("raw_name")) === "", "MISSING_NAME")
+          .when(col("raw_email").isNull ||
+            !col("raw_email").rlike("^[^@]+@[^@]+\\.[^@]+$"), "INVALID_EMAIL")
+          .otherwise("VALID").as("data_quality_flag"))
+    val age = year(asof) - year(col("birth_date"))
+    cleaned
+      .withColumn("customer_age", age)
+      .withColumn("customer_tenure_years", year(asof) - year(col("customer_since_date")))
+      .withColumn("age_group",
+        when(col("birth_date").isNull, "Unknown")
+          .when(age < 25, "18-24").when(age < 35, "25-34")
+          .when(age < 45, "35-44").when(age < 55, "45-54")
+          .when(age < 65, "55-64").otherwise("65+"))
+      .withColumn("full_address", concat(
+        coalesce(col("address_line1"), lit("")),
+        when(col("address_line2").isNotNull && trim(col("address_line2")) =!= "",
+          concat(lit(", "), col("address_line2"))).otherwise(""),
+        when(col("city").isNotNull, concat(lit(", "), col("city"))).otherwise(""),
+        when(col("state_province").isNotNull,
+          concat(lit(", "), col("state_province"))).otherwise(""),
+        when(col("postal_code").isNotNull,
+          concat(lit(" "), col("postal_code"))).otherwise("")))
+      .withColumn("customer_lifecycle_stage",
+        when(col("customer_status") === "ACTIVE" &&
+          col("customer_since_date") >= date_sub(asof, 90), "NEW")
+          .when(col("customer_status") === "ACTIVE" &&
+            col("customer_since_date") < date_sub(asof, 365), "LOYAL")
+          .when(col("customer_status") === "ACTIVE", "ESTABLISHED")
+          .when(col("customer_status") === "INACTIVE", "CHURNED")
+          .otherwise("UNKNOWN"))
+      .orderBy("customer_id")
+  }
+
   /** Conformed customer dimension: cleansed attributes + geography rollup.
     * nation/region are broadcast — at 100 TB these stay tiny dims.
     * (dim_customer.sql) */
@@ -144,6 +231,7 @@ object Warehouse {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_staging_clean" -> ((s, d) => stagingClean(Tables.customer(s, d))),
+    "q_staging_enhanced" -> ((s, d) => stagingEnhanced(Tables.customer(s, d))),
     "q_dim_customer" -> ((s, d) =>
       dimCustomer(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
     "q_fact_sales" -> ((s, d) => factSales(Tables.lineitem(s, d), Tables.orders(s, d))),
@@ -168,6 +256,64 @@ object Warehouse {
               WHEN c_acctbal < 5000 THEN 'MEDIUM'
               ELSE 'HIGH' END AS balance_tier
          FROM customer ORDER BY c_custkey""",
+    "q_staging_enhanced" ->
+      """WITH raw AS (
+           SELECT c_custkey,
+             CASE WHEN c_custkey % 101 = 0 THEN 'TEST_' || c_name ELSE c_name END AS raw_name,
+             CASE WHEN c_custkey % 7 = 0 THEN replace(lower(trim(c_name)), '#', '') || '.example.com'
+                  ELSE replace(lower(trim(c_name)), '#', '.') || '@example.com' END AS raw_email,
+             '+' || CAST(c_custkey % 90 + 10 AS VARCHAR) || '-'
+               || lpad(CAST((c_custkey * 7) % 10000000 AS VARCHAR), 7, '0')
+               || ' x' || CAST(c_custkey % 100 AS VARCHAR) AS raw_phone,
+             DATE '1950-01-01' + CAST((c_custkey * 13) % 17000 AS INT) AS birth_date,
+             DATE '1992-01-01' + CAST((c_custkey * 37) % 2500 AS INT) AS customer_since_date,
+             trim(CAST(c_custkey % 9999 + 1 AS VARCHAR) || ' Main St  ') AS address_line1,
+             CASE WHEN c_custkey % 3 = 0 THEN 'Suite ' || CAST(c_custkey % 90 AS VARCHAR) END AS address_line2,
+             'CITY ' || CAST(c_custkey % 50 AS VARCHAR) AS city0,
+             CASE WHEN c_custkey % 5 <> 0 THEN 'ST' || CAST(c_custkey % 27 AS VARCHAR) END AS state0,
+             lpad(CAST(c_custkey % 100000 AS VARCHAR), 5, '0') AS postal_code,
+             CASE WHEN c_custkey % 11 = 0 THEN 'INACTIVE'
+                  WHEN c_custkey % 17 = 0 THEN 'PENDING'
+                  ELSE 'ACTIVE' END AS customer_status
+           FROM customer),
+         src AS (
+           SELECT c_custkey AS customer_id,
+             trim(upper(raw_name)) AS customer_name,
+             lower(trim(raw_email)) AS email_address,
+             regexp_replace(raw_phone, '[^0-9+()-]', '', 'g') AS phone_number,
+             birth_date, customer_since_date, address_line1, address_line2,
+             upper(trim(city0)) AS city, upper(trim(state0)) AS state_province,
+             postal_code, customer_status,
+             CASE WHEN raw_name IS NULL OR trim(raw_name) = '' THEN 'MISSING_NAME'
+                  WHEN raw_email IS NULL OR NOT regexp_matches(raw_email, '^[^@]+@[^@]+\.[^@]+$') THEN 'INVALID_EMAIL'
+                  ELSE 'VALID' END AS data_quality_flag
+           FROM raw
+           WHERE c_custkey IS NOT NULL
+             AND raw_name NOT LIKE 'TEST\_%' ESCAPE '\'
+             AND NOT lower(raw_name) LIKE '%test%')
+         SELECT *,
+           year(DATE '1998-12-01') - year(birth_date) AS customer_age,
+           year(DATE '1998-12-01') - year(customer_since_date) AS customer_tenure_years,
+           CASE WHEN birth_date IS NULL THEN 'Unknown'
+                WHEN year(DATE '1998-12-01') - year(birth_date) < 25 THEN '18-24'
+                WHEN year(DATE '1998-12-01') - year(birth_date) < 35 THEN '25-34'
+                WHEN year(DATE '1998-12-01') - year(birth_date) < 45 THEN '35-44'
+                WHEN year(DATE '1998-12-01') - year(birth_date) < 55 THEN '45-54'
+                WHEN year(DATE '1998-12-01') - year(birth_date) < 65 THEN '55-64'
+                ELSE '65+' END AS age_group,
+           coalesce(address_line1, '')
+             || CASE WHEN address_line2 IS NOT NULL AND trim(address_line2) <> ''
+                     THEN ', ' || address_line2 ELSE '' END
+             || CASE WHEN city IS NOT NULL THEN ', ' || city ELSE '' END
+             || CASE WHEN state_province IS NOT NULL THEN ', ' || state_province ELSE '' END
+             || CASE WHEN postal_code IS NOT NULL THEN ' ' || postal_code ELSE '' END
+             AS full_address,
+           CASE WHEN customer_status = 'ACTIVE' AND customer_since_date >= DATE '1998-12-01' - 90 THEN 'NEW'
+                WHEN customer_status = 'ACTIVE' AND customer_since_date < DATE '1998-12-01' - 365 THEN 'LOYAL'
+                WHEN customer_status = 'ACTIVE' THEN 'ESTABLISHED'
+                WHEN customer_status = 'INACTIVE' THEN 'CHURNED'
+                ELSE 'UNKNOWN' END AS customer_lifecycle_stage
+         FROM src ORDER BY customer_id""",
     "q_dim_customer" ->
       """SELECT md5(CAST(c_custkey AS VARCHAR)) AS dim_customer_key,
          c_custkey, upper(trim(c_name)) AS name_clean,

@@ -58,6 +58,20 @@ class WarehouseSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("staging enhanced exercises every cleansing branch") {
+    val df = operators.Warehouse.stagingEnhanced(Tables.customer(spark, sf))
+    val flags = df.select("data_quality_flag").distinct().collect().map(_.getString(0)).toSet
+    assert(flags.contains("VALID") && flags.contains("INVALID_EMAIL"))
+    val stages = df.select("customer_lifecycle_stage").distinct().collect().map(_.getString(0)).toSet
+    assert(Set("LOYAL", "CHURNED", "UNKNOWN").subsetOf(stages), s"stages: $stages")
+    // test records synthesized at custkey % 101 == 0 must be filtered out
+    assert(df.filter("customer_id % 101 = 0").count() == 0)
+    // phone scrub keeps only dial characters
+    assert(df.filter("phone_number RLIKE '[^0-9+()-]'").count() == 0)
+    // address assembly never yields null
+    assert(df.filter("full_address IS NULL").count() == 0)
+  }
+
   test("oracle map keys are a subset of query keys") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
