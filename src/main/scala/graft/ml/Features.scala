@@ -219,24 +219,91 @@ object Features {
         max(col("na")).as("n_sample_a"), max(col("nb")).as("n_sample_b"))
   }
 
-  /** Feature statistics profile across numeric features of several tables
-    * (get_feature_statistics): n, nulls, deterministic mean/std from exact
-    * decimal moments, min/max, interpolated median. */
+  /** Numeric feature profile at the reference's full depth
+    * (get_feature_statistics, feature_store_manager.py:833-845): n,
+    * nulls, mean/std, min/max, q25/median/q75, skewness, excess kurtosis,
+    * |z|>3 outlier count+rate. All moments are exact decimal sums
+    * (deterministic under any partitioning); skew/kurtosis derive from
+    * those moments with identically-structured arithmetic in the oracle,
+    * so doubles match bit-for-bit. Two aggregate passes per feature —
+    * the second counts outliers against the first pass's broadcast
+    * mean/std (population std, as scipy.zscore uses; std_v itself is the
+    * sample std, as pandas .std() reports). */
   def featureStats(named: Seq[(String, DataFrame)]): DataFrame = {
     val stats = named.map { case (name, dfc) =>
       val c = col("v")
-      dfc.select(col(dfc.columns.head).as("v")).agg(
+      val vdf = dfc.select(col(dfc.columns.head).as("v"))
+      val mom = vdf.agg(
         count(lit(1)).as("n_rows"),
         count(c).as("n_filled"),
         sum(c.cast("decimal(18,4)")).cast("double").as("s1"),
         sum((c * c).cast("decimal(30,8)")).cast("double").as("s2"),
-        min(c).as("min_v"),
-        max(c).as("max_v"),
-        expr("percentile(v, 0.5)").as("median_v"))
-        .select(lit(name).as("feature"), col("n_rows"), col("n_filled"),
-          r6(col("s1") / col("n_filled")).as("mean_v"),
-          r6(sqrt((col("s2") - col("s1") * col("s1") / col("n_filled")) / (col("n_filled") - 1))).as("std_v"),
-          col("min_v"), col("max_v"), r6(col("median_v")).as("median_v"))
+        sum((c * c * c).cast("decimal(38,8)")).cast("double").as("s3"),
+        sum((c * c * c * c).cast("decimal(38,8)")).cast("double").as("s4"),
+        min(c).as("min_v"), max(c).as("max_v"),
+        expr("percentile(v, array(0.25, 0.5, 0.75))").as("qs"))
+      val nf = col("n_filled")
+      val mean = col("s1") / nf
+      val varP = col("s2") / nf - (col("s1") / nf) * (col("s1") / nf)
+      val m3 = col("s3") / nf - lit(3) * (col("s1") / nf) * (col("s2") / nf) +
+        lit(2) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf)
+      val m4 = col("s4") / nf - lit(4) * (col("s1") / nf) * (col("s3") / nf) +
+        lit(6) * (col("s1") / nf) * (col("s1") / nf) * (col("s2") / nf) -
+        lit(3) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf)
+      vdf.crossJoin(broadcast(mom))
+        .agg(
+          max(col("n_rows")).as("n_rows"), max(col("n_filled")).as("n_filled"),
+          max(col("s1")).as("s1"), max(col("s2")).as("s2"),
+          max(col("s3")).as("s3"), max(col("s4")).as("s4"),
+          max(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+          first(col("qs")).as("qs"),
+          sum(when(abs(c - mean) > lit(3) * sqrt(varP), 1L).otherwise(0L)).as("outlier_count"))
+        .select(
+          lit(name).as("feature"), col("n_rows"), col("n_filled"),
+          r6(mean).as("mean_v"),
+          r6(sqrt((col("s2") - col("s1") * col("s1") / nf) / (nf - 1))).as("std_v"),
+          col("min_v"), col("max_v"),
+          r6(col("qs").getItem(0)).as("q25"),
+          r6(col("qs").getItem(1)).as("median_v"),
+          r6(col("qs").getItem(2)).as("q75"),
+          r6(m3 / (sqrt(varP) * varP)).as("skewness"),
+          r6(m4 / (varP * varP) - lit(3)).as("kurtosis"),
+          col("outlier_count"),
+          r6(col("outlier_count") / nf).as("outlier_rate"))
+    }
+    stats.reduce(_ unionAll _).orderBy("feature")
+  }
+
+  /** Categorical feature profile (feature_store_manager.py:846-855):
+    * distinct count, most-frequent value+count, Shannon entropy (bits),
+    * and a top-5 "value:count" digest. The rank window runs over the
+    * per-value AGGREGATE — bounded by category cardinality, which for
+    * profiled dimension columns is small by construction (a
+    * high-cardinality column would take a sketch profile instead).
+    * Entropy terms sum through decimals so the float result is
+    * partition-order-independent. */
+  def featureStatsCat(named: Seq[(String, DataFrame)]): DataFrame = {
+    val stats = named.map { case (name, dfc) =>
+      val vdf = dfc.select(col(dfc.columns.head).cast("string").as("v"))
+      val counts = vdf.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+      val total = vdf.agg(count(lit(1)).as("n_rows"))
+      val w = Window.orderBy(col("cnt").desc, col("v"))
+      val p = col("cnt").cast("double") / col("n_rows")
+      counts.withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(total))
+        .agg(
+          max(col("n_rows")).as("n_rows"),
+          count(lit(1)).as("unique_values"),
+          max(when(col("rn") === 1, col("v"))).as("most_frequent_value"),
+          max(when(col("rn") === 1, col("cnt"))).as("most_frequent_count"),
+          sum(((p * lit(-1)) * log(p) / log(lit(2.0))).cast("decimal(20,12)"))
+            .cast("double").as("entropy0"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "CASE WHEN rn <= 5 THEN named_struct('r', rn, 's', v || ':' || CAST(cnt AS STRING)) END" +
+            ")), x -> x.s), ',')").as("top5"))
+        .select(lit(name).as("feature"), col("n_rows"), col("unique_values"),
+          col("most_frequent_value"), col("most_frequent_count"),
+          r6(col("entropy0")).as("entropy"), col("top5"))
     }
     stats.reduce(_ unionAll _).orderBy("feature")
   }
@@ -252,7 +319,13 @@ object Features {
       "customer.c_acctbal" -> Tables.customer(s, d).select("c_acctbal"),
       "events.value" -> Tables.events(s, d).select("value"),
       "lineitem.l_extendedprice" -> Tables.lineitem(s, d).select("l_extendedprice"),
-      "orders.o_totalprice" -> Tables.orders(s, d).select("o_totalprice"))))
+      "orders.o_totalprice" -> Tables.orders(s, d).select("o_totalprice")))),
+    "q_feature_stats_cat" -> ((s, d) => featureStatsCat(Seq(
+      "customer.c_mktsegment" -> Tables.customer(s, d).select("c_mktsegment"),
+      "documents.lang" -> Tables.documents(s, d).select("lang"),
+      "events.event_type" -> Tables.events(s, d).select("event_type"),
+      "lineitem.l_returnflag" -> Tables.lineitem(s, d).select("l_returnflag"),
+      "orders.o_orderpriority" -> Tables.orders(s, d).select("o_orderpriority"))))
   )
 
   val oracles: Map[String, String] = Map(
@@ -387,15 +460,63 @@ object Features {
       ("events.value", "value", "events"),
       ("lineitem.l_extendedprice", "l_extendedprice", "lineitem"),
       ("orders.o_totalprice", "o_totalprice", "orders")).map { case (f, c, t) =>
-      s"""SELECT '$f' AS feature, CAST(COUNT(*) AS BIGINT) AS n_rows,
-          CAST(COUNT($c) AS BIGINT) AS n_filled,
-          FLOOR((CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c)) * 1000000 + 0.5) / 1000000 AS mean_v,
-          FLOOR(sqrt((CAST(SUM(CAST($c * $c AS DECIMAL(30,8))) AS DOUBLE)
-            - CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) * CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) / COUNT($c))
-            / (COUNT($c) - 1)) * 1000000 + 0.5) / 1000000 AS std_v,
-          MIN($c) AS min_v, MAX($c) AS max_v,
-          FLOOR(quantile_cont($c, 0.5) * 1000000 + 0.5) / 1000000 AS median_v
-          FROM $t"""
+      // sub-expression shapes mirror the Spark columns EXACTLY so the
+      // double arithmetic is bit-identical before the final FLOOR-round
+      s"""SELECT * FROM (
+          WITH m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) n_rows, CAST(COUNT($c) AS BIGINT) n_filled,
+              CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) s1,
+              CAST(SUM(CAST($c * $c AS DECIMAL(30,8))) AS DOUBLE) s2,
+              CAST(SUM(CAST($c * $c * $c AS DECIMAL(38,8))) AS DOUBLE) s3,
+              CAST(SUM(CAST($c * $c * $c * $c AS DECIMAL(38,8))) AS DOUBLE) s4,
+              MIN($c) min_v, MAX($c) max_v,
+              quantile_cont($c, 0.25) q25r, quantile_cont($c, 0.5) medr, quantile_cont($c, 0.75) q75r
+            FROM $t),
+          o AS (
+            SELECT CAST(SUM(CASE WHEN ABS($c - s1 / n_filled) >
+                3 * sqrt(s2 / n_filled - (s1 / n_filled) * (s1 / n_filled))
+              THEN 1 ELSE 0 END) AS BIGINT) outlier_count
+            FROM $t, m)
+          SELECT '$f' AS feature, n_rows, n_filled,
+            FLOOR((s1 / n_filled) * 1000000 + 0.5) / 1000000 AS mean_v,
+            FLOOR(sqrt((s2 - s1 * s1 / n_filled) / (n_filled - 1)) * 1000000 + 0.5) / 1000000 AS std_v,
+            min_v, max_v,
+            FLOOR(q25r * 1000000 + 0.5) / 1000000 AS q25,
+            FLOOR(medr * 1000000 + 0.5) / 1000000 AS median_v,
+            FLOOR(q75r * 1000000 + 0.5) / 1000000 AS q75,
+            FLOOR((s3 / n_filled - 3 * (s1 / n_filled) * (s2 / n_filled)
+                + 2 * (s1 / n_filled) * (s1 / n_filled) * (s1 / n_filled))
+              / (sqrt(s2 / n_filled - (s1 / n_filled) * (s1 / n_filled))
+                * (s2 / n_filled - (s1 / n_filled) * (s1 / n_filled))) * 1000000 + 0.5) / 1000000 AS skewness,
+            FLOOR(((s4 / n_filled - 4 * (s1 / n_filled) * (s3 / n_filled)
+                + 6 * (s1 / n_filled) * (s1 / n_filled) * (s2 / n_filled)
+                - 3 * (s1 / n_filled) * (s1 / n_filled) * (s1 / n_filled) * (s1 / n_filled))
+              / ((s2 / n_filled - (s1 / n_filled) * (s1 / n_filled))
+                * (s2 / n_filled - (s1 / n_filled) * (s1 / n_filled))) - 3) * 1000000 + 0.5) / 1000000 AS kurtosis,
+            outlier_count,
+            FLOOR((CAST(outlier_count AS DOUBLE) / n_filled) * 1000000 + 0.5) / 1000000 AS outlier_rate
+          FROM m, o)"""
+    }.mkString("", " UNION ALL ", " ORDER BY feature"),
+    "q_feature_stats_cat" -> Seq(
+      ("customer.c_mktsegment", "c_mktsegment", "customer"),
+      ("documents.lang", "lang", "documents"),
+      ("events.event_type", "event_type", "events"),
+      ("lineitem.l_returnflag", "l_returnflag", "lineitem"),
+      ("orders.o_orderpriority", "o_orderpriority", "orders")).map { case (f, c, t) =>
+      s"""SELECT * FROM (
+          WITH vv AS (SELECT CAST($c AS VARCHAR) v FROM $t),
+          counts AS (SELECT v, CAST(COUNT(*) AS BIGINT) cnt FROM vv GROUP BY v),
+          tt AS (SELECT CAST(COUNT(*) AS BIGINT) n_rows FROM vv),
+          ranked AS (SELECT *, ROW_NUMBER() OVER (ORDER BY cnt DESC, v) rn FROM counts)
+          SELECT '$f' AS feature,
+            MAX(n_rows) AS n_rows,
+            CAST(COUNT(*) AS BIGINT) AS unique_values,
+            MAX(CASE WHEN rn = 1 THEN v END) AS most_frequent_value,
+            MAX(CASE WHEN rn = 1 THEN cnt END) AS most_frequent_count,
+            FLOOR(CAST(SUM(CAST(((CAST(cnt AS DOUBLE) / n_rows * -1) * ln(CAST(cnt AS DOUBLE) / n_rows)) / ln(2.0)
+              AS DECIMAL(20,12))) AS DOUBLE) * 1000000 + 0.5) / 1000000 AS entropy,
+            string_agg(CASE WHEN rn <= 5 THEN v || ':' || CAST(cnt AS VARCHAR) END, ',' ORDER BY rn) AS top5
+          FROM ranked, tt)"""
     }.mkString("", " UNION ALL ", " ORDER BY feature")
   )
 }
