@@ -154,6 +154,70 @@ object Features {
       .orderBy("stage")
   }
 
+  /** Per-transaction enrichment
+    * (_calculate_transaction_derived_features,
+    * feature_store_manager.py:314-355): temporal buckets + binary
+    * indicators, amount z-score/ratio vs per-customer stats, event-type
+    * frequency encoding with repeat/new/preferred flags, high-amount and
+    * unusual-time risk flags, and REAL time-since-last velocity (the
+    * reference stubs it at 24h; the lag window computes it, with 24h
+    * kept as the first-event default). Plan: one groupBy per encoding
+    * joined back on user_id + one user-partitioned lag window — every
+    * shuffle is on the entity key, nothing global. Per-user std uses the
+    * exact-decimal moment formula so the z-scores are deterministic. */
+  def enrichTransactions(events: DataFrame): DataFrame = {
+    val base = events.select(col("event_id"), col("user_id"), col("ts"),
+      col("event_type"), col("value"))
+      .withColumn("ts_s", epochS(col("ts")))
+    val perUser = base.groupBy(col("user_id")).agg(
+      count(lit(1)).as("u_n"),
+      sum(col("value").cast("decimal(18,4)")).cast("double").as("u_s1"),
+      sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("u_s2"))
+      .withColumn("u_avg", col("u_s1") / col("u_n"))
+      .withColumn("u_std", when(col("u_n") > 1,
+        sqrt((col("u_s2") - col("u_s1") * col("u_s1") / col("u_n")) / (col("u_n") - 1)))
+        .otherwise(lit(0d)))
+      .select("user_id", "u_n", "u_avg", "u_std")
+    val perType = base.groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("type_freq"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val dow = dayofweek(col("ts")) - 1 // 0=Sunday, matching DuckDB's dow
+    val hr = hour(col("ts"))
+    base
+      .join(perUser, "user_id")
+      .join(perType, Seq("user_id", "event_type"))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+      .withColumn("hour_of_day", hr)
+      .withColumn("day_of_week", dow)
+      .withColumn("day_of_month", dayofmonth(col("ts")))
+      .withColumn("month", month(col("ts")))
+      .withColumn("quarter", quarter(col("ts")))
+      .withColumn("is_weekend", dow.isin(0, 6))
+      .withColumn("is_business_hours", hr.between(9, 17))
+      .withColumn("is_evening", hr.between(18, 23))
+      .withColumn("is_night", hr.between(0, 6))
+      .withColumn("amount_z_score",
+        r6((col("value") - col("u_avg")) / greatest(col("u_std"), lit(1d))))
+      .withColumn("amount_vs_avg_ratio", r6(col("value") / greatest(col("u_avg"), lit(1d))))
+      .withColumn("is_repeat_type", col("type_freq") > 1)
+      .withColumn("is_new_type", col("type_freq") === 1)
+      .withColumn("is_preferred_type", col("type_freq") >= col("u_n") * 0.5)
+      .withColumn("high_amount_flag", col("value") > col("u_avg") + lit(2) * col("u_std"))
+      .withColumn("unusual_time_flag",
+        col("is_night") || (col("is_weekend") && !col("is_business_hours")))
+      .withColumn("time_since_last_hours",
+        r6(coalesce((col("ts_s") - col("prev_s")) / 3600d, lit(24d))))
+      .withColumn("velocity_flag", col("time_since_last_hours") < 1)
+      .select("event_id", "user_id", "ts_s", "event_type", "value",
+        "hour_of_day", "day_of_week", "day_of_month", "month", "quarter",
+        "is_weekend", "is_business_hours", "is_evening", "is_night",
+        "amount_z_score", "amount_vs_avg_ratio", "type_freq",
+        "is_repeat_type", "is_new_type", "is_preferred_type",
+        "high_amount_flag", "unusual_time_flag",
+        "time_since_last_hours", "velocity_flag")
+      .orderBy("event_id")
+  }
+
   /** PSI (population stability index) between the first and second half of
     * the event stream over 10 equi-width bins (_calculate_psi). Two
     * aggregate passes, nothing collected: bin counts are the only state. */
@@ -313,6 +377,7 @@ object Features {
     "q_rolling_features" -> ((s, d) => rolling(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "q_txn_enrich" -> ((s, d) => enrichTransactions(Tables.events(s, d))),
     "q_psi_drift" -> ((s, d) => psiDrift(Tables.events(s, d))),
     "q_ks_drift" -> ((s, d) => ksDrift(Tables.events(s, d))),
     "q_feature_stats" -> ((s, d) => featureStats(Seq(
@@ -410,6 +475,47 @@ object Features {
          SELECT 3, 'converted', n_converted,
            FLOOR((CAST(n_converted AS DOUBLE) / n_signup) * 10000 + 0.5) / 10000 FROM a
          ORDER BY stage""",
+    "q_txn_enrich" ->
+      """WITH base AS (
+           SELECT event_id, user_id, ts, event_type, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) ts_s
+           FROM events),
+         pu AS (
+           SELECT user_id, CAST(COUNT(*) AS BIGINT) u_n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) u_s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) u_s2
+           FROM base GROUP BY user_id),
+         pu2 AS (
+           SELECT user_id, u_n, u_s1 / u_n AS u_avg,
+             CASE WHEN u_n > 1 THEN sqrt((u_s2 - u_s1 * u_s1 / u_n) / (u_n - 1))
+                  ELSE 0 END AS u_std
+           FROM pu),
+         pt AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) type_freq
+           FROM base GROUP BY 1, 2),
+         j AS (
+           SELECT base.*, u_n, u_avg, u_std, type_freq,
+             LAG(ts_s) OVER (PARTITION BY base.user_id ORDER BY ts, event_id) prev_s,
+             hour(ts) hr, dayofweek(ts) dow
+           FROM base JOIN pu2 USING (user_id) JOIN pt USING (user_id, event_type))
+         SELECT event_id, user_id, ts_s, event_type, value,
+           CAST(hr AS INT) AS hour_of_day, CAST(dow AS INT) AS day_of_week,
+           CAST(day(ts) AS INT) AS day_of_month, CAST(month(ts) AS INT) AS month,
+           CAST(quarter(ts) AS INT) AS quarter,
+           dow IN (0, 6) AS is_weekend,
+           hr BETWEEN 9 AND 17 AS is_business_hours,
+           hr BETWEEN 18 AND 23 AS is_evening,
+           hr BETWEEN 0 AND 6 AS is_night,
+           FLOOR(((value - u_avg) / GREATEST(u_std, 1.0)) * 1000000 + 0.5) / 1000000 AS amount_z_score,
+           FLOOR((value / GREATEST(u_avg, 1.0)) * 1000000 + 0.5) / 1000000 AS amount_vs_avg_ratio,
+           type_freq,
+           type_freq > 1 AS is_repeat_type,
+           type_freq = 1 AS is_new_type,
+           type_freq >= u_n * 0.5 AS is_preferred_type,
+           value > u_avg + 2 * u_std AS high_amount_flag,
+           (hr BETWEEN 0 AND 6) OR (dow IN (0, 6) AND NOT (hr BETWEEN 9 AND 17)) AS unusual_time_flag,
+           FLOOR(COALESCE(CAST(ts_s - prev_s AS DOUBLE) / 3600.0, 24.0) * 1000000 + 0.5) / 1000000 AS time_since_last_hours,
+           FLOOR(COALESCE(CAST(ts_s - prev_s AS DOUBLE) / 3600.0, 24.0) * 1000000 + 0.5) / 1000000 < 1 AS velocity_flag
+         FROM j ORDER BY event_id""",
     "q_psi_drift" ->
       """WITH b AS (SELECT MIN(value) mn, MAX(value) mx, CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) mid FROM events),
          binned AS (
