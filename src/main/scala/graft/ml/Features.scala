@@ -283,6 +283,74 @@ object Features {
         max(col("na")).as("n_sample_a"), max(col("nb")).as("n_sample_b"))
   }
 
+  /** Multi-feature drift sweep (detect_data_drift,
+    * ml_monitoring_system.py:146-174): binned PSI + binned KS for every
+    * swept column, drift flag per feature (PSI > 0.1, the reference's
+    * alert threshold), overall mean-PSI score with low/medium/high
+    * magnitude classification. The columns are melted into (feature,
+    * value) rows in ONE scan, so adding features adds no passes; per-bin
+    * count aggregates are the only distributed state, and every window
+    * runs over bin/feature aggregates of bounded size. PSI-term and
+    * overall sums route through decimals for partition-order
+    * determinism. Reference half = first half of the key space. */
+  def driftSweep(lineitem: DataFrame, nPsiBins: Int = 10, nKsBins: Int = 100): DataFrame = {
+    val eps = 1e-6
+    val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val bounds0 = lineitem.agg(floor(max(col("l_orderkey")) / 2d).cast("long").as("mid"))
+    val melted = lineitem.crossJoin(broadcast(bounds0))
+      .select(explode(array(feats.map(f =>
+        struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("s"),
+        (col("l_orderkey") <= col("mid")).cast("int").as("is_ref"))
+      .select(col("s.feature").as("feature"), col("s.v").as("v"), col("is_ref"))
+    val fb = melted.groupBy(col("feature")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    def binned(n: Int) = melted.join(broadcast(fb), "feature")
+      .withColumn("bin",
+        least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / n)),
+          lit((n - 1).toDouble)).cast("int"))
+    val psiCounts = binned(nPsiBins).groupBy(col("feature"), col("bin")).agg(
+      sum(col("is_ref")).cast("double").as("n_ref"),
+      sum(lit(1) - col("is_ref")).cast("double").as("n_cur"))
+    val totals = psiCounts.groupBy(col("feature"))
+      .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
+    val spine = fb.select(col("feature")).crossJoin(
+      lineitem.sparkSession.range(0, nPsiBins).select(col("id").cast("int").as("bin")))
+    val psi = spine.join(psiCounts, Seq("feature", "bin"), "left")
+      .na.fill(0.0, Seq("n_ref", "n_cur"))
+      .join(broadcast(totals), "feature")
+      .withColumn("p_ref", greatest(col("n_ref") / col("t_ref"), lit(eps)))
+      .withColumn("p_cur", greatest(col("n_cur") / col("t_cur"), lit(eps)))
+      .groupBy(col("feature"))
+      .agg(sum(((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+        .cast("decimal(20,12)")).cast("double").as("psi0"))
+    val wk = Window.partitionBy(col("feature")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val ks = binned(nKsBins).groupBy(col("feature"), col("bin")).agg(
+      sum(col("is_ref")).as("ca"), sum(lit(1) - col("is_ref")).as("cb"))
+      .join(broadcast(totals), "feature")
+      .withColumn("cum_a", sum(col("ca")).over(wk))
+      .withColumn("cum_b", sum(col("cb")).over(wk))
+      .withColumn("d", abs(col("cum_a") / col("t_ref") - col("cum_b") / col("t_cur")))
+      .groupBy(col("feature")).agg(max(col("d")).as("ks0"))
+    val per = psi.join(ks, "feature")
+    val overall = per.agg(
+      sum(col("psi0").cast("decimal(20,12)")).cast("double").as("s_psi"),
+      count(lit(1)).as("features_checked"),
+      sum(when(col("psi0") > 0.1, 1L).otherwise(0L)).as("features_drifted"))
+    per.crossJoin(broadcast(overall))
+      .select(
+        col("feature"),
+        r6(col("psi0")).as("psi"),
+        r6(col("ks0")).as("ks_stat"),
+        (col("psi0") > 0.1).as("drift_detected"),
+        col("features_checked"), col("features_drifted"),
+        r6(col("features_drifted") / col("features_checked")).as("drift_rate"),
+        r6(col("s_psi") / col("features_checked")).as("overall_drift_score"),
+        when(col("s_psi") / col("features_checked") > 0.2, "high")
+          .when(col("s_psi") / col("features_checked") > 0.1, "medium")
+          .otherwise("low").as("drift_magnitude"))
+      .orderBy("feature")
+  }
+
   /** Numeric feature profile at the reference's full depth
     * (get_feature_statistics, feature_store_manager.py:833-845): n,
     * nulls, mean/std, min/max, q25/median/q75, skewness, excess kurtosis,
@@ -380,6 +448,7 @@ object Features {
     "q_txn_enrich" -> ((s, d) => enrichTransactions(Tables.events(s, d))),
     "q_psi_drift" -> ((s, d) => psiDrift(Tables.events(s, d))),
     "q_ks_drift" -> ((s, d) => ksDrift(Tables.events(s, d))),
+    "q_drift_sweep" -> ((s, d) => driftSweep(Tables.lineitem(s, d))),
     "q_feature_stats" -> ((s, d) => featureStats(Seq(
       "customer.c_acctbal" -> Tables.customer(s, d).select("c_acctbal"),
       "events.value" -> Tables.events(s, d).select("value"),
@@ -475,6 +544,56 @@ object Features {
          SELECT 3, 'converted', n_converted,
            FLOOR((CAST(n_converted AS DOUBLE) / n_signup) * 10000 + 0.5) / 10000 FROM a
          ORDER BY stage""",
+    "q_drift_sweep" -> {
+      val melt = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(f =>
+        s"""SELECT '$f' AS feature, CAST($f AS DOUBLE) v,
+            CASE WHEN l_orderkey <= mid THEN 1 ELSE 0 END is_ref
+            FROM lineitem, b0""").mkString(" UNION ALL ")
+      s"""WITH b0 AS (SELECT CAST(FLOOR(MAX(l_orderkey) / 2.0) AS BIGINT) mid FROM lineitem),
+         melted AS ($melt),
+         fb AS (SELECT feature, MIN(v) mn, MAX(v) mx FROM melted GROUP BY feature),
+         bp AS (SELECT m.feature, CAST(LEAST(FLOOR((v - mn) / ((mx - mn) / 10)), 9) AS INT) bin, is_ref
+           FROM melted m JOIN fb USING (feature)),
+         pc AS (SELECT feature, bin, CAST(SUM(is_ref) AS DOUBLE) n_ref, CAST(SUM(1 - is_ref) AS DOUBLE) n_cur
+           FROM bp GROUP BY 1, 2),
+         t AS (SELECT feature, SUM(n_ref) t_ref, SUM(n_cur) t_cur FROM pc GROUP BY feature),
+         spine AS (SELECT feature, CAST(unnest(generate_series(0, 9)) AS INT) bin FROM fb),
+         filled AS (SELECT spine.feature, spine.bin, COALESCE(n_ref, 0) n_ref, COALESCE(n_cur, 0) n_cur
+           FROM spine LEFT JOIN pc ON spine.feature = pc.feature AND spine.bin = pc.bin),
+         terms AS (SELECT f.feature,
+             GREATEST(n_ref / t_ref, 1e-6) p_ref, GREATEST(n_cur / t_cur, 1e-6) p_cur
+           FROM filled f JOIN t USING (feature)),
+         psi AS (SELECT feature,
+             CAST(SUM(CAST((p_cur - p_ref) * ln(p_cur / p_ref) AS DECIMAL(20,12))) AS DOUBLE) psi0
+           FROM terms GROUP BY feature),
+         bk AS (SELECT m.feature, CAST(LEAST(FLOOR((v - mn) / ((mx - mn) / 100)), 99) AS INT) bin, is_ref
+           FROM melted m JOIN fb USING (feature)),
+         kc AS (SELECT feature, bin, CAST(SUM(is_ref) AS BIGINT) ca, CAST(SUM(1 - is_ref) AS BIGINT) cb
+           FROM bk GROUP BY 1, 2),
+         kcum AS (SELECT feature,
+             SUM(ca) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_a,
+             SUM(cb) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_b
+           FROM kc),
+         ks AS (SELECT k.feature,
+             MAX(ABS(CAST(cum_a AS DOUBLE) / t_ref - CAST(cum_b AS DOUBLE) / t_cur)) ks0
+           FROM kcum k JOIN t USING (feature) GROUP BY k.feature),
+         per AS (SELECT p.feature, psi0, ks0 FROM psi p JOIN ks USING (feature)),
+         ov AS (SELECT CAST(SUM(CAST(psi0 AS DECIMAL(20,12))) AS DOUBLE) s_psi,
+             CAST(COUNT(*) AS BIGINT) features_checked,
+             CAST(SUM(CASE WHEN psi0 > 0.1 THEN 1 ELSE 0 END) AS BIGINT) features_drifted
+           FROM per)
+         SELECT feature,
+           FLOOR(psi0 * 1000000 + 0.5) / 1000000 AS psi,
+           FLOOR(ks0 * 1000000 + 0.5) / 1000000 AS ks_stat,
+           psi0 > 0.1 AS drift_detected,
+           features_checked, features_drifted,
+           FLOOR((CAST(features_drifted AS DOUBLE) / features_checked) * 1000000 + 0.5) / 1000000 AS drift_rate,
+           FLOOR((s_psi / features_checked) * 1000000 + 0.5) / 1000000 AS overall_drift_score,
+           CASE WHEN s_psi / features_checked > 0.2 THEN 'high'
+                WHEN s_psi / features_checked > 0.1 THEN 'medium'
+                ELSE 'low' END AS drift_magnitude
+         FROM per, ov ORDER BY feature"""
+    },
     "q_txn_enrich" ->
       """WITH base AS (
            SELECT event_id, user_id, ts, event_type, value,
