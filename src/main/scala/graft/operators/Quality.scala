@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Fns._
 
 /** Data-quality expectations runner — the Spark twin of dbt's generic
   * tests (unique / not_null / accepted_values / relationships; the
@@ -90,6 +91,49 @@ object Quality {
       .orderBy("rule_name")
   }
 
+  /** Composite feature-quality score over one table
+    * (calculate_feature_quality_metrics,
+    * feature_store_manager.py:587-629): completeness = mean per-column
+    * non-null ratio over ALL columns; uniqueness = mean distinct ratio
+    * over categorical columns; consistency = mean within-3-sigma
+    * fraction over numeric columns; overall = 0.4·completeness +
+    * 0.3·uniqueness + 0.3·consistency. One stats pass + one broadcast
+    * z-pass (same shape as featureStats); exact countDistinct — swap for
+    * approx_count_distinct if a profiled column is high-cardinality.
+    * Profiled numeric columns are assumed non-constant (the reference's
+    * std>0 guard). */
+  def featureQuality(df: DataFrame, numericCols: Seq[String],
+                     categoricalCols: Seq[String]): DataFrame = {
+    val allCols = df.columns.toSeq
+    val aggs: Seq[Column] =
+      (count(lit(1)).as("n_rows") +:
+        allCols.map(c => count(col(c)).as(s"nn_$c"))) ++
+        categoricalCols.map(c => countDistinct(col(c)).as(s"nd_$c")) ++
+        numericCols.flatMap(c => Seq(
+          sum(col(c).cast("decimal(18,4)")).cast("double").as(s"s1_$c"),
+          sum((col(c) * col(c)).cast("decimal(38,8)")).cast("double").as(s"s2_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    def mean(c: String) = col(s"s1_$c") / col(s"nn_$c")
+    def pstd(c: String) = sqrt(col(s"s2_$c") / col(s"nn_$c") - mean(c) * mean(c))
+    val carried = (max(col("n_rows")).as("n_rows") +:
+      allCols.map(c => max(col(s"nn_$c")).as(s"nn_$c"))) ++
+      categoricalCols.map(c => max(col(s"nd_$c")).as(s"nd_$c"))
+    val okAggs = numericCols.map(c =>
+      sum(when(abs(col(c) - mean(c)) <= lit(3) * pstd(c), 1L).otherwise(0L)).as(s"ok_$c"))
+    val agg2 = df.crossJoin(broadcast(stats))
+      .agg((carried ++ okAggs).head, (carried ++ okAggs).tail: _*)
+    val completeness = allCols.map(c => col(s"nn_$c") / col("n_rows")).reduce(_ + _) / allCols.size
+    val uniqueness = categoricalCols.map(c =>
+      least(col(s"nd_$c") / col("n_rows"), lit(1.0))).reduce(_ + _) / categoricalCols.size
+    val consistency = numericCols.map(c => col(s"ok_$c") / col(s"nn_$c")).reduce(_ + _) / numericCols.size
+    agg2.select(
+      col("n_rows"),
+      r6(completeness).as("completeness"),
+      r6(uniqueness).as("uniqueness"),
+      r6(consistency).as("consistency"),
+      r6(completeness * 0.4 + uniqueness * 0.3 + consistency * 0.3).as("overall_quality"))
+  }
+
   /** The default suite over the star schema (mirrors the dbt schema.yml
     * tests the reference generates per model). */
   def defaultSuite: Seq[Expectation] = Seq(
@@ -107,7 +151,11 @@ object Quality {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dq_expectations" -> ((s, d) =>
-      run(defaultSuite, name => Tables.load(s, d, name)))
+      run(defaultSuite, name => Tables.load(s, d, name))),
+    "q_feature_quality" -> ((s, d) =>
+      featureQuality(Tables.orders(s, d),
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        categoricalCols = Seq("o_orderstatus", "o_orderpriority")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +194,32 @@ object Quality {
       """SELECT 'unique:orders.o_orderkey', 'orders',
          CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
          COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0 FROM orders"""
-    ).mkString("", " UNION ALL ", " ORDER BY rule_name")
+    ).mkString("", " UNION ALL ", " ORDER BY rule_name"),
+    "q_feature_quality" -> {
+      val all = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val nums = Seq("o_orderkey", "o_custkey", "o_totalprice")
+      val cats = Seq("o_orderstatus", "o_orderpriority")
+      val nnCols = all.map(c => s"CAST(COUNT($c) AS BIGINT) nn_$c").mkString(", ")
+      val ndCols = cats.map(c => s"CAST(COUNT(DISTINCT $c) AS BIGINT) nd_$c").mkString(", ")
+      val sCols = nums.map(c =>
+        s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) s1_$c, " +
+          s"CAST(SUM(CAST($c * $c AS DECIMAL(38,8))) AS DOUBLE) s2_$c").mkString(", ")
+      val okCols = nums.map(c =>
+        s"CAST(SUM(CASE WHEN ABS($c - s1_$c / nn_$c) <= " +
+          s"3 * sqrt(s2_$c / nn_$c - (s1_$c / nn_$c) * (s1_$c / nn_$c)) " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) ok_$c").mkString(", ")
+      val comp = s"(${all.map(c => s"nn_$c / n_rows").mkString(" + ")}) / ${all.size}"
+      val uniq = s"(${cats.map(c => s"LEAST(nd_$c / n_rows, 1.0)").mkString(" + ")}) / ${cats.size}"
+      val cons = s"(${nums.map(c => s"ok_$c / nn_$c").mkString(" + ")}) / ${nums.size}"
+      s"""WITH m AS (SELECT CAST(COUNT(*) AS BIGINT) n_rows, $nnCols, $ndCols, $sCols FROM orders),
+         o AS (SELECT $okCols FROM orders, m)
+         SELECT n_rows,
+           FLOOR(($comp) * 1000000 + 0.5) / 1000000 AS completeness,
+           FLOOR(($uniq) * 1000000 + 0.5) / 1000000 AS uniqueness,
+           FLOOR(($cons) * 1000000 + 0.5) / 1000000 AS consistency,
+           FLOOR((($comp) * 0.4 + ($uniq) * 0.3 + ($cons) * 0.3) * 1000000 + 0.5) / 1000000 AS overall_quality
+         FROM m, o"""
+    }
   )
 }
