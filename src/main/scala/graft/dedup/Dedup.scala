@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -78,30 +78,32 @@ object Dedup {
   /** SimHash 64-bit fingerprint per document, emitted as four 16-bit
     * quarters (the standard blocking keys: hamming distance <= 3 implies
     * at least one identical quarter). Bits derive from md5 so the oracle
-    * can reproduce them; term frequency weights each word's vote. */
+    * can reproduce them; term frequency weights each word's vote.
+    *
+    * Shape: the 64 bit-vote sums are 64 aggregate EXPRESSIONS over the
+    * (doc, word, tf) rows — not an explode to 64 rows per word, which
+    * would shuffle 64× the data. Hex digits are extracted once per word
+    * (16 columns), each bit is a shift of its digit, and one groupBy
+    * carries all 64 partial sums. Same result, same oracle. */
   def simhash(documents: DataFrame): DataFrame = {
     val tf = TextPrep.withWords(documents)
       .select(col("doc_id"), explode(col("words")).as("word"))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val bits = tf
       .withColumn("hx", substring(md5(col("word").cast("binary")), 1, 16))
-      .select(col("doc_id"), col("tf"), col("hx"),
-        explode(sequence(lit(0), lit(63))).as("j"))
-      .withColumn("bit", expr(
-        "pmod(shiftright(instr('0123456789abcdef', substr(hx, CAST(floor(j / 4) AS INT) + 1, 1)) - 1, " +
-          "3 - pmod(j, 4)), 2)"))
-      .groupBy(col("doc_id"), col("j"))
-      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("s"))
-    val quarters = bits
-      .withColumn("q", expr("CAST(floor(j / 16) AS INT)"))
-      .withColumn("term",
-        when(col("s") > 0, expr("shiftleft(1, pmod(j, 16))")).otherwise(lit(0)))
-      .groupBy("doc_id", "q").agg(sum(col("term")).cast("long").as("qv"))
-    quarters.groupBy(col("doc_id")).agg(
-      max(when(col("q") === 0, col("qv"))).as("q0"),
-      max(when(col("q") === 1, col("qv"))).as("q1"),
-      max(when(col("q") === 2, col("qv"))).as("q2"),
-      max(when(col("q") === 3, col("qv"))).as("q3"))
+    val digits = tf.select(
+      col("doc_id") +: col("tf") +: (0 to 15).map(i =>
+        expr(s"instr('0123456789abcdef', substr(hx, ${i + 1}, 1)) - 1").as(s"d$i")): _*)
+    val bitSums = (0 to 63).map { j =>
+      val nib = j / 4
+      val pos = 3 - (j % 4)
+      sum(col("tf") * (expr(s"pmod(shiftright(d$nib, $pos), 2)") * 2 - 1)).as(s"s$j")
+    }
+    val sums = digits.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    def quarter(q: Int): Column = (0 to 15).map { k =>
+      when(col(s"s${q * 16 + k}") > 0, lit(1L << k)).otherwise(lit(0L))
+    }.reduce(_ + _).cast("long")
+    sums.select(col("doc_id"), quarter(0).as("q0"), quarter(1).as("q1"),
+      quarter(2).as("q2"), quarter(3).as("q3"))
       .orderBy("doc_id")
   }
 
