@@ -35,6 +35,27 @@ class LlmDataSpec extends AnyFunSuite {
     assert(jac.nonEmpty && jac.subsetOf(cand), s"missed: ${jac -- cand}")
   }
 
+  test("minhash LSH hot-bucket cap bounds the candidate join on degenerate corpora") {
+    import spark.implicits._
+    // 120 identical boilerplate docs land in the same bucket in EVERY band
+    // (size 120 > bucketLimit 100) -> the whole cluster is dropped instead
+    // of exploding into 120*119/2 candidate pairs. The small pair survives.
+    val boiler = (1L to 120L).map(i =>
+      (i, "the same boilerplate text repeated again and again for padding", "en", "s", 60L))
+    val pairDocs = Seq(
+      (200L, "a genuinely unique document about spark physical planning", "en", "s", 57L),
+      (201L, "a genuinely unique document about spark physical planning", "en", "s", 57L))
+    val docs = (boiler ++ pairDocs).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ids = Dedup.minhashLsh(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ids.contains((200L, 201L)))
+    assert(ids.forall { case (a, b) => a >= 200L && b >= 200L },
+      s"hot-bucket pairs leaked: ${ids.filter(_._1 < 200L).take(5).toSeq}")
+    // lifting the cap readmits the quadratic cluster — the guard is load-bearing
+    val uncapped = Dedup.minhashLsh(docs, bucketLimit = 1000).count()
+    assert(uncapped == 120L * 119 / 2 + 1)
+  }
+
   test("simhash: identical docs get identical fingerprints, pairs found via quarters") {
     import spark.implicits._
     val docs = Seq(

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Features
 import graft.operators.{Joins, Marts, Sampling, Warehouse}
 
 /** Plan-shape assertions: the properties that decide whether these
@@ -81,6 +82,17 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(winIdx >= 0 && topIdx > winIdx,
         s"rank Window should consume the TakeOrderedAndProject output:\n$plan")
     }
+  }
+
+  test("ks drift window runs over the bin aggregate, never raw values") {
+    val opt = optimizedOf(Features.ksDrift(Tables.events(spark, sf)))
+    assert(opt.contains("windowspecdefinition(bin"), opt)
+    assert(!opt.contains("windowspecdefinition(value"), opt)
+  }
+
+  test("transaction enrichment never funnels through a single partition") {
+    val plan = planOf(Features.enrichTransactions(Tables.events(spark, sf)))
+    assert(!plan.contains("SinglePartition"), plan)
   }
 
   test("dot product expression participates in codegen (no CodegenFallback wrapper)") {
