@@ -6,6 +6,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 
 import graft.functions.Fns._
 
+/** One event, as the streaming sessionizer consumes it. */
+case class SessEvent(userId: Long, tsS: Long, eventId: Long, eventType: String)
+
+/** Per-user open-session state carried between micro-batches. */
+case class SessState(seq: Long, start: Long, last: Long, n: Long, types: Set[String])
+
+/** One closed session, matching Features.sessionize's grain. */
+case class SessionOut(session_id: String, user_id: Long, session_seq: Long,
+                      n_events: Long, start_s: Long, end_s: Long,
+                      duration_s: Long, n_event_types: Long)
+
 /** Structured Streaming over the events stream.
   *
   * The streaming jobs are the readStream twins of the batch operators
@@ -59,6 +70,51 @@ object EventStream {
       .dropDuplicates("event_id")
       .select(col("event_id"), col("user_id"), col("event_type"))
       .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** Streaming sessionizer via flatMapGroupsWithState — the custom-state
+    * twin of Features.sessionize (>30-min gap closes a session). Each
+    * micro-batch sorts its per-user slice, closes every session a gap
+    * terminates, and carries the open session in state; the final
+    * still-open session per user stays in state on a finite input
+    * (production flushes it with an event-time timeout once the
+    * watermark passes last_s + gap). */
+  def sessionized(spark: SparkSession, dir: String,
+                  queryName: String = "stream_sessions"): DataFrame = {
+    import spark.implicits._
+    val fn = (userId: Long, rows: Iterator[SessEvent],
+              state: GroupState[SessState]) => {
+      val sorted = rows.toSeq.sortBy(e => (e.tsS, e.eventId))
+      var st = state.getOption
+      var out = List.empty[SessionOut]
+      sorted.foreach { e =>
+        st match {
+          case None =>
+            st = Some(SessState(1L, e.tsS, e.tsS, 1L, Set(e.eventType)))
+          case Some(s) if e.tsS - s.last > 1800L =>
+            out ::= SessionOut(s"$userId-${s.seq}", userId, s.seq, s.n,
+              s.start, s.last, s.last - s.start, s.types.size.toLong)
+            st = Some(SessState(s.seq + 1, e.tsS, e.tsS, 1L, Set(e.eventType)))
+          case Some(s) =>
+            st = Some(s.copy(last = e.tsS, n = s.n + 1, types = s.types + e.eventType))
+        }
+      }
+      st.foreach(state.update)
+      out.reverse.iterator
+    }
+    val sessions = readEvents(spark, dir)
+      .select(col("user_id").cast("long").as("userId"),
+        epochS(col("ts")).as("tsS"),
+        col("event_id").cast("long").as("eventId"),
+        col("event_type").as("eventType"))
+      .as[SessEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+    val q = sessions.toDF().writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()

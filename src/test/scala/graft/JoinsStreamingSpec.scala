@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.scalatest.funsuite.AnyFunSuite
+import graft.ml.Features
 import graft.operators.Joins
 import graft.streaming.EventStream
 
@@ -58,6 +60,22 @@ class JoinsStreamingSpec extends AnyFunSuite {
     val deduped = EventStream.dedupedEvents(spark, sf)
     val batch = Tables.events(spark, sf)
     assert(deduped.count() == batch.select("event_id").distinct().count())
+  }
+
+  test("streaming sessionizer emits exactly the closed batch sessions") {
+    val cols = Seq("session_id", "user_id", "session_seq", "n_events",
+      "start_s", "end_s", "duration_s", "n_event_types")
+    val stream = EventStream.sessionized(spark, sf).select(cols.head, cols.tail: _*)
+    // a finite file can't flush each user's final still-open session, so the
+    // streaming output must equal the batch sessions that HAVE a successor
+    val w = Window.partitionBy("user_id")
+    val closed = Features.sessionize(Tables.events(spark, sf))
+      .withColumn("mx", max("session_seq").over(w))
+      .filter(col("session_seq") < col("mx"))
+      .select(cols.head, cols.tail: _*)
+    assert(closed.count() > 0)
+    assert(stream.exceptAll(closed).count() == 0)
+    assert(closed.exceptAll(stream).count() == 0)
   }
 
   test("rollup includes per-nation, per-region and grand-total levels") {
