@@ -129,6 +129,48 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTER assignment — the step after candidate pairs that a
+    * real dedup pipeline needs: connected components over the LSH pair
+    * graph, every doc labeled with its component's minimum doc_id so one
+    * canonical survivor per cluster can be kept. Distributed min-label
+    * propagation: each round joins labels across edges and keeps the
+    * smaller label, converging in O(component diameter) rounds (near-dup
+    * clusters are shallow; each round is one shuffle join — the standard
+    * large-scale connected-components shape). The fixpoint (min node id
+    * per component) is unique, so the result is deterministic and
+    * oracle-reproducible via a recursive CTE. */
+  def nearDupClusters(documents: DataFrame, bucketLimit: Int = 100,
+                      maxIters: Int = 20): DataFrame = {
+    val pairs = minhashLsh(documents, bucketLimit).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      converged = updated.as("u")
+        .join(labels.as("l"), col("u.id") === col("l.id"))
+        .filter(col("u.label") =!= col("l.label"))
+        .isEmpty
+      labels.unpersist()
+      labels = updated
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") =!= col("label")).as("is_duplicate"))
+      .orderBy("doc_id")
+  }
+
   /** Word-3-gram Jaccard near-dup join. Hot shingles (document frequency
     * > dfLimit) are pruned before the pair join — the standard guard that
     * keeps the candidate join linear on skewed corpora. */
@@ -159,12 +201,38 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    "q_dedup_clusters" -> ((s, d) => nearDupClusters(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d)))
   )
 
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Shared oracle CTE chain: documents → shingles → minhash signature →
+    * LSH bands → bucket cap → candidate `pairs` (da, db, band_idx). */
+  private lazy val minhashCtes =
+    s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
+       w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+       w2 AS (SELECT * FROM w WHERE len(words) >= 3),
+       sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+              FROM w2, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+       hm AS (SELECT doc_id, md5('0:' || shingle) m0, md5('1:' || shingle) m1 FROM sh),
+       mh AS (SELECT doc_id,
+         MIN(substr(m0, 1, 8)) h0, MIN(substr(m0, 9, 8)) h1,
+         MIN(substr(m0, 17, 8)) h2, MIN(substr(m0, 25, 8)) h3,
+         MIN(substr(m1, 1, 8)) h4, MIN(substr(m1, 9, 8)) h5,
+         MIN(substr(m1, 17, 8)) h6, MIN(substr(m1, 25, 8)) h7
+         FROM hm GROUP BY doc_id),
+       bands AS (
+         SELECT doc_id, 0 AS band_idx, md5(h0 || h1) bh FROM mh UNION ALL
+         SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
+         SELECT doc_id, 2, md5(h4 || h5) FROM mh UNION ALL
+         SELECT doc_id, 3, md5(h6 || h7) FROM mh),
+       cold AS (SELECT band_idx, bh FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 100),
+       kept AS (SELECT bands.* FROM bands JOIN cold USING (band_idx, bh)),
+       pairs AS (SELECT a.doc_id da, b.doc_id db, a.band_idx FROM kept a
+         JOIN kept b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
 
   val oracles: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -175,30 +243,21 @@ object Dedup {
            doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash) AS is_duplicate
          FROM n ORDER BY doc_id""",
     "q_dedup_minhash" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
-         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
-         w2 AS (SELECT * FROM w WHERE len(words) >= 3),
-         sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-                FROM w2, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
-         hm AS (SELECT doc_id, md5('0:' || shingle) m0, md5('1:' || shingle) m1 FROM sh),
-         mh AS (SELECT doc_id,
-           MIN(substr(m0, 1, 8)) h0, MIN(substr(m0, 9, 8)) h1,
-           MIN(substr(m0, 17, 8)) h2, MIN(substr(m0, 25, 8)) h3,
-           MIN(substr(m1, 1, 8)) h4, MIN(substr(m1, 9, 8)) h5,
-           MIN(substr(m1, 17, 8)) h6, MIN(substr(m1, 25, 8)) h7
-           FROM hm GROUP BY doc_id),
-         bands AS (
-           SELECT doc_id, 0 AS band_idx, md5(h0 || h1) bh FROM mh UNION ALL
-           SELECT doc_id, 1, md5(h2 || h3) FROM mh UNION ALL
-           SELECT doc_id, 2, md5(h4 || h5) FROM mh UNION ALL
-           SELECT doc_id, 3, md5(h6 || h7) FROM mh),
-         cold AS (SELECT band_idx, bh FROM bands GROUP BY 1, 2 HAVING COUNT(*) <= 100),
-         kept AS (SELECT bands.* FROM bands JOIN cold USING (band_idx, bh)),
-         pairs AS (SELECT a.doc_id da, b.doc_id db, a.band_idx FROM kept a
-           JOIN kept b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)
+      s"""WITH $minhashCtes
          SELECT da AS doc_a, db AS doc_b,
            CAST(COUNT(DISTINCT band_idx) AS BIGINT) AS n_shared_bands
          FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         e2 AS (SELECT da s, db d FROM pairs UNION SELECT db, da FROM pairs),
+         nodes AS (SELECT DISTINCT s AS id FROM e2),
+         reach(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e2.s, r.label FROM e2 JOIN reach r ON e2.d = r.id)
+         SELECT id AS doc_id, MIN(label) AS cluster_id,
+           id <> MIN(label) AS is_duplicate
+         FROM reach GROUP BY id ORDER BY id""",
     "q_dedup_simhash" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),
