@@ -23,31 +23,32 @@ object TextOps {
   private def inList(vals: Seq[String]): String =
     vals.map(v => s"'$v'").mkString("(", ", ", ")")
 
-  /** Stopword-hit language ID heuristic (n-gram-free variant suited to
-    * whitespace-tokenized corpora). Deterministic priority on ties. */
-  def langId(documents: DataFrame): DataFrame = {
-    val scored = TextPrep.withWords(documents)
-      .withColumn("s_en", expr(s"size(filter(words, w -> w IN ${inList(stop("en"))}))"))
+  /** Adds s_en/s_es/s_de/s_fr stopword-hit counts and predicted_lang to
+    * a withWords frame. Pure column expressions. */
+  private[graft] def withLangScores(d0: DataFrame): DataFrame =
+    d0.withColumn("s_en", expr(s"size(filter(words, w -> w IN ${inList(stop("en"))}))"))
       .withColumn("s_es", expr(s"size(filter(words, w -> w IN ${inList(stop("es"))}))"))
       .withColumn("s_de", expr(s"size(filter(words, w -> w IN ${inList(stop("de"))}))"))
       .withColumn("s_fr", expr(s"size(filter(words, w -> w IN ${inList(stop("fr"))}))"))
-    scored.select(
+      .withColumn("predicted_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+
+  /** Stopword-hit language ID heuristic (n-gram-free variant suited to
+    * whitespace-tokenized corpora). Deterministic priority on ties. */
+  def langId(documents: DataFrame): DataFrame =
+    withLangScores(TextPrep.withWords(documents)).select(
       col("doc_id"), col("s_en"), col("s_es"), col("s_de"), col("s_fr"),
-      when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
-        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
-        .when(col("s_de") >= col("s_fr"), "de")
-        .otherwise("fr").as("predicted_lang"),
-      col("lang").as("labeled_lang"))
+      col("predicted_lang"), col("lang").as("labeled_lang"))
       .withColumn("is_match", col("predicted_lang") === col("labeled_lang"))
       .orderBy("doc_id")
-  }
 
-  /** Quality scoring: length/stopword/punctuation signals combined into a
-    * [0,1] score with tier bucketing (README "99% data quality score";
-    * quality filters are the first stage of any LLM data pipeline). */
-  def quality(documents: DataFrame): DataFrame = {
-    val d = TextPrep.withWords(documents)
-      .withColumn("n_chars_raw", length(col("text")))
+  /** Adds the quality signal + score + tier columns to a withWords frame.
+    * Pure column expressions. */
+  private[graft] def withQualitySignals(d0: DataFrame): DataFrame =
+    d0.withColumn("n_chars_raw", length(col("text")))
       .withColumn("n_words", size(col("words")))
       .withColumn("avg_word_len",
         r4((length(col("norm")) - (col("n_words") - 1)) / col("n_words")))
@@ -57,7 +58,7 @@ object TextOps {
         r4(expr(s"size(filter(words, w -> w IN ${inList(stop("en"))}))") / col("n_words")))
       .withColumn("digit_ratio",
         r4((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))) / length(col("text"))))
-    d.withColumn("quality_score", r4(
+      .withColumn("quality_score", r4(
         lit(0.4) * col("stop_ratio") +
           lit(0.3) * (lit(1.0) - col("punct_ratio")) +
           lit(0.3) * least(col("n_words") / 100d, lit(1.0))))
@@ -65,8 +66,39 @@ object TextOps {
         when(col("quality_score") >= 0.7, "HIGH")
           .when(col("quality_score") >= 0.4, "MEDIUM")
           .otherwise("LOW"))
+
+  /** Quality scoring: length/stopword/punctuation signals combined into a
+    * [0,1] score with tier bucketing (README "99% data quality score";
+    * quality filters are the first stage of any LLM data pipeline). */
+  def quality(documents: DataFrame): DataFrame =
+    withQualitySignals(TextPrep.withWords(documents))
       .select("doc_id", "n_chars_raw", "n_words", "avg_word_len", "punct_ratio",
         "stop_ratio", "digit_ratio", "quality_score", "quality_tier")
+      .orderBy("doc_id")
+
+  /** End-to-end corpus curation — the composition every LLM data
+    * pipeline runs before training: language gate + quality threshold +
+    * exact-dedup canonical-only, each doc tagged keep/drop with the
+    * first failing reason. Fused into ONE pass over the corpus (quality
+    * and language are row-wise expressions; the dedup canonical window
+    * on the content hash is the single shuffle). */
+  def curate(documents: DataFrame, minQuality: Double = 0.4,
+             keepLang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("norm_hash"))
+    withLangScores(withQualitySignals(TextPrep.withWords(documents)))
+      .withColumn("norm_hash", md5(col("norm").cast("binary")))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("is_duplicate", col("doc_id") =!= col("canonical_id"))
+      .withColumn("keep", !col("is_duplicate") &&
+        col("quality_score") >= minQuality && col("predicted_lang") === keepLang)
+      .withColumn("drop_reason",
+        when(col("is_duplicate"), "duplicate")
+          .when(col("quality_score") < minQuality, "low_quality")
+          .when(col("predicted_lang") =!= keepLang, "non_english")
+          .otherwise("kept"))
+      .select("doc_id", "predicted_lang", "quality_score", "quality_tier",
+        "canonical_id", "is_duplicate", "keep", "drop_reason")
       .orderBy("doc_id")
   }
 
@@ -100,7 +132,8 @@ object TextOps {
     "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => tokenCount(Tables.documents(s, d))),
-    "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d)))
+    "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
+    "q_corpus_curate" -> ((s, d) => curate(Tables.documents(s, d)))
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -151,6 +184,38 @@ object TextOps {
          CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS re_tokens,
          CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "q_corpus_curate" ->
+      s"""WITH w AS (SELECT doc_id, text, $normSql AS norm,
+             string_split($normSql, ' ') AS words FROM documents),
+         d AS (SELECT doc_id, norm,
+             CAST(len(words) AS INT) n_words,
+             FLOOR((CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 10000 + 0.5) / 10000 AS punct_ratio,
+             FLOOR((CAST(${hits("en")} AS DOUBLE) / len(words)) * 10000 + 0.5) / 10000 AS stop_ratio,
+             CAST(${hits("en")} AS INT) s_en, CAST(${hits("es")} AS INT) s_es,
+             CAST(${hits("de")} AS INT) s_de, CAST(${hits("fr")} AS INT) s_fr
+           FROM w),
+         q AS (SELECT *,
+             FLOOR((0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+               + 0.3 * LEAST(CAST(n_words AS DOUBLE) / 100, 1.0)) * 10000 + 0.5) / 10000 AS quality_score,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS predicted_lang
+           FROM d),
+         t AS (SELECT *,
+             CASE WHEN quality_score >= 0.7 THEN 'HIGH'
+                  WHEN quality_score >= 0.4 THEN 'MEDIUM'
+                  ELSE 'LOW' END AS quality_tier,
+             MIN(doc_id) OVER (PARTITION BY md5(norm)) AS canonical_id
+           FROM q)
+         SELECT doc_id, predicted_lang, quality_score, quality_tier, canonical_id,
+           doc_id <> canonical_id AS is_duplicate,
+           (NOT (doc_id <> canonical_id)) AND quality_score >= 0.4 AND predicted_lang = 'en' AS keep,
+           CASE WHEN doc_id <> canonical_id THEN 'duplicate'
+                WHEN quality_score < 0.4 THEN 'low_quality'
+                WHEN predicted_lang <> 'en' THEN 'non_english'
+                ELSE 'kept' END AS drop_reason
+         FROM t ORDER BY doc_id""",
     "q_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          c AS (SELECT doc_id, md5(norm) AS content_md5 FROM n),
