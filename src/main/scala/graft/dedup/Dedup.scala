@@ -141,12 +141,18 @@ object Dedup {
     * oracle-reproducible via a recursive CTE. */
   def nearDupClusters(documents: DataFrame, bucketLimit: Int = 100,
                       maxIters: Int = 20): DataFrame = {
-    val pairs = minhashLsh(documents, bucketLimit).select("doc_a", "doc_b")
+    // cache the candidate pairs BEFORE the orientation union — otherwise
+    // the union's two branches each re-run the LSH self-join lineage
+    val pairs = minhashLsh(documents, bucketLimit)
+      .select("doc_a", "doc_b").persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .persist()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id")).persist()
+    // labels only ever decrease, so the label-sum is a strictly-monotone
+    // convergence witness — one tiny aggregate per round instead of a
+    // change-detection join
+    var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -156,15 +162,14 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .persist()
-      converged = updated.as("u")
-        .join(labels.as("l"), col("u.id") === col("l.id"))
-        .filter(col("u.label") =!= col("l.label"))
-        .isEmpty
+      val newSum = updated.agg(sum(col("label"))).first().getLong(0)
+      converged = newSum == prevSum
+      prevSum = newSum
       labels.unpersist()
       labels = updated
       iter += 1
     }
-    edges.unpersist()
+    pairs.unpersist()
     labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") =!= col("label")).as("is_duplicate"))
