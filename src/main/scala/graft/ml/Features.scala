@@ -303,13 +303,22 @@ object Features {
         (col("l_orderkey") <= col("mid")).cast("int").as("is_ref"))
       .select(col("s.feature").as("feature"), col("s.v").as("v"), col("is_ref"))
     val fb = melted.groupBy(col("feature")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    def binned(n: Int) = melted.join(broadcast(fb), "feature")
+    // One melted pass: count at the FINE granularity; the coarse PSI bins
+    // derive from the fine ones (nKsBins = 10 * nPsiBins shares edges, so
+    // coarse = floor(fine / 10) over already-identical ints — no float
+    // re-binning, hence exact oracle parity).
+    require(nKsBins == 10 * nPsiBins, "KS bins must be 10x PSI bins to share one pass")
+    val fineCounts = melted.join(broadcast(fb), "feature")
       .withColumn("bin",
-        least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / n)),
-          lit((n - 1).toDouble)).cast("int"))
-    val psiCounts = binned(nPsiBins).groupBy(col("feature"), col("bin")).agg(
-      sum(col("is_ref")).cast("double").as("n_ref"),
-      sum(lit(1) - col("is_ref")).cast("double").as("n_cur"))
+        least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / nKsBins)),
+          lit((nKsBins - 1).toDouble)).cast("int"))
+      .groupBy(col("feature"), col("bin")).agg(
+        sum(col("is_ref")).as("ca"), sum(lit(1) - col("is_ref")).as("cb"))
+      .persist() // ~nKsBins rows/feature; feeds both the PSI and KS branches
+    val psiCounts = fineCounts
+      .groupBy(col("feature"), floor(col("bin") / 10.0).cast("int").as("bin"))
+      .agg(sum(col("ca")).cast("double").as("n_ref"),
+        sum(col("cb")).cast("double").as("n_cur"))
     val totals = psiCounts.groupBy(col("feature"))
       .agg(sum(col("n_ref")).as("t_ref"), sum(col("n_cur")).as("t_cur"))
     val spine = fb.select(col("feature")).crossJoin(
@@ -324,8 +333,7 @@ object Features {
         .cast("decimal(20,12)")).cast("double").as("psi0"))
     val wk = Window.partitionBy(col("feature")).orderBy(col("bin"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val ks = binned(nKsBins).groupBy(col("feature"), col("bin")).agg(
-      sum(col("is_ref")).as("ca"), sum(lit(1) - col("is_ref")).as("cb"))
+    val ks = fineCounts
       .join(broadcast(totals), "feature")
       .withColumn("cum_a", sum(col("ca")).over(wk))
       .withColumn("cum_b", sum(col("cb")).over(wk))
@@ -552,10 +560,13 @@ object Features {
       s"""WITH b0 AS (SELECT CAST(FLOOR(MAX(l_orderkey) / 2.0) AS BIGINT) mid FROM lineitem),
          melted AS ($melt),
          fb AS (SELECT feature, MIN(v) mn, MAX(v) mx FROM melted GROUP BY feature),
-         bp AS (SELECT m.feature, CAST(LEAST(FLOOR((v - mn) / ((mx - mn) / 10)), 9) AS INT) bin, is_ref
+         bk AS (SELECT m.feature, CAST(LEAST(FLOOR((v - mn) / ((mx - mn) / 100)), 99) AS INT) bin, is_ref
            FROM melted m JOIN fb USING (feature)),
-         pc AS (SELECT feature, bin, CAST(SUM(is_ref) AS DOUBLE) n_ref, CAST(SUM(1 - is_ref) AS DOUBLE) n_cur
-           FROM bp GROUP BY 1, 2),
+         kc AS (SELECT feature, bin, CAST(SUM(is_ref) AS BIGINT) ca, CAST(SUM(1 - is_ref) AS BIGINT) cb
+           FROM bk GROUP BY 1, 2),
+         pc AS (SELECT feature, CAST(FLOOR(bin / 10.0) AS INT) bin,
+             CAST(SUM(ca) AS DOUBLE) n_ref, CAST(SUM(cb) AS DOUBLE) n_cur
+           FROM kc GROUP BY 1, 2),
          t AS (SELECT feature, SUM(n_ref) t_ref, SUM(n_cur) t_cur FROM pc GROUP BY feature),
          spine AS (SELECT feature, CAST(unnest(generate_series(0, 9)) AS INT) bin FROM fb),
          filled AS (SELECT spine.feature, spine.bin, COALESCE(n_ref, 0) n_ref, COALESCE(n_cur, 0) n_cur
@@ -566,10 +577,6 @@ object Features {
          psi AS (SELECT feature,
              CAST(SUM(CAST((p_cur - p_ref) * ln(p_cur / p_ref) AS DECIMAL(20,12))) AS DOUBLE) psi0
            FROM terms GROUP BY feature),
-         bk AS (SELECT m.feature, CAST(LEAST(FLOOR((v - mn) / ((mx - mn) / 100)), 99) AS INT) bin, is_ref
-           FROM melted m JOIN fb USING (feature)),
-         kc AS (SELECT feature, bin, CAST(SUM(is_ref) AS BIGINT) ca, CAST(SUM(1 - is_ref) AS BIGINT) cb
-           FROM bk GROUP BY 1, 2),
          kcum AS (SELECT feature,
              SUM(ca) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_a,
              SUM(cb) OVER (PARTITION BY feature ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum_b
