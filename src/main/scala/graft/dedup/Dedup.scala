@@ -60,12 +60,16 @@ object Dedup {
       (0 to 3).map(b => struct(lit(b).as("band_idx"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("bh"))): _*)).as("s"))
       .select(col("doc_id"), col("s.band_idx").as("band_idx"), col("s.bh").as("bh"))
-      .persist() // bucket sizing + both self-join sides read this; don't re-shingle
-    val cold = bands.groupBy(col("band_idx"), col("bh"))
-      .agg(count(lit(1)).as("bucket_n"))
+    // Bucket sizing as a window count over the SAME (band_idx, bh)
+    // partitioning the self-join shuffles on: one exchange serves the
+    // count, the filter, and both join sides (Catalyst's ReuseExchange
+    // dedupes the identical subtrees), so the shingle+minhash lineage
+    // runs once — no persist, nothing leaks into the session cache.
+    val wB = Window.partitionBy(col("band_idx"), col("bh"))
+    val kept = bands
+      .withColumn("bucket_n", count(lit(1)).over(wB))
       .filter(col("bucket_n") <= bucketLimit)
-      .select("band_idx", "bh")
-    val kept = bands.join(cold, Seq("band_idx", "bh"), "left_semi")
+      .select("doc_id", "band_idx", "bh")
     val a = kept.as("a")
     val b = kept.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
@@ -141,27 +145,47 @@ object Dedup {
     * oracle-reproducible via a recursive CTE. */
   def nearDupClusters(documents: DataFrame, bucketLimit: Int = 100,
                       maxIters: Int = 20): DataFrame = {
-    // cache the candidate pairs BEFORE the orientation union — otherwise
-    // the union's two branches each re-run the LSH self-join lineage
-    val pairs = minhashLsh(documents, bucketLimit)
-      .select("doc_a", "doc_b").persist()
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).persist()
+    // Both edge orientations come out of ONE pass over the pair stream
+    // (explode, not a union of two scans that would each re-run the LSH
+    // self-join lineage). Persisted once; every round reads it.
+    val edges = minhashLsh(documents, bucketLimit)
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    // Seed with least(id, min(neighbor)) — the node-set groupBy has to
+    // shuffle anyway, so the first propagation round rides along free.
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
+      .persist()
     // labels only ever decrease, so the label-sum is a strictly-monotone
-    // convergence witness — one tiny aggregate per round instead of a
-    // change-detection join
+    // convergence witness — one tiny aggregate instead of a
+    // change-detection join. The seed materialization also fills the
+    // edges cache (one job does both).
     var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+
+    def step(l: DataFrame): DataFrame = {
+      val neighborMin = edges.join(l, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      l.join(neighborMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+    }
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = edges.join(labels, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
+      // TWO propagation rounds per materialization: halves the driver
+      // round-trips and convergence checks (labels are monotone, so an
+      // unchanged sum after a double step still proves the fixpoint).
+      // Every 3rd materialization localCheckpoints to truncate lineage —
+      // otherwise plan analysis grows with the round count.
+      val doubled = step(step(labels))
+      val updated =
+        if (iter % 3 == 2) doubled.localCheckpoint()
+        else doubled.persist()
       val newSum = updated.agg(sum(col("label"))).first().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
@@ -169,11 +193,18 @@ object Dedup {
       labels = updated
       iter += 1
     }
-    pairs.unpersist()
-    labels
+    // Materialize the (small) final labeling via an eager localCheckpoint,
+    // then drop every cached frame: nothing this operator persisted leaks
+    // into the caller's session (checkpoint blocks are context-cleaned
+    // once the returned frame is garbage-collected).
+    val result = labels
       .select(col("id").as("doc_id"), col("label").as("cluster_id"),
         (col("id") =!= col("label")).as("is_duplicate"))
       .orderBy("doc_id")
+      .localCheckpoint()
+    labels.unpersist()
+    edges.unpersist()
+    result
   }
 
   /** Word-3-gram Jaccard near-dup join. Hot shingles (document frequency
@@ -181,15 +212,23 @@ object Dedup {
     * keeps the candidate join linear on skewed corpora. */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.4,
                    dfLimit: Int = 100): DataFrame = {
+    // Hash every 3-gram to int64 BEFORE anything shuffles: the df count,
+    // the prune, and the candidate self-join all move 8-byte keys instead
+    // of raw shingle text (Jaccard only needs counts, so a collision-free
+    // hash preserves the result; the 64-bit space keeps collisions
+    // negligible at any corpus size). The df prune is a window count on
+    // the SAME hash partitioning the self-join shuffles on — ReuseExchange
+    // computes the corpus explode once with nothing persisted.
     val sh = TextPrep.shingles(documents)
-    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= dfLimit).select("shingle")
-    // referenced three times (sizes + both self-join sides): cache the
-    // pruned shingle set instead of re-exploding the corpus each time
-    val shp = sh.join(keep, "shingle").persist()
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+    val wS = Window.partitionBy(col("sh"))
+    val shp = sh
+      .withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= dfLimit)
+      .select("doc_id", "sh")
     val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shp.as("a")
-      .join(shp.as("b"), col("a.shingle") === col("b.shingle") &&
+      .join(shp.as("b"), col("a.sh") === col("b.sh") &&
         col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_intersect"))

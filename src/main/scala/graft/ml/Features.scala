@@ -314,7 +314,9 @@ object Features {
           lit((nKsBins - 1).toDouble)).cast("int"))
       .groupBy(col("feature"), col("bin")).agg(
         sum(col("is_ref")).as("ca"), sum(lit(1) - col("is_ref")).as("cb"))
-      .persist() // ~nKsBins rows/feature; feeds both the PSI and KS branches
+    // fineCounts feeds both the PSI and KS branches through the SAME
+    // (feature, bin) aggregate exchange — ReuseExchange computes the
+    // melted scan once, and nothing is persisted into the session cache
     val psiCounts = fineCounts
       .groupBy(col("feature"), floor(col("bin") / 10.0).cast("int").as("bin"))
       .agg(sum(col("ca")).cast("double").as("n_ref"),

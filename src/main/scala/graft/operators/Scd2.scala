@@ -80,20 +80,32 @@ object Scd2 {
   }
 
   /** SCD integrity validation (scd_type2_macro.sql validate_scd_integrity):
-    * overlapping current rows per key + effective-date gaps via lag. */
+    * overlapping current rows per key + effective-date gaps via lag.
+    *
+    * Fused into ONE pass over the change stream: both checks derive from
+    * the same key-partitioned window (effective_to = lead, prev_to = lag
+    * of that lead — same partitioning+ordering, so one shuffle serves
+    * both), rolled up per key (still co-partitioned — no extra exchange)
+    * and then to two issue rows. The old form built the SCD2 window twice,
+    * doubling the warehouse family's most expensive shuffle. */
   def integrity(events: DataFrame): DataFrame = {
-    val scd = build(events)
-    val overlaps = scd.filter(col("is_current"))
-      .groupBy("user_id").count().filter(col("count") > 1)
-      .agg(count(lit(1)).as("issue_count"))
-      .select(lit("OVERLAPPING_CURRENT").as("issue_type"), col("issue_count"))
-    val wGap = Window.partitionBy(col("user_id")).orderBy(col("version"))
-    val gaps = scd
-      .withColumn("prev_to", lag(col("effective_to_s"), 1).over(wGap))
-      .filter(col("prev_to").isNotNull && col("effective_from_s") =!= col("prev_to"))
-      .agg(count(lit(1)).as("issue_count"))
-      .select(lit("DATE_GAPS").as("issue_type"), col("issue_count"))
-    overlaps.unionAll(gaps).orderBy("issue_type")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("effective_from_s", epochS(col("ts")))
+      .withColumn("effective_to_s", epochS(lead(col("ts"), 1).over(w)))
+      .withColumn("prev_to", lag(col("effective_to_s"), 1).over(w))
+    val perKey = flagged.groupBy(col("user_id")).agg(
+      sum(when(col("effective_to_s").isNull, 1L).otherwise(0L)).as("n_current"),
+      sum(when(col("prev_to").isNotNull && col("effective_from_s") =!= col("prev_to"), 1L)
+        .otherwise(0L)).as("n_gaps"))
+    perKey.agg(
+      count(when(col("n_current") > 1, lit(1))).as("overlap_count"),
+      sum(col("n_gaps")).as("gap_count"))
+      .select(explode(array(
+        struct(lit("DATE_GAPS").as("issue_type"), col("gap_count").as("issue_count")),
+        struct(lit("OVERLAPPING_CURRENT").as("issue_type"), col("overlap_count").as("issue_count")))).as("s"))
+      .select(col("s.issue_type").as("issue_type"), col("s.issue_count").as("issue_count"))
+      .orderBy("issue_type")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
