@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 import graft.operators.{Analytics, ConfigFacts, Joins, Marts, Quality, Sampling, Scd2, Warehouse}
-import graft.ml.{Approx, Features, TopK}
+import graft.ml.{Approx, Features, Monitoring, TopK}
 import graft.dedup.Dedup
 import graft.ann.Ann
 import graft.text.TextOps
@@ -20,12 +20,14 @@ object SparkEntry {
     Warehouse.queries ++ Scd2.queries ++ Analytics.queries ++ Features.queries ++
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++ Multimodal.queries ++
       Joins.queries ++ Sampling.queries ++ ConfigFacts.queries ++ Marts.queries ++
-      Quality.queries ++ Approx.queries ++ TopK.queries ++ SemiStructured.queries
+      Quality.queries ++ Approx.queries ++ TopK.queries ++ SemiStructured.queries ++
+      Monitoring.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Warehouse.oracles ++ Scd2.oracles ++ Analytics.oracles ++ Features.oracles ++
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles ++
       Joins.oracles ++ Sampling.oracles ++ ConfigFacts.oracles ++ Marts.oracles ++
-      Quality.oracles ++ Approx.oracles ++ TopK.oracles ++ SemiStructured.oracles
+      Quality.oracles ++ Approx.oracles ++ TopK.oracles ++ SemiStructured.oracles ++
+      Monitoring.oracles
 }

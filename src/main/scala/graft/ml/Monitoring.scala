@@ -1,0 +1,366 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Model-monitoring analytics — the reference's ML monitoring layer
+  * re-expressed as Spark aggregates.
+  *
+  * Re-expresses /root/reference/ml_platform/monitoring/ml_monitoring_system.py:
+  *   - modelPerf: ModelPerformanceMonitor.monitor_performance +
+  *     _check_performance_alerts (:371-478) — confusion-matrix
+  *     accuracy / weighted precision / recall / F1 on a predictions
+  *     frame, degradation vs a baseline window, threshold alert flags.
+  *   - driftHistory: get_drift_summary (:312-358) + the linear trend of
+  *     get_performance_trend (:480-524) — a PSI drift log over k time
+  *     slices rolled up to per-feature drift rate, score stats, and an
+  *     exact least-squares slope.
+  *   - businessImpact: BusinessImpactMonitor.calculate_business_impact
+  *     (:929-1027) — prediction volume, revenue impact, automation cost
+  *     savings, accuracy impact, and ROI per cohort.
+  *
+  * Scale shape: every query is one or two full scans reduced to a
+  * bounded aggregate (8 confusion counters; features × slices × bins
+  * counts; one row per cohort). Windows and loops never touch row-level
+  * data — the same melt-once / bin-count design as [[Features.driftSweep]].
+  *
+  * The reference consumes live prediction streams; here predictions,
+  * labels, and automation flags are synthesized DETERMINISTICALLY from
+  * stable columns (md5-digit noise, the [[graft.operators.Warehouse]]
+  * stagingEnhanced pattern) so the DuckDB oracle reproduces them exactly.
+  */
+object Monitoring {
+
+  /** First hex digit of md5(id) as an int in 0..15 — the deterministic
+    * noise source shared with the oracle SQL. */
+  private def hexNoise(idCol: String): Column =
+    expr(s"instr('0123456789abcdef', substr(md5(cast($idCol as string)), 1, 1)) - 1")
+
+  /** Confusion-matrix performance metrics with degradation-vs-baseline
+    * alerts (monitor_performance). The baseline window is the first half
+    * of the event stream; the "current" window the second. One bounded
+    * aggregate carries all eight confusion counters; the four metric
+    * rows are exploded from that single row.
+    *
+    * y_true = value > 50; y_pred flips y_true when the md5 noise digit
+    * exceeds a per-window threshold (14/16 baseline, 12/16 current), so
+    * the current window degrades by construction and the alert path is
+    * exercised. Weighted averaging follows sklearn's average='weighted'
+    * (per-class metric weighted by true-class support; 0 on zero
+    * denominators). */
+  def modelPerf(events: DataFrame,
+                degradationThreshold: Double = 0.05,
+                targetAccuracy: Double = 0.85): DataFrame = {
+    val bounds = events.agg(floor(max(col("event_id")) / 2d).cast("long").as("mid"))
+    val scored = events.crossJoin(broadcast(bounds))
+      .withColumn("is_ref", col("event_id") <= col("mid"))
+      .withColumn("y_true", col("value") > 50d)
+      .withColumn("noise", hexNoise("event_id"))
+      .withColumn("y_pred",
+        when(col("noise") < when(col("is_ref"), lit(14)).otherwise(lit(12)),
+          col("y_true")).otherwise(!col("y_true")))
+    def cnt(ref: Boolean, t: Boolean, p: Boolean, nm: String) =
+      sum(when(col("is_ref") === ref && col("y_true") === t && col("y_pred") === p,
+        1L).otherwise(0L)).as(nm)
+    val m = scored.agg(
+      cnt(ref = true, t = true, p = true, "btp"), cnt(ref = true, t = false, p = true, "bfp"),
+      cnt(ref = true, t = false, p = false, "btn"), cnt(ref = true, t = true, p = false, "bfn"),
+      cnt(ref = false, t = true, p = true, "ctp"), cnt(ref = false, t = false, p = true, "cfp"),
+      cnt(ref = false, t = false, p = false, "ctn"), cnt(ref = false, t = true, p = false, "cfn"))
+
+    // (accuracy, weighted precision, weighted recall, weighted f1) from
+    // four counter columns — arithmetic structured identically to the
+    // oracle SQL so the doubles match bit-for-bit.
+    def metrics(p: String): (Column, Column, Column, Column) = {
+      val (tp, fp, tn, fn) = (col(p + "tp").cast("double"), col(p + "fp").cast("double"),
+        col(p + "tn").cast("double"), col(p + "fn").cast("double"))
+      val n = tp + fp + tn + fn
+      val nPos = tp + fn
+      val nNeg = tn + fp
+      def safe(num: Column, den: Column) = when(den > 0d, num / den).otherwise(lit(0d))
+      val pPos = safe(tp, tp + fp)
+      val pNeg = safe(tn, tn + fn)
+      val rPos = safe(tp, nPos)
+      val rNeg = safe(tn, nNeg)
+      val fPos = safe(lit(2d) * pPos * rPos, pPos + rPos)
+      val fNeg = safe(lit(2d) * pNeg * rNeg, pNeg + rNeg)
+      ((tp + tn) / n,
+        (nPos * pPos + nNeg * pNeg) / n,
+        (nPos * rPos + nNeg * rNeg) / n,
+        (nPos * fPos + nNeg * fNeg) / n)
+    }
+    val (bAcc, bPrec, bRec, bF1) = metrics("b")
+    val (cAcc, cPrec, cRec, cF1) = metrics("c")
+    def metricRow(name: String, b: Column, c: Column) =
+      struct(lit(name).as("metric"), b.as("b"), c.as("c"))
+    m.select(explode(array(
+        metricRow("accuracy", bAcc, cAcc),
+        metricRow("f1_score", bF1, cF1),
+        metricRow("precision", bPrec, cPrec),
+        metricRow("recall", bRec, cRec))).as("s"))
+      .select(col("s.metric").as("metric"),
+        r6(col("s.b")).as("baseline_value"), r6(col("s.c")).as("current_value"))
+      .withColumn("degradation", r6(col("baseline_value") - col("current_value")))
+      .withColumn("degradation_pct",
+        when(col("baseline_value") > 0d,
+          r6(col("degradation") / col("baseline_value") * 100d)).otherwise(lit(0d)))
+      .withColumn("degradation_alert", col("degradation") > degradationThreshold)
+      .withColumn("below_target_alert",
+        col("metric") === "accuracy" && col("current_value") < targetAccuracy)
+      .orderBy("metric")
+  }
+
+  /** Drift log over `nSlices` key-range slices of the fact stream rolled
+    * up to a per-feature summary (get_drift_summary): checks run, drift
+    * count/rate against the reference's PSI>0.1 alert threshold, mean /
+    * max / latest drift score, and the least-squares slope of PSI over
+    * check index (get_performance_trend's np.polyfit deg-1, in exact
+    * closed form). Slice 0 is the reference distribution; slices 1..k-1
+    * are the monitoring checks.
+    *
+    * One melted scan produces (feature, slice, bin) counts — bounded by
+    * features × slices × bins regardless of data size; everything after
+    * is arithmetic over that aggregate. */
+  def driftHistory(lineitem: DataFrame, nSlices: Int = 8, nBins: Int = 10): DataFrame = {
+    val eps = 1e-6
+    val feats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val nChecks = nSlices - 1
+    val bounds0 = lineitem.agg(max(col("l_orderkey")).cast("double").as("mxk"))
+    val melted = lineitem.crossJoin(broadcast(bounds0))
+      .select(explode(array(feats.map(f =>
+        struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("s"),
+        least(floor((col("l_orderkey") - 1) * nSlices / col("mxk")),
+          lit((nSlices - 1).toDouble)).cast("int").as("slice"))
+      .select(col("s.feature").as("feature"), col("s.v").as("v"), col("slice"))
+    val fb = melted.groupBy(col("feature")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val counts = melted.join(broadcast(fb), "feature")
+      .withColumn("bin",
+        least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / nBins)),
+          lit((nBins - 1).toDouble)).cast("int"))
+      .groupBy(col("feature"), col("slice"), col("bin"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val totals = counts.groupBy(col("feature"), col("slice")).agg(sum(col("c")).as("t"))
+    // spine over feature × check-slice × bin so empty bins contribute
+    // their eps floor exactly as the reference's replace(0, 1e-4)-style
+    // guard does
+    val spark = lineitem.sparkSession
+    val spine = fb.select(col("feature"))
+      .crossJoin(spark.range(1, nSlices).select(col("id").cast("int").as("slice")))
+      .crossJoin(spark.range(0, nBins).select(col("id").cast("int").as("bin")))
+    val refCounts = counts.filter(col("slice") === 0)
+      .select(col("feature"), col("bin"), col("c").as("c_ref"))
+    val refTotals = totals.filter(col("slice") === 0)
+      .select(col("feature"), col("t").as("t_ref"))
+    val psi = spine
+      .join(counts, Seq("feature", "slice", "bin"), "left").na.fill(0.0, Seq("c"))
+      .join(refCounts, Seq("feature", "bin"), "left").na.fill(0.0, Seq("c_ref"))
+      .join(broadcast(totals), Seq("feature", "slice"))
+      .join(broadcast(refTotals), Seq("feature"))
+      .withColumn("p_cur", greatest(col("c") / col("t"), lit(eps)))
+      .withColumn("p_ref", greatest(col("c_ref") / col("t_ref"), lit(eps)))
+      .groupBy(col("feature"), col("slice"))
+      .agg(sum(((col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
+        .cast("decimal(20,12)")).cast("double").as("psi"))
+    // closed-form least-squares slope over x = slice index 1..nChecks:
+    // slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), all sums exact
+    val sx = (nChecks * (nChecks + 1) / 2).toDouble
+    val sxx = (nChecks * (nChecks + 1) * (2 * nChecks + 1) / 6).toDouble
+    val denom = nChecks * sxx - sx * sx
+    psi.groupBy(col("feature")).agg(
+        count(lit(1)).as("total_checks"),
+        sum(when(col("psi") > 0.1, 1L).otherwise(0L)).as("drift_count"),
+        sum(col("psi").cast("decimal(20,12)")).cast("double").as("sy"),
+        sum((col("slice") * col("psi")).cast("decimal(20,12)")).cast("double").as("sxy"),
+        max(col("psi")).as("max_psi0"),
+        max(when(col("slice") === nChecks, col("psi"))).as("last_psi0"))
+      .select(
+        col("feature"), col("total_checks"), col("drift_count"),
+        r6(col("drift_count") / col("total_checks")).as("drift_rate"),
+        r6(col("sy") / col("total_checks")).as("avg_psi"),
+        r6(col("max_psi0")).as("max_psi"),
+        r6(col("last_psi0")).as("last_psi"),
+        r6((lit(nChecks.toDouble) * col("sxy") - lit(sx) * col("sy")) / lit(denom)).as("trend_slope"))
+      .withColumn("trend",
+        when(col("trend_slope") > 0d, "rising")
+          .when(col("trend_slope") < 0d, "falling").otherwise("stable"))
+      .orderBy("feature")
+  }
+
+  /** Business-impact mart per prediction cohort (calculate_business_impact):
+    * prediction volume, revenue impact (Σ predicted value), accuracy
+    * impact vs actuals, automation rate and its cost savings at $5 per
+    * manual decision avoided, and ROI against a $1000 operating cost.
+    * Cohort = order priority; predicted value = actual × a deterministic
+    * md5-digit error factor in [0.95, 1.10]. One scan, one row per
+    * cohort. */
+  def businessImpact(orders: DataFrame,
+                     manualCost: Double = 5.0,
+                     operatingCost: Double = 1000.0): DataFrame = {
+    val scored = orders
+      .withColumn("d", hexNoise("o_orderkey"))
+      .withColumn("predicted_value",
+        col("o_totalprice") * ((lit(95.0) + col("d").cast("double")) / lit(100.0)))
+      .withColumn("automated", col("d") < 11)
+    scored.groupBy(col("o_orderpriority").as("cohort"))
+      .agg(
+        count(lit(1)).as("prediction_volume"),
+        sum(when(col("automated"), 1L).otherwise(0L)).as("n_automated"),
+        r2(decSum(col("predicted_value"))).as("revenue_impact"),
+        r2(decSum(col("o_totalprice"))).as("actual_total"))
+      .withColumn("accuracy_impact",
+        r6(lit(1d) - abs(col("revenue_impact") - col("actual_total")) / col("actual_total")))
+      .withColumn("automation_rate", r6(col("n_automated") / col("prediction_volume")))
+      .withColumn("cost_savings", r2(col("n_automated") * manualCost))
+      .withColumn("roi",
+        r6((col("revenue_impact") + col("cost_savings") - operatingCost) / operatingCost))
+      .orderBy("cohort")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_model_perf" -> ((s, d) => modelPerf(Tables.events(s, d))),
+    "q_drift_history" -> ((s, d) => driftHistory(Tables.lineitem(s, d))),
+    "q_business_impact" -> ((s, d) => businessImpact(Tables.orders(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_model_perf" ->
+      """WITH b AS (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) AS mid FROM events),
+         s AS (
+           SELECT event_id <= mid AS is_ref, value > 50.0 AS y_true,
+             CASE WHEN (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)
+                       < (CASE WHEN event_id <= mid THEN 14 ELSE 12 END)
+                  THEN value > 50.0 ELSE NOT (value > 50.0) END AS y_pred
+           FROM events, b),
+         m AS (
+           SELECT
+             CAST(SUM(CASE WHEN is_ref AND y_true AND y_pred THEN 1 ELSE 0 END) AS DOUBLE) AS btp,
+             CAST(SUM(CASE WHEN is_ref AND NOT y_true AND y_pred THEN 1 ELSE 0 END) AS DOUBLE) AS bfp,
+             CAST(SUM(CASE WHEN is_ref AND NOT y_true AND NOT y_pred THEN 1 ELSE 0 END) AS DOUBLE) AS btn,
+             CAST(SUM(CASE WHEN is_ref AND y_true AND NOT y_pred THEN 1 ELSE 0 END) AS DOUBLE) AS bfn,
+             CAST(SUM(CASE WHEN NOT is_ref AND y_true AND y_pred THEN 1 ELSE 0 END) AS DOUBLE) AS ctp,
+             CAST(SUM(CASE WHEN NOT is_ref AND NOT y_true AND y_pred THEN 1 ELSE 0 END) AS DOUBLE) AS cfp,
+             CAST(SUM(CASE WHEN NOT is_ref AND NOT y_true AND NOT y_pred THEN 1 ELSE 0 END) AS DOUBLE) AS ctn,
+             CAST(SUM(CASE WHEN NOT is_ref AND y_true AND NOT y_pred THEN 1 ELSE 0 END) AS DOUBLE) AS cfn
+           FROM s),
+         d AS (
+           SELECT
+             (btp + bfn) AS bnpos, (btn + bfp) AS bnneg, (btp + bfp + btn + bfn) AS bn,
+             CASE WHEN btp + bfp > 0 THEN btp / (btp + bfp) ELSE 0 END AS bppos,
+             CASE WHEN btn + bfn > 0 THEN btn / (btn + bfn) ELSE 0 END AS bpneg,
+             CASE WHEN btp + bfn > 0 THEN btp / (btp + bfn) ELSE 0 END AS brpos,
+             CASE WHEN btn + bfp > 0 THEN btn / (btn + bfp) ELSE 0 END AS brneg,
+             (ctp + cfn) AS cnpos, (ctn + cfp) AS cnneg, (ctp + cfp + ctn + cfn) AS cn,
+             CASE WHEN ctp + cfp > 0 THEN ctp / (ctp + cfp) ELSE 0 END AS cppos,
+             CASE WHEN ctn + cfn > 0 THEN ctn / (ctn + cfn) ELSE 0 END AS cpneg,
+             CASE WHEN ctp + cfn > 0 THEN ctp / (ctp + cfn) ELSE 0 END AS crpos,
+             CASE WHEN ctn + cfp > 0 THEN ctn / (ctn + cfp) ELSE 0 END AS crneg,
+             btp, btn, ctp, ctn
+           FROM m),
+         d2 AS (
+           SELECT *,
+             CASE WHEN bppos + brpos > 0 THEN 2 * bppos * brpos / (bppos + brpos) ELSE 0 END AS bfpos,
+             CASE WHEN bpneg + brneg > 0 THEN 2 * bpneg * brneg / (bpneg + brneg) ELSE 0 END AS bfneg,
+             CASE WHEN cppos + crpos > 0 THEN 2 * cppos * crpos / (cppos + crpos) ELSE 0 END AS cfpos,
+             CASE WHEN cpneg + crneg > 0 THEN 2 * cpneg * crneg / (cpneg + crneg) ELSE 0 END AS cfneg
+           FROM d),
+         rows4 AS (
+           SELECT 'accuracy' AS metric,
+             (btp + btn) / bn AS b, (ctp + ctn) / cn AS c FROM d2
+           UNION ALL
+           SELECT 'f1_score',
+             (bnpos * bfpos + bnneg * bfneg) / bn, (cnpos * cfpos + cnneg * cfneg) / cn FROM d2
+           UNION ALL
+           SELECT 'precision',
+             (bnpos * bppos + bnneg * bpneg) / bn, (cnpos * cppos + cnneg * cpneg) / cn FROM d2
+           UNION ALL
+           SELECT 'recall',
+             (bnpos * brpos + bnneg * brneg) / bn, (cnpos * crpos + cnneg * crneg) / cn FROM d2),
+         r AS (
+           SELECT metric,
+             FLOOR(b * 1000000 + 0.5) / 1000000 AS baseline_value,
+             FLOOR(c * 1000000 + 0.5) / 1000000 AS current_value
+           FROM rows4),
+         r2 AS (
+           SELECT *, FLOOR((baseline_value - current_value) * 1000000 + 0.5) / 1000000 AS degradation
+           FROM r)
+         SELECT metric, baseline_value, current_value, degradation,
+           CASE WHEN baseline_value > 0
+             THEN FLOOR((degradation / baseline_value * 100) * 1000000 + 0.5) / 1000000
+             ELSE 0 END AS degradation_pct,
+           degradation > 0.05 AS degradation_alert,
+           metric = 'accuracy' AND current_value < 0.85 AS below_target_alert
+         FROM r2 ORDER BY metric""",
+    "q_drift_history" -> {
+      val melt = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(f =>
+        s"""SELECT '$f' AS feature, CAST($f AS DOUBLE) AS v,
+            CAST(LEAST(FLOOR((l_orderkey - 1) * 8 / mxk), 7) AS INT) AS slice
+            FROM lineitem, b""").mkString(" UNION ALL ")
+      s"""WITH b AS (SELECT CAST(MAX(l_orderkey) AS DOUBLE) AS mxk FROM lineitem),
+         melted AS ($melt),
+         fb AS (SELECT feature, MIN(v) AS mn, MAX(v) AS mx FROM melted GROUP BY feature),
+         counts AS (
+           SELECT feature, slice,
+             CAST(LEAST(FLOOR((v - mn) / ((mx - mn) / 10)), 9) AS INT) AS bin,
+             CAST(COUNT(*) AS DOUBLE) AS c
+           FROM melted JOIN fb USING (feature) GROUP BY 1, 2, 3),
+         totals AS (SELECT feature, slice, SUM(c) AS t FROM counts GROUP BY 1, 2),
+         spine AS (
+           SELECT feature, CAST(s.g AS INT) AS slice, CAST(bn.g AS INT) AS bin
+           FROM fb, UNNEST(generate_series(1, 7)) AS s(g), UNNEST(generate_series(0, 9)) AS bn(g)),
+         psi AS (
+           SELECT sp.feature, sp.slice,
+             CAST(SUM(CAST(
+               (GREATEST(COALESCE(c.c, 0) / t.t, 0.000001) - GREATEST(COALESCE(rc.c, 0) / rt.t, 0.000001))
+               * ln(GREATEST(COALESCE(c.c, 0) / t.t, 0.000001) / GREATEST(COALESCE(rc.c, 0) / rt.t, 0.000001))
+               AS DECIMAL(20,12))) AS DOUBLE) AS psi
+           FROM spine sp
+           LEFT JOIN counts c ON c.feature = sp.feature AND c.slice = sp.slice AND c.bin = sp.bin
+           LEFT JOIN counts rc ON rc.feature = sp.feature AND rc.slice = 0 AND rc.bin = sp.bin
+           JOIN totals t ON t.feature = sp.feature AND t.slice = sp.slice
+           JOIN (SELECT feature, t FROM totals WHERE slice = 0) rt ON rt.feature = sp.feature
+           GROUP BY 1, 2),
+         agg AS (
+           SELECT feature,
+             CAST(COUNT(*) AS BIGINT) AS total_checks,
+             CAST(SUM(CASE WHEN psi > 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS drift_count,
+             CAST(SUM(CAST(psi AS DECIMAL(20,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(slice * psi AS DECIMAL(20,12))) AS DOUBLE) AS sxy,
+             MAX(psi) AS max_psi0,
+             MAX(CASE WHEN slice = 7 THEN psi END) AS last_psi0
+           FROM psi GROUP BY feature),
+         o AS (
+           SELECT feature, total_checks, drift_count,
+             FLOOR((CAST(drift_count AS DOUBLE) / total_checks) * 1000000 + 0.5) / 1000000 AS drift_rate,
+             FLOOR((sy / total_checks) * 1000000 + 0.5) / 1000000 AS avg_psi,
+             FLOOR(max_psi0 * 1000000 + 0.5) / 1000000 AS max_psi,
+             FLOOR(last_psi0 * 1000000 + 0.5) / 1000000 AS last_psi,
+             FLOOR(((7.0 * sxy - 28.0 * sy) / 196.0) * 1000000 + 0.5) / 1000000 AS trend_slope
+           FROM agg)
+         SELECT *, CASE WHEN trend_slope > 0 THEN 'rising'
+                        WHEN trend_slope < 0 THEN 'falling'
+                        ELSE 'stable' END AS trend
+         FROM o ORDER BY feature"""
+    },
+    "q_business_impact" ->
+      """WITH s AS (
+           SELECT o_orderpriority AS cohort, o_totalprice,
+             (strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) AS d
+           FROM orders),
+         a AS (
+           SELECT cohort,
+             CAST(COUNT(*) AS BIGINT) AS prediction_volume,
+             CAST(SUM(CASE WHEN d < 11 THEN 1 ELSE 0 END) AS BIGINT) AS n_automated,
+             FLOOR(CAST(SUM(CAST(o_totalprice * ((95.0 + CAST(d AS DOUBLE)) / 100.0) AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue_impact,
+             FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS actual_total
+           FROM s GROUP BY cohort)
+         SELECT cohort, prediction_volume, n_automated, revenue_impact, actual_total,
+           FLOOR((1.0 - abs(revenue_impact - actual_total) / actual_total) * 1000000 + 0.5) / 1000000 AS accuracy_impact,
+           FLOOR((CAST(n_automated AS DOUBLE) / prediction_volume) * 1000000 + 0.5) / 1000000 AS automation_rate,
+           FLOOR((n_automated * 5.0) * 100 + 0.5) / 100 AS cost_savings,
+           FLOOR(((revenue_impact + cost_savings - 1000.0) / 1000.0) * 1000000 + 0.5) / 1000000 AS roi
+         FROM a ORDER BY cohort"""
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.ml.Monitoring
+
+class MonitoringSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("modelPerf: four metrics, weighted recall equals accuracy, values in [0,1]") {
+    val rows = Monitoring.modelPerf(Tables.events(spark, sf)).collect()
+    assert(rows.map(_.getAs[String]("metric")).toSeq ==
+      Seq("accuracy", "f1_score", "precision", "recall"))
+    rows.foreach { r =>
+      Seq("baseline_value", "current_value").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"${r.getAs[String]("metric")}.$c=$v out of range")
+      }
+    }
+    // binary weighted recall is support-weighted per-class recall, which
+    // algebraically collapses to (tp+tn)/n — must equal accuracy exactly
+    val byMetric = rows.map(r => r.getAs[String]("metric") -> r).toMap
+    Seq("baseline_value", "current_value").foreach { c =>
+      assert(byMetric("recall").getAs[Double](c) == byMetric("accuracy").getAs[Double](c))
+    }
+    // the current window flips more labels by construction, so accuracy
+    // degrades and the degradation fields must be positive + consistent
+    val acc = byMetric("accuracy")
+    assert(acc.getAs[Double]("degradation") > 0)
+    assert(acc.getAs[Double]("degradation") ==
+      acc.getAs[Double]("baseline_value") - acc.getAs[Double]("current_value"))
+  }
+
+  test("driftHistory: one row per feature, 7 checks, rates bounded, trend label matches slope") {
+    val rows = Monitoring.driftHistory(Tables.lineitem(spark, sf)).collect()
+    assert(rows.map(_.getAs[String]("feature")).toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("total_checks") == 7)
+      val rate = r.getAs[Double]("drift_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Double]("max_psi") >= r.getAs[Double]("avg_psi"))
+      val slope = r.getAs[Double]("trend_slope")
+      val trend = r.getAs[String]("trend")
+      assert(if (slope > 0) trend == "rising"
+             else if (slope < 0) trend == "falling" else trend == "stable")
+    }
+  }
+
+  test("businessImpact: volumes partition the orders table, roi consistent with components") {
+    val orders = Tables.orders(spark, sf)
+    val rows = Monitoring.businessImpact(orders).collect()
+    assert(rows.map(_.getAs[Long]("prediction_volume")).sum == orders.count())
+    rows.foreach { r =>
+      val vol = r.getAs[Long]("prediction_volume")
+      val auto = r.getAs[Long]("n_automated")
+      assert(auto >= 0 && auto <= vol)
+      assert(r.getAs[Double]("cost_savings") == auto * 5.0)
+      val roi = r.getAs[Double]("roi")
+      val expected = (r.getAs[Double]("revenue_impact") + r.getAs[Double]("cost_savings") - 1000.0) / 1000.0
+      assert(math.abs(roi - expected) < 1e-6)
+      val accImpact = r.getAs[Double]("accuracy_impact")
+      assert(accImpact <= 1.0)
+    }
+  }
+}
