@@ -103,4 +103,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("WholeStageCodegen") || plan.contains("*("), plan)
     assert(df.selectExpr("max(d)").collect()(0).getLong(0) > 0L)
   }
+
+  test("ANN top-k aggregates with a bounded heap — no per-probe full-corpus sort window") {
+    import graft.ann.Ann
+    Seq(Ann.bruteForceTopK(Tables.embeddings(spark, sf)),
+        Ann.ivfSearch(Tables.embeddings(spark, sf))).foreach { df =>
+      val plan = planOf(df)
+      // the scored pairs must flow into a partial ObjectHashAggregate
+      // (map-side top-k), never a rank window that sorts a probe's whole
+      // corpus slice inside one task
+      assert(plan.contains("partial_topkneighbors"),
+        s"no partial bounded-heap aggregation in plan:\n$plan")
+      // (centroidRanked's K-rows-per-vector window is fine; the probe-
+      // partitioned one that sorted a probe's corpus slice must be gone)
+      assert(!plan.contains("windowspecdefinition(probe_id"),
+        s"per-probe rank window still in plan:\n$plan")
+    }
+  }
 }
