@@ -51,14 +51,23 @@ object Dedup {
     val sh = TextPrep.shinglesAll(documents)
       .withColumn("m0", md5(concat(lit("0:"), col("shingle")).cast("binary")))
       .withColumn("m1", md5(concat(lit("1:"), col("shingle")).cast("binary")))
+    // Each 8-hex chunk is parsed to int64 BEFORE the min: fixed-width
+    // lowercase hex orders lexicographically exactly like its numeric
+    // value, so min(int64) == min(hex-string) — but a long min buffer
+    // hash-aggregates (map-side partial, no sort), where min(string)
+    // falls back to SortAggregate and sorts the whole shingle stream
+    // twice per side.
     val mins = (0 to 7).map { k =>
-      val m = if (k < 4) col("m0") else col("m1")
-      min(substring(m, (k % 4) * 8 + 1, 8)).as(s"h$k")
+      val m = if (k < 4) "m0" else "m1"
+      min(expr(s"cast(conv(substring($m, ${(k % 4) * 8 + 1}, 8), 16, 10) as bigint)")).as(s"h$k")
     }
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    // re-hex to the 8-char lowercase chunk form the oracle's string mins
+    // produce, so the band hashes stay byte-identical
+    def rehex(c: Column): Column = lower(lpad(hex(c), 8, "0"))
     val bands = sig.select(col("doc_id"), explode(array(
       (0 to 3).map(b => struct(lit(b).as("band_idx"),
-        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("bh"))): _*)).as("s"))
+        md5(concat(rehex(col(s"h${2 * b}")), rehex(col(s"h${2 * b + 1}"))).cast("binary")).as("bh"))): _*)).as("s"))
       .select(col("doc_id"), col("s.band_idx").as("band_idx"), col("s.bh").as("bh"))
     // Bucket sizing as a window count over the SAME (band_idx, bh)
     // partitioning the self-join shuffles on: one exchange serves the
@@ -183,8 +192,10 @@ object Dedup {
       // Every 3rd materialization localCheckpoints to truncate lineage —
       // otherwise plan analysis grows with the round count.
       val doubled = step(step(labels))
+      // lazy checkpoint: truncation materializes inside the same job as
+      // the convergence sum instead of paying a separate eager pass
       val updated =
-        if (iter % 3 == 2) doubled.localCheckpoint()
+        if (iter % 3 == 2) doubled.localCheckpoint(false)
         else doubled.persist()
       val newSum = updated.agg(sum(col("label"))).first().getLong(0)
       converged = newSum == prevSum
