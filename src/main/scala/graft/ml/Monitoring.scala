@@ -39,6 +39,32 @@ object Monitoring {
   private def hexNoise(idCol: String): Column =
     expr(s"instr('0123456789abcdef', substr(md5(cast($idCol as string)), 1, 1)) - 1")
 
+  /** Deterministic (y_true, y_pred) columns on an events frame: the
+    * label is value>50, the prediction flips the label when the md5
+    * noise digit reaches `flipAt` (accuracy ≈ flipAt/16). Shared by the
+    * batch monitor and its streaming twin so streaming==batch is
+    * checkable row-for-row. */
+  def score(events: DataFrame, flipAt: Int): DataFrame = events
+    .withColumn("y_true", col("value") > 50d)
+    .withColumn("y_pred",
+      when(hexNoise("event_id") < flipAt, col("y_true")).otherwise(!col("y_true")))
+
+  /** Confusion counters + accuracy per tumbling event-time window — the
+    * aggregation both monitors share. Works unchanged on a static frame
+    * and a stream (the groupBy is watermark-compatible). */
+  def windowedPerf(scored: DataFrame, windowLength: String = "1 day"): DataFrame = {
+    def cnt(t: Boolean, p: Boolean, nm: String) =
+      sum(when(col("y_true") === t && col("y_pred") === p, 1L).otherwise(0L)).as(nm)
+    scored
+      .groupBy(window(col("ts"), windowLength))
+      .agg(cnt(t = true, p = true, "tp"), cnt(t = false, p = true, "fp"),
+        cnt(t = false, p = false, "tn"), cnt(t = true, p = false, "fn"))
+      .select(unix_timestamp(col("window.start")).as("window_start_s"),
+        col("tp"), col("fp"), col("tn"), col("fn"),
+        r6((col("tp") + col("tn")).cast("double") /
+          (col("tp") + col("fp") + col("tn") + col("fn"))).as("accuracy"))
+  }
+
   /** Confusion-matrix performance metrics with degradation-vs-baseline
     * alerts (monitor_performance). The baseline window is the first half
     * of the event stream; the "current" window the second. One bounded

@@ -121,6 +121,25 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming model-performance monitor — the readStream twin of
+    * graft.ml.Monitoring.modelPerf (the reference's
+    * ModelPerformanceMonitor consumes a live prediction stream;
+    * ml_monitoring_system.py:371-430). Confusion counters + accuracy
+    * per tumbling event-time window, watermark-bounded state; the
+    * scoring and the windowed aggregate are the SAME code the batch
+    * path runs, so streaming==batch holds exactly. */
+  def performanceMonitor(spark: SparkSession, dir: String,
+                         queryName: String = "stream_perf"): DataFrame = {
+    val scored = graft.ml.Monitoring.score(readEvents(spark, dir), flipAt = 13)
+      .withWatermark("ts", "2 hours")
+    val q = graft.ml.Monitoring.windowedPerf(scored)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Custom keyed state via mapGroupsWithState: running event count per
     * user (the minimal production shape for per-entity state machines —
     * session trackers, fraud counters, CDC merge). */

@@ -47,6 +47,15 @@ class MonitoringSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming performance monitor equals the batch windowed aggregate") {
+    val streamed = graft.streaming.EventStream.performanceMonitor(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Monitoring.windowedPerf(
+        Monitoring.score(Tables.events(spark, sf), flipAt = 13))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("businessImpact: volumes partition the orders table, roi consistent with components") {
     val orders = Tables.orders(spark, sf)
     val rows = Monitoring.businessImpact(orders).collect()
