@@ -1,0 +1,92 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Embedding-column maintenance ops for a vector corpus: per-vector int8
+  * quantization (the storage/serving compression every 100 TB vector
+  * store runs) with exact reconstruction diagnostics.
+  *
+  * Determinism design (the [[graft.functions.DotScaled]] device): every
+  * per-element product is an exact or IEEE-deterministic double, scaled
+  * by 2^40 and floored to a long, and the SUM is exact integer
+  * arithmetic — bit-identical under any partitioning, evaluation order,
+  * or engine. The quantized code `floor(x/scale + 0.5)` and its
+  * reconstruction `q*scale` use only IEEE mul/add/div/floor, so the
+  * DuckDB oracle reproduces all doubles exactly.
+  *
+  * Row-wise higher-order functions — no shuffle anywhere; at production
+  * scale the inner folds would graduate to a codegen'd Catalyst
+  * expression exactly as [[graft.functions.DotScaled]] did for dots.
+  */
+object Embeddings {
+
+  private val S = "1099511627776.0" // 2^40, DotScaled.Scale
+
+  /** Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    * q_i = floor(x_i/scale + 0.5) in [-127, 127]. Emits per-vector
+    * diagnostics: L2 norm, quantization scale, quantized L1 mass,
+    * max reconstruction error (bounded by scale/2), and the cosine
+    * between the vector and its reconstruction. */
+  def quantizeInt8(embeddings: DataFrame): DataFrame = {
+    val q = s"(FLOOR(xd / qscale + 0.5d))" // per-element lambda body, x bound as xd
+    embeddings
+      .withColumn("xd0", expr("transform(embedding, x -> cast(x as double))"))
+      .withColumn("maxabs", expr("array_max(transform(xd0, x -> abs(x)))"))
+      .withColumn("qscale", col("maxabs") / 127d)
+      .withColumn("sxx", expr(
+        s"aggregate(xd0, cast(0 as bigint), (a, xd) -> a + cast(floor(xd * xd * $S) as bigint))"))
+      .withColumn("sxr", expr(
+        s"aggregate(xd0, cast(0 as bigint), (a, xd) -> a + cast(floor(xd * ($q * qscale) * $S) as bigint))"))
+      .withColumn("srr", expr(
+        s"aggregate(xd0, cast(0 as bigint), (a, xd) -> a + cast(floor(($q * qscale) * ($q * qscale) * $S) as bigint))"))
+      .withColumn("q_l1", expr(
+        s"aggregate(xd0, cast(0 as bigint), (a, xd) -> a + cast(abs($q) as bigint))"))
+      .withColumn("max_abs_err0", expr(s"array_max(transform(xd0, xd -> abs(xd - $q * qscale)))"))
+      .select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        r6(sqrt(col("sxx") / expr(S))).as("l2_norm"),
+        (floor(col("qscale") * 1e9 + 0.5d) / 1e9).as("scale"),
+        col("q_l1"),
+        r6(when(col("maxabs") > 0d, col("max_abs_err0")).otherwise(lit(0d))).as("max_abs_err"),
+        r6(when(col("maxabs") > 0d,
+          col("sxr") / sqrt(col("sxx").cast("double") * col("srr").cast("double")))
+          .otherwise(lit(1d))).as("cos_recon"))
+      .orderBy("vec_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_quant" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_embed_quant" -> {
+      val q = s"(FLOOR(xd / qscale + 0.5))"
+      s"""WITH e AS (SELECT vec_id, embedding,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS xd0
+           FROM embeddings),
+         m AS (SELECT vec_id, embedding, xd0,
+             list_max(list_transform(xd0, xd -> abs(xd))) AS maxabs
+           FROM e),
+         s AS (SELECT *, maxabs / 127 AS qscale FROM m),
+         a AS (SELECT vec_id, len(embedding) AS dim, maxabs, qscale,
+             CAST(list_sum(list_transform(xd0, xd -> CAST(FLOOR(xd * xd * $S) AS BIGINT))) AS BIGINT) AS sxx,
+             CAST(list_sum(list_transform(xd0, xd -> CAST(FLOOR(xd * ($q * qscale) * $S) AS BIGINT))) AS BIGINT) AS sxr,
+             CAST(list_sum(list_transform(xd0, xd -> CAST(FLOOR(($q * qscale) * ($q * qscale) * $S) AS BIGINT))) AS BIGINT) AS srr,
+             CAST(list_sum(list_transform(xd0, xd -> CAST(abs($q) AS BIGINT))) AS BIGINT) AS q_l1,
+             list_max(list_transform(xd0, xd -> abs(xd - $q * qscale))) AS max_abs_err0
+           FROM s)
+         SELECT vec_id, CAST(dim AS INT) AS dim,
+           ${sqlR(s"sqrt(sxx / $S)", 6)} AS l2_norm,
+           FLOOR(qscale * 1000000000 + 0.5) / 1000000000 AS scale,
+           q_l1,
+           ${sqlR("CASE WHEN maxabs > 0 THEN max_abs_err0 ELSE 0 END", 6)} AS max_abs_err,
+           ${sqlR("CASE WHEN maxabs > 0 THEN sxr / sqrt(CAST(sxx AS DOUBLE) * CAST(srr AS DOUBLE)) ELSE 1 END", 6)} AS cos_recon
+         FROM a ORDER BY vec_id"""
+    }
+  )
+}

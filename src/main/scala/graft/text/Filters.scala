@@ -1,0 +1,187 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Corpus-level content filters for LLM training-data curation —
+  * repetition/boilerplate detection (the Gopher/C4 family of quality
+  * gates) and PII detection + redaction. These extend the reference's
+  * data-quality surface (models/staging/staging_customers.sql's
+  * regex-validation approach, ml_platform feature-quality scoring) to
+  * the document corpus the way a pretraining pipeline needs.
+  *
+  * Scale shape:
+  *   - [[repetition]] is ONE explode over the corpus (every word unigram
+  *     / bigram / trigram tagged with its size) feeding two partial-agg
+  *     groupBys keyed by doc_id — linear, map-side combinable, no
+  *     windows, no self-joins.
+  *   - [[piiScrub]] is pure row-wise regex column expressions — zero
+  *     shuffles, fully inside whole-stage codegen.
+  */
+object Filters {
+
+  /** First hex digit of md5(doc_id) as an int in 0..15 — deterministic
+    * noise shared with the oracle SQL (same device as
+    * [[graft.ml.Monitoring]]). */
+  private def hexNoise(idCol: String) =
+    expr(s"instr('0123456789abcdef', substr(md5(cast($idCol as string)), 1, 1)) - 1")
+
+  /** Per-document repetition metrics over word n-grams (n = 1, 2, 3):
+    * duplicate-gram fraction (share of grams that are repeats of an
+    * earlier gram) and top-gram fraction (share held by the single most
+    * frequent gram) — the "fraction of duplicate n-grams" signals the
+    * Gopher quality filter thresholds (MassiveText curation). A doc is
+    * flagged repetitive when trigram or bigram duplication crosses the
+    * thresholds (duplication, not concentration, so short-but-distinct
+    * docs never trip the flag).
+    *
+    * One explode emits all three gram sizes tagged (doc_id, n, gram);
+    * docs shorter than n words contribute no n-grams and their fractions
+    * coalesce to 0. */
+  def repetition(documents: DataFrame,
+                 dup3Threshold: Double = 0.15,
+                 dup2Threshold: Double = 0.30): DataFrame = {
+    def grams(n: Int): String =
+      if (n == 1) "transform(words, w -> struct(1 as n, w as gram))"
+      else s"""case when size(words) >= $n
+           then transform(sequence(0, size(words) - $n),
+             i -> struct($n as n, concat_ws(' ', slice(words, i + 1, $n)) as gram))
+           else array() end"""
+    val melted = TextPrep.withWords(documents)
+      .select(col("doc_id"),
+        explode(expr(s"concat(${grams(1)}, ${grams(2)}, ${grams(3)})")).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val perGram = melted.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val perSize = perGram.groupBy(col("doc_id"), col("n"))
+      .agg(sum(col("c")).as("total"),
+        count(lit(1)).as("distinct_n"),
+        max(col("c")).as("top_c"))
+    // pivot the three gram sizes into one row per doc; a missing size
+    // (short doc) yields 0 totals -> 0.0 fractions via the null guard
+    def frac(num: org.apache.spark.sql.Column, den: org.apache.spark.sql.Column) =
+      r6(when(den > 0, num / den).otherwise(lit(0d)))
+    def at(n: Int, c: String) = max(when(col("n") === n, col(c)))
+    perSize.groupBy(col("doc_id"))
+      .agg(
+        coalesce(at(1, "total"), lit(0L)).as("n_words"),
+        frac(at(1, "total") - at(1, "distinct_n"), at(1, "total")).as("dup_word_frac"),
+        frac(at(1, "top_c"), at(1, "total")).as("top_word_frac"),
+        frac(at(2, "total") - at(2, "distinct_n"), at(2, "total")).as("dup_2gram_frac"),
+        frac(at(2, "top_c"), at(2, "total")).as("top_2gram_frac"),
+        frac(at(3, "total") - at(3, "distinct_n"), at(3, "total")).as("dup_3gram_frac"),
+        frac(at(3, "top_c"), at(3, "total")).as("top_3gram_frac"))
+      .withColumn("is_repetitive",
+        col("dup_3gram_frac") > dup3Threshold || col("dup_2gram_frac") > dup2Threshold)
+      .orderBy("doc_id")
+  }
+
+  /** Regexes shared by the Spark path and the DuckDB oracle — restricted
+    * to syntax Java regex and RE2 interpret identically. */
+  private[graft] val emailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z][a-z]+"
+  private[graft] val phoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** PII detection + redaction over the corpus. The synthetic documents
+    * carry no organic PII, so emails/phones are injected DETERMINISTICALLY
+    * (md5-digit gate on doc_id — the [[graft.ml.Monitoring]] device) and
+    * then detected and redacted by pattern, exercising the real scrub
+    * path end-to-end: per-doc match counts, a has_pii flag, and the
+    * redacted text with [EMAIL]/[PHONE] placeholders. Pure row-wise
+    * expressions — no shuffle. */
+  def piiScrub(documents: DataFrame): DataFrame = {
+    val d = hexNoise("doc_id")
+    val email = concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now"))
+    val phone = concat(lit(" call 555-"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"), lit(" today"))
+    documents
+      .withColumn("pii_text",
+        concat(col("text"),
+          when(d < 4, email).otherwise(lit("")),
+          when(d >= 4 && d < 8, phone).otherwise(lit(""))))
+      .withColumn("n_emails", regexp_count(col("pii_text"), lit(emailRe)))
+      .withColumn("n_phones", regexp_count(col("pii_text"), lit(phoneRe)))
+      .withColumn("has_pii", col("n_emails") + col("n_phones") > 0)
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(col("pii_text"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]"))
+      .select(col("doc_id"), col("n_emails"), col("n_phones"), col("has_pii"),
+        col("redacted"), length(col("redacted")).as("redacted_len"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_rep_filter" -> ((s, d) => repetition(Tables.documents(s, d))),
+    "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d)))
+  )
+
+  private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  val oracles: Map[String, String] = Map(
+    "q_rep_filter" -> {
+      // per-n gram streams via UNNEST(generate_series) — the
+      // q_fingerprint pattern, kept per-size for clarity (oracle-side
+      // perf is irrelevant)
+      def gramCte(n: Int): String =
+        if (n == 1)
+          s"""g1 AS (SELECT doc_id, 1 AS n, u.g AS gram
+              FROM w, UNNEST(words) AS u(g))"""
+        else {
+          val parts = (0 until n).map(k => s"words[i+$k]").mkString(" || ' ' || ")
+          s"""g$n AS (SELECT doc_id, $n AS n, $parts AS gram
+              FROM w, UNNEST(generate_series(1, len(words) - ${n - 1})) AS t(i)
+              WHERE len(words) >= $n)"""
+        }
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+         ${gramCte(1)}, ${gramCte(2)}, ${gramCte(3)},
+         m AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+         pg AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+           FROM m GROUP BY 1, 2, 3),
+         ps AS (SELECT doc_id, n, SUM(c) AS total, CAST(COUNT(*) AS BIGINT) AS distinct_n,
+             MAX(c) AS top_c
+           FROM pg GROUP BY 1, 2),
+         p AS (SELECT doc_id,
+             COALESCE(MAX(CASE WHEN n = 1 THEN total END), 0) AS t1,
+             MAX(CASE WHEN n = 1 THEN distinct_n END) AS d1,
+             MAX(CASE WHEN n = 1 THEN top_c END) AS c1,
+             MAX(CASE WHEN n = 2 THEN total END) AS t2,
+             MAX(CASE WHEN n = 2 THEN distinct_n END) AS d2,
+             MAX(CASE WHEN n = 2 THEN top_c END) AS c2,
+             MAX(CASE WHEN n = 3 THEN total END) AS t3,
+             MAX(CASE WHEN n = 3 THEN distinct_n END) AS d3,
+             MAX(CASE WHEN n = 3 THEN top_c END) AS c3
+           FROM ps GROUP BY doc_id),
+         f AS (SELECT doc_id, CAST(t1 AS BIGINT) AS n_words,
+             ${sqlR("CASE WHEN t1 > 0 THEN CAST(t1 - d1 AS DOUBLE) / t1 ELSE 0 END", 6)} AS dup_word_frac,
+             ${sqlR("CASE WHEN t1 > 0 THEN CAST(c1 AS DOUBLE) / t1 ELSE 0 END", 6)} AS top_word_frac,
+             ${sqlR("CASE WHEN t2 > 0 THEN CAST(t2 - d2 AS DOUBLE) / t2 ELSE 0 END", 6)} AS dup_2gram_frac,
+             ${sqlR("CASE WHEN t2 > 0 THEN CAST(c2 AS DOUBLE) / t2 ELSE 0 END", 6)} AS top_2gram_frac,
+             ${sqlR("CASE WHEN t3 > 0 THEN CAST(t3 - d3 AS DOUBLE) / t3 ELSE 0 END", 6)} AS dup_3gram_frac,
+             ${sqlR("CASE WHEN t3 > 0 THEN CAST(c3 AS DOUBLE) / t3 ELSE 0 END", 6)} AS top_3gram_frac
+           FROM p)
+         SELECT *, dup_3gram_frac > 0.15 OR dup_2gram_frac > 0.30 AS is_repetitive
+         FROM f ORDER BY doc_id"""
+    },
+    "q_pii_scrub" ->
+      s"""WITH s AS (SELECT doc_id, text,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) AS d
+           FROM documents),
+         inj AS (SELECT doc_id, text ||
+             (CASE WHEN d < 4 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END) ||
+             (CASE WHEN d >= 4 AND d < 8 THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                || '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0') || ' today' ELSE '' END)
+             AS pii_text
+           FROM s),
+         m AS (SELECT doc_id, pii_text,
+             CAST(len(regexp_extract_all(pii_text, '$emailRe')) AS INT) AS n_emails,
+             CAST(len(regexp_extract_all(pii_text, '$phoneRe')) AS INT) AS n_phones
+           FROM inj)
+         SELECT doc_id, n_emails, n_phones, n_emails + n_phones > 0 AS has_pii,
+           regexp_replace(regexp_replace(pii_text, '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g') AS redacted,
+           CAST(length(regexp_replace(regexp_replace(pii_text, '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g')) AS INT) AS redacted_len
+         FROM m ORDER BY doc_id"""
+  )
+}

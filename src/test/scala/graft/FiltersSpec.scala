@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ann.Embeddings
+import graft.text.{Filters, Packing}
+
+class FiltersSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("repetition: constructed repeats score as expected, distinct text scores zero") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a"),        // maximal repetition
+      (2L, "x y z w"),        // fully distinct
+      (3L, "q w"))            // too short for 3-grams
+      .toDF("doc_id", "text")
+    val out = Filters.repetition(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_words") == 4)
+    assert(r1.getAs[Double]("dup_word_frac") == 0.75)
+    assert(r1.getAs[Double]("top_word_frac") == 1.0)
+    assert(r1.getAs[Double]("dup_2gram_frac") == 0.666667)
+    assert(r1.getAs[Double]("dup_3gram_frac") == 0.5)
+    assert(r1.getAs[Boolean]("is_repetitive"))
+    val r2 = out(2L)
+    Seq("dup_word_frac", "dup_2gram_frac", "dup_3gram_frac").foreach { c =>
+      assert(r2.getAs[Double](c) == 0.0, c)
+    }
+    assert(!r2.getAs[Boolean]("is_repetitive"))
+    // 2 words: one 2-gram (top frac 1), zero 3-grams -> coalesced 0 fracs
+    val r3 = out(3L)
+    assert(r3.getAs[Double]("top_2gram_frac") == 1.0)
+    assert(r3.getAs[Double]("dup_3gram_frac") == 0.0)
+    assert(r3.getAs[Double]("top_3gram_frac") == 0.0)
+  }
+
+  test("piiScrub: redacted text carries no live patterns, counts match placeholders") {
+    val out = Filters.piiScrub(Tables.documents(spark, sf)).collect()
+    val emailRe = Filters.emailRe.r
+    val phoneRe = Filters.phoneRe.r
+    var emails, phones = 0L
+    out.foreach { r =>
+      val red = r.getAs[String]("redacted")
+      assert(emailRe.findFirstIn(red).isEmpty, s"live email in doc ${r.getAs[Long]("doc_id")}")
+      assert(phoneRe.findFirstIn(red).isEmpty, s"live phone in doc ${r.getAs[Long]("doc_id")}")
+      val nE = r.getAs[Int]("n_emails")
+      val nP = r.getAs[Int]("n_phones")
+      assert(red.split("\\[EMAIL\\]", -1).length - 1 == nE)
+      assert(red.split("\\[PHONE\\]", -1).length - 1 == nP)
+      assert(r.getAs[Boolean]("has_pii") == (nE + nP > 0))
+      emails += nE; phones += nP
+    }
+    // the md5 gate injects emails for ~4/16 and phones for ~4/16 of docs
+    assert(emails > 0 && phones > 0)
+    assert(emails + phones < out.length)
+  }
+
+  test("packSequences: every doc packed once, streams partition the corpus, packs contiguous") {
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val out = Packing.packSequences(docs, budget = 512, nStreams = 8).collect()
+    assert(out.map(_.getAs[Long]("n_docs")).sum == total)
+    val byStream = out.groupBy(_.getAs[Int]("stream_id"))
+    assert(byStream.keySet.subsetOf((0 until 8).toSet))
+    byStream.foreach { case (s, packs) =>
+      val ids = packs.map(_.getAs[Long]("pack_id")).sorted
+      assert(ids.head == 0L, s"stream $s starts at pack ${ids.head}")
+      // doc sizes are < budget here, so offsets can't skip a whole window
+      assert(ids.sameElements(0L until ids.length), s"stream $s packs not contiguous")
+      // doc ranges of consecutive packs must not overlap
+      val spans = packs.sortBy(_.getAs[Long]("pack_id"))
+        .map(p => (p.getAs[Long]("first_doc"), p.getAs[Long]("last_doc")))
+      spans.toSeq.sliding(2).foreach {
+        case Seq((_, lastA), (firstB, _)) => assert(lastA < firstB)
+        case _ =>
+      }
+    }
+    out.foreach { p =>
+      assert(math.abs(p.getAs[Double]("fill_ratio") -
+        p.getAs[Long]("n_tokens").toDouble / 512) < 1e-6)
+    }
+  }
+
+  test("quantizeInt8: reconstruction error bounded by scale/2, cosine preserved") {
+    val out = Embeddings.quantizeInt8(Tables.embeddings(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val scale = r.getAs[Double]("scale")
+      val dim = r.getAs[Int]("dim")
+      assert(scale > 0)
+      assert(r.getAs[Double]("l2_norm") > 0)
+      // symmetric rounding puts every coordinate within half a step
+      assert(r.getAs[Double]("max_abs_err") <= scale / 2 + 1e-6)
+      // int8 codes are clamped by construction
+      assert(r.getAs[Long]("q_l1") <= 127L * dim)
+      // 8-bit reconstruction of a 64-dim unit-ish vector stays >0.99 cosine
+      assert(r.getAs[Double]("cos_recon") > 0.99,
+        s"vec ${r.getAs[Long]("vec_id")} cos ${r.getAs[Double]("cos_recon")}")
+    }
+  }
+}
