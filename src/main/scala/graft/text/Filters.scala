@@ -20,6 +20,10 @@ import graft.functions.Fns._
   *     windows, no self-joins.
   *   - [[piiScrub]] is pure row-wise regex column expressions — zero
   *     shuffles, fully inside whole-stage codegen.
+  *   - [[decontaminate]] broadcasts the eval-set shingle vocabulary —
+  *     eval/benchmark sets are tiny relative to a training corpus, so
+  *     the contamination tag is a map-side hash probe and the only
+  *     shuffle is the per-doc count aggregation.
   */
 object Filters {
 
@@ -113,9 +117,42 @@ object Filters {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination: flag training documents whose word-3-gram
+    * set overlaps a held-out eval set's shingle vocabulary — the overlap
+    * screen every pretraining pipeline runs so benchmark text never leaks
+    * into the training corpus. The eval split is carved deterministically
+    * from the corpus itself (md5 digit 0 ≈ 1/16 of docs — the stand-in
+    * for an external benchmark file).
+    *
+    * One explode over the train split, tagged by a broadcast hash-probe
+    * of the eval vocabulary, then a single per-doc count aggregation:
+    * n_shingles, n_overlap, containment ratio, contamination flag.
+    * Shingle-less docs (<3 words) surface with zero counts. */
+  def decontaminate(documents: DataFrame,
+                    containmentThreshold: Double = 0.2): DataFrame = {
+    val withD = documents.withColumn("d", hexNoise("doc_id"))
+    val evalVocab = TextPrep.shingles(withD.filter(col("d") === 0))
+      .select("shingle").distinct().withColumn("in_eval", lit(1))
+    val train = withD.filter(col("d") =!= 0)
+    val tagged = TextPrep.shingles(train)
+      .join(broadcast(evalVocab), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("in_eval"), lit(0))).as("n_overlap"))
+    train.select(col("doc_id"))
+      .join(tagged, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_overlap"))
+      .withColumn("containment",
+        r6(when(col("n_shingles") > 0, col("n_overlap") / col("n_shingles"))
+          .otherwise(lit(0d))))
+      .withColumn("is_contaminated", col("containment") >= containmentThreshold)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rep_filter" -> ((s, d) => repetition(Tables.documents(s, d))),
-    "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d)))
+    "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
+    "q_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d)))
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -182,6 +219,29 @@ object Filters {
          SELECT doc_id, n_emails, n_phones, n_emails + n_phones > 0 AS has_pii,
            regexp_replace(regexp_replace(pii_text, '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g') AS redacted,
            CAST(length(regexp_replace(regexp_replace(pii_text, '$emailRe', '[EMAIL]', 'g'), '$phoneRe', '[PHONE]', 'g')) AS INT) AS redacted_len
-         FROM m ORDER BY doc_id"""
+         FROM m ORDER BY doc_id""",
+    "q_decontaminate" ->
+      s"""WITH w AS (SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) AS d,
+             string_split($normSql, ' ') AS words
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, d,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+           FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+           WHERE len(words) >= 3),
+         ev AS (SELECT DISTINCT shingle FROM sh WHERE d = 0),
+         agg AS (SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN ev.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+           FROM sh s LEFT JOIN ev ON s.shingle = ev.shingle
+           WHERE s.d <> 0 GROUP BY s.doc_id),
+         o AS (SELECT t.doc_id,
+             CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap
+           FROM (SELECT doc_id FROM w WHERE d <> 0) t LEFT JOIN agg USING (doc_id))
+         SELECT doc_id, n_shingles, n_overlap,
+           ${sqlR("CASE WHEN n_shingles > 0 THEN CAST(n_overlap AS DOUBLE) / n_shingles ELSE 0 END", 6)} AS containment,
+           ${sqlR("CASE WHEN n_shingles > 0 THEN CAST(n_overlap AS DOUBLE) / n_shingles ELSE 0 END", 6)} >= 0.2 AS is_contaminated
+         FROM o ORDER BY doc_id"""
   )
 }

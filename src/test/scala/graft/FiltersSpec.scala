@@ -82,6 +82,29 @@ class FiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("decontaminate: eval split excluded, overlap bounded, duplicates of eval docs flagged") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    val nEval = docs.filter(
+      expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1") === 0).count()
+    val out = Filters.decontaminate(docs).collect()
+    // output covers exactly the train split
+    assert(out.length == nDocs - nEval)
+    out.foreach { r =>
+      val n = r.getAs[Long]("n_shingles")
+      val o = r.getAs[Long]("n_overlap")
+      val c = r.getAs[Double]("containment")
+      assert(o <= n)
+      assert(c >= 0.0 && c <= 1.0)
+      assert(r.getAs[Boolean]("is_contaminated") == (c >= 0.2))
+    }
+    // the synthetic corpus carries near-duplicates across the split, so
+    // the screen must actually fire somewhere (and not everywhere)
+    val flagged = out.count(_.getAs[Boolean]("is_contaminated"))
+    assert(flagged > 0 && flagged < out.length / 2, s"flagged=$flagged of ${out.length}")
+  }
+
   test("quantizeInt8: reconstruction error bounded by scale/2, cosine preserved") {
     val out = Embeddings.quantizeInt8(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty)
