@@ -104,6 +104,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(df.selectExpr("max(d)").collect()(0).getLong(0) > 0L)
   }
 
+  test("pii scrub plans with zero exchanges (row-wise, shuffle-free)") {
+    val plan = planOf(graft.text.Filters.piiScrub(Tables.documents(spark, sf))
+      .limit(1)) // orderBy folds into TakeOrdered; nothing else may shuffle
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in row-wise scrub:\n$plan")
+  }
+
+  test("decontamination probes the eval vocabulary via broadcast, never a shuffled join") {
+    val plan = planOf(graft.text.Filters.decontaminate(Tables.documents(spark, sf)))
+    assert(plan.contains("BroadcastHashJoin"), s"eval vocab not broadcast:\n$plan")
+    // the corpus-sized side must not be sort-merge joined on the shingle
+    assert(!plan.contains("SortMergeJoin"), s"shingle join shuffles the corpus:\n$plan")
+  }
+
+  test("repetition metrics aggregate partially before the doc_id shuffle") {
+    val plan = planOf(graft.text.Filters.repetition(Tables.documents(spark, sf)))
+    val nHashAgg = "HashAggregate".r.findAllIn(plan).size
+    assert(nHashAgg >= 4, s"expected partial+final aggregates per stage, got $nHashAgg")
+  }
+
   test("ANN top-k aggregates with a bounded heap — no per-probe full-corpus sort window") {
     import graft.ann.Ann
     Seq(Ann.bruteForceTopK(Tables.embeddings(spark, sf)),
