@@ -245,6 +245,53 @@ object Monitoring {
       .orderBy("cohort")
   }
 
+  /** Fixed-range value bin shared by the reference histogram and the
+    * windowed current histogram. Fixed edges — not data-dependent
+    * min/max — because a stream cannot re-scan for global extremes;
+    * out-of-range values clamp into the edge bins. */
+  def valueBin(c: Column, nBins: Int = 10, lo: Double = 0d, hi: Double = 400d): Column =
+    least(greatest(floor((c - lo) / ((hi - lo) / nBins)), lit(0d)),
+      lit((nBins - 1).toDouble)).cast("int")
+
+  /** Batch-computed reference bin proportions — the stored baseline the
+    * reference's DriftDetector loads before monitoring starts
+    * (ml_monitoring_system.py's reference_distribution). */
+  def referenceHistogram(events: DataFrame, nBins: Int = 10): Seq[Double] = {
+    val counts = events.groupBy(valueBin(col("value"), nBins).as("bin"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getAs[Int]("bin") -> r.getAs[Long]("c")).toMap
+    val total = counts.values.sum.toDouble
+    (0 until nBins).map(b => counts.getOrElse(b, 0L) / total)
+  }
+
+  /** Per-window PSI drift against a fixed reference histogram. ONE
+    * aggregation carries all nBins counters (a second stateful
+    * aggregation would be illegal on a stream), and the PSI is assembled
+    * row-wise from the counters with the reference proportions inlined
+    * as literals — so the operator works unchanged on a static frame
+    * and a watermarked stream, and the streaming twin equals the batch
+    * run row-for-row. */
+  def windowedDrift(events: DataFrame, refProps: Seq[Double],
+                    windowLength: String = "1 day",
+                    psiAlert: Double = 0.1): DataFrame = {
+    val nBins = refProps.size
+    val eps = 1e-6
+    val binned = events.withColumn("bin", valueBin(col("value"), nBins))
+    val counters = (0 until nBins).map(b =>
+      sum(when(col("bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val agged = binned.groupBy(window(col("ts"), windowLength))
+      .agg(counters.head, counters.tail: _*)
+    val total = (0 until nBins).map(b => col(s"c$b")).reduce(_ + _)
+    val psi = (0 until nBins).map { b =>
+      val pCur = greatest(col(s"c$b") / total.cast("double"), lit(eps))
+      val pRef = lit(math.max(refProps(b), eps))
+      (pCur - pRef) * log(pCur / pRef)
+    }.reduce(_ + _)
+    agged.select(unix_timestamp(col("window.start")).as("window_start_s"),
+        total.as("n_events"), r6(psi).as("psi"))
+      .withColumn("drift_alert", col("psi") > psiAlert)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_model_perf" -> ((s, d) => modelPerf(Tables.events(s, d))),
     "q_drift_history" -> ((s, d) => driftHistory(Tables.lineitem(s, d))),

@@ -140,6 +140,25 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming drift monitor — the readStream twin of the reference's
+    * DriftDetector monitoring loop (ml_monitoring_system.py:312-358
+    * consumes live feature batches against a stored reference
+    * distribution). The reference histogram is computed batch-side once
+    * and inlined into the streaming plan as literals; per-window PSI is
+    * the SAME [[graft.ml.Monitoring.windowedDrift]] aggregation the
+    * batch path runs, so streaming==batch holds exactly. */
+  def driftMonitor(spark: SparkSession, dir: String,
+                   queryName: String = "stream_drift"): DataFrame = {
+    val ref = graft.ml.Monitoring.referenceHistogram(graft.Tables.events(spark, dir))
+    val q = graft.ml.Monitoring
+      .windowedDrift(readEvents(spark, dir).withWatermark("ts", "2 hours"), ref)
+      .writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Custom keyed state via mapGroupsWithState: running event count per
     * user (the minimal production shape for per-entity state machines —
     * session trackers, fraud counters, CDC merge). */

@@ -56,6 +56,22 @@ class MonitoringSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming drift monitor equals the batch windowed PSI, reference window scores ~0") {
+    val events = Tables.events(spark, sf)
+    val ref = Monitoring.referenceHistogram(events)
+    assert(math.abs(ref.sum - 1.0) < 1e-9)
+    val streamed = graft.streaming.EventStream.driftMonitor(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Monitoring.windowedDrift(events, ref)
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // PSI against the whole stream's own histogram must be near zero for
+    // large windows and never negative-beyond-rounding
+    val rows = Monitoring.windowedDrift(events, ref).collect()
+    rows.foreach(r => assert(r.getAs[Double]("psi") >= -1e-6))
+    assert(rows.map(_.getAs[Long]("n_events")).sum == events.count())
+  }
+
   test("businessImpact: volumes partition the orders table, roi consistent with components") {
     val orders = Tables.orders(spark, sf)
     val rows = Monitoring.businessImpact(orders).collect()
