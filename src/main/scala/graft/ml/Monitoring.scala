@@ -158,7 +158,7 @@ object Monitoring {
     val melted = lineitem.crossJoin(broadcast(bounds0))
       .select(explode(array(feats.map(f =>
         struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("s"),
-        least(floor((col("l_orderkey") - 1) * nSlices / col("mxk")),
+        least(greatest(floor((col("l_orderkey") - 1) * nSlices / col("mxk")), lit(0d)),
           lit((nSlices - 1).toDouble)).cast("int").as("slice"))
       .select(col("s.feature").as("feature"), col("s.v").as("v"), col("slice"))
     val fb = melted.groupBy(col("feature")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
@@ -245,6 +245,44 @@ object Monitoring {
       .orderBy("cohort")
   }
 
+  /** Business-impact trend (get_impact_trend, ml_monitoring_system.py
+    * :989-1027): the impact history is sliced into `nSlices` key-range
+    * windows, revenue impact per slice, then one summary row — average,
+    * first/last, change percentage, exact least-squares slope, and the
+    * improving/declining/stable label. Scoring matches
+    * [[businessImpact]]; slice arithmetic matches [[driftHistory]]. Two
+    * bounded aggregates over one scan. */
+  def impactTrend(orders: DataFrame, nSlices: Int = 8): DataFrame = {
+    val bounds = orders.agg(max(col("o_orderkey")).cast("double").as("mxk"))
+    val perSlice = orders.crossJoin(broadcast(bounds))
+      .withColumn("slice",
+        least(greatest(floor((col("o_orderkey") - 1) * nSlices / col("mxk")), lit(0d)),
+          lit((nSlices - 1).toDouble)).cast("int"))
+      .withColumn("d", hexNoise("o_orderkey"))
+      .withColumn("predicted_value",
+        col("o_totalprice") * ((lit(95.0) + col("d").cast("double")) / lit(100.0)))
+      .groupBy(col("slice"))
+      .agg(r2(decSum(col("predicted_value"))).as("impact"))
+    // closed-form least-squares slope over x = 0..nSlices-1
+    val sx = (nSlices * (nSlices - 1) / 2).toDouble
+    val sxx = ((nSlices - 1) * nSlices * (2 * nSlices - 1) / 6).toDouble
+    val denom = nSlices * sxx - sx * sx
+    perSlice.agg(
+        count(lit(1)).as("n_slices"),
+        sum(col("impact").cast("decimal(20,6)")).cast("double").as("sy"),
+        sum((col("slice") * col("impact")).cast("decimal(24,6)")).cast("double").as("sxy"),
+        max(when(col("slice") === 0, col("impact"))).as("first_impact"),
+        max(when(col("slice") === nSlices - 1, col("impact"))).as("last_impact"))
+      .select(col("n_slices"),
+        r2(col("sy") / col("n_slices")).as("avg_impact"),
+        col("first_impact"), col("last_impact"),
+        r6((col("last_impact") - col("first_impact")) / col("first_impact") * 100d).as("change_pct"),
+        r6((lit(nSlices.toDouble) * col("sxy") - lit(sx) * col("sy")) / lit(denom)).as("trend_slope"))
+      .withColumn("direction",
+        when(col("trend_slope") > 0d, "improving")
+          .when(col("trend_slope") < 0d, "declining").otherwise("stable"))
+  }
+
   /** Fixed-range value bin shared by the reference histogram and the
     * windowed current histogram. Fixed edges — not data-dependent
     * min/max — because a stream cannot re-scan for global extremes;
@@ -295,7 +333,8 @@ object Monitoring {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_model_perf" -> ((s, d) => modelPerf(Tables.events(s, d))),
     "q_drift_history" -> ((s, d) => driftHistory(Tables.lineitem(s, d))),
-    "q_business_impact" -> ((s, d) => businessImpact(Tables.orders(s, d)))
+    "q_business_impact" -> ((s, d) => businessImpact(Tables.orders(s, d))),
+    "q_impact_trend" -> ((s, d) => impactTrend(Tables.orders(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -369,7 +408,7 @@ object Monitoring {
     "q_drift_history" -> {
       val melt = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(f =>
         s"""SELECT '$f' AS feature, CAST($f AS DOUBLE) AS v,
-            CAST(LEAST(FLOOR((l_orderkey - 1) * 8 / mxk), 7) AS INT) AS slice
+            CAST(LEAST(GREATEST(FLOOR((l_orderkey - 1) * 8 / mxk), 0), 7) AS INT) AS slice
             FROM lineitem, b""").mkString(" UNION ALL ")
       s"""WITH b AS (SELECT CAST(MAX(l_orderkey) AS DOUBLE) AS mxk FROM lineitem),
          melted AS ($melt),
@@ -434,6 +473,31 @@ object Monitoring {
            FLOOR((CAST(n_automated AS DOUBLE) / prediction_volume) * 1000000 + 0.5) / 1000000 AS automation_rate,
            FLOOR((n_automated * 5.0) * 100 + 0.5) / 100 AS cost_savings,
            FLOOR(((revenue_impact + cost_savings - 1000.0) / 1000.0) * 1000000 + 0.5) / 1000000 AS roi
-         FROM a ORDER BY cohort"""
+         FROM a ORDER BY cohort""",
+    "q_impact_trend" ->
+      """WITH b AS (SELECT CAST(MAX(o_orderkey) AS DOUBLE) AS mxk FROM orders),
+         s AS (SELECT
+             CAST(LEAST(GREATEST(FLOOR((o_orderkey - 1) * 8 / mxk), 0), 7) AS INT) AS slice,
+             o_totalprice * ((95.0 + CAST((strpos('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) AS DOUBLE)) / 100.0) AS pv
+           FROM orders, b),
+         p AS (SELECT slice,
+             FLOOR(CAST(SUM(CAST(pv AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS impact
+           FROM s GROUP BY slice),
+         a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_slices,
+             CAST(SUM(CAST(impact AS DECIMAL(20,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(slice * impact AS DECIMAL(24,6))) AS DOUBLE) AS sxy,
+             MAX(CASE WHEN slice = 0 THEN impact END) AS first_impact,
+             MAX(CASE WHEN slice = 7 THEN impact END) AS last_impact
+           FROM p),
+         o AS (SELECT n_slices,
+             FLOOR((sy / n_slices) * 100 + 0.5) / 100 AS avg_impact,
+             first_impact, last_impact,
+             FLOOR(((last_impact - first_impact) / first_impact * 100) * 1000000 + 0.5) / 1000000 AS change_pct,
+             FLOOR(((8.0 * sxy - 28.0 * sy) / 336.0) * 1000000 + 0.5) / 1000000 AS trend_slope
+           FROM a)
+         SELECT *, CASE WHEN trend_slope > 0 THEN 'improving'
+                        WHEN trend_slope < 0 THEN 'declining'
+                        ELSE 'stable' END AS direction
+         FROM o"""
   )
 }

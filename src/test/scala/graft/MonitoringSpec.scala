@@ -56,6 +56,20 @@ class MonitoringSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("impactTrend: one summary row, change pct consistent, direction matches slope") {
+    val r = Monitoring.impactTrend(Tables.orders(spark, sf)).collect()(0)
+    assert(r.getAs[Long]("n_slices") == 8)
+    val first = r.getAs[Double]("first_impact")
+    val last = r.getAs[Double]("last_impact")
+    assert(first > 0 && last > 0)
+    val expectedPct = (last - first) / first * 100
+    assert(math.abs(r.getAs[Double]("change_pct") - expectedPct) < 1e-4)
+    val slope = r.getAs[Double]("trend_slope")
+    val dir = r.getAs[String]("direction")
+    assert(if (slope > 0) dir == "improving"
+           else if (slope < 0) dir == "declining" else dir == "stable")
+  }
+
   test("streaming drift monitor equals the batch windowed PSI, reference window scores ~0") {
     val events = Tables.events(spark, sf)
     val ref = Monitoring.referenceHistogram(events)
