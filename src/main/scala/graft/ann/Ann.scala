@@ -180,6 +180,78 @@ object Ann {
     topkPerProbe(scored, k)
   }
 
+  /** Per-cluster elementwise vector mean as a typed Aggregator: the
+    * buffer is one double[dim] + count per cluster, partial-aggregated
+    * map-side — so recomputing K centroids over any corpus size shuffles
+    * K×dim doubles, never corpus×dim exploded rows. */
+  private class VectorMean(dim: Int)
+    extends Aggregator[(Long, Array[Float]), (Array[Double], Long), Array[Float]] {
+    def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    def reduce(b: (Array[Double], Long), in: (Long, Array[Float])): (Array[Double], Long) = {
+      val a = in._2
+      var i = 0; while (i < dim) { b._1(i) += a(i); i += 1 }; (b._1, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0; while (i < dim) { x._1(i) += y._1(i); i += 1 }; (x._1, x._2 + y._2)
+    }
+    def finish(b: (Array[Double], Long)): Array[Float] = {
+      val out = new Array[Float](dim)
+      var i = 0; while (i < dim) { out(i) = (b._1(i) / b._2).toFloat; i += 1 }
+      out
+    }
+    def bufferEncoder: Encoder[(Array[Double], Long)] = Encoders.kryo[(Array[Double], Long)]
+    def outputEncoder: Encoder[Array[Float]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Float]]()
+  }
+
+  /** Nearest-centroid assignment against a broadcast centroid frame
+    * (centroid_id, ce, cnrm). Unrounded cosine — callers round at the
+    * output edge. */
+  private def assignTo(v: DataFrame, cents: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("centroid_id"))
+    v.crossJoin(broadcast(cents))
+      .withColumn("ccos", dot("embedding", "ce") / (col("nrm") * col("cnrm")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+  }
+
+  /** Lloyd (spherical k-means) refinement of the hash-sampled IVF
+    * centroids: `iters` rounds of assign (one broadcast corpus pass) +
+    * per-cluster elementwise mean ([[VectorMean]] — K×dim buffers, no
+    * explode). Cosine to the mean equals cosine to the normalized mean,
+    * so each round is a monotone non-decreasing step on the spherical
+    * k-means objective; clusters that lose every member drop out rather
+    * than resurrecting at a stale position. */
+  def lloydCentroids(embeddings: DataFrame, k: Int = 16, iters: Int = 2,
+                     dim: Int = 64): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    var cents = centroids(v, k)
+    for (_ <- 0 until iters) {
+      val means = assignTo(v, cents)
+        .select(col("centroid_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+        .groupByKey(_._1)
+        .agg(new VectorMean(dim).toColumn.name("m"))
+        .toDF("centroid_id", "embedding")
+      cents = withNorm(means).select(col("centroid_id"),
+        col("embedding").as("ce"), col("nrm").as("cnrm"))
+    }
+    cents.select(col("centroid_id"), col("ce"), col("cnrm"))
+  }
+
+  /** IVF assignment against Lloyd-refined centroids — the trained twin
+    * of [[ivfAssign]] (which assigns to the raw hash sample). */
+  def lloydAssign(embeddings: DataFrame, k: Int = 16, iters: Int = 2,
+                  dim: Int = 64): DataFrame = {
+    DotScaled.register(embeddings.sparkSession)
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    assignTo(v, lloydCentroids(embeddings, k, iters, dim))
+      .select(col("vec_id"), col("centroid_id"), r6(col("ccos")).as("centroid_cosine"))
+      .orderBy("vec_id")
+  }
+
   private def loadEmb(s: SparkSession, d: String): DataFrame = {
     DotScaled.register(s)
     Tables.embeddings(s, d)

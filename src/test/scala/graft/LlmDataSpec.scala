@@ -91,6 +91,20 @@ class LlmDataSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivf recall $recall < 0.5 vs brute force")
   }
 
+  test("ann: lloyd refinement does not degrade mean assignment cosine") {
+    val emb = Tables.embeddings(spark, sf)
+    def meanCos(df: org.apache.spark.sql.DataFrame): Double =
+      df.agg(avg(col("centroid_cosine"))).collect()(0).getDouble(0)
+    val before = meanCos(Ann.ivfAssign(emb, k = 16))
+    val after = meanCos(Ann.lloydAssign(emb, k = 16, iters = 2))
+    // spherical k-means: each assign+mean round is monotone on the
+    // objective, so refined centroids must fit at least as well as the
+    // raw hash sample (r6 rounding gives the epsilon)
+    assert(after >= before - 1e-6, s"lloyd degraded fit: $before -> $after")
+    // every vector keeps exactly one assignment
+    assert(Ann.lloydAssign(emb, k = 16).count() == emb.count())
+  }
+
   test("multimodal mapPartitions decode matches the column-expression twin") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
