@@ -102,6 +102,36 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus report card — the per-(source, language) datasheet a corpus
+    * release ships with: document/token volume, quality-score average
+    * and tier mix, and the curation funnel (kept / duplicate /
+    * low-quality / wrong-language) from the same fused signal pass
+    * [[curate]] runs. One row-wise scan + the canonical-dedup window +
+    * one bounded groupBy. */
+  def corpusReport(documents: DataFrame, minQuality: Double = 0.4,
+                   keepLang: String = "en"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("norm_hash"))
+    withLangScores(withQualitySignals(TextPrep.withWords(documents)))
+      .withColumn("norm_hash", md5(col("norm").cast("binary")))
+      .withColumn("is_dup", col("doc_id") =!= min(col("doc_id")).over(w))
+      .withColumn("keep", !col("is_dup") &&
+        col("quality_score") >= minQuality && col("predicted_lang") === keepLang)
+      .groupBy(col("source"), col("predicted_lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("n_tokens"),
+        r4(sum(col("quality_score").cast("decimal(18,6)")).cast("double") /
+          count(lit(1))).as("avg_quality"),
+        sum(when(col("quality_tier") === "HIGH", 1L).otherwise(0L)).as("n_high_tier"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_duplicates"),
+        sum(when(!col("is_dup") && col("quality_score") < minQuality, 1L)
+          .otherwise(0L)).as("n_low_quality"))
+      .withColumn("keep_rate", r6(col("n_kept") / col("n_docs")))
+      .orderBy("source", "predicted_lang")
+  }
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens
     * (letter-runs | digit-runs | other), and the chars/4 estimate. */
   def tokenCount(documents: DataFrame): DataFrame =
@@ -133,7 +163,8 @@ object TextOps {
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => tokenCount(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
-    "q_corpus_curate" -> ((s, d) => curate(Tables.documents(s, d)))
+    "q_corpus_curate" -> ((s, d) => curate(Tables.documents(s, d))),
+    "q_corpus_report" -> ((s, d) => corpusReport(Tables.documents(s, d)))
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -216,6 +247,44 @@ object TextOps {
                 WHEN predicted_lang <> 'en' THEN 'non_english'
                 ELSE 'kept' END AS drop_reason
          FROM t ORDER BY doc_id""",
+    "q_corpus_report" ->
+      s"""WITH w AS (SELECT doc_id, source, text, $normSql AS norm,
+             string_split($normSql, ' ') AS words FROM documents),
+         d AS (SELECT doc_id, source, norm,
+             CAST(len(words) AS INT) n_words,
+             FLOOR((CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 10000 + 0.5) / 10000 AS punct_ratio,
+             FLOOR((CAST(${hits("en")} AS DOUBLE) / len(words)) * 10000 + 0.5) / 10000 AS stop_ratio,
+             CAST(${hits("en")} AS INT) s_en, CAST(${hits("es")} AS INT) s_es,
+             CAST(${hits("de")} AS INT) s_de, CAST(${hits("fr")} AS INT) s_fr
+           FROM w),
+         q AS (SELECT *,
+             FLOOR((0.4 * stop_ratio + 0.3 * (1.0 - punct_ratio)
+               + 0.3 * LEAST(CAST(n_words AS DOUBLE) / 100, 1.0)) * 10000 + 0.5) / 10000 AS quality_score,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS predicted_lang
+           FROM d),
+         t AS (SELECT *,
+             CASE WHEN quality_score >= 0.7 THEN 'HIGH'
+                  WHEN quality_score >= 0.4 THEN 'MEDIUM'
+                  ELSE 'LOW' END AS quality_tier,
+             doc_id <> MIN(doc_id) OVER (PARTITION BY md5(norm)) AS is_dup
+           FROM q),
+         f AS (SELECT *,
+             (NOT is_dup) AND quality_score >= 0.4 AND predicted_lang = 'en' AS keep
+           FROM t),
+         a AS (SELECT source, predicted_lang,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(CAST(n_words AS BIGINT)) AS BIGINT) AS n_tokens,
+             FLOOR((CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)) * 10000 + 0.5) / 10000 AS avg_quality,
+             CAST(SUM(CASE WHEN quality_tier = 'HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high_tier,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_duplicates,
+             CAST(SUM(CASE WHEN (NOT is_dup) AND quality_score < 0.4 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+           FROM f GROUP BY 1, 2)
+         SELECT *, FLOOR((CAST(n_kept AS DOUBLE) / n_docs) * 1000000 + 0.5) / 1000000 AS keep_rate
+         FROM a ORDER BY source, predicted_lang""",
     "q_fingerprint" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          c AS (SELECT doc_id, md5(norm) AS content_md5 FROM n),

@@ -105,6 +105,27 @@ class FiltersSpec extends AnyFunSuite {
     assert(flagged > 0 && flagged < out.length / 2, s"flagged=$flagged of ${out.length}")
   }
 
+  test("corpusReport: funnel counts reconcile with the corpus and the curate decisions") {
+    import graft.text.TextOps
+    val docs = Tables.documents(spark, sf)
+    val rows = TextOps.corpusReport(docs).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    val curated = TextOps.curate(docs)
+    assert(rows.map(_.getAs[Long]("n_kept")).sum ==
+      curated.filter(org.apache.spark.sql.functions.col("keep")).count())
+    assert(rows.map(_.getAs[Long]("n_duplicates")).sum ==
+      curated.filter(org.apache.spark.sql.functions.col("is_duplicate")).count())
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(r.getAs[Long]("n_kept") + r.getAs[Long]("n_duplicates") +
+        r.getAs[Long]("n_low_quality") <= n)
+      assert(math.abs(r.getAs[Double]("keep_rate") -
+        r.getAs[Long]("n_kept").toDouble / n) < 1e-6)
+      val q = r.getAs[Double]("avg_quality")
+      assert(q >= 0.0 && q <= 1.0)
+    }
+  }
+
   test("quantizeInt8: reconstruction error bounded by scale/2, cosine preserved") {
     val out = Embeddings.quantizeInt8(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty)
