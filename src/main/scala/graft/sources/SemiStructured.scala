@@ -45,6 +45,33 @@ object SemiStructured {
     df.sparkSession.read.schema(df.schema).json(path)
   }
 
+  /** Landing-zone CSV read with malformed-row quarantine: PERMISSIVE
+    * parse against a pinned schema plus a `_corrupt_record` column, split
+    * into (clean, quarantined) — a bad upstream export must never abort a
+    * 100 TB load OR silently null-fill its rows. Spark only populates
+    * `_corrupt_record` when the parsed frame is materialized from the
+    * raw text (selecting only the corrupt column is disallowed on an
+    * unmaterialized scan), so the split frames share one cached parse.
+    * The third element is the release handle: call `release.unpersist()`
+    * once the load has landed — no hidden cache outlives the caller. */
+  def csvReadWithQuarantine(spark: SparkSession, path: String,
+                            schema: StructType): (DataFrame, DataFrame, DataFrame) = {
+    val withCorrupt = schema.add(StructField("_corrupt_record",
+      org.apache.spark.sql.types.StringType))
+    val parsed = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .csv(path)
+      .cache()
+    val clean = parsed.filter(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantined = parsed.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, quarantined, parsed)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_json_extract" -> ((s, d) => jsonExtract(Tables.events(s, d)))
   )

@@ -66,6 +66,27 @@ class StorageSpec extends AnyFunSuite {
     assert(df.exceptAll(viaJson).count() == 0 && viaJson.exceptAll(df).count() == 0)
   }
 
+  test("csv quarantine: malformed rows split out, clean rows parse fully") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcsv")
+    java.nio.file.Files.write(dir.resolve("part.csv"),
+      ("id,amount,name\n" +
+        "1,10.5,alpha\n" +
+        "2,not_a_number,beta\n" +   // unparseable amount
+        "3,30.25,gamma\n").getBytes)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("amount", DoubleType),
+      StructField("name", StringType)))
+    val (clean, bad, release) = graft.sources.SemiStructured
+      .csvReadWithQuarantine(spark, dir.toString, schema)
+    assert(clean.count() == 2)
+    assert(clean.filter(col("amount").isNull).count() == 0)
+    val badLines = bad.collect().map(_.getString(0))
+    assert(badLines.length == 1 && badLines(0).contains("not_a_number"))
+    release.unpersist()
+    assert(spark.sharedState.cacheManager.isEmpty, "quarantine parse cache leaked")
+  }
+
   test("extensions class registers graft_dot at session build time") {
     // applying to a fresh extensions container must succeed and register
     val ext = new org.apache.spark.sql.SparkSessionExtensions
