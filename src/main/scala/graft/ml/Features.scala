@@ -53,6 +53,12 @@ object Features {
         "r_score", "f_score", "m_score", "rfm_segment", "rfm_category")
       .orderBy("user_id")
 
+  /** Exact global-ntile RFM scoring (categorize_rfm,
+    * feature_store_manager.py:200-259) — the ORACLE-EXACT variant: three
+    * whole-population ntile windows, each a single-partition sort. Keep
+    * this for oracle parity and small entity counts; [[rfmApprox]] is
+    * the documented default at scale (sketch quintiles, no global
+    * window, spec-bounded divergence). */
   def rfm(events: DataFrame): DataFrame = {
     val perUser = rfmBase(events)
     val wR = Window.orderBy(col("recency_days"), col("user_id"))

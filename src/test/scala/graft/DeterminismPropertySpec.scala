@@ -53,6 +53,25 @@ class DeterminismPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("new corpus/vector operators are invariant to input partitioning") {
+    // the 100 TB determinism property: a cluster repartitioning the input
+    // (different task boundaries, different reduce orders) must emit the
+    // byte-identical result the oracle hashed
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => graft.text.Filters.repetition(d),
+      d => graft.text.Filters.decontaminate(d),
+      d => graft.text.Packing.packSequences(d)
+    ).foreach { op =>
+      assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
+    }
+    assert(run(graft.ann.Embeddings.quantizeInt8(emb.repartition(1))) ==
+      run(graft.ann.Embeddings.quantizeInt8(emb.repartition(13))))
+  }
+
   test("surrogate keys are stable and distinct keys never collide on test data") {
     val sk = Tables.orders(spark, sf)
       .select(Fns.surrogateKey(col("o_orderkey")).as("k"))
