@@ -30,23 +30,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** MinHash+LSH near-dup candidates: 8 string-min hash functions, banded
-    * 2-per-band into 4 LSH buckets, candidate pairs = docs sharing a band
-    * bucket. Band-bucket join is the only shuffle that grows with corpus
-    * size.
-    *
-    * Cost shape: only TWO md5 digests per shingle occurrence — each 32-hex
-    * digest is split into four 8-hex chunks, giving 8 independent-bit hash
-    * functions for a quarter of the hashing work (the old form paid 8
-    * salted md5s per shingle).
-    *
-    * Skew guard: LSH buckets larger than `bucketLimit` docs are dropped
-    * before the self-join (the analog of [[ngramJaccard]]'s dfLimit). On a
-    * boilerplate-heavy corpus one hot bucket would otherwise make the
-    * candidate join quadratic; docs dense enough to share a giant bucket
-    * still pair up through their other 3 bands unless those are hot too —
-    * the standard recall-for-boundedness trade. */
-  def minhashLsh(documents: DataFrame, bucketLimit: Int = 100): DataFrame = {
+  /** The minhash-signature → LSH-band build shared by full-corpus dedup
+    * and the incremental path: (doc_id, band_idx, bh), 4 rows per doc.
+    * This is exactly what a production pipeline PERSISTS between
+    * increments (see [[bandStore]] / [[minhashIncrement]]). */
+  private[dedup] def lshBands(documents: DataFrame): DataFrame = {
     // min() is duplicate-insensitive — use the shuffle-free shingle stream
     val sh = TextPrep.shinglesAll(documents)
       .withColumn("m0", md5(concat(lit("0:"), col("shingle")).cast("binary")))
@@ -65,10 +53,63 @@ object Dedup {
     // re-hex to the 8-char lowercase chunk form the oracle's string mins
     // produce, so the band hashes stay byte-identical
     def rehex(c: Column): Column = lower(lpad(hex(c), 8, "0"))
-    val bands = sig.select(col("doc_id"), explode(array(
+    sig.select(col("doc_id"), explode(array(
       (0 to 3).map(b => struct(lit(b).as("band_idx"),
         md5(concat(rehex(col(s"h${2 * b}")), rehex(col(s"h${2 * b + 1}"))).cast("binary")).as("bh"))): _*)).as("s"))
       .select(col("doc_id"), col("s.band_idx").as("band_idx"), col("s.bh").as("bh"))
+  }
+
+  /** The persisted LSH state for an already-deduped corpus: its band
+    * table. Write this once; each increment joins against it instead of
+    * re-shingling the historical 100 TB. */
+  def bandStore(documents: DataFrame): DataFrame = lshBands(documents)
+
+  /** Incremental minhash dedup: dedup a NEW batch against an existing
+    * corpus using only the corpus's persisted [[bandStore]] — the daily-
+    * increment pattern where re-hashing history would dominate the load.
+    * Only the batch is shingled; the bucket cap is applied to the MERGED
+    * bucket sizes, so results equal a full recompute restricted to pairs
+    * with at least one new side (the invariant LlmDataSpec asserts).
+    * Emits candidate pairs tagged new_vs_corpus / new_vs_new. */
+  def minhashIncrement(newDocs: DataFrame, storedBands: DataFrame,
+                       bucketLimit: Int = 100): DataFrame = {
+    val all = storedBands.withColumn("is_new", lit(false))
+      .unionByName(lshBands(newDocs).withColumn("is_new", lit(true)))
+    val wB = Window.partitionBy(col("band_idx"), col("bh"))
+    val kept = all
+      .withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= bucketLimit)
+      .select("doc_id", "band_idx", "bh", "is_new")
+    val a = kept.as("a")
+    val b = kept.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id") &&
+        (col("a.is_new") || col("b.is_new")))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (col("a.is_new") && col("b.is_new")).as("both_new"))
+      .agg(countDistinct(col("a.band_idx")).as("n_shared_bands"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
+        when(col("both_new"), "new_vs_new").otherwise("new_vs_corpus").as("kind"))
+      .orderBy("doc_a", "doc_b")
+  }
+  /** MinHash+LSH near-dup candidates: 8 string-min hash functions, banded
+    * 2-per-band into 4 LSH buckets, candidate pairs = docs sharing a band
+    * bucket. Band-bucket join is the only shuffle that grows with corpus
+    * size.
+    *
+    * Cost shape: only TWO md5 digests per shingle occurrence — each 32-hex
+    * digest is split into four 8-hex chunks, giving 8 independent-bit hash
+    * functions for a quarter of the hashing work (the old form paid 8
+    * salted md5s per shingle).
+    *
+    * Skew guard: LSH buckets larger than `bucketLimit` docs are dropped
+    * before the self-join (the analog of [[ngramJaccard]]'s dfLimit). On a
+    * boilerplate-heavy corpus one hot bucket would otherwise make the
+    * candidate join quadratic; docs dense enough to share a giant bucket
+    * still pair up through their other 3 bands unless those are hot too —
+    * the standard recall-for-boundedness trade. */
+  def minhashLsh(documents: DataFrame, bucketLimit: Int = 100): DataFrame = {
+    val bands = lshBands(documents)
     // Bucket sizing as a window count over the SAME (band_idx, bh)
     // partitioning the self-join shuffles on: one exchange serves the
     // count, the filter, and both join sides (Catalyst's ReuseExchange
@@ -256,6 +297,15 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
+    "q_dedup_incremental" -> ((s, d) => {
+      // deterministic batch split: docs with md5 digit < 2 (~1/8) arrive
+      // as the new increment; the rest are the already-deduped corpus
+      val docs = Tables.documents(s, d).withColumn("d",
+        expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1"))
+      val existing = docs.filter(col("d") >= 2).drop("d")
+      val fresh = docs.filter(col("d") < 2).drop("d")
+      minhashIncrement(fresh, bandStore(existing))
+    }),
     "q_dedup_clusters" -> ((s, d) => nearDupClusters(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d)))
@@ -302,6 +352,21 @@ object Dedup {
          SELECT da AS doc_a, db AS doc_b,
            CAST(COUNT(DISTINCT band_idx) AS BIGINT) AS n_shared_bands
          FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
+    // incremental == full recompute restricted to pairs with >=1 new
+    // side (merged bucket cap), so the oracle reuses the full CTE chain
+    // and gates on the batch-membership digit
+    "q_dedup_incremental" ->
+      s"""WITH $minhashCtes,
+         g AS (SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) < 2 AS is_new
+           FROM documents),
+         t AS (SELECT da, db, band_idx, ga.is_new AS na, gb.is_new AS nb
+           FROM pairs JOIN g ga ON ga.doc_id = da JOIN g gb ON gb.doc_id = db
+           WHERE ga.is_new OR gb.is_new)
+         SELECT da AS doc_a, db AS doc_b,
+           CAST(COUNT(DISTINCT band_idx) AS BIGINT) AS n_shared_bands,
+           CASE WHEN na AND nb THEN 'new_vs_new' ELSE 'new_vs_corpus' END AS kind
+         FROM t GROUP BY da, db, na, nb ORDER BY 1, 2""",
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE $minhashCtes,
          e2 AS (SELECT da s, db d FROM pairs UNION SELECT db, da FROM pairs),

@@ -56,6 +56,24 @@ class LlmDataSpec extends AnyFunSuite {
     assert(uncapped == 120L * 119 / 2 + 1)
   }
 
+  test("incremental dedup equals full recompute restricted to new-side pairs") {
+    val docs = Tables.documents(spark, sf)
+      .withColumn("d", expr(
+        "instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1"))
+    val existing = docs.filter(col("d") >= 2).drop("d")
+    val fresh = docs.filter(col("d") < 2).drop("d")
+    val freshIds = fresh.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(freshIds.nonEmpty)
+    val inc = Dedup.minhashIncrement(fresh, Dedup.bandStore(existing))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // full-corpus LSH pairs touching at least one new doc — the state
+    // invariant: increment + stored bands reproduces the full recompute
+    val full = Dedup.minhashLsh(docs.drop("d"))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter { case (a, b) => freshIds(a) || freshIds(b) }.toSet
+    assert(inc == full, s"increment=${inc.size} full-new=${full.size}")
+  }
+
   test("simhash: identical docs get identical fingerprints, pairs found via quarters") {
     import spark.implicits._
     val docs = Seq(
