@@ -125,6 +125,36 @@ object Analytics {
       .orderBy("freshness")
   }
 
+  /** Gap-fill / daily resample: densify the per-cohort daily revenue
+    * series over the full date spine (missing days appear with zero
+    * orders) and fill-forward the last observed revenue — the
+    * dashboard-facing time-series completion every warehouse serves
+    * (the reference's fact_sales_daily is a dense daily grain).
+    *
+    * Scale shape: the spine is cohorts × days (tiny — bounds broadcast,
+    * sequence explode), the daily aggregate is one partial-agg groupBy of
+    * the fact, and the fill-forward window partitions by cohort — state
+    * bounded by the spine, never the fact. */
+  def gapFill(orders: DataFrame): DataFrame = {
+    val daily = orders
+      .groupBy(col("o_orderpriority").as("cohort"), col("o_orderdate").as("day"))
+      .agg(count(lit(1)).as("n_orders"), r2(decSum(col("o_totalprice"))).as("revenue"))
+    val bounds = orders.agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"))
+    val spine = daily.select("cohort").distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col("cohort"), explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    val w = Window.partitionBy(col("cohort")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("cohort", "day"), "left")
+      .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+      .withColumn("has_orders", col("n_orders") > 0)
+      .withColumn("revenue_filled",
+        coalesce(last(col("revenue"), ignoreNulls = true).over(w), lit(0d)))
+      .withColumn("revenue", coalesce(col("revenue"), lit(0d)))
+      .select("cohort", "day", "n_orders", "revenue", "has_orders", "revenue_filled")
+      .orderBy("cohort", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_data_quality" -> ((s, d) => dataQuality(Tables.customer(s, d),
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
@@ -133,12 +163,29 @@ object Analytics {
       topNPerGroup(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q_pivot_behavior" -> ((s, d) => pivotBehavior(Tables.events(s, d))),
     "q_anomaly_zscore" -> ((s, d) => anomalyZscore(Tables.events(s, d))),
-    "q_freshness" -> ((s, d) => freshness(Tables.events(s, d)))
+    "q_freshness" -> ((s, d) => freshness(Tables.events(s, d))),
+    "q_gap_fill" -> ((s, d) => gapFill(Tables.orders(s, d)))
   )
 
   private val profiled = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
   val oracles: Map[String, String] = Map(
+    "q_gap_fill" ->
+      """WITH daily AS (SELECT o_orderpriority AS cohort, o_orderdate AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
+           FROM orders GROUP BY 1, 2),
+         b AS (SELECT CAST(MIN(o_orderdate) AS DATE) mn, CAST(MAX(o_orderdate) AS DATE) mx FROM orders),
+         days AS (SELECT CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         spine AS (SELECT cohort, day FROM (SELECT DISTINCT cohort FROM daily), days),
+         j AS (SELECT s.cohort, s.day, COALESCE(d.n_orders, 0) AS n_orders0, d.revenue
+           FROM spine s LEFT JOIN daily d ON d.cohort = s.cohort AND d.day = s.day)
+         SELECT cohort, day, CAST(n_orders0 AS BIGINT) AS n_orders,
+           CAST(COALESCE(revenue, 0) AS DOUBLE) AS revenue,
+           n_orders0 > 0 AS has_orders,
+           CAST(COALESCE(last_value(revenue IGNORE NULLS) OVER (PARTITION BY cohort ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS DOUBLE) AS revenue_filled
+         FROM j ORDER BY cohort, day""",
     "q_data_quality" -> profiled.map(c =>
       s"""SELECT '$c' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
           CAST(COUNT($c) AS BIGINT) AS n_filled,

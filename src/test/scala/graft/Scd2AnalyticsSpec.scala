@@ -60,4 +60,26 @@ class Scd2AnalyticsSpec extends AnyFunSuite {
     val frac = z.filter("is_outlier").count().toDouble / z.count()
     assert(frac < 0.2, s"outlier fraction $frac suspiciously high")
   }
+
+  test("gap fill densifies the spine and carries revenue forward through gaps") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val orders = Seq(
+      ("HIGH", "2024-01-01", 100.0),
+      ("HIGH", "2024-01-03", 40.0),   // 01-02 is a gap
+      ("LOW", "2024-01-01", 7.0))
+      .toDF("o_orderpriority", "d", "o_totalprice")
+      .withColumn("o_orderdate", to_date(col("d")))
+    val out = Analytics.gapFill(orders).collect()
+      .map(r => (r.getAs[String]("cohort"), r.getAs[java.sql.Date]("day").toString) -> r).toMap
+    // spine: 2 cohorts x 3 days
+    assert(out.size == 6)
+    val gap = out(("HIGH", "2024-01-02"))
+    assert(gap.getAs[Long]("n_orders") == 0L && !gap.getAs[Boolean]("has_orders"))
+    assert(gap.getAs[Double]("revenue") == 0.0)
+    assert(gap.getAs[Double]("revenue_filled") == 100.0) // carried from 01-01
+    assert(out(("HIGH", "2024-01-03")).getAs[Double]("revenue_filled") == 40.0)
+    // LOW cohort: days 2-3 carry day-1's revenue forward
+    assert(out(("LOW", "2024-01-03")).getAs[Double]("revenue_filled") == 7.0)
+  }
 }
