@@ -9,6 +9,22 @@ import graft.functions.Fns._
 /** One event, as the streaming sessionizer consumes it. */
 case class SessEvent(userId: Long, tsS: Long, eventId: Long, eventType: String)
 
+/** One change event, as the streaming SCD2 builder consumes it (µs
+  * timestamp kept — the batch window orders on full precision). */
+case class Scd2Event(userId: Long, tsUs: Long, eventId: Long,
+                     eventType: String, value: Double)
+
+/** Per-key open SCD2 version carried between micro-batches. */
+case class Scd2Open(version: Long, eventId: Long, eventType: String,
+                    value: Double, fromUs: Long)
+
+/** One CLOSED SCD2 version — the streaming twin emits a version the
+  * moment its successor arrives; the open head stays in state. */
+case class Scd2Closed(user_id: Long, source_event_id: Long, attr_type: String,
+                      attr_value: Double, version: Long,
+                      effective_from_s: Long, effective_from_us: Long,
+                      effective_to_s: Long)
+
 /** Per-user open-session state carried between micro-batches. */
 case class SessState(seq: Long, start: Long, last: Long, n: Long, types: Set[String])
 
@@ -138,6 +154,59 @@ object EventStream {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
+  }
+
+  /** Streaming SCD2 builder — the live twin of the reference's flagship
+    * scd_type2_macro (graft.operators.Scd2.build runs it as one batch
+    * window pass). Per-key state holds the OPEN version; each arriving
+    * change closes its predecessor (emitted immediately, Append mode)
+    * and becomes the new open head. Emitted rows carry the batch
+    * builder's exact column set for closed versions, so
+    * streaming == batch.filter(!is_current) holds row-for-row. */
+  def scd2Stream(spark: SparkSession, dir: String,
+                 queryName: String = "stream_scd2"): DataFrame = {
+    import spark.implicits._
+    val fn = (userId: Long, rows: Iterator[Scd2Event],
+              state: GroupState[Scd2Open]) => {
+      // micro-batch slice sorted the way the batch window orders
+      val sorted = rows.toSeq.sortBy(e => (e.tsUs, e.eventId))
+      var st = state.getOption
+      var out = List.empty[Scd2Closed]
+      sorted.foreach { e =>
+        st.foreach { o =>
+          out ::= Scd2Closed(userId, o.eventId, o.eventType, o.value,
+            o.version, o.fromUs / 1000000L, o.fromUs, e.tsUs / 1000000L)
+        }
+        st = Some(Scd2Open(st.map(_.version + 1).getOrElse(1L),
+          e.eventId, e.eventType, e.value, e.tsUs))
+      }
+      st.foreach(state.update)
+      out.reverse.iterator
+    }
+    val closed = readEvents(spark, dir)
+      .select(col("user_id").cast("long").as("userId"),
+        unix_micros(col("ts")).as("tsUs"),
+        col("event_id").cast("long").as("eventId"),
+        col("event_type").as("eventType"),
+        col("value").cast("double").as("value"))
+      .as[Scd2Event]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+    val q = closed.toDF().writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    // finish with the batch builder's derived columns (same expressions)
+    spark.table(queryName)
+      .select(
+        surrogateKey(col("user_id"), col("effective_from_s")).as("scd_key"),
+        col("user_id"), col("source_event_id"), col("attr_type"),
+        col("attr_value"), col("version"),
+        col("effective_from_s"), col("effective_from_us"), col("effective_to_s"),
+        lit(false).as("is_current"),
+        when(col("version") === 1, "NEW").otherwise("UPDATED").as("change_reason"),
+        md5(concat_ws("|", col("attr_type"), fmt2(col("attr_value")))
+          .cast("binary")).as("change_hash"))
   }
 
   /** Streaming drift monitor — the readStream twin of the reference's

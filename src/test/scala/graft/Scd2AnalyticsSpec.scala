@@ -61,6 +61,16 @@ class Scd2AnalyticsSpec extends AnyFunSuite {
     assert(frac < 0.2, s"outlier fraction $frac suspiciously high")
   }
 
+  test("streaming scd2 equals the batch build's closed versions row-for-row") {
+    import org.apache.spark.sql.functions.{col, not}
+    val streamed = graft.streaming.EventStream.scd2Stream(spark, sf)
+      .collect().map(_.toString).sorted.toSeq
+    val batch = Scd2.build(Tables.events(spark, sf))
+      .filter(not(col("is_current")))
+      .collect().map(_.toString).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("gap fill densifies the spine and carries revenue forward through gaps") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
