@@ -75,8 +75,36 @@ object Multimodal {
         "mean_luma", "n_patches")
       .orderBy("doc_id")
 
+  /** Frame sampling + resize planning — the video half of the multimodal
+    * pipeline: every asset expands to its stride-sampled frame rows
+    * (explode of a bounded sequence — the 1-to-many shape that stays
+    * embarrassingly parallel at any corpus size), each row carrying the
+    * clip timestamp, the aspect-preserving resize target (fit within
+    * `fit`×`fit`, never upscale), and a stub per-frame luma where a real
+    * pipeline runs the decoder ([[stubDecode]]'s contract). */
+  def frameSample(documents: DataFrame, stride: Int = 5,
+                  fps: Int = 24, fit: Int = 224): DataFrame = {
+    val scale = least(lit(fit) / col("width"), lit(fit) / col("height"), lit(1.0))
+    assets(documents)
+      .withColumn("frame_idx0", explode(expr(s"sequence(0, n_frames - 1, $stride)")))
+      .withColumn("frame_idx", col("frame_idx0").cast("int"))
+      .withColumn("ts_offset_s", r4(col("frame_idx") / lit(fps.toDouble)))
+      .withColumn("out_w",
+        when(col("width") > 0 && col("height") > 0,
+          greatest(lit(1), floor(col("width") * scale))).otherwise(lit(0)).cast("int"))
+      .withColumn("out_h",
+        when(col("width") > 0 && col("height") > 0,
+          greatest(lit(1), floor(col("height") * scale))).otherwise(lit(0)).cast("int"))
+      .withColumn("frame_luma",
+        r4(pmod(col("doc_id") * 131 + col("frame_idx") * 17, lit(256)) / 255d))
+      .select("doc_id", "frame_idx", "ts_offset_s", "format",
+        "width", "height", "out_w", "out_h", "frame_luma")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_multimodal_meta" -> ((s, d) => metaQuery(Tables.documents(s, d)))
+    "q_multimodal_meta" -> ((s, d) => metaQuery(Tables.documents(s, d))),
+    "q_frame_sample" -> ((s, d) => frameSample(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,6 +119,29 @@ object Multimodal {
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            FLOOR(((octet_length(encode(text)) * 31 + doc_id * 7) % 256 / 255.0) * 10000 + 0.5) / 10000 AS mean_luma,
            GREATEST(1, CAST(FLOOR((n_chars % 640) / 16.0) AS INT) * CAST(FLOOR(((n_chars * 7) % 480) / 16.0) AS INT)) AS n_patches
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+    "q_frame_sample" ->
+      """WITH a AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
+                  WHEN doc_id % 3 = 1 THEN 'png'
+                  ELSE 'webp' END AS format,
+             CAST(n_chars % 640 AS INT) AS width,
+             CAST((n_chars * 7) % 480 AS INT) AS height,
+             CAST(doc_id % 30 + 1 AS INT) AS n_frames
+           FROM documents),
+         f AS (SELECT a.*, CAST(t.g AS INT) AS frame_idx
+           FROM a, UNNEST(generate_series(0, n_frames - 1, 5)) AS t(g)),
+         s AS (SELECT *,
+             LEAST(224.0 / width, 224.0 / height, 1.0) AS scale
+           FROM f)
+         SELECT doc_id, frame_idx,
+           FLOOR((frame_idx / 24.0) * 10000 + 0.5) / 10000 AS ts_offset_s,
+           format, width, height,
+           CASE WHEN width > 0 AND height > 0
+             THEN CAST(GREATEST(1, FLOOR(width * scale)) AS INT) ELSE 0 END AS out_w,
+           CASE WHEN width > 0 AND height > 0
+             THEN CAST(GREATEST(1, FLOOR(height * scale)) AS INT) ELSE 0 END AS out_h,
+           FLOOR(((doc_id * 131 + frame_idx * 17) % 256 / 255.0) * 10000 + 0.5) / 10000 AS frame_luma
+         FROM s ORDER BY doc_id, frame_idx"""
   )
 }

@@ -135,6 +135,25 @@ class LlmDataSpec extends AnyFunSuite {
     assert(twin.exceptAll(decoded).count() == 0)
   }
 
+  test("frame sampling: stride coverage, resize fits the target box, never upscales") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Multimodal.frameSample(docs).collect()
+    // one row per sampled frame: sum over assets of ceil(n_frames / 5)
+    val expected = Multimodal.assets(docs).select("n_frames").collect()
+      .map(r => (r.getAs[Int]("n_frames") + 4) / 5).sum
+    assert(rows.length == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("frame_idx") % 5 == 0)
+      val (w, h) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      val (ow, oh) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      if (w > 0 && h > 0) {
+        assert(ow <= 224 && oh <= 224, s"resize escaped the fit box: $ow x $oh")
+        assert(ow <= w && oh <= h, "resize must never upscale")
+        assert(ow > 0 && oh > 0) // 1-pixel floor on extreme aspect ratios
+      } else assert(ow == 0 && oh == 0)
+    }
+  }
+
   test("token counts are internally consistent") {
     val t = TextOps.tokenCount(Tables.documents(spark, sf)).collect()
     assert(t.forall { r =>
