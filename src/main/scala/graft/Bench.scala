@@ -23,14 +23,22 @@ object Bench {
       spark.catalog.clearCache()
       name -> dt
     }
-    // 3-decimal timings keep the single JSON line short — the driver's
-    // capture truncated the 67-query line at full double precision, so
-    // tail queries vanished from the recorded bench
-    def r3(v: Double): String = "%.3f".format(v)
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+    // The driver records only the LAST 2000 chars of output and parses the
+    // JSON line out of that window. At 80 queries a 3-decimal line is ~2100
+    // chars and the line's head gets cut (BENCH_r04 "parsed": null). Keep it
+    // under budget: 2 decimals with trailing zeros trimmed, Locale.ROOT so a
+    // comma-decimal default locale can't corrupt the JSON, and sf as the
+    // basename. build.sbt sets `Global / showSuccess := false` so sbt's
+    // "[success] Total time" trailer doesn't eat tail-capture budget either.
+    def fmt(v: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, v)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -36,7 +36,11 @@ object Embeddings {
     embeddings
       .withColumn("xd0", expr("transform(embedding, x -> cast(x as double))"))
       .withColumn("maxabs", expr("array_max(transform(xd0, x -> abs(x)))"))
-      .withColumn("qscale", col("maxabs") / 127d)
+      // Degenerate all-zero vector: maxabs/127 = 0 would make every xd/qscale
+      // division undefined (NULL/NaN) and poison q_l1/sxr/srr. Bind the
+      // internal divisor to 1 (all codes are then exactly 0) and emit the
+      // true scale 0 separately below.
+      .withColumn("qscale", when(col("maxabs") > 0d, col("maxabs") / 127d).otherwise(lit(1d)))
       .withColumn("sxx", expr(
         s"aggregate(xd0, cast(0 as bigint), (a, xd) -> a + cast(floor(xd * xd * $S) as bigint))"))
       .withColumn("sxr", expr(
@@ -50,7 +54,7 @@ object Embeddings {
         col("vec_id"),
         size(col("embedding")).as("dim"),
         r6(sqrt(col("sxx") / expr(S))).as("l2_norm"),
-        (floor(col("qscale") * 1e9 + 0.5d) / 1e9).as("scale"),
+        (floor(col("maxabs") / 127d * 1e9 + 0.5d) / 1e9).as("scale"),
         col("q_l1"),
         r6(when(col("maxabs") > 0d, col("max_abs_err0")).otherwise(lit(0d))).as("max_abs_err"),
         r6(when(col("maxabs") > 0d,
@@ -72,8 +76,8 @@ object Embeddings {
          m AS (SELECT vec_id, embedding, xd0,
              list_max(list_transform(xd0, xd -> abs(xd))) AS maxabs
            FROM e),
-         s AS (SELECT *, maxabs / 127 AS qscale FROM m),
-         a AS (SELECT vec_id, len(embedding) AS dim, maxabs, qscale,
+         s AS (SELECT *, CASE WHEN maxabs > 0 THEN maxabs / 127 ELSE 1 END AS qscale FROM m),
+         a AS (SELECT vec_id, len(embedding) AS dim, maxabs, qscale, maxabs / 127 AS scale0,
              CAST(list_sum(list_transform(xd0, xd -> CAST(FLOOR(xd * xd * $S) AS BIGINT))) AS BIGINT) AS sxx,
              CAST(list_sum(list_transform(xd0, xd -> CAST(FLOOR(xd * ($q * qscale) * $S) AS BIGINT))) AS BIGINT) AS sxr,
              CAST(list_sum(list_transform(xd0, xd -> CAST(FLOOR(($q * qscale) * ($q * qscale) * $S) AS BIGINT))) AS BIGINT) AS srr,
@@ -82,7 +86,7 @@ object Embeddings {
            FROM s)
          SELECT vec_id, CAST(dim AS INT) AS dim,
            ${sqlR(s"sqrt(sxx / $S)", 6)} AS l2_norm,
-           FLOOR(qscale * 1000000000 + 0.5) / 1000000000 AS scale,
+           FLOOR(scale0 * 1000000000 + 0.5) / 1000000000 AS scale,
            q_l1,
            ${sqlR("CASE WHEN maxabs > 0 THEN max_abs_err0 ELSE 0 END", 6)} AS max_abs_err,
            ${sqlR("CASE WHEN maxabs > 0 THEN sxr / sqrt(CAST(sxx AS DOUBLE) * CAST(srr AS DOUBLE)) ELSE 1 END", 6)} AS cos_recon

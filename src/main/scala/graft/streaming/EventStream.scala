@@ -68,7 +68,9 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
       .select(unix_timestamp(col("window.start")).as("hour_start_s"),
         col("event_type"), col("n_events"), col("sum_value"))
-    val q = agg.writeStream.outputMode(OutputMode.Complete())
+    // Update mode so the 2h watermark actually bounds window state
+    // (Complete mode ignores watermarks and retains every window forever).
+    val q = agg.writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()
@@ -148,8 +150,12 @@ object EventStream {
                          queryName: String = "stream_perf"): DataFrame = {
     val scored = graft.ml.Monitoring.score(readEvents(spark, dir), flipAt = 13)
       .withWatermark("ts", "2 hours")
+    // Update (not Complete) mode: Complete ignores the watermark entirely, so
+    // window state would grow forever on an unbounded stream. In Update mode
+    // the 2h watermark evicts finalized windows; the single-batch file source
+    // emits each window exactly once, so streaming==batch still holds.
     val q = graft.ml.Monitoring.windowedPerf(scored)
-      .writeStream.outputMode(OutputMode.Complete())
+      .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()
@@ -162,7 +168,15 @@ object EventStream {
     * change closes its predecessor (emitted immediately, Append mode)
     * and becomes the new open head. Emitted rows carry the batch
     * builder's exact column set for closed versions, so
-    * streaming == batch.filter(!is_current) holds row-for-row. */
+    * streaming == batch.filter(!is_current) holds row-for-row.
+    *
+    * ORDERING CONTRACT: events must arrive in per-key event-time order
+    * ACROSS micro-batches (within a batch the slice is sorted here).
+    * There is no reorder buffer; a straggler older than the open head
+    * would otherwise silently corrupt the version chain, so such events
+    * are DROPPED rather than applied — on an out-of-order source, front
+    * this with a watermark + sort stage (or widen micro-batches) before
+    * the stateful step. */
   def scd2Stream(spark: SparkSession, dir: String,
                  queryName: String = "stream_scd2"): DataFrame = {
     import spark.implicits._
@@ -173,12 +187,17 @@ object EventStream {
       var st = state.getOption
       var out = List.empty[Scd2Closed]
       sorted.foreach { e =>
-        st.foreach { o =>
-          out ::= Scd2Closed(userId, o.eventId, o.eventType, o.value,
-            o.version, o.fromUs / 1000000L, o.fromUs, e.tsUs / 1000000L)
+        // Cross-batch straggler older than the open head: applying it would
+        // close the head with a negative duration and mis-number every later
+        // version. Drop it (see the ordering contract in the scaladoc).
+        if (!st.exists(o => e.tsUs < o.fromUs)) {
+          st.foreach { o =>
+            out ::= Scd2Closed(userId, o.eventId, o.eventType, o.value,
+              o.version, o.fromUs / 1000000L, o.fromUs, e.tsUs / 1000000L)
+          }
+          st = Some(Scd2Open(st.map(_.version + 1).getOrElse(1L),
+            e.eventId, e.eventType, e.value, e.tsUs))
         }
-        st = Some(Scd2Open(st.map(_.version + 1).getOrElse(1L),
-          e.eventId, e.eventType, e.value, e.tsUs))
       }
       st.foreach(state.update)
       out.reverse.iterator
@@ -219,9 +238,10 @@ object EventStream {
   def driftMonitor(spark: SparkSession, dir: String,
                    queryName: String = "stream_drift"): DataFrame = {
     val ref = graft.ml.Monitoring.referenceHistogram(graft.Tables.events(spark, dir))
+    // Update mode for the same state-bounding reason as performanceMonitor.
     val q = graft.ml.Monitoring
       .windowedDrift(readEvents(spark, dir).withWatermark("ts", "2 hours"), ref)
-      .writeStream.outputMode(OutputMode.Complete())
+      .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()
