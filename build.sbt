@@ -15,6 +15,9 @@ run / fork := true
 // and parses one JSON line from it; sbt's "[success] Total time" trailer
 // would land after that line and waste capture budget.
 Global / showSuccess := false
+// Pass the forked runMain's stdout through verbatim — sbt's default logger
+// would prefix every line with "[info] ", corrupting the bench JSON line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
