@@ -14,7 +14,11 @@ object Bench {
     // doesn't absorb one-time session costs.
     try SparkEntry.queries.get("q_fact_daily_agg").foreach(_(spark, sfDir).count())
     catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Dev-only subset filter (comma-separated names); unset → full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9

@@ -108,7 +108,13 @@ object Dedup {
     * candidate join quadratic; docs dense enough to share a giant bucket
     * still pair up through their other 3 bands unless those are hot too —
     * the standard recall-for-boundedness trade. */
-  def minhashLsh(documents: DataFrame, bucketLimit: Int = 100): DataFrame = {
+  def minhashLsh(documents: DataFrame, bucketLimit: Int = 100): DataFrame =
+    minhashPairs(documents, bucketLimit).orderBy("doc_a", "doc_b")
+
+  /** [[minhashLsh]] without the presentation sort — the form internal
+    * consumers (cluster propagation) build on, where a global orderBy
+    * would only add an exchange. */
+  private[dedup] def minhashPairs(documents: DataFrame, bucketLimit: Int): DataFrame = {
     val bands = lshBands(documents)
     // Bucket sizing as a window count over the SAME (band_idx, bh)
     // partitioning the self-join shuffles on: one exchange serves the
@@ -126,7 +132,6 @@ object Dedup {
         col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(countDistinct(col("a.band_idx")).as("n_shared_bands"))
-      .orderBy("doc_a", "doc_b")
   }
 
   /** SimHash 64-bit fingerprint per document, emitted as four 16-bit
@@ -198,31 +203,38 @@ object Dedup {
     // Both edge orientations come out of ONE pass over the pair stream
     // (explode, not a union of two scans that would each re-run the LSH
     // self-join lineage). Persisted once; every round reads it.
-    val edges = minhashLsh(documents, bucketLimit)
+    // Lazy localCheckpoint (not plain persist): every round's plan would
+    // otherwise carry the full shingle→minhash→self-join lineage through
+    // analysis/optimization again — at 2 joins per round that driver-side
+    // re-planning dominated the loop. Checkpointing truncates the plan to
+    // a cached-scan leaf, so per-round planning is O(round), not O(LSH).
+    val edges = minhashPairs(documents, bucketLimit)
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .persist()
+      .localCheckpoint(false)
     // Seed with least(id, min(neighbor)) — the node-set groupBy has to
     // shuffle anyway, so the first propagation round rides along free.
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
-      .persist()
+      .localCheckpoint(false)
     // labels only ever decrease, so the label-sum is a strictly-monotone
     // convergence witness — one tiny aggregate instead of a
     // change-detection join. The seed materialization also fills the
     // edges cache (one job does both).
     var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
 
-    def step(l: DataFrame): DataFrame = {
-      val neighborMin = edges.join(l, col("dst") === col("id"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      l.join(neighborMin, col("id") === col("src"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-    }
+    // new label = min(own label, neighbors' labels): fold the node's own
+    // label in through a union instead of a left join back onto l — one
+    // groupBy replaces the groupBy + join of the naive form (one fewer
+    // exchange per round at any scale).
+    def step(l: DataFrame): DataFrame =
+      l.union(
+          edges.join(l, col("dst") === col("id"))
+            .select(col("src").as("id"), col("label")))
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
 
     var converged = false
     var iter = 0
@@ -230,14 +242,11 @@ object Dedup {
       // TWO propagation rounds per materialization: halves the driver
       // round-trips and convergence checks (labels are monotone, so an
       // unchanged sum after a double step still proves the fixpoint).
-      // Every 3rd materialization localCheckpoints to truncate lineage —
-      // otherwise plan analysis grows with the round count.
+      // Lazy checkpoint every round: truncation materializes inside the
+      // same job as the convergence sum (no separate eager pass) and keeps
+      // every round's plan flat.
       val doubled = step(step(labels))
-      // lazy checkpoint: truncation materializes inside the same job as
-      // the convergence sum instead of paying a separate eager pass
-      val updated =
-        if (iter % 3 == 2) doubled.localCheckpoint(false)
-        else doubled.persist()
+      val updated = doubled.localCheckpoint(false)
       val newSum = updated.agg(sum(col("label"))).first().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum

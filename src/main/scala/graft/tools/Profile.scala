@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only phase profiler for the heavy dedup queries (not part of the
+  * shipped API; mirrors Bench's session setup). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val docs = graft.Tables.documents(spark, sfDir)
+    def t(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PHASE $name%-22s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+    }
+    // warm parquet/codegen
+    docs.count()
+    t("minhash_pairs") { graft.dedup.Dedup.minhashLsh(docs).count() }
+    spark.catalog.clearCache()
+    t("shingles") { graft.text.TextPrep.shinglesAll(docs).count() }
+    t("bands") { graft.dedup.Dedup.bandStore(docs).count() }
+    t("minhash_warm") { graft.dedup.Dedup.minhashLsh(docs).count() }
+    spark.catalog.clearCache()
+    t("clusters_warm") { graft.dedup.Dedup.nearDupClusters(docs).count() }
+    spark.catalog.clearCache()
+    t("jaccard_warm") { graft.dedup.Dedup.ngramJaccard(docs).count() }
+    spark.stop()
+  }
+}
