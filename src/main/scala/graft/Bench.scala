@@ -60,7 +60,7 @@ object Bench {
     }
     // If the map grows past the capture budget, degrade precision rather
     // than letting the line's head get truncated again.
-    val out = Iterator(line(2), line(1), line(0)).find(_.length <= 1950).getOrElse(line(0))
+    val out = Iterator(line(2), line(1), line(0)).find(_.length <= 1985).getOrElse(line(0))
     println(out)
     spark.stop()
   }

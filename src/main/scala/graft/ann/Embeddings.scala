@@ -63,11 +63,61 @@ object Embeddings {
       .orderBy("vec_id")
   }
 
+  /** Deterministic ±1 sign for projection cell (i, j), derived from the
+    * parity of md5("i:j")'s first hex digit — reproducible by any engine
+    * that can evaluate md5, which is what lets the oracle rebuild the
+    * identical matrix. */
+  private def projSign(i: Int, j: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$i:$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+  }
+
+  /** Sparse-free random projection (Achlioptas ±1 / Johnson-Lindenstrauss):
+    * maps each `inDims`-dim embedding to `outDims` coordinates
+    * out_j = Σ_i x_i · s_ij with a deterministic sign matrix — the standard
+    * dimensionality cut applied before ANN indexing at corpus scale. The
+    * sign matrix is inlined as literal arrays, so the whole projection is
+    * row-local fold arithmetic: shuffle-free, and exact via the same 2^40
+    * scaled-integer floor-sums as [[quantizeInt8]]. */
+  def randomProjection(embeddings: DataFrame, outDims: Int = 16,
+                       inDims: Int = 64): DataFrame = {
+    val accs = (0 until outDims).map { j =>
+      val sgn = (0 until inDims).map(projSign(_, j)).mkString("array(", ",", ")")
+      expr(s"aggregate(zip_with(xd0, $sgn, (x, s) -> x * s), cast(0 as bigint), " +
+        s"(a, t) -> a + cast(floor(t * $S) as bigint))").as(s"acc$j")
+    }
+    embeddings
+      .withColumn("xd0", expr("transform(embedding, x -> cast(x as double))"))
+      .select(col("vec_id") +: accs: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until outDims).map(j => col(s"acc$j")): _*))
+          .as(Seq("dim", "acc")))
+      .select(col("vec_id"), col("dim").cast("int").as("dim"),
+        r6(col("acc") / expr(S)).as("value"))
+      .orderBy("vec_id", "dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_embed_quant" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d)))
+    "q_embed_quant" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
+    "q_rand_proj" -> ((s, d) => randomProjection(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_rand_proj" ->
+      s"""WITH sg AS (SELECT i, j,
+             CASE WHEN (instr('0123456789abcdef',
+               substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+             THEN 1 ELSE -1 END AS s
+           FROM generate_series(0, 63) t1(i), generate_series(0, 15) t2(j)),
+         ex AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+                FROM embeddings, generate_series(0, 63) t(i)),
+         acc AS (SELECT vec_id, j,
+                  CAST(SUM(CAST(FLOOR(x * s * $S) AS BIGINT)) AS BIGINT) AS a
+                 FROM ex JOIN sg USING (i) GROUP BY vec_id, j)
+         SELECT vec_id, CAST(j AS INT) AS dim,
+           ${sqlR(s"CAST(a AS DOUBLE) / $S", 6)} AS value
+         FROM acc ORDER BY vec_id, dim""",
     "q_embed_quant" -> {
       val q = s"(FLOOR(xd / qscale + 0.5))"
       s"""WITH e AS (SELECT vec_id, embedding,

@@ -1,0 +1,142 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Vocabulary-level corpus analytics a tokenizer/training-data pipeline
+  * runs before committing to a token budget: per-document TF-IDF salience,
+  * sliding-window chunking for context-length-bounded training examples,
+  * and bigram merge-candidate statistics (the first step of a BPE-style
+  * merge table build).
+  *
+  * Scale design: everything is one pass over the exploded token stream
+  * with hash-partial aggregation; the only shuffles are on (doc, word) /
+  * word / bigram keys. The per-doc rank windows partition by doc_id, so
+  * no single-partition global sorts appear anywhere except over the tiny
+  * top-k result frames.
+  */
+object Vocab {
+
+  /** Top-k TF-IDF terms per document: tf = in-doc term count,
+    * idf = ln(N/df). The df count is a window over the SAME word
+    * partitioning the tf stream already shuffles to, so the token stream
+    * is scanned once (no second lineage for a df table); ties rank on
+    * the ROUNDED score then word asc, so ordering is reproducible across
+    * engines. */
+  def tfidf(documents: DataFrame, k: Int = 3): DataFrame = {
+    val nDocs = documents.agg(count(lit(1)).as("n_docs"))
+    val tf = TextPrep.withWords(documents)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val wW = Window.partitionBy(col("word"))
+    val wD = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.withColumn("df", count(lit(1)).over(wW))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        r6(col("tf") * log(col("n_docs").cast("double") / col("df"))))
+      .withColumn("rank", row_number().over(wD))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank").cast("int").as("rank"), col("word"),
+        col("tf"), col("df"), col("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Sliding-window chunker: fixed `size`-word windows every `stride`
+    * words (overlap = size - stride), the standard preprocessing step
+    * that turns long documents into context-length-bounded training
+    * examples. Emits one row per chunk with its word span and content
+    * hash — shuffle-free (pure explode over the word array). */
+  def chunkDocs(documents: DataFrame, width: Int = 64, stride: Int = 48): DataFrame =
+    TextPrep.withWords(documents)
+      .withColumn("n", expr("size(words)"))
+      .select(col("doc_id"), col("n"), col("words"),
+        posexplode(expr(s"sequence(0, n - 1, $stride)")).as(Seq("chunk_idx", "start_word")))
+      .select(col("doc_id"), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("start_word").cast("long").as("start_word"),
+        least(lit(width), col("n") - col("start_word")).cast("long").as("n_words"),
+        md5(expr(s"concat_ws(' ', slice(words, start_word + 1, $width))")
+          .cast("binary")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** Global bigram merge-candidate table: top-k adjacent word pairs by
+    * frequency with each pair's corpus share and the running cumulative
+    * share — what a BPE-style tokenizer build inspects to pick merge
+    * rules and what a coverage curve is read off of. The cumulative sum
+    * runs over INTEGER counts (exact, order-independent given the
+    * deterministic rank order); only the final division touches doubles. */
+  def bigramVocab(documents: DataFrame, k: Int = 40): DataFrame = {
+    val bi = TextPrep.withWords(documents)
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+    val total = bi.agg(sum(col("n")).as("total"))
+    val wR = Window.orderBy(col("n").desc, col("bigram"))
+    val wC = Window.orderBy(col("n").desc, col("bigram"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // top-k via orderBy+limit (TakeOrderedAndProject: bounded per-partition
+    // heaps, no full vocabulary sort); the global-ordered rank/cumsum
+    // windows then only ever see the k surviving rows.
+    bi.orderBy(col("n").desc, col("bigram")).limit(k)
+      .withColumn("rank", row_number().over(wR))
+      .withColumn("cum_n", sum(col("n")).over(wC))
+      .crossJoin(broadcast(total))
+      .select(col("rank").cast("int").as("rank"), col("bigram"), col("n"),
+        r6(col("n").cast("double") / col("total")).as("share"),
+        r6(col("cum_n").cast("double") / col("total")).as("cum_share"))
+      .orderBy("rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
+    "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
+    "q_bigram_vocab" -> ((s, d) => bigramVocab(Tables.documents(s, d)))
+  )
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  val oracles: Map[String, String] = Map(
+    "q_tfidf" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),
+         tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+         d AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY word) AS BIGINT) AS df,
+                  (SELECT COUNT(*) FROM documents) AS n_docs FROM tf),
+         sc AS (SELECT doc_id, word, tf, df,
+                  ${sqlR("tf * ln(CAST(n_docs AS DOUBLE) / df)", 6)} AS tfidf FROM d),
+         r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank FROM sc)
+         SELECT doc_id, CAST(rank AS INT) AS rank, word, tf, df, tfidf
+         FROM r WHERE rank <= 3 ORDER BY doc_id, rank""",
+    "q_chunk_docs" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         c AS (SELECT doc_id, len(words) AS n, words, CAST(st AS BIGINT) AS start_word,
+                  CAST(st // 48 AS INT) AS chunk_idx
+               FROM w, UNNEST(generate_series(0, len(words) - 1, 48)) AS t(st))
+         SELECT doc_id, chunk_idx, start_word,
+           CAST(LEAST(64, n - start_word) AS BIGINT) AS n_words,
+           md5(array_to_string(list_slice(words, start_word + 1, start_word + 64), ' ')) AS chunk_hash
+         FROM c ORDER BY doc_id, chunk_idx""",
+    "q_bigram_vocab" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         w2 AS (SELECT * FROM w WHERE len(words) >= 2),
+         b AS (SELECT words[i] || ' ' || words[i+1] AS bigram
+               FROM w2, UNNEST(generate_series(1, len(words) - 1)) AS t(i)),
+         c AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+         tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+         r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rank FROM c),
+         k AS (SELECT *, CAST(SUM(n) OVER (ORDER BY rank) AS BIGINT) AS cum_n
+               FROM r WHERE rank <= 40)
+         SELECT CAST(rank AS INT) AS rank, bigram, n,
+           ${sqlR("CAST(n AS DOUBLE) / total", 6)} AS share,
+           ${sqlR("CAST(cum_n AS DOUBLE) / total", 6)} AS cum_share
+         FROM k, tot ORDER BY rank"""
+  )
+}

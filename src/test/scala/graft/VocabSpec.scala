@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.Embeddings
+import graft.text.Vocab
+
+/** Invariants for the vocabulary/chunking/projection operators beyond the
+  * row-level oracle: coverage, monotonicity, and plan-shape properties. */
+class VocabSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("vocab-spec").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tfidf: k rows per doc, ranks 1..k, scores non-increasing within a doc") {
+    val docs = Tables.documents(spark, sf)
+    val r = Vocab.tfidf(docs, k = 3).collect()
+    val byDoc = r.groupBy(_.getAs[Long]("doc_id"))
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getAs[Double]("tfidf"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("chunkDocs: chunks tile every word; strides and tail lengths consistent") {
+    val docs = Tables.documents(spark, sf)
+    val lens = graft.text.TextPrep.withWords(docs)
+      .select(col("doc_id"), size(col("words")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = Vocab.chunkDocs(docs, width = 64, stride = 48).collect()
+    chunks.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rows) =>
+      val n = lens(id)
+      val sorted = rows.sortBy(_.getAs[Int]("chunk_idx"))
+      // starts advance by exactly the stride from zero
+      assert(sorted.zipWithIndex.forall { case (r, i) =>
+        r.getAs[Long]("start_word") == i.toLong * 48 })
+      // every word is covered: last chunk reaches the end, none overruns
+      val last = sorted.last
+      assert(last.getAs[Long]("start_word") + last.getAs[Long]("n_words") == n.toLong)
+      assert(sorted.forall(r => r.getAs[Long]("n_words") > 0 && r.getAs[Long]("n_words") <= 64))
+    }
+  }
+
+  test("bigramVocab: cum_share is non-decreasing and consistent with shares; plan has no global sort of the vocab") {
+    val docs = Tables.documents(spark, sf)
+    val q = Vocab.bigramVocab(docs, k = 20)
+    val r = q.collect()
+    assert(r.length == 20)
+    val cum = r.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cum_share"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b + 1e-9 })
+    assert(cum.last <= 1.0 + 1e-9)
+    // top-k must come from TakeOrderedAndProject, not a full Sort+Limit
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("randomProjection: exact row-local arithmetic, shuffle-free plan, JL norm preservation in expectation") {
+    val emb = Tables.embeddings(spark, sf)
+    val q = Embeddings.randomProjection(emb)
+    assert(q.groupBy("vec_id").count().select(max("count")).first().getLong(0) == 16L)
+    // projection itself (pre-presentation-sort) must not exchange
+    val core = q.queryExecution.optimizedPlan.toString
+    assert(!core.contains("Repartition"))
+    // E[||proj||^2 / outDims] ~ ||x||^2 / ... sanity: projected values are finite and non-degenerate
+    val stats = q.agg(sum(abs(col("value"))).as("l1"), count(lit(1)).as("n")).first()
+    assert(stats.getAs[Double]("l1") > 0)
+  }
+
+  test("projection is deterministic across partition layouts") {
+    val emb = Tables.embeddings(spark, sf)
+    val a = Embeddings.randomProjection(emb).collect().map(_.toString).sorted
+    val b = Embeddings.randomProjection(emb.repartition(7)).collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+}
