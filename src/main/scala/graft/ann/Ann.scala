@@ -180,6 +180,27 @@ object Ann {
     topkPerProbe(scored, k)
   }
 
+  /** Approximate k-NN GRAPH: every vector's top-k neighbors among the
+    * vectors sharing its IVF cell — the self-similarity product that
+    * feeds embedding-based near-dup clustering and diversity sampling.
+    * One within-cell shuffle join (cells bound the pair count to
+    * Σ|cell|², never corpus²) + the bounded-heap top-k; no broadcast of
+    * the corpus side anywhere, so the shape survives any corpus size.
+    * Vectors whose cell has no other member emit no rows — the standard
+    * IVF-blocking recall trade, same as [[nearDupPairs]]'s label block. */
+  def knnGraph(embeddings: DataFrame, k: Int = 3, kCents: Int = 16): DataFrame = {
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val assign = centroidRanked(v, kCents).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"))
+    val va = v.join(assign, "vec_id")
+    val probes = va.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+      col("nrm").as("pnrm"), col("centroid_id").as("cell"))
+    val scored = va
+      .join(probes, col("centroid_id") === col("cell") && col("vec_id") =!= col("probe_id"))
+      .withColumn("cosine", r6(dot("embedding", "pe") / (col("nrm") * col("pnrm"))))
+    topkPerProbe(scored, k)
+  }
+
   /** Per-cluster elementwise vector mean as a typed Aggregator: the
     * buffer is one double[dim] + count per cluster, partial-aggregated
     * map-side — so recomputing K centroids over any corpus size shuffles
@@ -261,7 +282,8 @@ object Ann {
     "q_embed_neardup" -> ((s, d) => nearDupPairs(loadEmb(s, d))),
     "q_ann_topk" -> ((s, d) => bruteForceTopK(loadEmb(s, d))),
     "q_ann_ivf" -> ((s, d) => ivfAssign(loadEmb(s, d))),
-    "q_ann_ivf_search" -> ((s, d) => ivfSearch(loadEmb(s, d)))
+    "q_ann_ivf_search" -> ((s, d) => ivfSearch(loadEmb(s, d))),
+    "q_knn_graph" -> ((s, d) => knnGraph(loadEmb(s, d)))
   )
 
   /** Oracle-side twin of [[dot]]: scaled-integer sum over zipped
@@ -316,6 +338,29 @@ object Ann {
            FROM scored)
          SELECT vec_id, centroid_id, cosine AS centroid_cosine
          FROM ranked WHERE rn = 1 ORDER BY vec_id""",
+    "q_knn_graph" ->
+      s"""WITH $normCte,
+         cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         scoredc AS (
+           SELECT nv.vec_id, nv.embedding, nv.nrm, centroid_id,
+             FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
+           FROM nv, cents),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+           FROM scoredc),
+         assign AS (SELECT vec_id, embedding, nrm, centroid_id FROM ranked WHERE rn = 1),
+         scored AS (
+           SELECT a.vec_id, b.vec_id AS probe_id,
+             FLOOR((${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM assign a JOIN assign b
+             ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+         rk AS (
+           SELECT probe_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+           FROM scored)
+         SELECT probe_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
+         FROM rk WHERE rank <= 3 ORDER BY probe_id, rank""",
     "q_ann_ivf_search" ->
       s"""WITH $normCte,
          cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv

@@ -109,6 +109,29 @@ class LlmDataSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ivf recall $recall < 0.5 vs brute force")
   }
 
+  test("ann: knn graph neighbors share the probe's cell and rank by cosine within each probe") {
+    val emb = Tables.embeddings(spark, sf)
+    val assign = Ann.ivfAssign(emb, k = 16).select(col("vec_id"), col("centroid_id"))
+    val g = Ann.knnGraph(emb, k = 3, kCents = 16)
+    val rows = g.collect()
+    assert(rows.nonEmpty)
+    // per-probe ranks are 1..m with cosine non-increasing
+    rows.groupBy(_.getAs[Long]("probe_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rank"))
+      assert(sorted.map(_.getAs[Int]("rank")).toSeq == (1 to sorted.length))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+    // every edge stays inside one IVF cell (the blocking invariant)
+    val offCell = g
+      .join(assign.withColumnRenamed("vec_id", "probe_id")
+        .withColumnRenamed("centroid_id", "pcell"), "probe_id")
+      .join(assign.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("centroid_id", "ncell"), "neighbor_id")
+      .filter(col("pcell") =!= col("ncell")).count()
+    assert(offCell == 0)
+  }
+
   test("ann: lloyd refinement does not degrade mean assignment cosine") {
     val emb = Tables.embeddings(spark, sf)
     def meanCos(df: org.apache.spark.sql.DataFrame): Double =
