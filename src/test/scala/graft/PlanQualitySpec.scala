@@ -139,4 +139,40 @@ class PlanQualitySpec extends AnyFunSuite {
         s"per-probe rank window still in plan:\n$plan")
     }
   }
+
+  test("tfidf scan reads only doc_id and text; token aggregation is partial") {
+    val df = graft.text.Vocab.tfidf(Tables.documents(spark, sf))
+    val plan = planOf(df)
+    val readSchema = plan.linesIterator.filter(_.contains("ReadSchema"))
+      .find(_.contains("text")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text"))
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"unpruned documents columns: $readSchema")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"tf aggregation not partial:\n$plan")
+  }
+
+  test("chunker plans with zero exchanges up to the presentation sort") {
+    val df = graft.text.Vocab.chunkDocs(Tables.documents(spark, sf))
+    // strip the final orderBy: the chunk computation itself must be
+    // a pure scan -> project -> explode chain
+    val core = optimizedOf(df)
+    val body = core.linesIterator.dropWhile(_.startsWith("Sort")).mkString("\n")
+    assert(!body.contains("Exchange") || core.linesIterator.next().startsWith("Sort"),
+      s"chunker shuffles before the presentation sort:\n$core")
+  }
+
+  test("knn graph joins within cells on the shuffle grid — corpus side never broadcast") {
+    val df = graft.ann.Ann.knnGraph(Tables.embeddings(spark, sf))
+    val plan = planOf(df)
+    assert(plan.contains("partial_topkneighbors"),
+      s"no partial bounded-heap aggregation in knn plan:\n$plan")
+    // the within-cell self join must be a shuffle join (SMJ or shuffled
+    // hash), not a broadcast of the corpus — broadcasting the corpus
+    // would OOM at scale. (AQE may broadcast the small centroid frame;
+    // we assert the corpus-corpus join key is the cell id via sort-merge
+    // or shuffled-hash presence.)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"no shuffle join for the within-cell pair generation:\n$plan")
+  }
 }
