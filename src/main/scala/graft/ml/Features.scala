@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -54,11 +54,12 @@ object Features {
       .orderBy("user_id")
 
   /** Exact global-ntile RFM scoring (categorize_rfm,
-    * feature_store_manager.py:200-259) — the ORACLE-EXACT variant: three
-    * whole-population ntile windows, each a single-partition sort. Keep
-    * this for oracle parity and small entity counts; [[rfmApprox]] is
-    * the documented default at scale (sketch quintiles, no global
-    * window, spec-bounded divergence). */
+    * feature_store_manager.py:200-259) via window ntile — three
+    * whole-population ntile windows, each a single-partition sort. This
+    * form exists as the semantic reference for the specs;
+    * [[rfmExactDistributed]] computes the identical result without any
+    * single-partition stage and is the registered path, with
+    * [[rfmApprox]] as the sketch-threshold variant. */
   def rfm(events: DataFrame): DataFrame = {
     val perUser = rfmBase(events)
     val wR = Window.orderBy(col("recency_days"), col("user_id"))
@@ -68,6 +69,56 @@ object Features {
       .withColumn("r_score", lit(6) - ntile(5).over(wR))
       .withColumn("f_score", ntile(5).over(wF))
       .withColumn("m_score", ntile(5).over(wM)))
+  }
+
+  /** Exact ntile WITHOUT a single-partition window: orderBy gives a
+    * range-partitioned total sort (each partition holds a contiguous
+    * key range, sorted), and RDD zipWithIndex turns that into the exact
+    * 0-based global rank with one lightweight per-partition count pass —
+    * the canonical distributed global-indexing idiom, and one of the few
+    * places the RDD API is the right tool. The strict (metric, user_id)
+    * order makes the index reproducible under any partitioning. */
+  private def exactRankIdx(perUser: DataFrame, metric: String, out: String): DataFrame = {
+    val spark = perUser.sparkSession
+    val idx = perUser.select(col("user_id"), col(metric))
+      .orderBy(col(metric), col("user_id"))
+      .rdd.zipWithIndex.map { case (row, i) => Row(row.getLong(0), i) }
+    spark.createDataFrame(idx,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField(out, org.apache.spark.sql.types.LongType))))
+  }
+
+  /** SQL ntile(5) from an exact 0-based global rank: the first n%5
+    * buckets take ceil(n/5) rows, the rest floor(n/5) — pure integer
+    * `div` arithmetic, so it reproduces the window ntile row-for-row at
+    * any population size. */
+  private def ntileFromIdx(idxCol: String): Column = expr(
+    s"""cast(case when $idxCol < (n_users % 5) * ((n_users div 5) + 1)
+          then $idxCol div ((n_users div 5) + 1)
+          else (n_users % 5) + ($idxCol - (n_users % 5) * ((n_users div 5) + 1)) div (n_users div 5)
+        end + 1 as int)""")
+
+  /** [[rfm]] with the same exact-ntile semantics but NO single-partition
+    * window: three range-partitioned sorts + [[exactRankIdx]], scores
+    * derived arithmetically from the global ranks. Oracle-identical to
+    * the window form (RfmApproxSpec asserts row-for-row equality) and
+    * the registered path — exact AND scale-safe. */
+  def rfmExactDistributed(events: DataFrame): DataFrame = {
+    val perUser = rfmBase(events).persist()
+    try {
+      val n = broadcast(perUser.agg(count(lit(1)).as("n_users")))
+      val rIdx = exactRankIdx(perUser, "recency_days", "r_idx")
+      val fIdx = exactRankIdx(perUser, "frequency", "f_idx")
+      val mIdx = exactRankIdx(perUser, "monetary", "m_idx")
+      rfmFinish(perUser
+        .join(rIdx, "user_id").join(fIdx, "user_id").join(mIdx, "user_id")
+        .crossJoin(n)
+        .withColumn("r_score", lit(6) - ntileFromIdx("r_idx"))
+        .withColumn("f_score", ntileFromIdx("f_idx"))
+        .withColumn("m_score", ntileFromIdx("m_idx")))
+        .localCheckpoint()
+    } finally perUser.unpersist()
   }
 
   /** Scale path for [[rfm]]: quintile thresholds from one
@@ -457,7 +508,7 @@ object Features {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rfm_features" -> ((s, d) => rfm(Tables.events(s, d))),
+    "q_rfm_features" -> ((s, d) => rfmExactDistributed(Tables.events(s, d))),
     "q_rolling_features" -> ((s, d) => rolling(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),

@@ -16,6 +16,13 @@ class FeaturesSpec extends AnyFunSuite {
     })
   }
 
+  test("distributed exact rfm equals the window-ntile form row-for-row") {
+    val events = Tables.events(spark, sf)
+    val a = Features.rfm(events).collect().map(_.toString).sorted
+    val b = Features.rfmExactDistributed(events).collect().map(_.toString).sorted
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("rfm approx path is ntile-equivalent up to tie placement") {
     // Threshold bucketing and ntile can only disagree where a run of tied
     // feature values straddles a quintile boundary — there ntile's split
