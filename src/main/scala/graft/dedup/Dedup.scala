@@ -224,7 +224,11 @@ object Dedup {
     // convergence witness — one tiny aggregate instead of a
     // change-detection join. The seed materialization also fills the
     // edges cache (one job does both).
-    var prevSum = labels.agg(sum(col("label"))).first().getLong(0)
+    // coalesce: sum over an empty label set (no near-dup pairs at all —
+    // a fully-unique corpus slice) is NULL, which must read as converged,
+    // not throw
+    var prevSum = labels.agg(coalesce(sum(col("label")), lit(0L)))
+      .first().getLong(0)
 
     // new label = min(own label, neighbors' labels): fold the node's own
     // label in through a union instead of a left join back onto l — one
@@ -247,7 +251,8 @@ object Dedup {
       // every round's plan flat.
       val doubled = step(step(labels))
       val updated = doubled.localCheckpoint(false)
-      val newSum = updated.agg(sum(col("label"))).first().getLong(0)
+      val newSum = updated.agg(coalesce(sum(col("label")), lit(0L)))
+        .first().getLong(0)
       converged = newSum == prevSum
       prevSum = newSum
       labels.unpersist()

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.{Ann, Embeddings}
+import graft.dedup.Dedup
+import graft.text.{TextOps, Vocab}
+
+/** Degenerate-input behavior: a 100 TB pipeline's filters routinely leave
+  * an operator with an empty or single-row partition-of-the-corpus (one
+  * source, one day, one language). Every operator must return an empty /
+  * well-defined frame there, never throw. */
+class EdgeCasesSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .appName("edge-spec").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private def emptyDocs = Tables.documents(spark, sf).limit(0)
+  private def oneDoc = Tables.documents(spark, sf).limit(1)
+  private def emptyEmb = Tables.embeddings(spark, sf).limit(0)
+
+  test("dedup family returns empty on an empty corpus") {
+    assert(Dedup.exact(emptyDocs).count() == 0)
+    assert(Dedup.minhashLsh(emptyDocs).count() == 0)
+    assert(Dedup.simhash(emptyDocs).count() == 0)
+    assert(Dedup.ngramJaccard(emptyDocs).count() == 0)
+    assert(Dedup.nearDupClusters(emptyDocs).count() == 0)
+  }
+
+  test("dedup family is well-defined on a single document") {
+    assert(Dedup.exact(oneDoc).count() == 1)
+    assert(Dedup.minhashLsh(oneDoc).count() == 0)    // no pairs
+    assert(Dedup.nearDupClusters(oneDoc).count() == 0) // no edges -> no labels
+  }
+
+  test("vocab/curation operators are well-defined on empty and tiny corpora") {
+    assert(Vocab.tfidf(emptyDocs).count() == 0)
+    assert(Vocab.chunkDocs(emptyDocs).count() == 0)
+    assert(Vocab.bigramVocab(emptyDocs).count() == 0)
+    assert(Vocab.unigramLm(emptyDocs).count() == 0)
+    assert(Vocab.mixPlan(emptyDocs).count() == 0)
+    assert(TextOps.curate(emptyDocs).count() == 0)
+    assert(Vocab.tfidf(oneDoc).count() > 0)
+    assert(Vocab.chunkDocs(oneDoc).count() > 0)
+  }
+
+  test("ann family returns empty on an empty embedding table") {
+    assert(Ann.bruteForceTopK(emptyEmb).count() == 0)
+    assert(Ann.ivfAssign(emptyEmb).count() == 0)
+    assert(Ann.knnGraph(emptyEmb).count() == 0)
+    assert(Embeddings.quantizeInt8(emptyEmb).count() == 0)
+    assert(Embeddings.randomProjection(emptyEmb).count() == 0)
+  }
+}
