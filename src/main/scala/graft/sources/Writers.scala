@@ -29,6 +29,21 @@ object Writers {
   def readPartitioned(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Range-clustered write — the dbt `cluster_by` twin for keys too
+    * high-cardinality to partition by: repartitionByRange gives every
+    * output file a narrow, pairwise-disjoint key range, and the
+    * within-partition sort tightens parquet rowgroup min/max stats, so a
+    * key-range filter skips whole files/rowgroups at scan time instead
+    * of reading 100 TB to drop 99.9% of it. */
+  def writeClustered(df: DataFrame, path: String, nFiles: Int,
+                     clusterCols: String*): Unit = {
+    val cols = clusterCols.map(col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
   /** Persist as a bucketed+sorted table (catalog-managed): both sides of
     * a recurring equi-join bucketed the same way join with zero shuffle. */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,

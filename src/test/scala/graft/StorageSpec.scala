@@ -56,6 +56,28 @@ class StorageSpec extends AnyFunSuite {
     assert(exchangesBeforeAgg == 0, s"join key shuffle present despite bucketing:\n$plan")
   }
 
+  test("range-clustered write yields disjoint per-file key ranges; a narrow probe touches few files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cluster").toString
+    Writers.writeClustered(Tables.lineitem(spark, sf), dir, 8, "l_shipdate")
+    val perFile = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_shipdate").cast("long")).as("mn"),
+        max(col("l_shipdate").cast("long")).as("mx"))
+      .collect()
+      .map(r => (r.getAs[Long]("mn"), r.getAs[Long]("mx")))
+      .sortBy(_._1)
+    assert(perFile.length > 1)
+    // ranges are non-overlapping except possibly at their boundary value
+    perFile.sliding(2).foreach { case Array((_, mx1), (mn2, _)) =>
+      assert(mn2 >= mx1, s"file ranges overlap: $mx1 > $mn2")
+    case _ => ()
+    }
+    // a probe covering one file's range intersects at most 2 files
+    val (pMn, pMx) = perFile(perFile.length / 2)
+    val touched = perFile.count { case (mn, mx) => mx >= pMn && mn <= pMx }
+    assert(touched <= 2, s"narrow probe touches $touched files")
+  }
+
   test("csv and json round-trips preserve the staging frame exactly") {
     val df = operators.Warehouse.stagingClean(Tables.customer(spark, sf))
     val csvDir = java.nio.file.Files.createTempDirectory("graft-csv").toString
