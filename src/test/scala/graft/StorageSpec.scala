@@ -61,8 +61,8 @@ class StorageSpec extends AnyFunSuite {
     Writers.writeClustered(Tables.lineitem(spark, sf), dir, 8, "l_shipdate")
     val perFile = spark.read.parquet(dir)
       .groupBy(input_file_name().as("f"))
-      .agg(min(col("l_shipdate").cast("long")).as("mn"),
-        max(col("l_shipdate").cast("long")).as("mx"))
+      .agg(min(unix_micros(col("l_shipdate").cast("timestamp"))).as("mn"),
+        max(unix_micros(col("l_shipdate").cast("timestamp"))).as("mx"))
       .collect()
       .map(r => (r.getAs[Long]("mn"), r.getAs[Long]("mx")))
       .sortBy(_._1)
