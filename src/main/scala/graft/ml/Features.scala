@@ -55,11 +55,10 @@ object Features {
 
   /** Exact global-ntile RFM scoring (categorize_rfm,
     * feature_store_manager.py:200-259) via window ntile — three
-    * whole-population ntile windows, each a single-partition sort. This
-    * form exists as the semantic reference for the specs;
-    * [[rfmExactDistributed]] computes the identical result without any
-    * single-partition stage and is the registered path, with
-    * [[rfmApprox]] as the sketch-threshold variant. */
+    * whole-population ntile windows, each a single-partition sort: cheap
+    * for bounded populations, wrong beyond them. [[rfmExact]] (the
+    * registered path) picks between this and [[rfmExactDistributed]]
+    * by population; [[rfmApprox]] is the sketch-threshold variant. */
   def rfm(events: DataFrame): DataFrame = {
     val perUser = rfmBase(events)
     val wR = Window.orderBy(col("recency_days"), col("user_id"))
@@ -99,11 +98,24 @@ object Features {
           else (n_users % 5) + ($idxCol - (n_users % 5) * ((n_users div 5) + 1)) div (n_users div 5)
         end + 1 as int)""")
 
+  /** Exact RFM with an adaptive physical plan: the ntile result is
+    * identical either way, so pick the cheaper plan by population —
+    * below `windowMax` entities the three global windows are a few
+    * small sorts (the per-user frame after aggregation is tiny relative
+    * to the event scan), above it they would funnel the population
+    * through single partitions and the indexed-sort form wins. One
+    * lightweight count decides; this is the registered path. */
+  def rfmExact(events: DataFrame, windowMax: Long = 1000000L): DataFrame = {
+    val n = events.filter(col("event_type") === "purchase")
+      .select(col("user_id")).distinct().count()
+    if (n <= windowMax) rfm(events) else rfmExactDistributed(events)
+  }
+
   /** [[rfm]] with the same exact-ntile semantics but NO single-partition
     * window: three range-partitioned sorts + [[exactRankIdx]], scores
     * derived arithmetically from the global ranks. Oracle-identical to
-    * the window form (RfmApproxSpec asserts row-for-row equality) and
-    * the registered path — exact AND scale-safe. */
+    * the window form (FeaturesSpec asserts row-for-row equality) — the
+    * form [[rfmExact]] switches to beyond the window population cap. */
   def rfmExactDistributed(events: DataFrame): DataFrame = {
     val perUser = rfmBase(events).persist()
     try {
@@ -508,7 +520,7 @@ object Features {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_rfm_features" -> ((s, d) => rfmExactDistributed(Tables.events(s, d))),
+    "q_rfm_features" -> ((s, d) => rfmExact(Tables.events(s, d))),
     "q_rolling_features" -> ((s, d) => rolling(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
