@@ -87,7 +87,12 @@ object Dedup {
         (col("a.is_new") || col("b.is_new")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         (col("a.is_new") && col("b.is_new")).as("both_new"))
-      .agg(countDistinct(col("a.band_idx")).as("n_shared_bands"))
+      // count(*) == countDistinct(band_idx) here BY CONSTRUCTION: bands has
+      // exactly one row per (doc, band_idx) and the join pairs rows only
+      // within one band, so each shared band contributes exactly one joined
+      // row per pair. Plain count hash-aggregates map-side; distinct-count
+      // would pay an Expand + two-phase aggregation for the same number.
+      .agg(count(lit(1)).as("n_shared_bands"))
       .select(col("doc_a"), col("doc_b"), col("n_shared_bands"),
         when(col("both_new"), "new_vs_new").otherwise("new_vs_corpus").as("kind"))
       .orderBy("doc_a", "doc_b")
@@ -131,7 +136,12 @@ object Dedup {
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
         col("a.bh") === col("b.bh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(countDistinct(col("a.band_idx")).as("n_shared_bands"))
+      // count(*) == countDistinct(band_idx) here BY CONSTRUCTION: bands has
+      // exactly one row per (doc, band_idx) and the join pairs rows only
+      // within one band, so each shared band contributes exactly one joined
+      // row per pair. Plain count hash-aggregates map-side; distinct-count
+      // would pay an Expand + two-phase aggregation for the same number.
+      .agg(count(lit(1)).as("n_shared_bands"))
   }
 
   /** SimHash 64-bit fingerprint per document, emitted as four 16-bit
@@ -364,7 +374,7 @@ object Dedup {
     "q_dedup_minhash" ->
       s"""WITH $minhashCtes
          SELECT da AS doc_a, db AS doc_b,
-           CAST(COUNT(DISTINCT band_idx) AS BIGINT) AS n_shared_bands
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands
          FROM pairs GROUP BY 1, 2 ORDER BY 1, 2""",
     // incremental == full recompute restricted to pairs with >=1 new
     // side (merged bucket cap), so the oracle reuses the full CTE chain
@@ -378,7 +388,7 @@ object Dedup {
            FROM pairs JOIN g ga ON ga.doc_id = da JOIN g gb ON gb.doc_id = db
            WHERE ga.is_new OR gb.is_new)
          SELECT da AS doc_a, db AS doc_b,
-           CAST(COUNT(DISTINCT band_idx) AS BIGINT) AS n_shared_bands,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_bands,
            CASE WHEN na AND nb THEN 'new_vs_new' ELSE 'new_vs_corpus' END AS kind
          FROM t GROUP BY da, db, na, nb ORDER BY 1, 2""",
     "q_dedup_clusters" ->
