@@ -352,6 +352,23 @@ object Features {
         max(col("na")).as("n_sample_a"), max(col("nb")).as("n_sample_b"))
   }
 
+  /** (feature, mn, mx) bounds for a set of numeric columns from ONE
+    * narrow columnar agg over the unmelted frame (column-pruned,
+    * no explode), unpivoted to rows afterwards — identical values to
+    * aggregating a melted (feature, value) stream at 1/k the row
+    * volume. Shared by the drift family. */
+  private[ml] def featureBounds(df: DataFrame, feats: Seq[String]): DataFrame = {
+    val aggs = feats.zipWithIndex.flatMap { case (f, i) =>
+      Seq(min(col(f).cast("double")).as(s"mn_$i"),
+        max(col(f).cast("double")).as(s"mx_$i"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(feats.zipWithIndex.map { case (f, i) =>
+        struct(lit(f).as("feature"), col(s"mn_$i").as("mn"), col(s"mx_$i").as("mx"))
+      }: _*)).as("s"))
+      .select(col("s.feature").as("feature"), col("s.mn").as("mn"), col("s.mx").as("mx"))
+  }
+
   /** Multi-feature drift sweep (detect_data_drift,
     * ml_monitoring_system.py:146-174): binned PSI + binned KS for every
     * swept column, drift flag per feature (PSI > 0.1, the reference's
@@ -371,19 +388,7 @@ object Features {
         struct(lit(f).as("feature"), col(f).cast("double").as("v"))): _*)).as("s"),
         (col("l_orderkey") <= col("mid")).cast("int").as("is_ref"))
       .select(col("s.feature").as("feature"), col("s.v").as("v"), col("is_ref"))
-    // Feature bounds from ONE narrow columnar agg over the unmelted scan
-    // (8 min/max in a single pass, column-pruned), unpivoted afterwards —
-    // identical values to aggregating the melted stream, at 1/4 the row
-    // volume; the melted explode then runs once, for the bin counts only.
-    val fb = lineitem
-      .agg(min(col(feats.head).cast("double")).as(s"mn_0"),
-        (feats.head +: feats.tail).zipWithIndex.drop(1).flatMap { case (f, i) =>
-          Seq(min(col(f).cast("double")).as(s"mn_$i"), max(col(f).cast("double")).as(s"mx_$i"))
-        } :+ max(col(feats.head).cast("double")).as("mx_0"): _*)
-      .select(explode(array(feats.zipWithIndex.map { case (f, i) =>
-        struct(lit(f).as("feature"), col(s"mn_$i").as("mn"), col(s"mx_$i").as("mx"))
-      }: _*)).as("s"))
-      .select(col("s.feature").as("feature"), col("s.mn").as("mn"), col("s.mx").as("mx"))
+    val fb = featureBounds(lineitem, feats)
     // One melted pass: count at the FINE granularity; the coarse PSI bins
     // derive from the fine ones (nKsBins = 10 * nPsiBins shares edges, so
     // coarse = floor(fine / 10) over already-identical ints — no float

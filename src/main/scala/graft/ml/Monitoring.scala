@@ -161,7 +161,9 @@ object Monitoring {
         least(greatest(floor((col("l_orderkey") - 1) * nSlices / col("mxk")), lit(0d)),
           lit((nSlices - 1).toDouble)).cast("int").as("slice"))
       .select(col("s.feature").as("feature"), col("s.v").as("v"), col("slice"))
-    val fb = melted.groupBy(col("feature")).agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    // Bounds from one narrow columnar agg over the unmelted scan — the
+    // 4-way explode then runs once, for the slice/bin counts only.
+    val fb = Features.featureBounds(lineitem, feats)
     val counts = melted.join(broadcast(fb), "feature")
       .withColumn("bin",
         least(floor((col("v") - col("mn")) / ((col("mx") - col("mn")) / nBins)),
