@@ -31,6 +31,14 @@ object Profile {
     t("clusters_warm") { graft.dedup.Dedup.nearDupClusters(docs).count() }
     spark.catalog.clearCache()
     t("jaccard_warm") { graft.dedup.Dedup.ngramJaccard(docs).count() }
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+      val q = graft.text.Vocab.tfidf(docs)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      println("TFIDF_SCANS=" + "Scan parquet".r.findAllIn(plan).size)
+      println(plan.linesIterator.filter(l =>
+        l.contains("Scan parquet") || l.contains("Exchange")).mkString("\n"))
+    }
     spark.stop()
   }
 }
