@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming corpus ingestion against a PERSISTED dedup index — the
+  * production shape for continuous training-data intake: new documents
+  * arrive as a stream, are banded row-locally (stateless, so the whole
+  * hash path runs inside the micro-batch with no streaming aggregation
+  * state), and stream-static join the existing corpus's band store
+  * ([[graft.dedup.Dedup.bandStore]]) to surface near-dup candidates the
+  * moment a document lands. The static side is the thing a real
+  * deployment keeps as a bucketed table; Spark re-reads it per
+  * micro-batch with no state growth on the stream side.
+  */
+object DocStream {
+
+  /** Streaming read of the documents table (same temp-dir symlink
+    * staging as [[EventStream.readEvents]] — production points this at
+    * the landing directory). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val streamDir = Files.createTempDirectory("graft-docstream")
+    Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
+      Paths.get(s"$dir/documents.parquet"))
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema).parquet(streamDir.toString)
+  }
+
+  /** Row-local LSH banding: the EXACT same signature math as
+    * [[graft.dedup.Dedup.lshBands]] (2 salted md5s per shingle, 8-hex
+    * chunks parsed to int64, min per chunk, re-hexed band digests) but
+    * computed with array higher-order functions INSIDE one row — no
+    * explode, no groupBy, hence stateless and streamable. Batch-side
+    * lshBands keeps the explode+hash-aggregate form (faster on a full
+    * corpus scan); DocStreamSpec asserts the two produce identical
+    * (doc_id, band_idx, bh) rows. */
+  def bandsRowLocal(documents: DataFrame): DataFrame = {
+    val shingles =
+      """transform(sequence(0, size(words) - 3),
+        |  i -> concat_ws(' ', words[i], words[i+1], words[i+2]))""".stripMargin
+    def chunkMin(salt: Int, k: Int): String =
+      s"""array_min(transform(sh, s ->
+         |  cast(conv(substring(md5(cast(concat('$salt:', s) as binary)), ${k * 8 + 1}, 8), 16, 10) as bigint)))""".stripMargin
+    def rehex(e: String): String = s"lower(lpad(hex($e), 8, '0'))"
+    val withSig = documents
+      .withColumn("words", split(graft.functions.Fns.normText(col("text")), " "))
+      .filter(expr("size(words) >= 3"))
+      .withColumn("sh", expr(shingles))
+      .select(col("doc_id") +: (0 to 7).map { k =>
+        val salt = if (k < 4) 0 else 1
+        expr(chunkMin(salt, k % 4)).as(s"h$k")
+      }: _*)
+    withSig.select(col("doc_id"), explode(expr(
+      (0 to 3).map(b =>
+        s"struct(cast($b as int) as band_idx, md5(cast(concat(${rehex(s"h${2 * b}")}, ${rehex(s"h${2 * b + 1}")}) as binary)) as bh)")
+        .mkString("array(", ", ", ")"))).as("s"))
+      .select(col("doc_id"), col("s.band_idx").as("band_idx"), col("s.bh").as("bh"))
+  }
+
+  /** Stream new documents against a static band store: emits one
+    * candidate row per shared (band, bucket) the moment the new doc's
+    * micro-batch lands. Pure Append mode — the only state Spark keeps is
+    * the file-source log. Candidate DEDUP (one row per pair) happens
+    * downstream exactly as in the batch incremental path; at ingest time
+    * you want the raw hits immediately. */
+  def bandMatches(spark: SparkSession, dir: String, storedBands: DataFrame,
+                  queryName: String = "stream_bandmatch"): DataFrame = {
+    val newDocs = readDocuments(spark, dir)
+      .withColumn("d", expr(
+        "instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1"))
+      .filter(col("d") < 2).drop("d")
+    val hits = bandsRowLocal(newDocs).as("n")
+      .join(storedBands.withColumnRenamed("doc_id", "corpus_doc")
+        .withColumnRenamed("bh", "cbh").withColumnRenamed("band_idx", "cband"),
+        col("band_idx") === col("cband") && col("bh") === col("cbh"))
+      .select(col("doc_id").as("new_doc"), col("corpus_doc"),
+        col("band_idx"), col("bh"))
+    val q = hits.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
