@@ -295,8 +295,12 @@ object Dedup {
     // negligible at any corpus size). The df prune is a window count on
     // the SAME hash partitioning the self-join shuffles on — ReuseExchange
     // computes the corpus explode once with nothing persisted.
-    val sh = TextPrep.shingles(documents)
+    // hash BEFORE the per-doc distinct too — the dedup shuffle then moves
+    // 8-byte keys instead of raw 3-gram text (same result modulo 64-bit
+    // collisions, already the accepted trade for the candidate join)
+    val sh = TextPrep.shinglesAll(documents)
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
     val wS = Window.partitionBy(col("sh"))
     val shp = sh
       .withColumn("df", count(lit(1)).over(wS))
