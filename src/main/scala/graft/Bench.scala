@@ -53,14 +53,18 @@ object Bench {
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfName = new java.io.File(sfDir).getName
-    def line(dec: Int): String = {
-      val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(dec)(v) }
-        .mkString("{", ",", "}")
+    def line(dec: Int, strip: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (strip) k.stripPrefix("q_") else k
+        s"\"" + key + "\":" + fmt(dec)(v)
+      }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(dec)(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    // If the map grows past the capture budget, degrade precision rather
-    // than letting the line's head get truncated again.
-    val out = Iterator(line(2), line(1), line(0)).find(_.length <= 1985).getOrElse(line(0))
+    // If the map grows past the capture budget, degrade gracefully:
+    // 2-decimals → 1-decimal → drop the uniform "q_" key prefix (names
+    // still map 1:1 to the registered queries by re-adding it) → integers.
+    val out = Iterator(line(2, false), line(1, false), line(1, true), line(0, true))
+      .find(_.length <= 1985).getOrElse(line(0, true))
     println(out)
     spark.stop()
   }

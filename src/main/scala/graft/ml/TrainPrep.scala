@@ -1,0 +1,183 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Training-set preparation — the data-prep half of the reference's
+  * automated training pipeline
+  * (/root/reference/ml_platform/training/automated_training_pipeline.py):
+  * labeled-set assembly with a derived binary target + deterministic
+  * sampling (load_training_data, :137-180), per-column imputation
+  * statistics (_preprocess_features, :183-205), and the Pearson
+  * correlation matrix that drives interaction-feature selection
+  * (_engineer_features, :207-247). The model-fitting half (optuna /
+  * sklearn ensembles) is serving infrastructure, out of engine scope.
+  *
+  * Scale shapes: assembly is one window over the customer key + row-wise
+  * expressions; imputation is two global aggregates (exact interpolated
+  * median + mode with deterministic tie-break); the correlation matrix is
+  * ONE pass computing all moment sums as decimal aggregates (exact,
+  * partition-order-independent) — k features cost k(k+1)/2 + k + 1
+  * aggregate columns, never a second scan.
+  */
+object TrainPrep {
+
+  /** Labeled training-set assembly (load_training_data): per-customer
+    * average order value via one window, binary target = order 1.5× above
+    * the customer's average, deterministic ~25% Bernoulli sample
+    * (md5-digit gate — reproducible, unlike SAMPLE), plus the polynomial /
+    * log / sqrt / calendar features _engineer_features derives. */
+  def trainingAssembly(orders: DataFrame): DataFrame = {
+    val wC = Window.partitionBy(col("o_custkey"))
+    orders
+      .withColumn("cust_avg",
+        (sum(col("o_totalprice").cast("decimal(18,4)")).over(wC).cast("double") /
+          count(lit(1)).over(wC)))
+      .withColumn("target",
+        (col("o_totalprice") > col("cust_avg") * 1.5d).cast("int"))
+      .filter(expr(
+        "instr('0123456789abcdef', substr(md5(cast(o_orderkey as string)), 1, 1)) - 1 < 4"))
+      .select(
+        col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        r6(col("cust_avg")).as("cust_avg"), col("target"),
+        (col("o_totalprice") * col("o_totalprice")).as("tp_squared"),
+        r6(log1p(col("o_totalprice"))).as("tp_log"),
+        r6(sqrt(col("o_totalprice"))).as("tp_sqrt"),
+        hour(col("o_orderdate")).cast("int").as("order_hour"),
+        expr("weekday(o_orderdate)").cast("int").as("day_of_week"),
+        (expr("weekday(o_orderdate)") >= 5).as("is_weekend"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Imputation plan (_preprocess_features): numeric columns get the
+    * exact interpolated median of the non-missing values, categoricals
+    * the mode with a deterministic lexicographic tie-break. Missingness
+    * here is injected by an md5 digit gate so the round trip is
+    * oracle-checkable on complete synthetic data; on real data the CASE
+    * collapses to the column itself. */
+  def imputePlan(events: DataFrame): DataFrame = {
+    val gated = events
+      .withColumn("d", expr(
+        "instr('0123456789abcdef', substr(md5(cast(event_id as string)), 1, 1)) - 1"))
+      .withColumn("value_n", when(col("d") === 0, lit(null)).otherwise(col("value")))
+      .withColumn("type_n", when(col("d") === 1, lit(null)).otherwise(col("event_type")))
+    val numRow = gated.agg(
+        sum(when(col("value_n").isNull, 1L).otherwise(0L)).as("n_missing"),
+        expr("percentile(value_n, 0.5d)").as("med"))
+      .select(lit("value").as("column"), lit("median").as("strategy"),
+        col("n_missing"), r6(col("med")).as("fill_num"),
+        lit(null).cast("string").as("fill_cat"))
+    val catMissing = gated.agg(
+      sum(when(col("type_n").isNull, 1L).otherwise(0L)).as("n_missing"))
+    val mode = gated.filter(col("type_n").isNotNull)
+      .groupBy(col("type_n")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("type_n")).limit(1)
+    val catRow = mode.crossJoin(broadcast(catMissing))
+      .select(lit("event_type").as("column"), lit("mode").as("strategy"),
+        col("n_missing"), lit(null).cast("double").as("fill_num"),
+        col("type_n").as("fill_cat"))
+    numRow.unionByName(catRow).orderBy("column")
+  }
+
+  private val corrFeats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** Pearson correlation matrix over the fact's numeric features — the
+    * statistic _engineer_features ranks (corr().abs().sum().nlargest) to
+    * pick interaction candidates. All moment sums (Σx, Σx², Σxy) are
+    * decimal aggregates in ONE scan; r is assembled in double arithmetic
+    * mirrored expression-for-expression by the oracle. */
+  def featureCorr(lineitem: DataFrame): DataFrame = {
+    def dcol(f: String): Column = col(f).cast("double")
+    val sums =
+      Seq(count(lit(1)).cast("double").as("n")) ++
+      corrFeats.zipWithIndex.map { case (f, i) =>
+        sum(dcol(f).cast("decimal(38,10)")).cast("double").as(s"s_$i") } ++
+      corrFeats.zipWithIndex.map { case (f, i) =>
+        sum((dcol(f) * dcol(f)).cast("decimal(38,10)")).cast("double").as(s"ss_$i") } ++
+      (for { i <- corrFeats.indices; j <- corrFeats.indices if i < j } yield
+        sum((dcol(corrFeats(i)) * dcol(corrFeats(j))).cast("decimal(38,10)"))
+          .cast("double").as(s"sp_${i}_$j"))
+    def r(i: Int, j: Int): Column =
+      (col("n") * col(s"sp_${i}_$j") - col(s"s_$i") * col(s"s_$j")) /
+        sqrt((col("n") * col(s"ss_$i") - col(s"s_$i") * col(s"s_$i")) *
+          (col("n") * col(s"ss_$j") - col(s"s_$j") * col(s"s_$j")))
+    val pairs = for { i <- corrFeats.indices; j <- corrFeats.indices if i < j } yield
+      struct(lit(corrFeats(i)).as("feature_a"), lit(corrFeats(j)).as("feature_b"),
+        r6(r(i, j)).as("pearson_r"))
+    lineitem.agg(sums.head, sums.tail: _*)
+      .select(explode(array(pairs: _*)).as("s"))
+      .select(col("s.feature_a").as("feature_a"), col("s.feature_b").as("feature_b"),
+        col("s.pearson_r").as("pearson_r"))
+      .orderBy("feature_a", "feature_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_train_assembly" -> ((s, d) => trainingAssembly(Tables.orders(s, d))),
+    "q_impute" -> ((s, d) => imputePlan(Tables.events(s, d))),
+    "q_feature_corr" -> ((s, d) => featureCorr(Tables.lineitem(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_train_assembly" ->
+      s"""WITH a AS (
+           SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg
+           FROM orders),
+         f AS (SELECT * FROM a
+           WHERE instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1 < 4)
+         SELECT o_orderkey, o_custkey, o_totalprice,
+           ${sqlR("cust_avg", 6)} AS cust_avg,
+           CAST(o_totalprice > cust_avg * 1.5 AS INT) AS target,
+           o_totalprice * o_totalprice AS tp_squared,
+           ${sqlR("ln(1 + o_totalprice)", 6)} AS tp_log,
+           ${sqlR("sqrt(o_totalprice)", 6)} AS tp_sqrt,
+           CAST(EXTRACT(hour FROM o_orderdate) AS INT) AS order_hour,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS day_of_week,
+           isodow(o_orderdate) - 1 >= 5 AS is_weekend
+         FROM f ORDER BY o_orderkey""",
+    "q_impute" ->
+      s"""WITH g AS (
+           SELECT *,
+             instr('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1 AS d
+           FROM events),
+         gg AS (SELECT
+             CASE WHEN d = 0 THEN NULL ELSE value END AS value_n,
+             CASE WHEN d = 1 THEN NULL ELSE event_type END AS type_n
+           FROM g),
+         num AS (SELECT 'value' AS "column", 'median' AS strategy,
+             CAST(SUM(CASE WHEN value_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+             ${sqlR("median(value_n)", 6)} AS fill_num,
+             CAST(NULL AS VARCHAR) AS fill_cat
+           FROM gg),
+         cm AS (SELECT CAST(SUM(CASE WHEN type_n IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing FROM gg),
+         md AS (SELECT type_n, COUNT(*) AS c FROM gg WHERE type_n IS NOT NULL
+           GROUP BY type_n ORDER BY c DESC, type_n LIMIT 1),
+         cat AS (SELECT 'event_type' AS "column", 'mode' AS strategy, cm.n_missing,
+             CAST(NULL AS DOUBLE) AS fill_num, md.type_n AS fill_cat
+           FROM md, cm)
+         SELECT * FROM num UNION ALL SELECT * FROM cat ORDER BY "column"""",
+    "q_feature_corr" -> {
+      val fs = corrFeats
+      val sumsSql =
+        (s"CAST(COUNT(*) AS DOUBLE) AS n" +:
+          fs.zipWithIndex.map { case (f, i) =>
+            s"CAST(SUM(CAST(CAST($f AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS s_$i" }) ++
+        fs.zipWithIndex.map { case (f, i) =>
+          s"CAST(SUM(CAST(CAST($f AS DOUBLE) * CAST($f AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS ss_$i" } ++
+        (for { i <- fs.indices; j <- fs.indices if i < j } yield
+          s"CAST(SUM(CAST(CAST(${fs(i)} AS DOUBLE) * CAST(${fs(j)} AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS sp_${i}_$j")
+      def rSql(i: Int, j: Int): String =
+        s"(n * sp_${i}_$j - s_$i * s_$j) / sqrt((n * ss_$i - s_$i * s_$i) * (n * ss_$j - s_$j * s_$j))"
+      val pairRows = (for { i <- fs.indices; j <- fs.indices if i < j } yield
+        s"SELECT '${fs(i)}' AS feature_a, '${fs(j)}' AS feature_b, ${sqlR(rSql(i, j), 6)} AS pearson_r FROM m")
+        .mkString(" UNION ALL ")
+      s"""WITH m AS (SELECT ${sumsSql.mkString(", ")} FROM lineitem)
+         SELECT * FROM ($pairRows) ORDER BY feature_a, feature_b"""
+    }
+  )
+}

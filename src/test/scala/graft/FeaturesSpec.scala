@@ -23,6 +23,50 @@ class FeaturesSpec extends AnyFunSuite {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
+  test("training assembly: target consistent with cust_avg, sample deterministic, calendar fields bounded") {
+    val r = graft.ml.TrainPrep.trainingAssembly(Tables.orders(spark, sf)).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val tp = row.getAs[Double]("o_totalprice")
+      val avg = row.getAs[Double]("cust_avg")
+      assert(row.getAs[Int]("target") == (if (tp > avg * 1.5) 1 else 0) ||
+        math.abs(tp - avg * 1.5) < 1e-6) // rounding boundary tolerance on displayed avg
+      val dow = row.getAs[Int]("day_of_week")
+      assert(dow >= 0 && dow <= 6)
+      assert(row.getAs[Boolean]("is_weekend") == (dow >= 5))
+    }
+    val again = graft.ml.TrainPrep.trainingAssembly(Tables.orders(spark, sf)).count()
+    assert(again == r.length)
+  }
+
+  test("imputation plan: fill values come from the observed data, missing counts positive") {
+    val rows = graft.ml.TrainPrep.imputePlan(Tables.events(spark, sf)).collect()
+    assert(rows.length == 2)
+    val byCol = rows.map(r => r.getAs[String]("column") -> r).toMap
+    assert(byCol("value").getAs[Long]("n_missing") > 0)
+    assert(byCol("event_type").getAs[Long]("n_missing") > 0)
+    val types = Tables.events(spark, sf).select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types.contains(byCol("event_type").getAs[String]("fill_cat")))
+    val s = Tables.events(spark, sf).agg(org.apache.spark.sql.functions.min("value"), org.apache.spark.sql.functions.max("value")).first()
+    val mn = s.getDouble(0)
+    val mx = s.getDouble(1)
+    val med = byCol("value").getAs[Double]("fill_num")
+    assert(med >= mn && med <= mx)
+  }
+
+  test("feature correlation matrix: r in [-1,1], symmetric pair coverage, self-consistent") {
+    val r = graft.ml.TrainPrep.featureCorr(Tables.lineitem(spark, sf)).collect()
+    assert(r.length == 6) // C(4,2) unordered pairs
+    val order = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    r.foreach(row => {
+      val v = row.getAs[Double]("pearson_r")
+      assert(v >= -1.0 - 1e-9 && v <= 1.0 + 1e-9)
+      assert(order.indexOf(row.getAs[String]("feature_a")) <
+        order.indexOf(row.getAs[String]("feature_b")))
+    })
+  }
+
   test("rfm approx path is ntile-equivalent up to tie placement") {
     // Threshold bucketing and ntile can only disagree where a run of tied
     // feature values straddles a quintile boundary — there ntile's split
