@@ -7,6 +7,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The sf0.1 tables are single ~1-10 MB parquet files; at the default
+      // 128 MB split size every SCAN stage runs as ONE task and the
+      // aggregate-heavy queries serialize on it. 1 MB splits spread the
+      // scan across the cores — the knob a real cluster tunes to its own
+      // file sizes (the guideline: partitions sized to the data, not the
+      // default).
+      .config("spark.sql.files.maxPartitionBytes", "1048576")
+      .config("spark.sql.files.openCostInBytes", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -91,28 +91,55 @@ object TrainPrep {
     * decimal aggregates in ONE scan; r is assembled in double arithmetic
     * mirrored expression-for-expression by the oracle. */
   def featureCorr(lineitem: DataFrame): DataFrame = {
-    def dcol(f: String): Column = col(f).cast("double")
-    val sums =
-      Seq(count(lit(1)).cast("double").as("n")) ++
-      corrFeats.zipWithIndex.map { case (f, i) =>
-        sum(dcol(f).cast("decimal(38,10)")).cast("double").as(s"s_$i") } ++
-      corrFeats.zipWithIndex.map { case (f, i) =>
-        sum((dcol(f) * dcol(f)).cast("decimal(38,10)")).cast("double").as(s"ss_$i") } ++
+    // Exact order-independent moment sums WITHOUT decimal aggregation:
+    // each term T splits into hi = floor(T) and lo = floor(frac(T)·2^40),
+    // both summed as primitive longs (codegen'd adds — the decimal form
+    // allocated a Decimal per term and cost ~0.2 s per aggregate on a
+    // single-row-group scan). Recombined as hi + lo/2^40 — every double
+    // op mirrored by the oracle, exact to 2^-40 per term. Long capacity:
+    // hi ≤ rows·maxT, lo ≤ rows·2^40 — both far under 2^63 at any
+    // realistic fact scale (overflow would need 8M² rows·magnitude).
+    val S = "1099511627776.0" // 2^40
+    def term(i: Int, j: Int): String =
+      s"(cast(${corrFeats(i)} as double) * cast(${corrFeats(j)} as double))"
+    def hiLo(nm: String, t: String): Seq[Column] = Seq(
+      sum(expr(s"cast(floor($t) as bigint)")).as(s"${nm}_hi"),
+      sum(expr(s"cast(floor(($t - floor($t)) * $S) as bigint)")).as(s"${nm}_lo"))
+    def recomb(nm: String): Column =
+      (col(s"${nm}_hi").cast("double") + col(s"${nm}_lo").cast("double") / expr(S)).as(nm)
+    val sumAggs =
+      Seq(count(lit(1)).as("n0")) ++
+      corrFeats.zipWithIndex.flatMap { case (f, i) =>
+        hiLo(s"s_$i", s"cast($f as double)") } ++
+      corrFeats.zipWithIndex.flatMap { case (f, i) => hiLo(s"ss_$i", term(i, i)) } ++
       (for { i <- corrFeats.indices; j <- corrFeats.indices if i < j } yield
-        sum((dcol(corrFeats(i)) * dcol(corrFeats(j))).cast("decimal(38,10)"))
-          .cast("double").as(s"sp_${i}_$j"))
-    def r(i: Int, j: Int): Column =
-      (col("n") * col(s"sp_${i}_$j") - col(s"s_$i") * col(s"s_$j")) /
-        sqrt((col("n") * col(s"ss_$i") - col(s"s_$i") * col(s"s_$i")) *
-          (col("n") * col(s"ss_$j") - col(s"s_$j") * col(s"s_$j")))
-    val pairs = for { i <- corrFeats.indices; j <- corrFeats.indices if i < j } yield
+        hiLo(s"sp_${i}_$j", term(i, j))).flatten
+    val sums = lineitem.agg(sumAggs.head, sumAggs.tail: _*)
+      .select(
+        Seq(col("n0").cast("double").as("n")) ++
+        corrFeats.indices.map(i => recomb(s"s_$i")) ++
+        corrFeats.indices.map(i => recomb(s"ss_$i")) ++
+        (for { i <- corrFeats.indices; j <- corrFeats.indices if i < j }
+          yield recomb(s"sp_${i}_$j")): _*)
+    def r(i: Int, j: Int): Column = expr(
+      s"(n * sp_${i}_$j - s_$i * s_$j) / " +
+        s"sqrt((n * ss_$i - s_$i * s_$i) * (n * ss_$j - s_$j * s_$j))")
+    val idx = for { i <- corrFeats.indices; j <- corrFeats.indices if i < j } yield (i, j)
+    // Two-step unpivot: materialize each r as a named scalar COLUMN first,
+    // then explode structs that reference only those attributes. Inlining
+    // the full r6(r(i,j)) expressions into the explode's array literal
+    // made the Generate stage's generated code explode combinatorially —
+    // janino spent ~3.5 s compiling it (per fresh plan), dwarfing the
+    // actual scan. (No orderBy either: the array order is deterministic.)
+    val pairs = idx.map { case (i, j) =>
       struct(lit(corrFeats(i)).as("feature_a"), lit(corrFeats(j)).as("feature_b"),
-        r6(r(i, j)).as("pearson_r"))
-    lineitem.agg(sums.head, sums.tail: _*)
+        col(s"r_${i}_$j").as("pearson_r"))
+    }
+    sums
+      .select(idx.map { case (i, j) => r6(r(i, j)).as(s"r_${i}_$j") }: _*)
       .select(explode(array(pairs: _*)).as("s"))
       .select(col("s.feature_a").as("feature_a"), col("s.feature_b").as("feature_b"),
         col("s.pearson_r").as("pearson_r"))
-      .orderBy("feature_a", "feature_b")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -163,16 +190,24 @@ object TrainPrep {
          SELECT * FROM num UNION ALL SELECT * FROM cat ORDER BY "column"""",
     "q_feature_corr" -> {
       val fs = corrFeats
+      val S = "1099511627776.0"
+      def hiLoSql(nm: String, t: String): Seq[String] = Seq(
+        s"CAST(SUM(CAST(FLOOR($t) AS BIGINT)) AS BIGINT) AS ${nm}_hi",
+        s"CAST(SUM(CAST(FLOOR(($t - FLOOR($t)) * $S) AS BIGINT)) AS BIGINT) AS ${nm}_lo")
+      def tSql(i: Int, j: Int): String =
+        s"(CAST(${fs(i)} AS DOUBLE) * CAST(${fs(j)} AS DOUBLE))"
       val sumsSql =
-        (s"CAST(COUNT(*) AS DOUBLE) AS n" +:
-          fs.zipWithIndex.map { case (f, i) =>
-            s"CAST(SUM(CAST(CAST($f AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS s_$i" }) ++
-        fs.zipWithIndex.map { case (f, i) =>
-          s"CAST(SUM(CAST(CAST($f AS DOUBLE) * CAST($f AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS ss_$i" } ++
+        Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
+        fs.zipWithIndex.flatMap { case (f, i) => hiLoSql(s"s_$i", s"CAST($f AS DOUBLE)") } ++
+        fs.indices.flatMap(i => hiLoSql(s"ss_$i", tSql(i, i))) ++
         (for { i <- fs.indices; j <- fs.indices if i < j } yield
-          s"CAST(SUM(CAST(CAST(${fs(i)} AS DOUBLE) * CAST(${fs(j)} AS DOUBLE) AS DECIMAL(38,10))) AS DOUBLE) AS sp_${i}_$j")
+          hiLoSql(s"sp_${i}_$j", tSql(i, j))).flatten
+      def rc(nm: String): String =
+        s"(CAST(${nm}_hi AS DOUBLE) + CAST(${nm}_lo AS DOUBLE) / $S)"
       def rSql(i: Int, j: Int): String =
-        s"(n * sp_${i}_$j - s_$i * s_$j) / sqrt((n * ss_$i - s_$i * s_$i) * (n * ss_$j - s_$j * s_$j))"
+        s"(n * ${rc(s"sp_${i}_$j")} - ${rc(s"s_$i")} * ${rc(s"s_$j")}) / " +
+          s"sqrt((n * ${rc(s"ss_$i")} - ${rc(s"s_$i")} * ${rc(s"s_$i")}) * " +
+          s"(n * ${rc(s"ss_$j")} - ${rc(s"s_$j")} * ${rc(s"s_$j")}))"
       val pairRows = (for { i <- fs.indices; j <- fs.indices if i < j } yield
         s"SELECT '${fs(i)}' AS feature_a, '${fs(j)}' AS feature_b, ${sqlR(rSql(i, j), 6)} AS pearson_r FROM m")
         .mkString(" UNION ALL ")

@@ -31,6 +31,12 @@ object Profile {
     t("clusters_warm") { graft.dedup.Dedup.nearDupClusters(docs).count() }
     spark.catalog.clearCache()
     t("jaccard_warm") { graft.dedup.Dedup.ngramJaccard(docs).count() }
+    if (sys.env.contains("SPARK_GRAFT_CORR")) {
+      val li = graft.Tables.lineitem(spark, sfDir)
+      li.count()
+      t("corr_warm") { graft.ml.TrainPrep.featureCorr(li).collect().length.toLong }
+      t("corr_warm2") { graft.ml.TrainPrep.featureCorr(li).collect().length.toLong }
+    }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       val q = graft.text.Vocab.tfidf(docs)
       q.collect()
