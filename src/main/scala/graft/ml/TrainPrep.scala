@@ -91,17 +91,31 @@ object TrainPrep {
     * decimal aggregates in ONE scan; r is assembled in double arithmetic
     * mirrored expression-for-expression by the oracle. */
   def featureCorr(lineitem: DataFrame): DataFrame = {
-    // Exact order-independent moment sums WITHOUT decimal aggregation:
-    // each term T splits into hi = floor(T) and lo = floor(frac(T)·2^40),
-    // both summed as primitive longs (codegen'd adds — the decimal form
-    // allocated a Decimal per term and cost ~0.2 s per aggregate on a
-    // single-row-group scan). Recombined as hi + lo/2^40 — every double
-    // op mirrored by the oracle, exact to 2^-40 per term. Long capacity:
-    // hi ≤ rows·maxT, lo ≤ rows·2^40 — both far under 2^63 at any
-    // realistic fact scale (overflow would need 8M² rows·magnitude).
-    val S = "1099511627776.0" // 2^40
+    // Exact order-independent moment sums WITHOUT decimal aggregation
+    // (the decimal form allocated a Decimal per term — ~0.2 s per
+    // aggregate on a single-row-group scan). Two passes:
+    //
+    //  1. max|x| per feature (narrow columnar agg), turned into a
+    //     POWER-OF-TWO scale 2^-ceil(log2(max|x|)) per feature. Pearson r
+    //     is invariant under positive per-feature scaling, and scaling a
+    //     double by a power of two is EXACT — this bounds every product
+    //     term into (-1, 1] regardless of raw magnitudes.
+    //  2. each scaled term T splits into hi = floor(T) (∈ {-1, 0, 1})
+    //     and lo = floor(frac(T)·2^20), both summed as primitive longs
+    //     (codegen'd adds). Recombined hi + lo/2^20, every double op
+    //     mirrored by the oracle.
+    //
+    // Long capacity: |hi| ≤ N and lo ≤ N·2^20 → exact to ~9e12 rows (a
+    // 100 TB fact), with 2^-20 per-term floor granularity — identical in
+    // both engines, so cross-engine parity is unconditional.
+    val S = "1048576.0" // 2^20
+    val maAggs = corrFeats.zipWithIndex.map { case (f, i) =>
+      max(abs(col(f).cast("double"))).as(s"ma_$i") }
+    val scales = lineitem.agg(maAggs.head, maAggs.tail: _*)
+      .select(corrFeats.indices.map(i =>
+        expr(s"power(2.0d, -ceil(log2(greatest(ma_$i, 1e-300d))))").as(s"sc_$i")): _*)
     def term(i: Int, j: Int): String =
-      s"(cast(${corrFeats(i)} as double) * cast(${corrFeats(j)} as double))"
+      s"(cast(${corrFeats(i)} as double) * sc_$i * (cast(${corrFeats(j)} as double) * sc_$j))"
     def hiLo(nm: String, t: String): Seq[Column] = Seq(
       sum(expr(s"cast(floor($t) as bigint)")).as(s"${nm}_hi"),
       sum(expr(s"cast(floor(($t - floor($t)) * $S) as bigint)")).as(s"${nm}_lo"))
@@ -110,11 +124,12 @@ object TrainPrep {
     val sumAggs =
       Seq(count(lit(1)).as("n0")) ++
       corrFeats.zipWithIndex.flatMap { case (f, i) =>
-        hiLo(s"s_$i", s"cast($f as double)") } ++
+        hiLo(s"s_$i", s"(cast($f as double) * sc_$i)") } ++
       corrFeats.zipWithIndex.flatMap { case (f, i) => hiLo(s"ss_$i", term(i, i)) } ++
       (for { i <- corrFeats.indices; j <- corrFeats.indices if i < j } yield
         hiLo(s"sp_${i}_$j", term(i, j))).flatten
-    val sums = lineitem.agg(sumAggs.head, sumAggs.tail: _*)
+    val sums = lineitem.crossJoin(broadcast(scales))
+      .agg(sumAggs.head, sumAggs.tail: _*)
       .select(
         Seq(col("n0").cast("double").as("n")) ++
         corrFeats.indices.map(i => recomb(s"s_$i")) ++
@@ -190,15 +205,19 @@ object TrainPrep {
          SELECT * FROM num UNION ALL SELECT * FROM cat ORDER BY "column"""",
     "q_feature_corr" -> {
       val fs = corrFeats
-      val S = "1099511627776.0"
+      val S = "1048576.0"
       def hiLoSql(nm: String, t: String): Seq[String] = Seq(
         s"CAST(SUM(CAST(FLOOR($t) AS BIGINT)) AS BIGINT) AS ${nm}_hi",
         s"CAST(SUM(CAST(FLOOR(($t - FLOOR($t)) * $S) AS BIGINT)) AS BIGINT) AS ${nm}_lo")
       def tSql(i: Int, j: Int): String =
-        s"(CAST(${fs(i)} AS DOUBLE) * CAST(${fs(j)} AS DOUBLE))"
+        s"(CAST(${fs(i)} AS DOUBLE) * sc_$i * (CAST(${fs(j)} AS DOUBLE) * sc_$j))"
+      val scSql = fs.zipWithIndex.map { case (f, i) =>
+        s"power(2.0, -ceil(log2(greatest((SELECT MAX(ABS(CAST($f AS DOUBLE))) FROM lineitem), 1e-300)))) AS sc_$i"
+      }.mkString(", ")
       val sumsSql =
         Seq("CAST(COUNT(*) AS DOUBLE) AS n") ++
-        fs.zipWithIndex.flatMap { case (f, i) => hiLoSql(s"s_$i", s"CAST($f AS DOUBLE)") } ++
+        fs.zipWithIndex.flatMap { case (f, i) =>
+          hiLoSql(s"s_$i", s"(CAST($f AS DOUBLE) * sc_$i)") } ++
         fs.indices.flatMap(i => hiLoSql(s"ss_$i", tSql(i, i))) ++
         (for { i <- fs.indices; j <- fs.indices if i < j } yield
           hiLoSql(s"sp_${i}_$j", tSql(i, j))).flatten
@@ -211,7 +230,8 @@ object TrainPrep {
       val pairRows = (for { i <- fs.indices; j <- fs.indices if i < j } yield
         s"SELECT '${fs(i)}' AS feature_a, '${fs(j)}' AS feature_b, ${sqlR(rSql(i, j), 6)} AS pearson_r FROM m")
         .mkString(" UNION ALL ")
-      s"""WITH m AS (SELECT ${sumsSql.mkString(", ")} FROM lineitem)
+      s"""WITH sc AS (SELECT $scSql),
+         m AS (SELECT ${sumsSql.mkString(", ")} FROM lineitem, sc)
          SELECT * FROM ($pairRows) ORDER BY feature_a, feature_b"""
     }
   )
