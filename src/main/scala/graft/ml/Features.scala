@@ -20,11 +20,12 @@ object Features {
 
   // RFM (recency/frequency/monetary) per user over purchase events, with
   // quintile scores and segment categorization
-  // (feature_store_manager.py:200-260). Two scorers over one shared
-  // per-user aggregate: [[rfm]] (exact ntile — the oracle query; rank
-  // windows over one row per entity, fine to ~10^8 entities) and
-  // [[rfmApprox]] (sketch thresholds — the 100 TB path, no global
-  // window anywhere).
+  // (feature_store_manager.py:200-260). Three scorers over one shared
+  // per-user aggregate: [[rfm]] (window ntile — cheap for bounded
+  // populations), [[rfmExactDistributed]] (identical result via indexed
+  // range-partitioned sorts — no single-partition stage), and
+  // [[rfmApprox]] (sketch thresholds). [[rfmExact]] — the registered
+  // path — picks between the two exact plans by population.
 
   /** Per-user recency/frequency/monetary aggregate — shared by the exact
     * and approximate scorers. One shuffle on user_id. */
