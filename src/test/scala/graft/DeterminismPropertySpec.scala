@@ -72,6 +72,33 @@ class DeterminismPropertySpec extends AnyFunSuite {
       run(graft.ann.Embeddings.quantizeInt8(emb.repartition(13))))
   }
 
+  test("round-5 operators are invariant to input partitioning") {
+    val docs = Tables.documents(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    val ev = Tables.events(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => graft.text.Vocab.tfidf(d),
+      d => graft.text.Vocab.chunkDocs(d),
+      d => graft.text.Vocab.bigramVocab(d, k = 15),
+      d => graft.text.Vocab.unigramLm(d),
+      d => graft.text.Vocab.mixPlan(d)
+    ).foreach { op =>
+      assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
+    }
+    // split-long moment sums: the invariant the 2^20 fixed-point floor
+    // buys — any partitioning sums the same integers
+    assert(run(graft.ml.TrainPrep.featureCorr(li.repartition(1))) ==
+      run(graft.ml.TrainPrep.featureCorr(li.repartition(13))))
+    assert(run(graft.ml.TrainPrep.imputePlan(ev.repartition(1))) ==
+      run(graft.ml.TrainPrep.imputePlan(ev.repartition(13))))
+    assert(run(graft.ml.TrainPrep.trainingAssembly(
+        Tables.orders(spark, sf).repartition(1))) ==
+      run(graft.ml.TrainPrep.trainingAssembly(
+        Tables.orders(spark, sf).repartition(13))))
+  }
+
   test("surrogate keys are stable and distinct keys never collide on test data") {
     val sk = Tables.orders(spark, sf)
       .select(Fns.surrogateKey(col("o_orderkey")).as("k"))
