@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.operators.{Analytics, ConfigFacts, Joins, Marts, Quality, Sampling, Scd2, Warehouse}
-import graft.ml.{Approx, Features, Monitoring, TopK, TrainPrep}
+import graft.operators.{Analytics, ConfigFacts, Diagnostics, Graph, Joins, Marts, Quality, Sampling, Scd2, Warehouse}
+import graft.ml.{Approx, Features, Inference, Monitoring, TopK, TrainPrep}
 import graft.dedup.Dedup
 import graft.ann.{Ann, Embeddings}
 import graft.text.{Filters, Packing, TextOps, Vocab}
@@ -21,7 +21,8 @@ object SparkEntry {
       Dedup.queries ++ Ann.queries ++ TextOps.queries ++ Multimodal.queries ++
       Joins.queries ++ Sampling.queries ++ ConfigFacts.queries ++ Marts.queries ++
       Quality.queries ++ Approx.queries ++ TopK.queries ++ SemiStructured.queries ++
-      Monitoring.queries ++ Filters.queries ++ Packing.queries ++ Embeddings.queries ++ Vocab.queries ++ TrainPrep.queries
+      Monitoring.queries ++ Filters.queries ++ Packing.queries ++ Embeddings.queries ++ Vocab.queries ++ TrainPrep.queries ++
+      Inference.queries ++ Graph.queries ++ Diagnostics.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -29,5 +30,6 @@ object SparkEntry {
       Dedup.oracles ++ Ann.oracles ++ TextOps.oracles ++ Multimodal.oracles ++
       Joins.oracles ++ Sampling.oracles ++ ConfigFacts.oracles ++ Marts.oracles ++
       Quality.oracles ++ Approx.oracles ++ TopK.oracles ++ SemiStructured.oracles ++
-      Monitoring.oracles ++ Filters.oracles ++ Packing.oracles ++ Embeddings.oracles ++ Vocab.oracles ++ TrainPrep.oracles
+      Monitoring.oracles ++ Filters.oracles ++ Packing.oracles ++ Embeddings.oracles ++ Vocab.oracles ++ TrainPrep.oracles ++
+      Inference.oracles ++ Graph.oracles ++ Diagnostics.oracles
 }

@@ -1,6 +1,7 @@
 package graft.ann
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -98,12 +99,93 @@ object Embeddings {
       .orderBy("vec_id", "dim")
   }
 
+  /** Product quantization codebook assignment — the memory-side
+    * compression an IVF-PQ vector index uses at corpus scale (a 64-dim
+    * float vector becomes `m` one-byte codes). Subspace codebooks are
+    * the hash-ranked sample the IVF centroids already use
+    * ([[Ann.ivfAssign]]'s TakeOrderedAndProject pick — codebook size is
+    * corpus-size-independent, broadcast stays k rows); assignment is a
+    * row-local argmin over k·m exact scaled-integer L2² distances, so
+    * the only shuffle is the final presentation sort. Emits the per-
+    * subspace codes and the exact total reconstruction distance. */
+  def pqCodes(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
+              k: Int = 8): DataFrame = {
+    graft.functions.DotScaled.register(embeddings.sparkSession)
+    def d(a: String, b: String) =
+      expr(s"graft_dot($a, $b)").cast("double") / expr(S)
+    val cents = embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val ms = explode(array((0 until m).map(lit): _*)).as("m")
+    val sub = embeddings.select(col("vec_id"), col("embedding"), ms)
+      .withColumn("sv", expr(s"slice(embedding, m * $subDim + 1, $subDim)"))
+      .select("vec_id", "m", "sv")
+    val csub = cents.select(col("centroid_id"), col("ce"), ms)
+      .withColumn("cv", expr(s"slice(ce, m * $subDim + 1, $subDim)"))
+      .select(col("centroid_id"), col("m").as("cm"), col("cv"))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2").asc, col("centroid_id").asc)
+    val best = sub.join(broadcast(csub), col("m") === col("cm"))
+      .withColumn("d2", d("sv", "sv") - lit(2d) * d("sv", "cv") + d("cv", "cv"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    best.groupBy(col("vec_id"))
+      .agg(
+        max(when(col("m") === 0, col("centroid_id"))).as("code0"),
+        max(when(col("m") === 1, col("centroid_id"))).as("code1"),
+        max(when(col("m") === 2, col("centroid_id"))).as("code2"),
+        max(when(col("m") === 3, col("centroid_id"))).as("code3"),
+        max(when(col("m") === 0, col("d2"))).as("d0"),
+        max(when(col("m") === 1, col("d2"))).as("d1"),
+        max(when(col("m") === 2, col("d2"))).as("d2_"),
+        max(when(col("m") === 3, col("d2"))).as("d3"))
+      .select(col("vec_id"), col("code0"), col("code1"), col("code2"), col("code3"),
+        r6(sqrt(greatest(col("d0") + col("d1") + col("d2_") + col("d3"), lit(0d))))
+          .as("recon_l2"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_quant" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
-    "q_rand_proj" -> ((s, d) => randomProjection(Tables.embeddings(s, d)))
+    "q_rand_proj" -> ((s, d) => randomProjection(Tables.embeddings(s, d))),
+    "q_pq_codes" -> ((s, d) => pqCodes(Tables.embeddings(s, d)))
   )
 
+  /** Oracle twin of the scaled-integer dot over DuckDB lists. */
+  private def dotSqlE(e1: String, e2: String): String =
+    s"""(SELECT CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * $S) AS BIGINT)) AS DOUBLE)
+        FROM (SELECT unnest($e1) AS x, unnest($e2) AS y)) / $S"""
+
   val oracles: Map[String, String] = Map(
+    "q_pq_codes" ->
+      s"""WITH ms AS (SELECT m FROM generate_series(0, 3) t(m)),
+         cents AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+         sub AS (SELECT vec_id, m,
+             list_slice(embedding, m * 16 + 1, (m + 1) * 16) AS sv
+           FROM embeddings, ms),
+         csub AS (SELECT centroid_id, m,
+             list_slice(ce, m * 16 + 1, (m + 1) * 16) AS cv
+           FROM cents, ms),
+         scored AS (SELECT sub.vec_id, sub.m, csub.centroid_id,
+             ${dotSqlE("sv", "sv")} - 2 * ${dotSqlE("sv", "cv")} + ${dotSqlE("cv", "cv")} AS d2
+           FROM sub JOIN csub USING (m)),
+         best AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY vec_id, m ORDER BY d2 ASC, centroid_id ASC) AS rn
+           FROM scored),
+         agg AS (SELECT vec_id,
+             MAX(CASE WHEN m = 0 THEN centroid_id END) code0,
+             MAX(CASE WHEN m = 1 THEN centroid_id END) code1,
+             MAX(CASE WHEN m = 2 THEN centroid_id END) code2,
+             MAX(CASE WHEN m = 3 THEN centroid_id END) code3,
+             MAX(CASE WHEN m = 0 THEN d2 END) d0,
+             MAX(CASE WHEN m = 1 THEN d2 END) d1,
+             MAX(CASE WHEN m = 2 THEN d2 END) d2_,
+             MAX(CASE WHEN m = 3 THEN d2 END) d3
+           FROM best WHERE rn = 1 GROUP BY vec_id)
+         SELECT vec_id, code0, code1, code2, code3,
+           ${sqlR("sqrt(GREATEST(d0 + d1 + d2_ + d3, 0.0))", 6)} AS recon_l2
+         FROM agg ORDER BY vec_id""",
     "q_rand_proj" ->
       s"""WITH sg AS (SELECT i, j,
              CASE WHEN (instr('0123456789abcdef',

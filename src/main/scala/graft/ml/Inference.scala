@@ -1,0 +1,265 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Batch inference analytics — the reference's ensemble-prediction and
+  * aggregated-feature-store surface re-expressed as Spark scans.
+  *
+  * Re-expresses /root/reference/ml_platform:
+  *   - ensembleScore: MLPipelineFramework.predict_ensemble
+  *     (core/ml_pipeline_framework.py:533-575) and the inference
+  *     service's equal-weight ensemble + mock model trio
+  *     (inference/realtime_inference_service.py:194-282) — standardize
+  *     features with a global scaler, score three deterministic model
+  *     twins, average into an ensemble probability with confidence and
+  *     agreement flags.
+  *   - aggFeatureStore: the pre-computed aggregated_features entity mart
+  *     (core/ml_pipeline_framework.py:273-306) — per-entity statistical
+  *     aggregations (mean/std/median/p95), an exact least-squares amount
+  *     trend, a day-of-week preference score, and min-max-scaled
+  *     RFM-style interaction scores.
+  *
+  * Scale shape: ensembleScore is ONE broadcast of three global moments
+  * plus a row-local scoring pass (no shuffle grows with data); the
+  * feature store is two aggregations over the same entity key (the
+  * second consumes the first's exchange) plus a broadcast of global
+  * normalization bounds. The reference pulls features per record-id
+  * batch from Snowflake; here the whole entity population is scored in
+  * one distributed pass — the batch twin of its row-service loop.
+  */
+object Inference {
+
+  /** logistic(t) = 1/(1+e^-t) — written with the same operation order in
+    * the oracle SQL so the doubles agree to the last bit before r6. */
+  private def sigmoid(t: Column): Column = lit(1d) / (lit(1d) + exp(-t))
+
+  /** Ensemble batch scoring over orders. Features per order:
+    * f1 = o_totalprice, f2 = priority rank (1-5), f3 = weekday(0-6).
+    * Each is standardized with the population scaler the reference's
+    * MockScaler stands in for (exact decimal moment sums). Model twins:
+    * a boosted-margin logistic, a 3-stump vote share, and a tiny fixed
+    * 2-unit MLP. Equal-weight ensemble, pred at 0.5, confidence
+    * = 2|p-0.5|, agreement = all three models vote with the ensemble. */
+  def ensembleScore(orders: DataFrame): DataFrame = {
+    val raw = orders.select(
+      col("o_orderkey"),
+      col("o_totalprice").cast("double").as("f1"),
+      substring(col("o_orderpriority"), 1, 1).cast("double").as("f2"),
+      expr("weekday(o_orderdate)").cast("double").as("f3"))
+    // population std (ddof=0), as sklearn's StandardScaler fits
+    val moments = raw.agg(
+      count(lit(1)).as("n"),
+      sum(col("f1").cast("decimal(18,4)")).cast("double").as("s1_1"),
+      sum((col("f1") * col("f1")).cast("decimal(30,8)")).cast("double").as("s2_1"),
+      sum(col("f2").cast("decimal(18,4)")).cast("double").as("s1_2"),
+      sum((col("f2") * col("f2")).cast("decimal(30,8)")).cast("double").as("s2_2"),
+      sum(col("f3").cast("decimal(18,4)")).cast("double").as("s1_3"),
+      sum((col("f3") * col("f3")).cast("decimal(30,8)")).cast("double").as("s2_3"))
+    def z(i: Int): Column = {
+      val mean = col(s"s1_$i") / col("n")
+      val std = sqrt(col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n")))
+      ((col(s"f$i") - mean) / std).as(s"z$i")
+    }
+    val scaled = raw.crossJoin(broadcast(moments))
+      .select(col("o_orderkey"), z(1), z(2), z(3))
+    val pXgb = sigmoid(lit(0.8d) * col("z1") + lit(0.4d) * col("z2") - lit(0.2d) * col("z3"))
+    val pRf = (when(col("z1") > 0d, 1d).otherwise(0d) +
+      when(col("z2") > 0.5d, 1d).otherwise(0d) +
+      when(col("z3") < 0d, 1d).otherwise(0d)) / lit(3d)
+    val pNn = sigmoid(
+      lit(1.5d) * (sigmoid(col("z1") + lit(0.5d) * col("z2")) - lit(0.5d)) +
+        lit(0.8d) * (sigmoid(col("z2") - col("z3")) - lit(0.5d)))
+    scaled
+      .withColumn("p_xgb", pXgb)
+      .withColumn("p_rf", pRf)
+      .withColumn("p_nn", pNn)
+      .withColumn("p_ens", (col("p_xgb") + col("p_rf") + col("p_nn")) / lit(3d))
+      .select(
+        col("o_orderkey"),
+        r6(col("z1")).as("z_amount"),
+        r6(col("p_xgb")).as("p_xgb"),
+        r6(col("p_rf")).as("p_rf"),
+        r6(col("p_nn")).as("p_nn"),
+        r6(col("p_ens")).as("p_ensemble"),
+        (col("p_ens") > 0.5d).as("prediction"),
+        r6(abs(col("p_ens") - 0.5d) * 2d).as("confidence"),
+        ((col("p_xgb") > 0.5d) === (col("p_ens") > 0.5d) &&
+          (col("p_rf") > 0.5d) === (col("p_ens") > 0.5d) &&
+          (col("p_nn") > 0.5d) === (col("p_ens") > 0.5d)).as("models_agree"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Aggregated feature-store mart: one row per customer with the
+    * reference's aggregated_features columns derived from orders. Two
+    * aggregations over o_custkey (percentiles can't compose from
+    * partials, so the dow-preference pre-aggregate joins the entity
+    * aggregate on the same key — co-partitioned, no extra exchange
+    * pattern at scale) plus one broadcast row of global min-max bounds
+    * for the RFM-style normalized scores. */
+  def aggFeatureStore(orders: DataFrame): DataFrame = {
+    val base = orders.select(
+      col("o_custkey"),
+      col("o_totalprice").cast("double").as("amt"),
+      datediff(to_date(lit("1998-12-31")), col("o_orderdate")).cast("double").as("age_days"),
+      expr("weekday(o_orderdate)").cast("int").as("dow"))
+    val ent = base.groupBy(col("o_custkey")).agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("amt").cast("decimal(18,4)")).cast("double").as("s1"),
+      sum((col("amt") * col("amt")).cast("decimal(30,8)")).cast("double").as("s2"),
+      expr("percentile(amt, 0.5)").as("med0"),
+      expr("percentile(amt, 0.95)").as("p95_0"),
+      min(col("age_days")).as("recency_days"),
+      // exact least-squares slope of amount over days-before-cutoff
+      // (trend per day TOWARD the cutoff, so the sign is negated below)
+      sum(col("age_days").cast("decimal(18,4)")).cast("double").as("sx"),
+      sum((col("age_days") * col("age_days")).cast("decimal(30,8)")).cast("double").as("sxx"),
+      sum((col("age_days") * col("amt")).cast("decimal(38,8)")).cast("double").as("sxy"))
+    val dow = base.groupBy(col("o_custkey"), col("dow"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("o_custkey"))
+      .agg(max(col("c")).as("top_dow_n"), sum(col("c")).as("dow_total"))
+    val n = col("n_orders").cast("double")
+    val slopeDen = n * col("sxx") - col("sx") * col("sx")
+    val joined = ent.join(dow, "o_custkey")
+      .withColumn("amount_mean", col("s1") / n)
+      .withColumn("amount_std",
+        when(n > 1d, sqrt((col("s2") - col("s1") * col("s1") / n) / (n - 1d))))
+      .withColumn("amount_trend",
+        when(slopeDen > 0d, -(n * col("sxy") - col("sx") * col("s1")) / slopeDen)
+          .otherwise(lit(0d)))
+      .withColumn("dow_preference",
+        col("top_dow_n").cast("double") / col("dow_total"))
+    val bounds = joined.agg(
+      min(col("recency_days")).as("rec_mn"), max(col("recency_days")).as("rec_mx"),
+      min(col("n_orders")).as("frq_mn"), max(col("n_orders")).as("frq_mx"),
+      min(col("s1")).as("mon_mn"), max(col("s1")).as("mon_mx"))
+    def norm(v: Column, mn: Column, mx: Column): Column =
+      when(mx > mn, (v - mn) / (mx - mn)).otherwise(lit(0d))
+    joined.crossJoin(broadcast(bounds))
+      .withColumn("rec_n", norm(col("recency_days"), col("rec_mn").cast("double"), col("rec_mx").cast("double")))
+      .withColumn("frq_n", norm(col("n_orders").cast("double"), col("frq_mn").cast("double"), col("frq_mx").cast("double")))
+      .withColumn("mon_n", norm(col("s1"), col("mon_mn"), col("mon_mx")))
+      .select(
+        col("o_custkey").as("entity_id"),
+        col("n_orders"),
+        r4(col("amount_mean")).as("amount_mean"),
+        r4(col("amount_std")).as("amount_std"),
+        r4(col("med0")).as("amount_median"),
+        r4(col("p95_0")).as("amount_p95"),
+        r6(col("amount_trend")).as("amount_trend"),
+        r6(col("dow_preference")).as("dow_preference_score"),
+        col("recency_days").cast("long").as("recency_days"),
+        r6(col("mon_n") * col("frq_n")).as("amount_x_frequency_score"),
+        r6((lit(1d) - col("rec_n")) * 0.3d + col("frq_n") * 0.3d + col("mon_n") * 0.4d)
+          .as("rfm_composite_score"))
+      .orderBy("entity_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ensemble_score" -> ((s, d) => ensembleScore(Tables.orders(s, d))),
+    "q_agg_feature_store" -> ((s, d) => aggFeatureStore(Tables.orders(s, d)))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ensemble_score" ->
+      """WITH raw AS (
+           SELECT o_orderkey,
+             CAST(o_totalprice AS DOUBLE) AS f1,
+             CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) AS f2,
+             CAST(isodow(o_orderdate) - 1 AS DOUBLE) AS f3
+           FROM orders),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+             CAST(SUM(CAST(f1 AS DECIMAL(18,4))) AS DOUBLE) s1_1,
+             CAST(SUM(CAST(f1*f1 AS DECIMAL(30,8))) AS DOUBLE) s2_1,
+             CAST(SUM(CAST(f2 AS DECIMAL(18,4))) AS DOUBLE) s1_2,
+             CAST(SUM(CAST(f2*f2 AS DECIMAL(30,8))) AS DOUBLE) s2_2,
+             CAST(SUM(CAST(f3 AS DECIMAL(18,4))) AS DOUBLE) s1_3,
+             CAST(SUM(CAST(f3*f3 AS DECIMAL(30,8))) AS DOUBLE) s2_3
+           FROM raw),
+         z AS (SELECT o_orderkey,
+             (f1 - s1_1/n) / sqrt(s2_1/n - (s1_1/n)*(s1_1/n)) AS z1,
+             (f2 - s1_2/n) / sqrt(s2_2/n - (s1_2/n)*(s1_2/n)) AS z2,
+             (f3 - s1_3/n) / sqrt(s2_3/n - (s1_3/n)*(s1_3/n)) AS z3
+           FROM raw CROSS JOIN m),
+         p AS (SELECT o_orderkey, z1,
+             1.0/(1.0 + exp(-(0.8*z1 + 0.4*z2 - 0.2*z3))) AS p_xgb,
+             ((CASE WHEN z1 > 0 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN z2 > 0.5 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN z3 < 0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS p_rf,
+             1.0/(1.0 + exp(-(
+               1.5*(1.0/(1.0 + exp(-(z1 + 0.5*z2))) - 0.5) +
+               0.8*(1.0/(1.0 + exp(-(z2 - z3))) - 0.5)))) AS p_nn
+           FROM z),
+         e AS (SELECT *, (p_xgb + p_rf + p_nn) / 3.0 AS p_ens FROM p)
+         SELECT o_orderkey,
+           FLOOR(z1 * 1000000 + 0.5) / 1000000 AS z_amount,
+           FLOOR(p_xgb * 1000000 + 0.5) / 1000000 AS p_xgb,
+           FLOOR(p_rf * 1000000 + 0.5) / 1000000 AS p_rf,
+           FLOOR(p_nn * 1000000 + 0.5) / 1000000 AS p_nn,
+           FLOOR(p_ens * 1000000 + 0.5) / 1000000 AS p_ensemble,
+           p_ens > 0.5 AS prediction,
+           FLOOR(abs(p_ens - 0.5) * 2 * 1000000 + 0.5) / 1000000 AS confidence,
+           ((p_xgb > 0.5) = (p_ens > 0.5) AND (p_rf > 0.5) = (p_ens > 0.5)
+             AND (p_nn > 0.5) = (p_ens > 0.5)) AS models_agree
+         FROM e ORDER BY o_orderkey""",
+    "q_agg_feature_store" ->
+      """WITH base AS (
+           SELECT o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS amt,
+             CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS DOUBLE) AS age_days,
+             CAST(isodow(o_orderdate) - 1 AS INT) AS dow
+           FROM orders),
+         ent AS (SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) n_orders,
+             CAST(SUM(CAST(amt AS DECIMAL(18,4))) AS DOUBLE) s1,
+             CAST(SUM(CAST(amt*amt AS DECIMAL(30,8))) AS DOUBLE) s2,
+             quantile_cont(amt, 0.5) med0,
+             quantile_cont(amt, 0.95) p95_0,
+             MIN(age_days) recency_days,
+             CAST(SUM(CAST(age_days AS DECIMAL(18,4))) AS DOUBLE) sx,
+             CAST(SUM(CAST(age_days*age_days AS DECIMAL(30,8))) AS DOUBLE) sxx,
+             CAST(SUM(CAST(age_days*amt AS DECIMAL(38,8))) AS DOUBLE) sxy
+           FROM base GROUP BY o_custkey),
+         dowc AS (SELECT o_custkey, dow, COUNT(*) c FROM base GROUP BY 1, 2),
+         dowp AS (SELECT o_custkey, CAST(MAX(c) AS BIGINT) top_dow_n,
+             CAST(SUM(c) AS BIGINT) dow_total
+           FROM dowc GROUP BY o_custkey),
+         j AS (SELECT ent.*, dowp.top_dow_n, dowp.dow_total,
+             s1 / n_orders AS amount_mean,
+             CASE WHEN n_orders > 1
+               THEN sqrt((s2 - s1*s1/n_orders) / (n_orders - 1)) END AS amount_std,
+             CASE WHEN n_orders*sxx - sx*sx > 0
+               THEN -(n_orders*sxy - sx*s1) / (n_orders*sxx - sx*sx)
+               ELSE 0.0 END AS amount_trend,
+             CAST(top_dow_n AS DOUBLE) / dow_total AS dow_preference
+           FROM ent JOIN dowp USING (o_custkey)),
+         b AS (SELECT MIN(recency_days) rec_mn, MAX(recency_days) rec_mx,
+             MIN(n_orders) frq_mn, MAX(n_orders) frq_mx,
+             MIN(s1) mon_mn, MAX(s1) mon_mx FROM j),
+         nrm AS (SELECT j.*,
+             CASE WHEN rec_mx > rec_mn
+               THEN (recency_days - CAST(rec_mn AS DOUBLE)) / (CAST(rec_mx AS DOUBLE) - CAST(rec_mn AS DOUBLE))
+               ELSE 0.0 END AS rec_n,
+             CASE WHEN frq_mx > frq_mn
+               THEN (CAST(n_orders AS DOUBLE) - CAST(frq_mn AS DOUBLE)) / (CAST(frq_mx AS DOUBLE) - CAST(frq_mn AS DOUBLE))
+               ELSE 0.0 END AS frq_n,
+             CASE WHEN mon_mx > mon_mn THEN (s1 - mon_mn) / (mon_mx - mon_mn)
+               ELSE 0.0 END AS mon_n
+           FROM j CROSS JOIN b)
+         SELECT o_custkey AS entity_id, n_orders,
+           FLOOR(amount_mean * 10000 + 0.5) / 10000 AS amount_mean,
+           FLOOR(amount_std * 10000 + 0.5) / 10000 AS amount_std,
+           FLOOR(med0 * 10000 + 0.5) / 10000 AS amount_median,
+           FLOOR(p95_0 * 10000 + 0.5) / 10000 AS amount_p95,
+           FLOOR(amount_trend * 1000000 + 0.5) / 1000000 AS amount_trend,
+           FLOOR(dow_preference * 1000000 + 0.5) / 1000000 AS dow_preference_score,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           FLOOR(mon_n * frq_n * 1000000 + 0.5) / 1000000 AS amount_x_frequency_score,
+           FLOOR(((1 - rec_n)*0.3 + frq_n*0.3 + mon_n*0.4) * 1000000 + 0.5) / 1000000 AS rfm_composite_score
+         FROM nrm ORDER BY entity_id"""
+  )
+}

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Operational diagnostics over key distributions — the profile a
+  * warehouse operator reads before deciding how a 100 TB join/aggregate
+  * shuffles: per-key cardinality stats, frequency percentiles, skew
+  * ratio, and the heavy-hitter head with its share of the table.
+  *
+  * The reference ships data-quality checks per column (dbt tests,
+  * models/staging/staging_customers.sql) but no key-shape profile; this
+  * is the engine-side complement that motivates the salting/broadcast
+  * choices in [[Sampling.saltedJoin]] and the LSH bucket caps in
+  * [[graft.dedup.Dedup]].
+  *
+  * Scale shape: one aggregation to per-key counts (map-side partial on
+  * the key), then one bounded aggregate over the count column plus a
+  * TakeOrderedAndProject of the top-3 hitters — never a full sort, and
+  * the per-key frame is the only thing that scales with data. */
+object Diagnostics {
+
+  /** Key-distribution profile of `df` grouped by `key`. One output row:
+    * key cardinality, row total, mean/max frequency, frequency
+    * percentiles, skew ratio (max/mean), and the top-3 heavy hitters
+    * (deterministic tie-break on key) with their combined share. */
+  def skewProfile(df: DataFrame, key: String): DataFrame = {
+    val cnts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    val stats = cnts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_freq"),
+      expr("percentile(c, 0.5)").as("p50_0"),
+      expr("percentile(c, 0.9)").as("p90_0"),
+      expr("percentile(c, 0.99)").as("p99_0"))
+    // top-3 via sort-limit (TakeOrderedAndProject — bounded state per
+    // partition, no global sort), then folded to one row
+    val top = cnts.orderBy(col("c").desc, col("k").asc).limit(3)
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("k").asc)))
+      .agg(
+        max(when(col("r") === 1, col("k"))).as("top1_key"),
+        max(when(col("r") === 1, col("c"))).as("top1_n"),
+        max(when(col("r") === 2, col("k"))).as("top2_key"),
+        max(when(col("r") === 3, col("k"))).as("top3_key"),
+        sum(col("c")).as("top3_n"))
+    stats.crossJoin(top)
+      .select(
+        col("n_keys"), col("n_rows"), col("max_freq"),
+        r4(col("n_rows").cast("double") / col("n_keys")).as("mean_freq"),
+        r4(col("p50_0")).as("p50_freq"),
+        r4(col("p90_0")).as("p90_freq"),
+        r4(col("p99_0")).as("p99_freq"),
+        r6(col("max_freq") / (col("n_rows").cast("double") / col("n_keys"))).as("skew_ratio"),
+        col("top1_key"), col("top1_n"), col("top2_key"), col("top3_key"),
+        r6(col("top3_n").cast("double") / col("n_rows")).as("top3_share"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_profile" -> ((s, d) => skewProfile(Tables.lineitem(s, d), "l_partkey"))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_skew_profile" ->
+      """WITH cnts AS (
+           SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) c
+           FROM lineitem GROUP BY 1),
+         stats AS (SELECT
+             CAST(COUNT(*) AS BIGINT) n_keys,
+             CAST(SUM(c) AS BIGINT) n_rows,
+             CAST(MAX(c) AS BIGINT) max_freq,
+             quantile_cont(c, 0.5) p50_0,
+             quantile_cont(c, 0.9) p90_0,
+             quantile_cont(c, 0.99) p99_0
+           FROM cnts),
+         ranked AS (SELECT k, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) r
+           FROM cnts ORDER BY c DESC, k ASC LIMIT 3),
+         top AS (SELECT
+             MAX(CASE WHEN r = 1 THEN k END) top1_key,
+             CAST(MAX(CASE WHEN r = 1 THEN c END) AS BIGINT) top1_n,
+             MAX(CASE WHEN r = 2 THEN k END) top2_key,
+             MAX(CASE WHEN r = 3 THEN k END) top3_key,
+             CAST(SUM(c) AS BIGINT) top3_n
+           FROM ranked)
+         SELECT n_keys, n_rows, max_freq,
+           FLOOR(CAST(n_rows AS DOUBLE) / n_keys * 10000 + 0.5) / 10000 AS mean_freq,
+           FLOOR(p50_0 * 10000 + 0.5) / 10000 AS p50_freq,
+           FLOOR(p90_0 * 10000 + 0.5) / 10000 AS p90_freq,
+           FLOOR(p99_0 * 10000 + 0.5) / 10000 AS p99_freq,
+           FLOOR(max_freq / (CAST(n_rows AS DOUBLE) / n_keys) * 1000000 + 0.5) / 1000000 AS skew_ratio,
+           top1_key, top1_n, top2_key, top3_key,
+           FLOOR(CAST(top3_n AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000 AS top3_share
+         FROM stats CROSS JOIN top"""
+  )
+}

@@ -99,6 +99,39 @@ class DeterminismPropertySpec extends AnyFunSuite {
         Tables.orders(spark, sf).repartition(13))))
   }
 
+  test("inference/graph operators are invariant to input partitioning") {
+    val ord = Tables.orders(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(run(graft.ml.Inference.ensembleScore(ord.repartition(1))) ==
+      run(graft.ml.Inference.ensembleScore(ord.repartition(13))))
+    assert(run(graft.ml.Inference.aggFeatureStore(ord.repartition(1))) ==
+      run(graft.ml.Inference.aggFeatureStore(ord.repartition(13))))
+    assert(run(graft.operators.Diagnostics.skewProfile(li.repartition(1), "l_partkey")) ==
+      run(graft.operators.Diagnostics.skewProfile(li.repartition(13), "l_partkey")))
+    val emb = Tables.embeddings(spark, sf)
+    assert(run(graft.ann.Embeddings.pqCodes(emb.repartition(1))) ==
+      run(graft.ann.Embeddings.pqCodes(emb.repartition(13))))
+    // the iterative op: decimal mass sums make every round's ranks exact,
+    // so the whole 5-round fixpoint is partitioning-invariant
+    assert(run(graft.operators.Graph.pageRank(li.repartition(1), ord.repartition(1))) ==
+      run(graft.operators.Graph.pageRank(li.repartition(13), ord.repartition(5))))
+  }
+
+  test("pagerank conserves total rank mass") {
+    val ranks = graft.operators.Graph.pageRank(
+      Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+    // rank_scaled = p * N, so the mean over nodes must be ~1 (total mass 1)
+    val mean = ranks.agg(avg(col("rank_scaled"))).collect()(0).getDouble(0)
+    assert(math.abs(mean - 1.0) < 1e-4, s"mean scaled rank $mean drifted from 1")
+    // and the hub side (suppliers, ~15x fewer nodes than customers here)
+    // must concentrate mass: every supplier above the uniform baseline
+    val supMin = ranks.filter(col("node_type") === "supplier")
+      .agg(min(col("rank_scaled"))).collect()(0).getDouble(0)
+    assert(supMin > 1.0, s"supplier min scaled rank $supMin should exceed uniform 1.0")
+  }
+
   test("surrogate keys are stable and distinct keys never collide on test data") {
     val sk = Tables.orders(spark, sf)
       .select(Fns.surrogateKey(col("o_orderkey")).as("k"))
