@@ -50,6 +50,12 @@ object Graph {
       .select(col("e.src").as("src"), col("e.dst").as("dst"), col("e.w").as("w"))
     // contribution fraction per edge is iteration-invariant: frac = w/Σw(src)
     val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("src"))
+    // The out-weight window leaves the frame hash-partitioned by src, and
+    // localCheckpoint preserves that partitioning — so every iteration's
+    // ranks⋈edges join can reuse it and only shuffle the (small) ranks
+    // side; on a small ranks frame AQE broadcasts that side instead. The
+    // per-round contribution aggregation partial-aggregates map-side, so
+    // the dst exchange moves at most partitions×nodes rows, not edges.
     val edges = directed
       .withColumn("frac", col("w").cast("double") / sum(col("w")).over(wS).cast("double"))
       .select(col("src"), col("dst"), col("frac"))

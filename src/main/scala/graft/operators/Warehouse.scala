@@ -179,21 +179,33 @@ object Warehouse {
       .orderBy("ship_month", "l_returnflag")
 
   /** Star-schema rollup: fact ⋈ orders ⋈ customer ⋈ nation ⋈ region.
-    * nation/region broadcast; lineitem⋈orders and ⋈customer shuffle on
-    * their keys (both sides large at scale). */
+    * nation/region broadcast. The fact is pre-aggregated to ORDER grain
+    * before any join: the groupBy shuffles on the same l_orderkey the
+    * orders join needs anyway, so the join sees one row per order, the
+    * customer-side shuffle moves ~4× fewer rows, and the former
+    * countDistinct(o_orderkey) — a whole-fact Expand + second shuffle —
+    * becomes a plain count of pre-deduped rows. Revenue partials are
+    * exact DECIMAL sums, so two-level summation is bit-identical to the
+    * single-level [[decSum]] at any scale. */
   def starJoin(lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
-               nation: DataFrame, region: DataFrame): DataFrame =
-    lineitem
+               nation: DataFrame, region: DataFrame): DataFrame = {
+    val perOrder = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).as("rev"),
+        count(lit(1)).as("nl"))
+    perOrder
       .join(orders.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
       .join(customer.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
       .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name").as("region_name"), col("n_name").as("nation_name"))
       .agg(
-        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
-        countDistinct(col("o_orderkey")).as("n_orders"),
-        count(lit(1)).as("n_lines"))
+        sum(col("rev")).cast("double").as("revenue"),
+        count(lit(1)).as("n_orders"),
+        sum(col("nl")).as("n_lines"))
       .orderBy("region_name", "nation_name")
+  }
 
   /** Merge/upsert semantics of incremental_strategy='merge': latest record
     * per business key wins (row_number over update time desc). One shuffle

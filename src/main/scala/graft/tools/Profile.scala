@@ -37,6 +37,16 @@ object Profile {
       t("corr_warm") { graft.ml.TrainPrep.featureCorr(li).collect().length.toLong }
       t("corr_warm2") { graft.ml.TrainPrep.featureCorr(li).collect().length.toLong }
     }
+    if (sys.env.contains("SPARK_GRAFT_PR")) {
+      val li = graft.Tables.lineitem(spark, sfDir)
+      val ord = graft.Tables.orders(spark, sfDir)
+      li.count(); ord.count()
+      (0 to 5).foreach { it =>
+        t(s"pagerank_it$it") {
+          graft.operators.Graph.pageRank(li, ord, iterations = it).count()
+        }
+      }
+    }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       val q = graft.text.Vocab.tfidf(docs)
       q.collect()
