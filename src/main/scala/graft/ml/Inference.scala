@@ -44,27 +44,37 @@ object Inference {
     * a boosted-margin logistic, a 3-stump vote share, and a tiny fixed
     * 2-unit MLP. Equal-weight ensemble, pred at 0.5, confidence
     * = 2|p-0.5|, agreement = all three models vote with the ensemble. */
-  def ensembleScore(orders: DataFrame): DataFrame = {
-    val raw = orders.select(
-      col("o_orderkey"),
-      col("o_totalprice").cast("double").as("f1"),
-      substring(col("o_orderpriority"), 1, 1).cast("double").as("f2"),
-      expr("weekday(o_orderdate)").cast("double").as("f3"))
-    // population std (ddof=0), as sklearn's StandardScaler fits
-    val moments = raw.agg(
-      count(lit(1)).as("n"),
-      sum(col("f1").cast("decimal(18,4)")).cast("double").as("s1_1"),
-      sum((col("f1") * col("f1")).cast("decimal(30,8)")).cast("double").as("s2_1"),
-      sum(col("f2").cast("decimal(18,4)")).cast("double").as("s1_2"),
-      sum((col("f2") * col("f2")).cast("decimal(30,8)")).cast("double").as("s2_2"),
-      sum(col("f3").cast("decimal(18,4)")).cast("double").as("s1_3"),
-      sum((col("f3") * col("f3")).cast("decimal(30,8)")).cast("double").as("s2_3"))
+  /** The three raw model features per order — shared by the batch path
+    * and the streaming serving twin ([[graft.streaming.InferStream]]). */
+  def features(orders: DataFrame): DataFrame = orders.select(
+    col("o_orderkey"),
+    col("o_totalprice").cast("double").as("f1"),
+    substring(col("o_orderpriority"), 1, 1).cast("double").as("f2"),
+    expr("weekday(o_orderdate)").cast("double").as("f3"))
+
+  /** Fit the global scaler: one row of exact decimal moments (population
+    * std, ddof=0, as sklearn's StandardScaler). This is the "model
+    * artifact" a serving deployment broadcasts. */
+  def fitMoments(orders: DataFrame): DataFrame = features(orders).agg(
+    count(lit(1)).as("n"),
+    sum(col("f1").cast("decimal(18,4)")).cast("double").as("s1_1"),
+    sum((col("f1") * col("f1")).cast("decimal(30,8)")).cast("double").as("s2_1"),
+    sum(col("f2").cast("decimal(18,4)")).cast("double").as("s1_2"),
+    sum((col("f2") * col("f2")).cast("decimal(30,8)")).cast("double").as("s2_2"),
+    sum(col("f3").cast("decimal(18,4)")).cast("double").as("s1_3"),
+    sum((col("f3") * col("f3")).cast("decimal(30,8)")).cast("double").as("s2_3"))
+
+  /** Row-local ensemble scoring of a feature frame against a broadcast
+    * one-row scaler — stateless, so it runs identically over a batch
+    * frame or inside a micro-batch (no shuffle downstream of the
+    * broadcast; unsorted, callers order at the edge). */
+  def scoreWith(feats: DataFrame, moments: DataFrame): DataFrame = {
     def z(i: Int): Column = {
       val mean = col(s"s1_$i") / col("n")
       val std = sqrt(col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n")))
       ((col(s"f$i") - mean) / std).as(s"z$i")
     }
-    val scaled = raw.crossJoin(broadcast(moments))
+    val scaled = feats.crossJoin(broadcast(moments))
       .select(col("o_orderkey"), z(1), z(2), z(3))
     val pXgb = sigmoid(lit(0.8d) * col("z1") + lit(0.4d) * col("z2") - lit(0.2d) * col("z3"))
     val pRf = (when(col("z1") > 0d, 1d).otherwise(0d) +
@@ -90,8 +100,10 @@ object Inference {
         ((col("p_xgb") > 0.5d) === (col("p_ens") > 0.5d) &&
           (col("p_rf") > 0.5d) === (col("p_ens") > 0.5d) &&
           (col("p_nn") > 0.5d) === (col("p_ens") > 0.5d)).as("models_agree"))
-      .orderBy("o_orderkey")
   }
+
+  def ensembleScore(orders: DataFrame): DataFrame =
+    scoreWith(features(orders), fitMoments(orders)).orderBy("o_orderkey")
 
   /** Aggregated feature-store mart: one row per customer with the
     * reference's aggregated_features columns derived from orders. Two
