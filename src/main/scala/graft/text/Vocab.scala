@@ -140,12 +140,51 @@ object Vocab {
       .orderBy("source")
   }
 
+  /** Materialized mixture take: realize [[mixPlan]]'s per-source
+    * sampling rates as a deterministic doc-level Bernoulli sample
+    * (md5-uniform u < rate, 2^-16 grain — the [[graft.operators.
+    * Sampling.hashBucket]] device at finer resolution) and report the
+    * per-source funnel: docs/tokens available vs taken, target vs
+    * realized rate. One token-stream pass + a broadcast of the tiny
+    * per-source rate table; the sample is reproducible on any engine,
+    * cluster size, or run — the property that makes a 100 TB mixture
+    * auditable. */
+  def mixTake(documents: DataFrame): DataFrame = {
+    def hv(i: Int) =
+      s"(instr('0123456789abcdef', substr(md5(CAST(CAST(doc_id AS STRING) AS BINARY)), $i, 1)) - 1)"
+    val wt = TextPrep.withWords(documents)
+      .select(col("doc_id"), col("source"), size(col("words")).cast("long").as("toks"))
+    val bySrc = wt.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("avail_tokens"))
+    val consts = bySrc.agg(min(col("avail_tokens")).as("min_avail"))
+    val rated = bySrc.crossJoin(broadcast(consts))
+      .select(col("source"),
+        (sqrt(col("min_avail").cast("double")) /
+          sqrt(col("avail_tokens").cast("double"))).as("rate"))
+    wt.join(broadcast(rated), "source")
+      .withColumn("u",
+        expr(s"(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)})") / lit(65536d))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("avail_tokens"),
+        sum(when(col("u") < col("rate"), 1L).otherwise(0L)).as("docs_taken"),
+        sum(when(col("u") < col("rate"), col("toks")).otherwise(0L)).as("tokens_taken"),
+        max(col("rate")).as("rate0"))
+      .select(col("source"), col("n_docs"), col("avail_tokens"),
+        col("docs_taken"), col("tokens_taken"),
+        r6(col("rate0")).as("target_rate"),
+        r6(col("tokens_taken").cast("double") / col("avail_tokens")).as("realized_rate"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
     "q_bigram_vocab" -> ((s, d) => bigramVocab(Tables.documents(s, d))),
     "q_unigram_lm" -> ((s, d) => unigramLm(Tables.documents(s, d))),
-    "q_mix_plan" -> ((s, d) => mixPlan(Tables.documents(s, d)))
+    "q_mix_plan" -> ((s, d) => mixPlan(Tables.documents(s, d))),
+    "q_mix_take" -> ((s, d) => mixTake(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -196,6 +235,29 @@ object Vocab {
            CAST(FLOOR(sqrt(CAST(avail_tokens AS DOUBLE)) * sqrt(CAST(min_avail AS DOUBLE))) AS BIGINT) AS take_tokens,
            ${sqlR("sqrt(CAST(min_avail AS DOUBLE)) / sqrt(CAST(avail_tokens AS DOUBLE))", 6)} AS sampling_rate
          FROM g, k ORDER BY source""",
+    "q_mix_take" -> {
+      def hv(i: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""WITH n AS (SELECT doc_id, source, $normSql AS norm FROM documents),
+         wt AS (SELECT doc_id, source,
+             CAST(len(string_split(norm, ' ')) AS BIGINT) AS toks FROM n),
+         g AS (SELECT source, CAST(SUM(toks) AS BIGINT) AS avail_tokens FROM wt GROUP BY 1),
+         k AS (SELECT CAST(MIN(avail_tokens) AS BIGINT) AS min_avail FROM g),
+         rated AS (SELECT source,
+             sqrt(CAST(min_avail AS DOUBLE)) / sqrt(CAST(avail_tokens AS DOUBLE)) AS rate
+           FROM g, k),
+         u AS (SELECT wt.*, rated.rate,
+             (${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)}) / 65536.0 AS u
+           FROM wt JOIN rated USING (source))
+         SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(toks) AS BIGINT) AS avail_tokens,
+           CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS docs_taken,
+           CAST(SUM(CASE WHEN u < rate THEN toks ELSE 0 END) AS BIGINT) AS tokens_taken,
+           ${sqlR("MAX(rate)", 6)} AS target_rate,
+           ${sqlR("CAST(SUM(CASE WHEN u < rate THEN toks ELSE 0 END) AS DOUBLE) / SUM(toks)", 6)} AS realized_rate
+         FROM u GROUP BY source ORDER BY source"""
+    },
     "q_bigram_vocab" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),

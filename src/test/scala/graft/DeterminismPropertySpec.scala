@@ -83,7 +83,8 @@ class DeterminismPropertySpec extends AnyFunSuite {
       d => graft.text.Vocab.chunkDocs(d),
       d => graft.text.Vocab.bigramVocab(d, k = 15),
       d => graft.text.Vocab.unigramLm(d),
-      d => graft.text.Vocab.mixPlan(d)
+      d => graft.text.Vocab.mixPlan(d),
+      d => graft.text.Vocab.mixTake(d)
     ).foreach { op =>
       assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
     }
