@@ -108,10 +108,43 @@ object Scd2 {
       .orderBy("issue_type")
   }
 
+  /** Point-in-time (as-of) lookup against the SCD2 history — the
+    * leakage-safe join a training pipeline uses to attach dimension
+    * state AS OF a moment strictly before the label event (here:
+    * `lagS` seconds before each probe's timestamp). The probe set is a
+    * deterministic md5 quarter-sample of the stream.
+    *
+    * Shape: one equi-join on the business key with the version-interval
+    * range predicate evaluated post-match — each probe meets only its
+    * own key's versions (bounded per key), never a cross join; both
+    * sides shuffle once on user_id. Probes earlier than the key's first
+    * version survive with matched=false (the row a feature pipeline
+    * must see, not silently drop). */
+  def asOfLookup(events: DataFrame, lagS: Long = 3600): DataFrame = {
+    val hist = build(events).select(
+      col("user_id").as("h_user"), col("version"), col("attr_type"),
+      col("attr_value"), col("effective_from_s"), col("effective_to_s"))
+    val probes = events
+      .withColumn("d", expr(
+        "instr('0123456789abcdef', substr(md5(cast(event_id as string)), 1, 1)) - 1"))
+      .filter(col("d") < 4)
+      .select(col("event_id"), col("user_id"), (epochS(col("ts")) - lagS).as("asof_s"))
+    probes.join(hist,
+        col("user_id") === col("h_user") &&
+          col("effective_from_s") <= col("asof_s") &&
+          (col("effective_to_s").isNull || col("asof_s") < col("effective_to_s")),
+        "left")
+      .select(col("event_id"), col("user_id"), col("asof_s"),
+        col("version").isNotNull.as("matched"),
+        col("version"), col("attr_type"), col("attr_value"), col("effective_from_s"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scd2_build" -> ((s, d) => build(Tables.events(s, d))),
     "q_scd2_incremental" -> ((s, d) => incremental(Tables.events(s, d))),
-    "q_scd2_integrity" -> ((s, d) => integrity(Tables.events(s, d)))
+    "q_scd2_integrity" -> ((s, d) => integrity(Tables.events(s, d))),
+    "q_scd2_asof" -> ((s, d) => asOfLookup(Tables.events(s, d)))
   )
 
   private val buildSql =
@@ -135,6 +168,26 @@ object Scd2 {
     "q_scd2_build" -> buildSql,
     // incremental merge must equal the full rebuild — same oracle
     "q_scd2_incremental" -> buildSql,
+    "q_scd2_asof" ->
+      """WITH h AS (
+           SELECT user_id AS h_user, event_type AS attr_type, value AS attr_value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS effective_from_s,
+             CAST(FLOOR(epoch(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS effective_to_s
+           FROM events),
+         p AS (
+           SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) - 3600 AS asof_s
+           FROM events
+           WHERE (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) < 4)
+         SELECT p.event_id, p.user_id, p.asof_s,
+           h.version IS NOT NULL AS matched,
+           h.version, h.attr_type, h.attr_value, h.effective_from_s
+         FROM p LEFT JOIN h
+           ON p.user_id = h.h_user
+           AND h.effective_from_s <= p.asof_s
+           AND (h.effective_to_s IS NULL OR p.asof_s < h.effective_to_s)
+         ORDER BY p.event_id""",
     "q_scd2_integrity" ->
       """WITH h AS (
            SELECT user_id,

@@ -92,4 +92,23 @@ class Scd2AnalyticsSpec extends AnyFunSuite {
     // LOW cohort: days 2-3 carry day-1's revenue forward
     assert(out(("LOW", "2024-01-03")).getAs[Double]("revenue_filled") == 7.0)
   }
+
+  test("scd2 as-of lookup: each probe exactly once, matches inside the version interval") {
+    import org.apache.spark.sql.functions._
+    val events = Tables.events(spark, sf)
+    val looked = operators.Scd2.asOfLookup(events).collect()
+    // every sampled probe survives the left join exactly once (the
+    // version intervals tile time, so at most one can match)
+    val probeCount = events
+      .filter(expr("instr('0123456789abcdef', substr(md5(cast(event_id as string)), 1, 1)) - 1 < 4"))
+      .count()
+    assert(looked.length == probeCount)
+    looked.filter(_.getAs[Boolean]("matched")).foreach { r =>
+      assert(r.getAs[Long]("effective_from_s") <= r.getAs[Long]("asof_s"),
+        "matched version must start at or before the as-of instant")
+    }
+    // unmatched = probe predates its key's first change; those rows must
+    // still be present with null attributes (leakage-safe, not dropped)
+    assert(looked.filter(!_.getAs[Boolean]("matched")).forall(_.isNullAt(4)))
+  }
 }
