@@ -56,4 +56,19 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Embeddings.quantizeInt8(emptyEmb).count() == 0)
     assert(Embeddings.randomProjection(emptyEmb).count() == 0)
   }
+
+  test("inference/graph/pq family is well-defined on empty inputs") {
+    val emptyOrders = Tables.orders(spark, sf).limit(0)
+    val emptyLi = Tables.lineitem(spark, sf).limit(0)
+    val emptyEv = Tables.events(spark, sf).limit(0)
+    assert(graft.ml.Inference.ensembleScore(emptyOrders).count() == 0)
+    assert(graft.ml.Inference.aggFeatureStore(emptyOrders).count() == 0)
+    assert(graft.ann.Embeddings.pqCodes(emptyEmb).count() == 0)
+    assert(graft.text.Vocab.mixTake(emptyDocs).count() == 0)
+    assert(graft.operators.Scd2.asOfLookup(emptyEv).count() == 0)
+    assert(graft.operators.Graph.pageRank(emptyLi, emptyOrders).count() == 0)
+    // skew profile keeps its single stats row (counts zero) on empty input
+    val sp = graft.operators.Diagnostics.skewProfile(emptyLi, "l_partkey").collect()
+    assert(sp.length == 1 && sp(0).getAs[Long]("n_keys") == 0L)
+  }
 }
