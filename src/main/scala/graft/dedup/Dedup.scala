@@ -322,8 +322,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Survivor mart over the WHOLE corpus: every document tagged with its
+    * near-dup cluster (its own id when unclustered), the cluster size,
+    * its token mass, and the keep decision (cluster canonical survives).
+    * This is the frame a curation pipeline writes as "the deduped
+    * corpus" — [[nearDupClusters]] covers only docs with near-dup edges;
+    * the left join brings the singleton majority back. One extra
+    * shuffle (the cluster-size window on cluster_id) beyond the cluster
+    * propagation itself. */
+  def survivors(documents: DataFrame, bucketLimit: Int = 100): DataFrame = {
+    val cl = nearDupClusters(documents, bucketLimit)
+      .select(col("doc_id"), col("cluster_id"))
+    val wC = Window.partitionBy(col("cluster_id"))
+    TextPrep.withWords(documents)
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"))
+      .join(cl, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("cluster_size", count(lit(1)).over(wC))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        (col("doc_id") === col("cluster_id")).as("keep"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
+    "q_dedup_survivors" -> ((s, d) => survivors(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
     "q_dedup_incremental" -> ((s, d) => {
       // deterministic batch split: docs with md5 digit < 2 (~1/8) arrive
@@ -406,6 +429,22 @@ object Dedup {
          SELECT id AS doc_id, MIN(label) AS cluster_id,
            id <> MIN(label) AS is_duplicate
          FROM reach GROUP BY id ORDER BY id""",
+    "q_dedup_survivors" ->
+      s"""WITH RECURSIVE $minhashCtes,
+         e2 AS (SELECT da s, db d FROM pairs UNION SELECT db, da FROM pairs),
+         nodes AS (SELECT DISTINCT s AS id FROM e2),
+         reach(id, label) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e2.s, r.label FROM e2 JOIN reach r ON e2.d = r.id),
+         lab AS (SELECT id AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+         t AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens FROM n),
+         j AS (SELECT t.doc_id, COALESCE(lab.cluster_id, t.doc_id) AS cluster_id, n_tokens
+           FROM t LEFT JOIN lab USING (doc_id))
+         SELECT doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           doc_id = cluster_id AS keep, n_tokens
+         FROM j ORDER BY doc_id""",
     "q_dedup_simhash" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),

@@ -30,6 +30,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Dedup.simhash(emptyDocs).count() == 0)
     assert(Dedup.ngramJaccard(emptyDocs).count() == 0)
     assert(Dedup.nearDupClusters(emptyDocs).count() == 0)
+    assert(Dedup.survivors(emptyDocs).count() == 0)
   }
 
   test("dedup family is well-defined on a single document") {
