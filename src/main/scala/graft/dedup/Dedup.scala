@@ -366,8 +366,9 @@ object Dedup {
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   /** Shared oracle CTE chain: documents → shingles → minhash signature →
-    * LSH bands → bucket cap → candidate `pairs` (da, db, band_idx). */
-  private lazy val minhashCtes =
+    * LSH bands → bucket cap → candidate `pairs` (da, db, band_idx).
+    * Shared with [[graft.text.CorpusStats]]'s overlap oracle. */
+  private[graft] lazy val minhashCtes =
     s"""n AS (SELECT doc_id, $normSql AS norm FROM documents),
        w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
        w2 AS (SELECT * FROM w WHERE len(words) >= 3),

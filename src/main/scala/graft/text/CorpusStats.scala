@@ -1,0 +1,95 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.functions.Fns._
+
+/** Corpus-composition statistics a large-scale curation run reads before
+  * (and after) committing a training mixture.
+  *
+  * - [[sourceOverlap]]: which SOURCES duplicate each other — the
+  *   near-dup pair stream labeled with each side's source and rolled up
+  *   to a (source_a, source_b) matrix. The reference pipeline dedups
+  *   inside one warehouse; a multi-source corpus additionally needs the
+  *   cross-source view to decide which feed to drop.
+  * - [[lengthHistogram]]: per-source power-of-two token-length buckets —
+  *   the distribution that picks packing budgets and length filters.
+  *
+  * Scale shape: overlap reuses the capped LSH candidate stream (the only
+  * data-sized shuffle; pair count is bucket-bounded) plus two broadcast
+  * joins of the tiny doc→source map — at corpus scale that map is big,
+  * so both joins are plain shuffles on doc id, still one exchange each.
+  * The histogram is one token-stream pass into ≤64 buckets per source.
+  */
+object CorpusStats {
+
+  /** Near-dup overlap matrix between sources. Pairs are oriented
+    * source_a <= source_b so each unordered source pair appears once. */
+  def sourceOverlap(documents: DataFrame, bucketLimit: Int = 100): DataFrame = {
+    val src = documents.select(col("doc_id"), col("source"))
+    val pairs = Dedup.minhashLsh(documents, bucketLimit)
+      .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "src_a"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "src_b"), "doc_b")
+      .select(least(col("src_a"), col("src_b")).as("source_a"),
+        greatest(col("src_a"), col("src_b")).as("source_b"))
+    pairs.groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("cross_source", col("source_a") =!= col("source_b"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Per-source token-length histogram over power-of-two buckets:
+    * bucket k holds docs with 2^k <= tokens < 2^(k+1) (k=0 also takes
+    * empty docs). The bucket is binary-digit-count arithmetic —
+    * floor(log2) computed EXACTLY in integers, because floating log2
+    * differs in the last ulp across libm implementations at exact
+    * powers of two, which would flip boundary docs between buckets
+    * across engines. Emits count + token mass + within-source share. */
+  def lengthHistogram(documents: DataFrame): DataFrame = {
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    TextPrep.withWords(documents)
+      .select(col("source"), size(col("words")).cast("long").as("toks"))
+      .withColumn("bucket", (length(bin(col("toks"))) - 1).cast("int"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      .withColumn("doc_share",
+        r6(col("n_docs").cast("double") / sum(col("n_docs")).over(wS)))
+      .orderBy("source", "bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
+    "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d)))
+  )
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  val oracles: Map[String, String] = Map(
+    "q_source_overlap" ->
+      s"""WITH ${Dedup.minhashCtes},
+         mp AS (SELECT da AS doc_a, db AS doc_b FROM pairs GROUP BY 1, 2),
+         s AS (SELECT doc_id, source FROM documents),
+         lab AS (SELECT LEAST(sa.source, sb.source) AS source_a,
+                        GREATEST(sa.source, sb.source) AS source_b
+                 FROM mp JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b)
+         SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           source_a <> source_b AS cross_source
+         FROM lab GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_length_hist" ->
+      s"""WITH n AS (SELECT source, $normSql AS norm FROM documents),
+         wt AS (SELECT source, CAST(len(string_split(norm, ' ')) AS BIGINT) AS toks FROM n),
+         b AS (SELECT source, toks,
+             CAST(length(bin(toks)) - 1 AS INT) AS bucket
+           FROM wt),
+         g AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS n_tokens
+           FROM b GROUP BY 1, 2)
+         SELECT source, bucket, n_docs, n_tokens,
+           ${sqlR("CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source)", 6)} AS doc_share
+         FROM g ORDER BY source, bucket"""
+  )
+}

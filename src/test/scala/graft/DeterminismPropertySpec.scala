@@ -84,7 +84,9 @@ class DeterminismPropertySpec extends AnyFunSuite {
       d => graft.text.Vocab.bigramVocab(d, k = 15),
       d => graft.text.Vocab.unigramLm(d),
       d => graft.text.Vocab.mixPlan(d),
-      d => graft.text.Vocab.mixTake(d)
+      d => graft.text.Vocab.mixTake(d),
+      d => graft.text.CorpusStats.sourceOverlap(d),
+      d => graft.text.CorpusStats.lengthHistogram(d)
     ).foreach { op =>
       assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
     }
