@@ -155,7 +155,34 @@ object Analytics {
       .orderBy("cohort", "day")
   }
 
+  /** Cohort retention triangle — the classic product-analytics mart:
+    * users grouped by first-seen week, and for each (cohort, week
+    * offset) the share of the cohort still active. Weeks are integer
+    * epoch-week indexes (floor(epoch/604800) — exact integer arithmetic
+    * in both engines).
+    *
+    * Scale shape: first-seen and weekly-active both aggregate on
+    * user_id (the active set per (user, week) via distinct on the same
+    * key grid), join co-keyed on user_id, then collapse to the tiny
+    * (cohort, offset) grid. No window over raw events, no self-join of
+    * the event stream. */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"), floor(epochS(col("ts")) / 604800L).cast("long").as("week"))
+      .distinct()
+    val firstSeen = weekly.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val sizes = firstSeen.groupBy(col("cohort_week")).agg(count(lit(1)).as("cohort_size"))
+    weekly.join(firstSeen, "user_id")
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(sizes, "cohort_week")
+      .select(col("cohort_week"), col("week_offset"), col("n_active"), col("cohort_size"),
+        r6(col("n_active").cast("double") / col("cohort_size")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_retention_cohorts" -> ((s, d) => retentionCohorts(Tables.events(s, d))),
     "q_data_quality" -> ((s, d) => dataQuality(Tables.customer(s, d),
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
     "q_date_dim" -> ((s, d) => dateDim(Tables.orders(s, d))),
@@ -170,6 +197,20 @@ object Analytics {
   private val profiled = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
   val oracles: Map[String, String] = Map(
+    "q_retention_cohorts" ->
+      """WITH weekly AS (
+           SELECT DISTINCT user_id,
+             CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 604800) AS BIGINT) AS week
+           FROM events),
+         fs AS (SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id),
+         sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size FROM fs GROUP BY 1),
+         act AS (SELECT fs.cohort_week, weekly.week - fs.cohort_week AS week_offset,
+             CAST(COUNT(*) AS BIGINT) AS n_active
+           FROM weekly JOIN fs USING (user_id) GROUP BY 1, 2)
+         SELECT act.cohort_week, week_offset, n_active, cohort_size,
+           FLOOR(CAST(n_active AS DOUBLE) / cohort_size * 1000000 + 0.5) / 1000000 AS retention
+         FROM act JOIN sz USING (cohort_week)
+         ORDER BY cohort_week, week_offset""",
     "q_gap_fill" ->
       """WITH daily AS (SELECT o_orderpriority AS cohort, o_orderdate AS day,
              CAST(COUNT(*) AS BIGINT) AS n_orders,

@@ -175,4 +175,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
       s"no shuffle join for the within-cell pair generation:\n$plan")
   }
+
+  test("star join pre-aggregates the fact: no Expand, no distinct over the joined stream") {
+    val plan = planOf(Warehouse.starJoin(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf)))
+    // the former countDistinct planned an Expand over every joined line
+    // item — the order-grain pre-aggregate makes it a plain count
+    assert(!plan.contains("Expand"), s"distinct-aggregate Expand resurfaced:\n$plan")
+  }
+
+  test("pq codes: codebook broadcast, assignment row-local up to the final pivot") {
+    val plan = planOf(graft.ann.Embeddings.pqCodes(Tables.embeddings(spark, sf)))
+    assert(plan.contains("BroadcastExchange"),
+      s"codebook must broadcast (corpus-size-independent):\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"subspace scoring must not shuffle-join the corpus:\n$plan")
+  }
+
+  test("skew profile: heavy hitters via TakeOrderedAndProject, never a global sort") {
+    val plan = planOf(graft.operators.Diagnostics.skewProfile(Tables.lineitem(spark, sf), "l_partkey"))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-3 must plan as TakeOrderedAndProject:\n$plan")
+  }
 }
