@@ -224,6 +224,59 @@ object Features {
       .orderBy("stage")
   }
 
+  /** ORDERED, time-windowed funnel — the sequencing-aware companion to
+    * [[funnel]] (which only checks stage presence): engaged counts only
+    * when it happens AFTER the user's first signup and within `gap1`
+    * seconds of it; purchase only after that engagement and within
+    * `gap2` seconds. Emits per-stage user counts, conversion from the
+    * top, and mean days-to-reach (exact long-second sums, divided once).
+    *
+    * Shape: three aggregations chained on the SAME user_id key (each
+    * join is co-partitioned with the groupBy that follows), collapsing
+    * to a three-row funnel — no window over the raw stream, no
+    * self-join on time ranges. */
+  def funnelOrdered(events: DataFrame,
+                    gap1: Long = 604800L, gap2: Long = 1209600L): DataFrame = {
+    val base = events.select(col("user_id"), col("event_type"),
+      epochS(col("ts")).as("ts_s"))
+    val t1s = base.groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts_s"))).as("t1"))
+      .filter(col("t1").isNotNull)
+    val t2s = base.join(t1s, "user_id")
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"),
+        min(when(col("event_type").isin("view", "click") &&
+          col("ts_s") >= col("t1") && col("ts_s") <= col("t1") + gap1,
+          col("ts_s"))).as("t2"))
+    val t3s = base.join(t2s.filter(col("t2").isNotNull), "user_id")
+      .groupBy(col("user_id"))
+      .agg(first(col("t1")).as("t1"), first(col("t2")).as("t2"),
+        min(when(col("event_type") === "purchase" &&
+          col("ts_s") >= col("t2") && col("ts_s") <= col("t2") + gap2,
+          col("ts_s"))).as("t3"))
+    val tots = t1s.agg(count(lit(1)).as("n1"))
+    val s2 = t2s.agg(sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("n2"),
+      sum(when(col("t2").isNotNull, col("t2") - col("t1")).otherwise(0L)).as("d2"))
+    val s3 = t3s.agg(sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("n3"),
+      sum(when(col("t3").isNotNull, col("t3") - col("t1")).otherwise(0L)).as("d3"))
+    tots.crossJoin(s2).crossJoin(s3)
+      .select(explode(array(
+        struct(lit(1).as("stage"), lit("signup").as("stage_name"),
+          col("n1").as("n_users"), lit(0L).as("dsum")),
+        struct(lit(2).as("stage"), lit("engaged_7d").as("stage_name"),
+          col("n2").as("n_users"), col("d2").as("dsum")),
+        struct(lit(3).as("stage"), lit("purchased_14d").as("stage_name"),
+          col("n3").as("n_users"), col("d3").as("dsum")))).as("s"),
+        col("n1"))
+      .select(col("s.stage").as("stage"), col("s.stage_name").as("stage_name"),
+        col("s.n_users").as("n_users"),
+        r4(col("s.n_users") / col("n1")).as("conversion_from_top"),
+        when(col("s.n_users") > 0,
+          r4(col("s.dsum") / col("s.n_users") / 86400d)).otherwise(lit(0d))
+          .as("avg_days_to_reach"))
+      .orderBy("stage")
+  }
+
   /** Per-transaction enrichment
     * (_calculate_transaction_derived_features,
     * feature_store_manager.py:314-355): temporal buckets + binary
@@ -542,6 +595,7 @@ object Features {
     "q_rolling_features" -> ((s, d) => rolling(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
+    "q_funnel_ordered" -> ((s, d) => funnelOrdered(Tables.events(s, d))),
     "q_txn_enrich" -> ((s, d) => enrichTransactions(Tables.events(s, d))),
     "q_psi_drift" -> ((s, d) => psiDrift(Tables.events(s, d))),
     "q_ks_drift" -> ((s, d) => ksDrift(Tables.events(s, d))),
@@ -640,6 +694,41 @@ object Features {
          UNION ALL
          SELECT 3, 'converted', n_converted,
            FLOOR((CAST(n_converted AS DOUBLE) / n_signup) * 10000 + 0.5) / 10000 FROM a
+         ORDER BY stage""",
+    "q_funnel_ordered" ->
+      """WITH base AS (
+           SELECT user_id, event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+         t1s AS (
+           SELECT user_id, MIN(CASE WHEN event_type = 'signup' THEN ts_s END) AS t1
+           FROM base GROUP BY user_id HAVING MIN(CASE WHEN event_type = 'signup' THEN ts_s END) IS NOT NULL),
+         t2s AS (
+           SELECT base.user_id, MIN(t1) AS t1,
+             MIN(CASE WHEN event_type IN ('view','click')
+               AND ts_s >= t1 AND ts_s <= t1 + 604800 THEN ts_s END) AS t2
+           FROM base JOIN t1s USING (user_id) GROUP BY base.user_id),
+         t3s AS (
+           SELECT base.user_id, MIN(t2s.t1) AS t1, MIN(t2s.t2) AS t2,
+             MIN(CASE WHEN event_type = 'purchase'
+               AND ts_s >= t2s.t2 AND ts_s <= t2s.t2 + 1209600 THEN ts_s END) AS t3
+           FROM base JOIN t2s USING (user_id)
+           WHERE t2s.t2 IS NOT NULL GROUP BY base.user_id),
+         a AS (SELECT
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM t1s) AS n1,
+             (SELECT CAST(SUM(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM t2s) AS n2,
+             (SELECT CAST(SUM(CASE WHEN t2 IS NOT NULL THEN t2 - t1 ELSE 0 END) AS BIGINT) FROM t2s) AS d2,
+             (SELECT CAST(SUM(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) FROM t3s) AS n3,
+             (SELECT CAST(SUM(CASE WHEN t3 IS NOT NULL THEN t3 - t1 ELSE 0 END) AS BIGINT) FROM t3s) AS d3)
+         SELECT 1 AS stage, 'signup' AS stage_name, n1 AS n_users,
+           FLOOR((CAST(n1 AS DOUBLE) / n1) * 10000 + 0.5) / 10000 AS conversion_from_top,
+           0.0 AS avg_days_to_reach FROM a
+         UNION ALL
+         SELECT 2, 'engaged_7d', n2,
+           FLOOR((CAST(n2 AS DOUBLE) / n1) * 10000 + 0.5) / 10000,
+           CASE WHEN n2 > 0 THEN FLOOR((CAST(d2 AS DOUBLE) / n2 / 86400) * 10000 + 0.5) / 10000 ELSE 0.0 END FROM a
+         UNION ALL
+         SELECT 3, 'purchased_14d', n3,
+           FLOOR((CAST(n3 AS DOUBLE) / n1) * 10000 + 0.5) / 10000,
+           CASE WHEN n3 > 0 THEN FLOOR((CAST(d3 AS DOUBLE) / n3 / 86400) * 10000 + 0.5) / 10000 ELSE 0.0 END FROM a
          ORDER BY stage""",
     "q_drift_sweep" -> {
       val melt = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(f =>
