@@ -181,7 +181,48 @@ object Analytics {
       .orderBy("cohort_week", "week_offset")
   }
 
+  /** Event-transition matrix (first-order Markov over each user's event
+    * stream): (from, to) counts from consecutive pairs via one lead
+    * window on the user partitioning, row-normalized to transition
+    * probabilities. One shuffle on user_id for the window; the matrix
+    * itself is |event types|² — bounded regardless of data size. */
+  def eventTransitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wF = Window.partitionBy(col("from_type"))
+    events
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", r6(col("n") / sum(col("n")).over(wF)))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** Daily/weekly active users. WAU is EXACT without a sliding-distinct
+    * self-join: each (user, active-day) row covers the 7 trailing
+    * windows ending on day..day+6, so one explode to the covered grid +
+    * distinct + count gives the rolling distinct-user count with a
+    * fixed 7× row expansion — linear at any scale, where the naive
+    * window-distinct funnels each day through one task. Days are
+    * integer epoch-day indexes; only days with activity are emitted. */
+  def activeUsers(events: DataFrame): DataFrame = {
+    val userDays = events
+      .select(col("user_id"), floor(epochS(col("ts")) / 86400L).cast("long").as("day"))
+      .distinct()
+    val dau = userDays.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = userDays
+      .select(col("user_id"), explode(expr("sequence(day, day + 6)")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        r4(col("dau") / col("wau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> ((s, d) => eventTransitions(Tables.events(s, d))),
+    "q_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
     "q_retention_cohorts" -> ((s, d) => retentionCohorts(Tables.events(s, d))),
     "q_data_quality" -> ((s, d) => dataQuality(Tables.customer(s, d),
       Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))),
@@ -197,6 +238,28 @@ object Analytics {
   private val profiled = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH bi AS (
+           SELECT event_type AS from_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+           FROM events),
+         g AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM bi WHERE to_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+           FLOOR((CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)) * 1000000 + 0.5) / 1000000 AS p
+         FROM g ORDER BY from_type, to_type""",
+    "q_active_users" ->
+      """WITH ud AS (
+           SELECT DISTINCT user_id,
+             CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 86400) AS BIGINT) AS day
+           FROM events),
+         dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+         cov AS (SELECT DISTINCT user_id, day + o AS day
+           FROM ud, UNNEST(generate_series(0, 6)) AS t(o)),
+         wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM cov GROUP BY day)
+         SELECT day, dau.dau, wau.wau,
+           FLOOR((CAST(dau.dau AS DOUBLE) / wau.wau) * 10000 + 0.5) / 10000 AS stickiness
+         FROM dau JOIN wau USING (day) ORDER BY day""",
     "q_retention_cohorts" ->
       """WITH weekly AS (
            SELECT DISTINCT user_id,
