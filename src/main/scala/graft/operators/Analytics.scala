@@ -107,6 +107,35 @@ object Analytics {
       .orderBy("event_id")
   }
 
+  /** Seasonally-adjusted anomaly detection: the global z-score flags
+    * whatever weekday traffic happens to inflate, so the baseline here
+    * is per (event_type, weekday) — each observation is scored against
+    * its own seasonal cell. Same exact decimal-moment machinery as
+    * [[anomalyZscore]]; the baseline frame is |types|×7 rows, broadcast.
+    * Cells with a single observation have no sample std — scored NULL
+    * and not flagged (the CASE both engines share). */
+  def anomalySeasonal(events: DataFrame): DataFrame = {
+    val base = events.withColumn("dow", expr("weekday(ts)").cast("int"))
+    val stats = base.groupBy(col("event_type").as("et"), col("dow").as("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd",
+        when(col("n") > 1,
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))))
+    base.join(broadcast(stats), col("event_type") === col("et") && col("dow") === col("d"))
+      .select(
+        col("event_id"), col("event_type"), col("dow"), col("value"),
+        when(col("sd") > 0d, r4((col("value") - col("mean")) / col("sd")))
+          .as("seasonal_z"),
+        when(col("sd") > 0d,
+          abs(r4((col("value") - col("mean")) / col("sd"))) > 2.0)
+          .otherwise(lit(false)).as("is_outlier"))
+      .orderBy("event_id")
+  }
+
   /** Freshness classification relative to the newest event (deterministic
     * "now"): FRESH <=1h, ACCEPTABLE <=24h, else STALE
     * (fact_sales_daily.sql data_freshness_status). */
@@ -231,6 +260,7 @@ object Analytics {
       topNPerGroup(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q_pivot_behavior" -> ((s, d) => pivotBehavior(Tables.events(s, d))),
     "q_anomaly_zscore" -> ((s, d) => anomalyZscore(Tables.events(s, d))),
+    "q_anomaly_seasonal" -> ((s, d) => anomalySeasonal(Tables.events(s, d))),
     "q_freshness" -> ((s, d) => freshness(Tables.events(s, d))),
     "q_gap_fill" -> ((s, d) => gapFill(Tables.orders(s, d)))
   )
@@ -238,6 +268,26 @@ object Analytics {
   private val profiled = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
   val oracles: Map[String, String] = Map(
+    "q_anomaly_seasonal" ->
+      """WITH base AS (
+           SELECT event_id, event_type, CAST(isodow(ts) - 1 AS INT) AS dow, value
+           FROM events),
+         st AS (
+           SELECT event_type AS et, dow AS d,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
+           FROM base GROUP BY 1, 2),
+         sd AS (SELECT et, d, s1 / n AS mean,
+             CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
+           FROM st)
+         SELECT event_id, event_type, dow, value,
+           CASE WHEN sd > 0 THEN FLOOR(((value - mean) / sd) * 10000 + 0.5) / 10000 END AS seasonal_z,
+           CASE WHEN sd > 0
+             THEN abs(FLOOR(((value - mean) / sd) * 10000 + 0.5) / 10000) > 2.0
+             ELSE FALSE END AS is_outlier
+         FROM base JOIN sd ON event_type = et AND dow = d
+         ORDER BY event_id""",
     "q_event_transitions" ->
       """WITH bi AS (
            SELECT event_type AS from_type,
