@@ -122,6 +122,22 @@ class DeterminismPropertySpec extends AnyFunSuite {
       run(graft.operators.Graph.pageRank(li.repartition(13), ord.repartition(5))))
   }
 
+  test("event-analytics operators are invariant to input partitioning") {
+    val ev = Tables.events(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      e => graft.operators.Analytics.retentionCohorts(e),
+      e => graft.operators.Analytics.eventTransitions(e),
+      e => graft.operators.Analytics.activeUsers(e),
+      e => graft.operators.Analytics.anomalySeasonal(e),
+      e => graft.ml.Features.funnelOrdered(e),
+      e => graft.operators.Scd2.asOfLookup(e)
+    ).foreach { op =>
+      assert(run(op(ev.repartition(1))) == run(op(ev.repartition(13))))
+    }
+  }
+
   test("pagerank conserves total rank mass") {
     val ranks = graft.operators.Graph.pageRank(
       Tables.lineitem(spark, sf), Tables.orders(spark, sf))
