@@ -102,9 +102,41 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Audio segmentation — the audio half of the multimodal pipeline
+    * (the [[frameSample]] twin): every asset expands into overlapping
+    * fixed-duration windows (`windowMs` every `hopMs` — the standard
+    * speech-pretraining chunker), each row carrying exact sample
+    * offsets, the final-partial flag with its pad amount, and a stub
+    * per-segment RMS where a real pipeline runs the codec. Metadata
+    * (sample rate, duration) is derived deterministically from the doc
+    * fields the way [[assets]] fakes image headers. Row-local explode
+    * of a bounded sequence — shuffle-free at any corpus size. */
+  def audioSegments(documents: DataFrame, windowMs: Int = 30000,
+                    hopMs: Int = 20000): DataFrame = {
+    documents.select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, 16000)
+          .when(pmod(col("doc_id"), lit(3)) === 1, 22050)
+          .otherwise(44100).cast("int").as("sample_rate"),
+        (pmod(col("n_chars") * 131, lit(600000)) + 1000).cast("long").as("duration_ms"))
+      .withColumn("start_ms", explode(expr(s"sequence(0, duration_ms - 1, $hopMs)")))
+      .withColumn("seg_idx", floor(col("start_ms") / hopMs).cast("int"))
+      .withColumn("end_ms", least(col("start_ms") + windowMs, col("duration_ms")))
+      .withColumn("is_partial", col("end_ms") - col("start_ms") < windowMs)
+      .withColumn("pad_ms", (lit(windowMs) - (col("end_ms") - col("start_ms"))).cast("long"))
+      .withColumn("n_samples",
+        floor((col("end_ms") - col("start_ms")) * col("sample_rate") / 1000d).cast("long"))
+      .withColumn("rms_stub",
+        r4(pmod(col("doc_id") * 37 + col("seg_idx") * 11, lit(1000)) / 1000d))
+      .select("doc_id", "sample_rate", "duration_ms", "seg_idx", "start_ms",
+        "end_ms", "n_samples", "is_partial", "pad_ms", "rms_stub")
+      .orderBy("doc_id", "seg_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_meta" -> ((s, d) => metaQuery(Tables.documents(s, d))),
-    "q_frame_sample" -> ((s, d) => frameSample(Tables.documents(s, d)))
+    "q_frame_sample" -> ((s, d) => frameSample(Tables.documents(s, d))),
+    "q_audio_segments" -> ((s, d) => audioSegments(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -120,6 +152,26 @@ object Multimodal {
            FLOOR(((octet_length(encode(text)) * 31 + doc_id * 7) % 256 / 255.0) * 10000 + 0.5) / 10000 AS mean_luma,
            GREATEST(1, CAST(FLOOR((n_chars % 640) / 16.0) AS INT) * CAST(FLOOR(((n_chars * 7) % 480) / 16.0) AS INT)) AS n_patches
          FROM documents ORDER BY doc_id""",
+    "q_audio_segments" ->
+      """WITH a AS (SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 16000
+                  WHEN doc_id % 3 = 1 THEN 22050
+                  ELSE 44100 END AS sample_rate,
+             CAST((n_chars * 131) % 600000 + 1000 AS BIGINT) AS duration_ms
+           FROM documents),
+         seg AS (SELECT a.*, CAST(t.g AS BIGINT) AS start_ms
+           FROM a, UNNEST(generate_series(0, duration_ms - 1, 20000)) AS t(g)),
+         e AS (SELECT *,
+             CAST(FLOOR(start_ms / 20000.0) AS INT) AS seg_idx,
+             LEAST(start_ms + 30000, duration_ms) AS end_ms
+           FROM seg)
+         SELECT doc_id, CAST(sample_rate AS INT) AS sample_rate, duration_ms,
+           seg_idx, start_ms, end_ms,
+           CAST(FLOOR((end_ms - start_ms) * sample_rate / 1000.0) AS BIGINT) AS n_samples,
+           end_ms - start_ms < 30000 AS is_partial,
+           CAST(30000 - (end_ms - start_ms) AS BIGINT) AS pad_ms,
+           FLOOR(((doc_id * 37 + seg_idx * 11) % 1000 / 1000.0) * 10000 + 0.5) / 10000 AS rms_stub
+         FROM e ORDER BY doc_id, seg_idx""",
     "q_frame_sample" ->
       """WITH a AS (SELECT doc_id,
              CASE WHEN doc_id % 3 = 0 THEN 'jpeg'
