@@ -332,15 +332,53 @@ object Monitoring {
       .withColumn("drift_alert", col("psi") > psiAlert)
   }
 
+  /** Retraining trigger decision — the orchestration-layer gate of the
+    * reference's training DAG
+    * (/root/reference/airflow_dags/ml_training_orchestration_dag.py:
+    * drift_detection_threshold 0.05 + performance_degradation_threshold
+    * 0.05 at :302-303; the 0.95 data-quality gate at :97-99) composed
+    * from this engine's own marts: [[Features.driftSweep]]'s overall
+    * score, [[modelPerf]]'s accuracy degradation, and
+    * [[graft.operators.Quality.featureQuality]]'s overall score. Three
+    * bounded one-row inputs cross-joined — the decision itself adds no
+    * data-sized work; at 100 TB the cost is the three underlying marts,
+    * each already scan-bounded. */
+  def retrainDecision(lineitem: DataFrame, events: DataFrame, orders: DataFrame,
+                      driftThreshold: Double = 0.05,
+                      degradationThreshold: Double = 0.05,
+                      qualityGate: Double = 0.95): DataFrame = {
+    val drift = Features.driftSweep(lineitem)
+      .agg(max(col("overall_drift_score")).as("drift_score"))
+    val perf = modelPerf(events).filter(col("metric") === "accuracy")
+      .select(col("degradation").as("accuracy_degradation"),
+        col("current_value").as("current_accuracy"))
+    val dq = graft.operators.Quality.featureQuality(orders,
+        numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
+        categoricalCols = Seq("o_orderstatus", "o_orderpriority"))
+      .select(col("overall_quality").as("dq_score"))
+    drift.crossJoin(perf).crossJoin(dq)
+      .withColumn("drift_trigger", col("drift_score") > driftThreshold)
+      .withColumn("degradation_trigger", col("accuracy_degradation") > degradationThreshold)
+      .withColumn("quality_gate_passed", col("dq_score") >= qualityGate)
+      .withColumn("retrain_required", col("drift_trigger") || col("degradation_trigger"))
+      .withColumn("trigger_reason",
+        when(!col("retrain_required"), "none").otherwise(concat_ws("+",
+          when(col("drift_trigger"), lit("data_drift")),
+          when(col("degradation_trigger"), lit("performance_degradation")))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_model_perf" -> ((s, d) => modelPerf(Tables.events(s, d))),
     "q_drift_history" -> ((s, d) => driftHistory(Tables.lineitem(s, d))),
     "q_business_impact" -> ((s, d) => businessImpact(Tables.orders(s, d))),
-    "q_impact_trend" -> ((s, d) => impactTrend(Tables.orders(s, d)))
+    "q_impact_trend" -> ((s, d) => impactTrend(Tables.orders(s, d))),
+    "q_retrain_decision" -> ((s, d) =>
+      retrainDecision(Tables.lineitem(s, d), Tables.events(s, d), Tables.orders(s, d)))
   )
 
-  val oracles: Map[String, String] = Map(
-    "q_model_perf" ->
+  /** q_model_perf oracle SQL — a val so the retrain-decision oracle can
+    * embed it as a subquery. */
+  private val modelPerfSql =
       """WITH b AS (SELECT CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) AS mid FROM events),
          s AS (
            SELECT event_id <= mid AS is_ref, value > 50.0 AS y_true,
@@ -406,7 +444,31 @@ object Monitoring {
              ELSE 0 END AS degradation_pct,
            degradation > 0.05 AS degradation_alert,
            metric = 'accuracy' AND current_value < 0.85 AS below_target_alert
-         FROM r2 ORDER BY metric""",
+         FROM r2 ORDER BY metric"""
+
+  val oracles: Map[String, String] = Map(
+    "q_model_perf" -> modelPerfSql,
+    "q_retrain_decision" -> {
+      val driftSql = Features.oracles("q_drift_sweep")
+      val dqSql = graft.operators.Quality.oracles("q_feature_quality")
+      s"""SELECT d.drift_score,
+           m.degradation AS accuracy_degradation,
+           m.current_value AS current_accuracy,
+           q.overall_quality AS dq_score,
+           d.drift_score > 0.05 AS drift_trigger,
+           m.degradation > 0.05 AS degradation_trigger,
+           q.overall_quality >= 0.95 AS quality_gate_passed,
+           (d.drift_score > 0.05 OR m.degradation > 0.05) AS retrain_required,
+           CASE WHEN NOT (d.drift_score > 0.05 OR m.degradation > 0.05) THEN 'none'
+                ELSE concat_ws('+',
+                  CASE WHEN d.drift_score > 0.05 THEN 'data_drift' END,
+                  CASE WHEN m.degradation > 0.05 THEN 'performance_degradation' END)
+           END AS trigger_reason
+         FROM (SELECT MAX(overall_drift_score) AS drift_score FROM ($driftSql) AS t1) d,
+              (SELECT degradation, current_value FROM ($modelPerfSql) AS t2
+                 WHERE metric = 'accuracy') m,
+              (SELECT overall_quality FROM ($dqSql) AS t3) q"""
+    },
     "q_drift_history" -> {
       val melt = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(f =>
         s"""SELECT '$f' AS feature, CAST($f AS DOUBLE) AS v,
