@@ -59,11 +59,51 @@ object Diagnostics {
         r6(col("top3_n").cast("double") / col("n_rows")).as("top3_share"))
   }
 
+  /** Z-order (Morton) clustering key over two join dimensions — the
+    * layout device that makes ONE sorted write serve range predicates
+    * on EITHER column (a lakehouse clusters its 100 TB fact by zkey so
+    * both partkey and suppkey probes skip most files). Pure integer bit
+    * interleaving — shifts/masks only, so the key is engine-exact — and
+    * entirely row-local; the sort it feeds is the single range exchange
+    * a clustered write pays anyway. `file_group` previews the file
+    * assignment a fixed-width zkey binning would produce; StorageSpec
+    * asserts the locality property (per-group bounding boxes cover a
+    * small fraction of the key plane). */
+  def zorderKey(lineitem: DataFrame, bits: Int = 16, groupShift: Int = 22): DataFrame = {
+    val terms = (0 until bits).map { k =>
+      s"shiftleft(shiftright(xb, $k) & 1, ${2 * k}) + " +
+        s"shiftleft(shiftright(yb, $k) & 1, ${2 * k + 1})"
+    }.mkString(" + ")
+    lineitem
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+      .withColumn("xb", expr(s"cast(pmod(l_partkey, ${1 << bits}) as bigint)"))
+      .withColumn("yb", expr(s"cast(pmod(l_suppkey, ${1 << bits}) as bigint)"))
+      .withColumn("zkey", expr(s"cast($terms as bigint)"))
+      .withColumn("file_group", expr(s"cast(shiftright(zkey, $groupShift) as int)"))
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "zkey", "file_group")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_skew_profile" -> ((s, d) => skewProfile(Tables.lineitem(s, d), "l_partkey"))
+    "q_skew_profile" -> ((s, d) => skewProfile(Tables.lineitem(s, d), "l_partkey")),
+    "q_zorder_key" -> ((s, d) => zorderKey(Tables.lineitem(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
+    "q_zorder_key" -> {
+      val terms = (0 until 16).map { k =>
+        s"(((xb >> $k) & 1) << ${2 * k}) + (((yb >> $k) & 1) << ${2 * k + 1})"
+      }.mkString(" + ")
+      s"""WITH b AS (
+           SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+             CAST(l_partkey % 65536 AS BIGINT) AS xb,
+             CAST(l_suppkey % 65536 AS BIGINT) AS yb
+           FROM lineitem),
+         z AS (SELECT *, CAST($terms AS BIGINT) AS zkey FROM b)
+         SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zkey,
+           CAST(zkey >> 22 AS INT) AS file_group
+         FROM z ORDER BY l_orderkey, l_linenumber"""
+    },
     "q_skew_profile" ->
       """WITH cnts AS (
            SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) c

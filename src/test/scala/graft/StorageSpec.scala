@@ -109,6 +109,19 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.sharedState.cacheManager.isEmpty, "quarantine parse cache leaked")
   }
 
+  test("z-order groups confine both key dimensions to their Morton tile") {
+    // a 2^22-wide zkey block interleaves 11 bits of each dimension, so
+    // every file_group's bounding box must fit a 2048x2048 tile — the
+    // property that lets ONE clustered write serve range probes on
+    // EITHER column (file skipping in both dimensions)
+    val z = graft.operators.Diagnostics.zorderKey(Tables.lineitem(spark, sf))
+    val spans = z.groupBy(col("file_group")).agg(
+      (max(col("l_partkey") % 65536) - min(col("l_partkey") % 65536)).as("xspan"),
+      (max(col("l_suppkey") % 65536) - min(col("l_suppkey") % 65536)).as("yspan"))
+    val bad = spans.filter(col("xspan") >= 2048 || col("yspan") >= 2048).count()
+    assert(bad == 0, "a z-order group leaked outside its Morton tile")
+  }
+
   test("extensions class registers graft_dot at session build time") {
     // applying to a fresh extensions container must succeed and register
     val ext = new org.apache.spark.sql.SparkSessionExtensions
