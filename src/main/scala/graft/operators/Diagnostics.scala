@@ -84,9 +84,43 @@ object Diagnostics {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Per-column optimizer statistics — the ANALYZE TABLE surface a
+    * cost-based planner consumes: row/null counts, exact NDV, min/max,
+    * and 8-bin equi-depth histogram edges. One melted scan feeds every
+    * column's stats (adding columns adds no passes); the distinct count
+    * runs per (column, value) group — the two-level exact-NDV shape
+    * that scales out instead of funneling values through one task. */
+  def columnStats(lineitem: DataFrame): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val melted = lineitem.select(explode(array(cols.map(c =>
+        struct(lit(c).as("feature"), col(c).cast("double").as("v"))): _*)).as("s"))
+      .select(col("s.feature").as("feature"), col("s.v").as("v"))
+    val ndv = melted.groupBy(col("feature"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("feature"))
+      .agg(count(lit(1)).as("ndv"))
+    melted.groupBy(col("feature"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("v")).as("n_filled"),
+        min(col("v")).as("min_v"),
+        max(col("v")).as("max_v"),
+        expr("percentile(v, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))").as("qs"))
+      .join(ndv, "feature")
+      .select(
+        col("feature"), col("n_rows"), col("n_filled"), col("ndv"),
+        r4(col("min_v")).as("min_v"), r4(col("max_v")).as("max_v"),
+        r4(col("qs").getItem(0)).as("e1"), r4(col("qs").getItem(1)).as("e2"),
+        r4(col("qs").getItem(2)).as("e3"), r4(col("qs").getItem(3)).as("e4"),
+        r4(col("qs").getItem(4)).as("e5"), r4(col("qs").getItem(5)).as("e6"),
+        r4(col("qs").getItem(6)).as("e7"))
+      .orderBy("feature")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_skew_profile" -> ((s, d) => skewProfile(Tables.lineitem(s, d), "l_partkey")),
-    "q_zorder_key" -> ((s, d) => zorderKey(Tables.lineitem(s, d)))
+    "q_zorder_key" -> ((s, d) => zorderKey(Tables.lineitem(s, d))),
+    "q_column_stats" -> ((s, d) => columnStats(Tables.lineitem(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -103,6 +137,24 @@ object Diagnostics {
          SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, zkey,
            CAST(zkey >> 22 AS INT) AS file_group
          FROM z ORDER BY l_orderkey, l_linenumber"""
+    },
+    "q_column_stats" -> {
+      val perCol = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map(c =>
+        s"""SELECT '$c' AS feature,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT($c) AS BIGINT) AS n_filled,
+             CAST(COUNT(DISTINCT CAST($c AS DOUBLE)) AS BIGINT) AS ndv,
+             FLOOR(MIN(CAST($c AS DOUBLE)) * 10000 + 0.5) / 10000 AS min_v,
+             FLOOR(MAX(CAST($c AS DOUBLE)) * 10000 + 0.5) / 10000 AS max_v,
+             FLOOR(quantile_cont(CAST($c AS DOUBLE), 0.125) * 10000 + 0.5) / 10000 AS e1,
+             FLOOR(quantile_cont(CAST($c AS DOUBLE), 0.25) * 10000 + 0.5) / 10000 AS e2,
+             FLOOR(quantile_cont(CAST($c AS DOUBLE), 0.375) * 10000 + 0.5) / 10000 AS e3,
+             FLOOR(quantile_cont(CAST($c AS DOUBLE), 0.5) * 10000 + 0.5) / 10000 AS e4,
+             FLOOR(quantile_cont(CAST($c AS DOUBLE), 0.625) * 10000 + 0.5) / 10000 AS e5,
+             FLOOR(quantile_cont(CAST($c AS DOUBLE), 0.75) * 10000 + 0.5) / 10000 AS e6,
+             FLOOR(quantile_cont(CAST($c AS DOUBLE), 0.875) * 10000 + 0.5) / 10000 AS e7
+           FROM lineitem""").mkString("\nUNION ALL\n")
+      s"""SELECT * FROM (\n$perCol\n) ORDER BY feature"""
     },
     "q_skew_profile" ->
       """WITH cnts AS (
