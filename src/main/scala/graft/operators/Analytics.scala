@@ -249,7 +249,40 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** First-touch attribution: every purchase is credited to the user's
+    * EARLIEST non-purchase event inside the lookback window before it
+    * ('direct' when none), rolled up to credit share per touch type.
+    * Equi-join on user_id with the window predicate post-match (the
+    * [[Scd2.asOfLookup]] shape — per-purchase work bounded by the
+    * user's event count, both sides one shuffle), first touch picked by
+    * a per-purchase rank over that bounded candidate set. */
+  def attribution(events: DataFrame, lookbackS: Long = 604800L): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"),
+      col("event_type"), epochS(col("ts")).as("ts_s"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts_s").as("p_ts"))
+    val touches = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_id").as("t_id"),
+        col("event_type").as("t_type"), col("ts_s").as("t_ts"))
+    val w = Window.partitionBy(col("p_id")).orderBy(col("t_ts").asc, col("t_id").asc)
+    val first = purchases.join(touches,
+        col("user_id") === col("t_user") &&
+          col("t_ts") < col("p_ts") && col("t_ts") >= col("p_ts") - lookbackS,
+        "left")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("p_id"), coalesce(col("t_type"), lit("direct")).as("attributed_to"))
+    val total = first.agg(count(lit(1)).as("n_total"))
+    first.groupBy(col("attributed_to"))
+      .agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(broadcast(total))
+      .select(col("attributed_to"), col("n_purchases"),
+        r6(col("n_purchases") / col("n_total")).as("credit_share"))
+      .orderBy("attributed_to")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
     "q_event_transitions" -> ((s, d) => eventTransitions(Tables.events(s, d))),
     "q_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
     "q_retention_cohorts" -> ((s, d) => retentionCohorts(Tables.events(s, d))),
@@ -268,6 +301,30 @@ object Analytics {
   private val profiled = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH e AS (
+           SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s
+           FROM events),
+         p AS (SELECT user_id, event_id AS p_id, ts_s AS p_ts
+           FROM e WHERE event_type = 'purchase'),
+         t AS (SELECT user_id AS t_user, event_id AS t_id,
+             event_type AS t_type, ts_s AS t_ts
+           FROM e WHERE event_type <> 'purchase'),
+         j AS (SELECT p.p_id, t.t_type, t.t_ts, t.t_id
+           FROM p LEFT JOIN t
+             ON p.user_id = t.t_user
+             AND t.t_ts < p.p_ts AND t.t_ts >= p.p_ts - 604800),
+         r AS (SELECT p_id, t_type,
+             ROW_NUMBER() OVER (PARTITION BY p_id ORDER BY t_ts ASC, t_id ASC) AS rn
+           FROM j),
+         f AS (SELECT p_id, COALESCE(t_type, 'direct') AS attributed_to
+           FROM r WHERE rn = 1),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM f)
+         SELECT attributed_to, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           FLOOR((CAST(COUNT(*) AS DOUBLE) / n_total) * 1000000 + 0.5) / 1000000 AS credit_share
+         FROM f, tot GROUP BY attributed_to, n_total
+         ORDER BY attributed_to""",
     "q_anomaly_seasonal" ->
       """WITH base AS (
            SELECT event_id, event_type, CAST(isodow(ts) - 1 AS INT) AS dow, value
