@@ -132,10 +132,16 @@ class DeterminismPropertySpec extends AnyFunSuite {
       e => graft.operators.Analytics.activeUsers(e),
       e => graft.operators.Analytics.anomalySeasonal(e),
       e => graft.ml.Features.funnelOrdered(e),
-      e => graft.operators.Scd2.asOfLookup(e)
+      e => graft.operators.Scd2.asOfLookup(e),
+      e => graft.operators.Analytics.attribution(e)
     ).foreach { op =>
       assert(run(op(ev.repartition(1))) == run(op(ev.repartition(13))))
     }
+    val li = Tables.lineitem(spark, sf)
+    assert(run(graft.operators.Diagnostics.columnStats(li.repartition(1))) ==
+      run(graft.operators.Diagnostics.columnStats(li.repartition(13))))
+    assert(run(graft.operators.Diagnostics.zorderKey(li.repartition(1))) ==
+      run(graft.operators.Diagnostics.zorderKey(li.repartition(13))))
   }
 
   test("pagerank conserves total rank mass") {
