@@ -89,31 +89,82 @@ object Diagnostics {
     * and 8-bin equi-depth histogram edges. One melted scan feeds every
     * column's stats (adding columns adds no passes); the distinct count
     * runs per (column, value) group — the two-level exact-NDV shape
-    * that scales out instead of funneling values through one task. */
+    * that scales out instead of funneling values through one task.
+    *
+    * The equi-depth edges are derived from the SAME (feature, value,
+    * cnt) aggregate the NDV path computes — a cumulative-count window
+    * per feature locates, for each target rank p*(n-1), the two
+    * bracketing distinct values, and Spark's exact-percentile linear
+    * interpolation `(hi-r)*v_lo + (r-lo)*v_hi` reproduces the result
+    * bit-for-bit. Spark's own `percentile()` aggregate would buffer a
+    * value→count map per feature ON ONE REDUCER — NDV-sized (1e7-1e8
+    * entries for a price column at 100× scale), an OOM funnel. The
+    * window path sorts the grouped frame per feature instead: disk-
+    * backed external sort, never an in-memory map, and still exact. */
   def columnStats(lineitem: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val melted = lineitem.select(explode(array(cols.map(c =>
         struct(lit(c).as("feature"), col(c).cast("double").as("v"))): _*)).as("s"))
       .select(col("s.feature").as("feature"), col("s.v").as("v"))
-    val ndv = melted.groupBy(col("feature"), col("v"))
+    val vals = melted.filter(col("v").isNotNull)
+      .groupBy(col("feature"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("feature"))
-      .agg(count(lit(1)).as("ndv"))
+    val ndv = vals.groupBy(col("feature")).agg(count(lit(1)).as("ndv"))
+    // 0-indexed run of positions each distinct value occupies in the
+    // sorted-by-value order, plus the feature's non-null total.
+    val wOrd = Window.partitionBy("feature").orderBy("v")
+    val wAll = Window.partitionBy("feature")
+    val runs = vals
+      .withColumn("cum_end", sum(col("cnt")).over(wOrd) - 1)
+      .withColumn("cum_start", col("cum_end") - col("cnt") + 1)
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    // For each of the 7 interior octile ranks r = p*(n-1): keep the
+    // value-runs covering floor(r) / ceil(r) and interpolate exactly as
+    // Spark's Percentile does — (hi-r)*v_lo + (r-lo)*v_hi, collapsing
+    // to v_lo when the rank is integral.
+    val specs = (1 to 7).map(i =>
+      struct(lit(i).as("ei"), lit(i / 8.0).as("p")))
+    val edges = runs
+      .withColumn("pp", explode(array(specs: _*)))
+      .withColumn("r", col("pp.p") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("r")))
+      .withColumn("hi", ceil(col("r")))
+      .filter(col("lo").between(col("cum_start"), col("cum_end")) ||
+              col("hi").between(col("cum_start"), col("cum_end")))
+      .groupBy(col("feature"), col("pp.ei").as("ei"))
+      .agg(
+        max(when(col("lo").between(col("cum_start"), col("cum_end")), col("v"))).as("v_lo"),
+        max(when(col("hi").between(col("cum_start"), col("cum_end")), col("v"))).as("v_hi"),
+        max(col("r")).as("r"), max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+      .withColumn("q",
+        when(col("lo") === col("hi"), col("v_lo"))
+          .otherwise((col("hi") - col("r")) * col("v_lo") +
+                     (col("r") - col("lo")) * col("v_hi")))
+      .groupBy("feature")
+      .agg(
+        max(when(col("ei") === 1, col("q"))).as("q1"),
+        max(when(col("ei") === 2, col("q"))).as("q2"),
+        max(when(col("ei") === 3, col("q"))).as("q3"),
+        max(when(col("ei") === 4, col("q"))).as("q4"),
+        max(when(col("ei") === 5, col("q"))).as("q5"),
+        max(when(col("ei") === 6, col("q"))).as("q6"),
+        max(when(col("ei") === 7, col("q"))).as("q7"))
     melted.groupBy(col("feature"))
       .agg(
         count(lit(1)).as("n_rows"),
         count(col("v")).as("n_filled"),
         min(col("v")).as("min_v"),
-        max(col("v")).as("max_v"),
-        expr("percentile(v, array(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875))").as("qs"))
+        max(col("v")).as("max_v"))
       .join(ndv, "feature")
+      .join(edges, "feature")
       .select(
         col("feature"), col("n_rows"), col("n_filled"), col("ndv"),
         r4(col("min_v")).as("min_v"), r4(col("max_v")).as("max_v"),
-        r4(col("qs").getItem(0)).as("e1"), r4(col("qs").getItem(1)).as("e2"),
-        r4(col("qs").getItem(2)).as("e3"), r4(col("qs").getItem(3)).as("e4"),
-        r4(col("qs").getItem(4)).as("e5"), r4(col("qs").getItem(5)).as("e6"),
-        r4(col("qs").getItem(6)).as("e7"))
+        r4(col("q1")).as("e1"), r4(col("q2")).as("e2"),
+        r4(col("q3")).as("e3"), r4(col("q4")).as("e4"),
+        r4(col("q5")).as("e5"), r4(col("q6")).as("e6"),
+        r4(col("q7")).as("e7"))
       .orderBy("feature")
   }
 

@@ -162,24 +162,24 @@ object EventStream {
     spark.table(queryName)
   }
 
-  /** Streaming SCD2 builder — the live twin of the reference's flagship
-    * scd_type2_macro (graft.operators.Scd2.build runs it as one batch
-    * window pass). Per-key state holds the OPEN version; each arriving
-    * change closes its predecessor (emitted immediately, Append mode)
-    * and becomes the new open head. Emitted rows carry the batch
-    * builder's exact column set for closed versions, so
-    * streaming == batch.filter(!is_current) holds row-for-row.
+  /** Core stateful SCD2 transform: per-key state holds the OPEN version;
+    * each arriving change closes its predecessor (emitted immediately,
+    * Append mode) and becomes the new open head.
     *
     * ORDERING CONTRACT: events must arrive in per-key event-time order
     * ACROSS micro-batches (within a batch the slice is sorted here).
     * There is no reorder buffer; a straggler older than the open head
-    * would otherwise silently corrupt the version chain, so such events
-    * are DROPPED rather than applied — on an out-of-order source, front
-    * this with a watermark + sort stage (or widen micro-batches) before
-    * the stateful step. */
-  def scd2Stream(spark: SparkSession, dir: String,
-                 queryName: String = "stream_scd2"): DataFrame = {
-    import spark.implicits._
+    * would otherwise silently corrupt the version chain (close the head
+    * with a negative duration and mis-number every later version), so
+    * such events are NOT applied — they are emitted as DEAD-LETTER rows
+    * with `version = -1` (effective_to_s carries the open head's start,
+    * the instant the straggler lost to) so bad input fails loudly and a
+    * downstream quarantine can route on it. On a genuinely out-of-order
+    * source, front this with a watermark + sort stage (or widen
+    * micro-batches) before the stateful step. */
+  def scd2ClosedStream(events: org.apache.spark.sql.Dataset[Scd2Event])
+      : org.apache.spark.sql.Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
     val fn = (userId: Long, rows: Iterator[Scd2Event],
               state: GroupState[Scd2Open]) => {
       // micro-batch slice sorted the way the batch window orders
@@ -187,30 +187,44 @@ object EventStream {
       var st = state.getOption
       var out = List.empty[Scd2Closed]
       sorted.foreach { e =>
-        // Cross-batch straggler older than the open head: applying it would
-        // close the head with a negative duration and mis-number every later
-        // version. Drop it (see the ordering contract in the scaladoc).
-        if (!st.exists(o => e.tsUs < o.fromUs)) {
-          st.foreach { o =>
-            out ::= Scd2Closed(userId, o.eventId, o.eventType, o.value,
-              o.version, o.fromUs / 1000000L, o.fromUs, e.tsUs / 1000000L)
-          }
-          st = Some(Scd2Open(st.map(_.version + 1).getOrElse(1L),
-            e.eventId, e.eventType, e.value, e.tsUs))
+        st match {
+          case Some(o) if e.tsUs < o.fromUs =>
+            // cross-batch straggler: dead-letter, state untouched
+            out ::= Scd2Closed(userId, e.eventId, e.eventType, e.value,
+              -1L, e.tsUs / 1000000L, e.tsUs, o.fromUs / 1000000L)
+          case _ =>
+            st.foreach { o =>
+              out ::= Scd2Closed(userId, o.eventId, o.eventType, o.value,
+                o.version, o.fromUs / 1000000L, o.fromUs, e.tsUs / 1000000L)
+            }
+            st = Some(Scd2Open(st.map(_.version + 1).getOrElse(1L),
+              e.eventId, e.eventType, e.value, e.tsUs))
         }
       }
       st.foreach(state.update)
       out.reverse.iterator
     }
-    val closed = readEvents(spark, dir)
+    events.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  /** Streaming SCD2 builder — the live twin of the reference's flagship
+    * scd_type2_macro (graft.operators.Scd2.build runs it as one batch
+    * window pass). Emitted rows carry the batch builder's exact column
+    * set for closed versions, so on an in-order source
+    * streaming == batch.filter(!is_current) holds row-for-row; late
+    * events surface as `change_reason = 'LATE_DEAD_LETTER'` rows (see
+    * [[scd2ClosedStream]]). */
+  def scd2Stream(spark: SparkSession, dir: String,
+                 queryName: String = "stream_scd2"): DataFrame = {
+    import spark.implicits._
+    val closed = scd2ClosedStream(readEvents(spark, dir)
       .select(col("user_id").cast("long").as("userId"),
         unix_micros(col("ts")).as("tsUs"),
         col("event_id").cast("long").as("eventId"),
         col("event_type").as("eventType"),
         col("value").cast("double").as("value"))
-      .as[Scd2Event]
-      .groupByKey(_.userId)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .as[Scd2Event])
     val q = closed.toDF().writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
@@ -223,7 +237,9 @@ object EventStream {
         col("attr_value"), col("version"),
         col("effective_from_s"), col("effective_from_us"), col("effective_to_s"),
         lit(false).as("is_current"),
-        when(col("version") === 1, "NEW").otherwise("UPDATED").as("change_reason"),
+        when(col("version") === -1, "LATE_DEAD_LETTER")
+          .when(col("version") === 1, "NEW")
+          .otherwise("UPDATED").as("change_reason"),
         md5(concat_ws("|", col("attr_type"), fmt2(col("attr_value")))
           .cast("binary")).as("change_hash"))
   }

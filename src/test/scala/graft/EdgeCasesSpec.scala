@@ -58,6 +58,23 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Embeddings.randomProjection(emptyEmb).count() == 0)
   }
 
+  test("quantizeInt8 defines the all-zero vector: scale=0, q_l1=0, err=0, cos=1") {
+    import spark.implicits._
+    val zero = Seq((0L, Array.fill(8)(0.0f)), (1L, Array(1.0f, -2.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeInt8(zero).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    val z = out(0L)
+    assert(z.getAs[Double]("scale") == 0.0)
+    assert(z.getAs[Long]("q_l1") == 0L)
+    assert(z.getAs[Double]("max_abs_err") == 0.0)
+    assert(z.getAs[Double]("cos_recon") == 1.0)
+    assert(z.getAs[Double]("l2_norm") == 0.0)
+    // the non-degenerate row is untouched by the guard
+    val n = out(1L)
+    assert(n.getAs[Double]("scale") > 0.0 && n.getAs[Long]("q_l1") > 0L)
+  }
+
   test("inference/graph/pq family is well-defined on empty inputs") {
     val emptyOrders = Tables.orders(spark, sf).limit(0)
     val emptyLi = Tables.lineitem(spark, sf).limit(0)

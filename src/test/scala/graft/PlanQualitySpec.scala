@@ -197,4 +197,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-3 must plan as TakeOrderedAndProject:\n$plan")
   }
+
+  test("column stats: no exact Percentile aggregate (its value->count buffer is an NDV-sized single-reducer map)") {
+    val df = graft.operators.Diagnostics.columnStats(Tables.lineitem(spark, sf))
+    val plan = planOf(df)
+    assert(!plan.contains("percentile("),
+      s"exact percentile aggregate present — NDV-sized buffer funnels one reducer at scale:\n$plan")
+    // the edges must come from the windowed cumulative-count path instead
+    assert(plan.contains("Window"), s"expected the cumulative-count window path:\n$plan")
+  }
 }

@@ -71,6 +71,38 @@ class Scd2AnalyticsSpec extends AnyFunSuite {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming scd2 dead-letters a cross-batch straggler instead of corrupting the chain") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{EventStream, Scd2Event}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Scd2Event]
+    val q = EventStream.scd2ClosedStream(input.toDS()).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("scd2_late").start()
+    // batch 1: two in-order changes -> v1 closes
+    input.addData(
+      Scd2Event(7L, 100000000L, 1L, "a", 1.0),
+      Scd2Event(7L, 200000000L, 2L, "b", 2.0))
+    q.processAllAvailable()
+    // batch 2: a straggler OLDER than the open head (200s), then a valid change
+    input.addData(Scd2Event(7L, 150000000L, 3L, "late", 9.0))
+    q.processAllAvailable()
+    input.addData(Scd2Event(7L, 300000000L, 4L, "c", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("scd2_late").collect()
+      .map(r => (r.getAs[Long]("version"), r.getAs[Long]("source_event_id"),
+        r.getAs[Long]("effective_from_s"), r.getAs[Long]("effective_to_s")))
+      .sortBy(_._3).toSeq
+    // the straggler surfaces as a version=-1 dead letter pointing at the
+    // head it lost to; the real chain is v1 then v2 with contiguous bounds
+    assert(rows == Seq(
+      (1L, 1L, 100L, 200L),      // v1 closed by the 200s change
+      (-1L, 3L, 150L, 200L),     // dead letter: lost to the open head at 200s
+      (2L, 2L, 200L, 300L)))     // v2 closed by the 300s change — unperturbed
+  }
+
   test("gap fill densifies the spine and carries revenue forward through gaps") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
