@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Catalog, ConfigFacts}
+
+/** Catalog-file-driven generation: the bundled graft_catalog.yml must
+  * parse into the SAME configs the hand-written code declares, and the
+  * generated frames must be identical — proving "add table #5" is a
+  * YAML edit, not new code. */
+class CatalogSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("bundled catalog parses: 6 facts, 4 dims, every source resolvable") {
+    val cat = Catalog.default
+    assert(cat.facts.size == 6 && cat.dims.size == 4)
+    val srcs = Catalog.sources(spark, sf).keySet
+    cat.facts.foreach(f => assert(srcs.contains(f.source), s"unknown source ${f.source}"))
+    cat.dims.foreach(d => assert(srcs.contains(d.source), s"unknown source ${d.source}"))
+    // every summary measure names a declared measure output
+    cat.facts.foreach { f =>
+      f.summaryMeasure.foreach(m =>
+        assert(f.config.measures.exists(_.name == m), s"${f.config.name}: bad summary $m"))
+    }
+  }
+
+  test("parsed configs equal the hand-written in-code configs") {
+    val byName = Catalog.default.facts.map(f => f.config.name -> f.config).toMap
+    assert(byName("fact_sales") == ConfigFacts.salesFactConfig.copy(name = "fact_sales"))
+    assert(byName("fact_orders") == ConfigFacts.ordersFactConfig.copy(name = "fact_orders"))
+    assert(byName("fact_events") == ConfigFacts.eventsFactConfig.copy(name = "fact_events"))
+    val dimByName = Catalog.default.dims.map(d => d.config.name -> d.config).toMap
+    assert(dimByName("dim_customer") ==
+      ConfigFacts.customerDimConfig.copy(name = "dim_customer"))
+  }
+
+  test("catalog-generated fact equals the hand-written generation row-for-row") {
+    val fromCatalog = Catalog.catalogFact(spark, sf, "fact_sales")
+      .orderBy("l_orderkey", "l_linenumber")
+      .collect().map(_.toString).toSeq
+    val handWritten = ConfigFacts
+      .configFactSales(Tables.lineitem(spark, sf), Tables.orders(spark, sf))
+      .collect().map(_.toString).toSeq
+    assert(fromCatalog.nonEmpty && fromCatalog == handWritten)
+  }
+
+  test("sweep audits every catalog table: one row each, sane counts") {
+    val rows = Catalog.sweep(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (name, kind) = (r.getAs[String]("table_name"), r.getAs[String]("kind"))
+      assert(r.getAs[Long]("n_rows") > 0, s"$name empty")
+      assert(r.getAs[Long]("n_keys") <= r.getAs[Long]("n_rows"), s"$name keys > rows")
+      if (kind == "fact") assert(!r.isNullAt(r.fieldIndex("m1_sum")), s"$name missing sum")
+      else assert(r.isNullAt(r.fieldIndex("m1_sum")), s"$name dim should have null sum")
+    }
+    // surrogate keys unique where the business key is the full grain
+    val byName = rows.map(r => r.getAs[String]("table_name") -> r).toMap
+    Seq("fact_orders", "fact_part_pricing", "fact_supplier_balance",
+      "dim_customer", "dim_part", "dim_supplier", "dim_document").foreach { t =>
+      assert(byName(t).getAs[Long]("n_keys") == byName(t).getAs[Long]("n_rows"),
+        s"$t surrogate keys not unique")
+    }
+  }
+}
