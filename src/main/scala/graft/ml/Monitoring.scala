@@ -367,13 +367,132 @@ object Monitoring {
           when(col("degradation_trigger"), lit("performance_degradation")))))
   }
 
+  /** Cross-model consistency check (_check_model_consistency,
+    * automated_training_pipeline.py:802-820): an ensemble of models is
+    * scored on the same stream, per-model accuracy / weighted precision
+    * / weighted recall computed from confusion counters, then the
+    * population variance of each metric across models and
+    * consistency_score = 1 − mean(variances). The "ensemble" is the
+    * deterministic flip-threshold family ([[score]] with flipAt
+    * 14/13/12) so the DuckDB oracle reproduces every double exactly.
+    *
+    * Scale shape: ONE full scan aggregating 4 confusion counters per
+    * model (12 total) map-side; everything after is arithmetic on a
+    * single row. Adding a model adds 4 counters, never a pass. */
+  def modelConsistency(events: DataFrame): DataFrame = {
+    val models = Seq(("m0", 14), ("m1", 13), ("m2", 12))
+    val k = models.size
+    val scored = events
+      .withColumn("y_true", col("value") > 50d)
+      .withColumn("noise", hexNoise("event_id"))
+    def cnt(flipAt: Int, t: Boolean, p: Boolean, nm: String) = {
+      val pred = when(col("noise") < flipAt, col("y_true")).otherwise(!col("y_true"))
+      sum(when(col("y_true") === t && pred === p, 1L).otherwise(0L)).as(nm)
+    }
+    val aggs = models.flatMap { case (m, f) => Seq(
+      cnt(f, t = true, p = true, s"${m}_tp"), cnt(f, t = false, p = true, s"${m}_fp"),
+      cnt(f, t = false, p = false, s"${m}_tn"), cnt(f, t = true, p = false, s"${m}_fn")) }
+    val g = scored.agg(aggs.head, aggs.tail: _*)
+    // per-model (accuracy, weighted precision, weighted recall) — the
+    // same arithmetic shape as modelPerf, so the oracle matches bitwise
+    def metrics(m: String): (Column, Column, Column) = {
+      val (tp, fp, tn, fn) = (col(s"${m}_tp").cast("double"), col(s"${m}_fp").cast("double"),
+        col(s"${m}_tn").cast("double"), col(s"${m}_fn").cast("double"))
+      val n = tp + fp + tn + fn
+      val nPos = tp + fn
+      val nNeg = tn + fp
+      def safe(num: Column, den: Column) = when(den > 0d, num / den).otherwise(lit(0d))
+      val pPos = safe(tp, tp + fp)
+      val pNeg = safe(tn, tn + fn)
+      val rPos = safe(tp, nPos)
+      val rNeg = safe(tn, nNeg)
+      ((tp + tn) / n,
+        (nPos * pPos + nNeg * pNeg) / n,
+        (nPos * rPos + nNeg * rNeg) / n)
+    }
+    val ms = models.map { case (m, _) => metrics(m) }
+    // np.var (population): mean of squares minus square of mean,
+    // left-fold sums in model order in both engines
+    def varOf(xs: Seq[Column]): Column =
+      xs.map(x => x * x).reduce(_ + _) / k - (xs.reduce(_ + _) / k) * (xs.reduce(_ + _) / k)
+    val va = varOf(ms.map(_._1))
+    val vp = varOf(ms.map(_._2))
+    val vr = varOf(ms.map(_._3))
+    g.select(
+      lit(k).as("n_models"),
+      r6(ms(0)._1).as("m0_accuracy"),
+      r6(ms(1)._1).as("m1_accuracy"),
+      r6(ms(2)._1).as("m2_accuracy"),
+      r6(va).as("accuracy_variance"),
+      r6(vp).as("precision_variance"),
+      r6(vr).as("recall_variance"),
+      r6(lit(1d) - (va + vp + vr) / 3d).as("consistency_score"))
+  }
+
+  /** Feature-importance consensus across models
+    * (_analyze_feature_importance, automated_training_pipeline.py
+    * :875-911): per (model, feature) importance scores are combined
+    * into mean, population std, consistency = 1 − std/mean (0 on zero
+    * mean), and a rank by mean importance. The "models" are `nModels`
+    * disjoint hash-bagged subsamples of the fact stream (l_orderkey mod
+    * nModels); importance is |Pearson correlation| of the feature with
+    * the net-revenue target l_extendedprice·(1−l_discount), computed
+    * from exact decimal moment sums so every model's score is
+    * partition-order-independent and engine-exact.
+    *
+    * Scale shape: one melted scan to (model, feature) moment sums —
+    * 6 decimal accumulators per cell, map-side partial; the consensus
+    * runs over a models × features frame (12 rows). */
+  def featureImportance(lineitem: DataFrame, nModels: Int = 3): DataFrame = {
+    val feats = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice")
+    val melted = lineitem.select(
+        pmod(col("l_orderkey"), lit(nModels)).cast("int").as("model_id"),
+        (col("l_extendedprice") * (lit(1d) - col("l_discount"))).cast("double").as("y"),
+        explode(array(feats.map(f =>
+          struct(lit(f).as("feature"), col(f).cast("double").as("x"))): _*)).as("s"))
+      .select(col("model_id"), col("s.feature").as("feature"), col("s.x").as("x"), col("y"))
+    val sums = melted.groupBy(col("model_id"), col("feature")).agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x").cast("decimal(28,8)")).cast("double").as("sx"),
+      sum(col("y").cast("decimal(28,8)")).cast("double").as("sy"),
+      sum((col("x") * col("x")).cast("decimal(38,8)")).cast("double").as("sxx"),
+      sum((col("y") * col("y")).cast("decimal(38,8)")).cast("double").as("syy"),
+      sum((col("x") * col("y")).cast("decimal(38,8)")).cast("double").as("sxy"))
+    val imp = sums.withColumn("importance",
+      abs((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt(greatest((col("n") * col("sxx") - col("sx") * col("sx")) *
+          (col("n") * col("syy") - col("sy") * col("sy")), lit(1e-12)))))
+    val consensus = imp.groupBy(col("feature")).agg(
+        count(lit(1)).as("n_models"),
+        sum(col("importance").cast("decimal(18,12)")).cast("double").as("si"),
+        sum((col("importance") * col("importance")).cast("decimal(20,14)"))
+          .cast("double").as("sii"))
+      .withColumn("mean_importance0", col("si") / nModels)
+      .withColumn("std_importance0",
+        sqrt(greatest(col("sii") / nModels - col("mean_importance0") * col("mean_importance0"),
+          lit(0d))))
+      .select(
+        col("feature"), col("n_models"),
+        r6(col("mean_importance0")).as("mean_importance"),
+        r6(col("std_importance0")).as("std_importance"),
+        r6(when(col("mean_importance0") > 0d,
+          lit(1d) - col("std_importance0") / col("mean_importance0"))
+          .otherwise(lit(0d))).as("consistency"))
+    consensus
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("mean_importance").desc, col("feature").asc)))
+      .orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_model_perf" -> ((s, d) => modelPerf(Tables.events(s, d))),
     "q_drift_history" -> ((s, d) => driftHistory(Tables.lineitem(s, d))),
     "q_business_impact" -> ((s, d) => businessImpact(Tables.orders(s, d))),
     "q_impact_trend" -> ((s, d) => impactTrend(Tables.orders(s, d))),
     "q_retrain_decision" -> ((s, d) =>
-      retrainDecision(Tables.lineitem(s, d), Tables.events(s, d), Tables.orders(s, d)))
+      retrainDecision(Tables.lineitem(s, d), Tables.events(s, d), Tables.orders(s, d))),
+    "q_model_consistency" -> ((s, d) => modelConsistency(Tables.events(s, d))),
+    "q_feature_importance" -> ((s, d) => featureImportance(Tables.lineitem(s, d)))
   )
 
   /** q_model_perf oracle SQL — a val so the retrain-decision oracle can
@@ -562,6 +681,107 @@ object Monitoring {
          SELECT *, CASE WHEN trend_slope > 0 THEN 'improving'
                         WHEN trend_slope < 0 THEN 'declining'
                         ELSE 'stable' END AS direction
-         FROM o"""
+         FROM o""",
+    "q_model_consistency" -> {
+      // confusion counters per flip threshold, then the same left-fold
+      // variance arithmetic as the Spark side; y_pred for threshold f
+      // is CASE WHEN noise < f THEN y_true ELSE NOT y_true END
+      def c(m: String, f: Int) = Seq(
+        s"CAST(SUM(CASE WHEN y_true AND (CASE WHEN noise < $f THEN y_true ELSE NOT y_true END) THEN 1 ELSE 0 END) AS DOUBLE) AS ${m}tp",
+        s"CAST(SUM(CASE WHEN NOT y_true AND (CASE WHEN noise < $f THEN y_true ELSE NOT y_true END) THEN 1 ELSE 0 END) AS DOUBLE) AS ${m}fp",
+        s"CAST(SUM(CASE WHEN NOT y_true AND NOT (CASE WHEN noise < $f THEN y_true ELSE NOT y_true END) THEN 1 ELSE 0 END) AS DOUBLE) AS ${m}tn",
+        s"CAST(SUM(CASE WHEN y_true AND NOT (CASE WHEN noise < $f THEN y_true ELSE NOT y_true END) THEN 1 ELSE 0 END) AS DOUBLE) AS ${m}fn"
+      ).mkString(",\n             ")
+      def metric(m: String) =
+        s"""(${m}tp + ${m}fn) AS ${m}npos, (${m}tn + ${m}fp) AS ${m}nneg,
+            (${m}tp + ${m}fp + ${m}tn + ${m}fn) AS ${m}n,
+            CASE WHEN ${m}tp + ${m}fp > 0 THEN ${m}tp / (${m}tp + ${m}fp) ELSE 0 END AS ${m}ppos,
+            CASE WHEN ${m}tn + ${m}fn > 0 THEN ${m}tn / (${m}tn + ${m}fn) ELSE 0 END AS ${m}pneg,
+            CASE WHEN ${m}tp + ${m}fn > 0 THEN ${m}tp / (${m}tp + ${m}fn) ELSE 0 END AS ${m}rpos,
+            CASE WHEN ${m}tn + ${m}fp > 0 THEN ${m}tn / (${m}tn + ${m}fp) ELSE 0 END AS ${m}rneg,
+            ${m}tp, ${m}tn"""
+      s"""WITH s AS (
+           SELECT value > 50.0 AS y_true,
+             (strpos('0123456789abcdef', substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) AS noise
+           FROM events),
+         g AS (
+           SELECT
+             ${c("a", 14)},
+             ${c("b", 13)},
+             ${c("c", 12)}
+           FROM s),
+         d AS (
+           SELECT
+             ${metric("a")},
+             ${metric("b")},
+             ${metric("c")}
+           FROM g),
+         mm AS (
+           SELECT
+             (atp + atn) / an AS a0, (btp + btn) / bn AS a1, (ctp + ctn) / cn AS a2,
+             (anpos * appos + anneg * apneg) / an AS p0,
+             (bnpos * bppos + bnneg * bpneg) / bn AS p1,
+             (cnpos * cppos + cnneg * cpneg) / cn AS p2,
+             (anpos * arpos + anneg * arneg) / an AS r0,
+             (bnpos * brpos + bnneg * brneg) / bn AS r1,
+             (cnpos * crpos + cnneg * crneg) / cn AS r2
+           FROM d),
+         v AS (
+           SELECT a0, a1, a2,
+             (a0 * a0 + a1 * a1 + a2 * a2) / 3 - ((a0 + a1 + a2) / 3) * ((a0 + a1 + a2) / 3) AS va,
+             (p0 * p0 + p1 * p1 + p2 * p2) / 3 - ((p0 + p1 + p2) / 3) * ((p0 + p1 + p2) / 3) AS vp,
+             (r0 * r0 + r1 * r1 + r2 * r2) / 3 - ((r0 + r1 + r2) / 3) * ((r0 + r1 + r2) / 3) AS vr
+           FROM mm)
+         SELECT 3 AS n_models,
+           FLOOR(a0 * 1000000 + 0.5) / 1000000 AS m0_accuracy,
+           FLOOR(a1 * 1000000 + 0.5) / 1000000 AS m1_accuracy,
+           FLOOR(a2 * 1000000 + 0.5) / 1000000 AS m2_accuracy,
+           FLOOR(va * 1000000 + 0.5) / 1000000 AS accuracy_variance,
+           FLOOR(vp * 1000000 + 0.5) / 1000000 AS precision_variance,
+           FLOOR(vr * 1000000 + 0.5) / 1000000 AS recall_variance,
+           FLOOR((1.0 - (va + vp + vr) / 3) * 1000000 + 0.5) / 1000000 AS consistency_score
+         FROM v"""
+    },
+    "q_feature_importance" -> {
+      val melt = Seq("l_quantity", "l_discount", "l_tax", "l_extendedprice").map(f =>
+        s"""SELECT CAST(l_orderkey % 3 AS INT) AS model_id, '$f' AS feature,
+            CAST($f AS DOUBLE) AS x,
+            CAST(l_extendedprice * (1 - l_discount) AS DOUBLE) AS y
+            FROM lineitem""").mkString(" UNION ALL ")
+      s"""WITH melted AS ($melt),
+         sums AS (
+           SELECT model_id, feature,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y * y AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+           FROM melted GROUP BY model_id, feature),
+         imp AS (
+           SELECT feature,
+             abs((n * sxy - sx * sy) /
+               sqrt(GREATEST((n * sxx - sx * sx) * (n * syy - sy * sy), 1e-12))) AS importance
+           FROM sums),
+         cons AS (
+           SELECT feature,
+             CAST(COUNT(*) AS BIGINT) AS n_models,
+             CAST(SUM(CAST(importance AS DECIMAL(18,12))) AS DOUBLE) AS si,
+             CAST(SUM(CAST(importance * importance AS DECIMAL(20,14))) AS DOUBLE) AS sii
+           FROM imp GROUP BY feature),
+         m AS (
+           SELECT feature, n_models, si / 3 AS mean0,
+             sqrt(GREATEST(sii / 3 - (si / 3) * (si / 3), 0)) AS std0
+           FROM cons),
+         o AS (
+           SELECT feature, n_models,
+             FLOOR(mean0 * 1000000 + 0.5) / 1000000 AS mean_importance,
+             FLOOR(std0 * 1000000 + 0.5) / 1000000 AS std_importance,
+             FLOOR((CASE WHEN mean0 > 0 THEN 1.0 - std0 / mean0 ELSE 0 END) * 1000000 + 0.5) / 1000000 AS consistency
+           FROM m)
+         SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY mean_importance DESC, feature ASC) AS INT)
+           AS rank
+         FROM o ORDER BY rank"""
+    }
   )
 }

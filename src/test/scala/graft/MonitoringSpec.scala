@@ -47,6 +47,42 @@ class MonitoringSpec extends AnyFunSuite {
     }
   }
 
+  test("modelConsistency: one row, ordered accuracies, nonneg variances, score consistent") {
+    val r = Monitoring.modelConsistency(Tables.events(spark, sf)).collect() match {
+      case Array(only) => only
+      case other => fail(s"expected 1 row, got ${other.length}")
+    }
+    assert(r.getAs[Int]("n_models") == 3)
+    // flip thresholds 14 > 13 > 12 order the accuracies by construction
+    val (a0, a1, a2) = (r.getAs[Double]("m0_accuracy"),
+      r.getAs[Double]("m1_accuracy"), r.getAs[Double]("m2_accuracy"))
+    assert(a0 > a1 && a1 > a2, s"accuracies not ordered: $a0, $a1, $a2")
+    Seq("accuracy_variance", "precision_variance", "recall_variance").foreach { c =>
+      val v = r.getAs[Double](c)
+      assert(v >= 0.0 && v < 0.25, s"$c=$v out of range") // var of values in [0,1]
+    }
+    val score = r.getAs[Double]("consistency_score")
+    assert(score > 0.9 && score <= 1.0, s"score=$score — tight ensemble expected")
+  }
+
+  test("featureImportance: price dominates the net-revenue target, ranks contiguous") {
+    val rows = Monitoring.featureImportance(Tables.lineitem(spark, sf)).collect()
+    assert(rows.map(_.getAs[String]("feature")).sorted.toSeq ==
+      Seq("l_discount", "l_extendedprice", "l_quantity", "l_tax"))
+    assert(rows.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+    // net revenue = price x (1 - discount): price must dominate the
+    // consensus in every hash-bagged submodel, and consistently so
+    assert(rows.head.getAs[String]("feature") == "l_extendedprice")
+    assert(rows.head.getAs[Double]("mean_importance") > 0.9)
+    assert(rows.head.getAs[Double]("consistency") > 0.99)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_models") == 3)
+      val (m, s) = (r.getAs[Double]("mean_importance"), r.getAs[Double]("std_importance"))
+      assert(m >= 0.0 && m <= 1.0 && s >= 0.0)
+      assert(r.getAs[Double]("consistency") <= 1.0)
+    }
+  }
+
   test("streaming performance monitor equals the batch windowed aggregate") {
     val streamed = graft.streaming.EventStream.performanceMonitor(spark, sf)
       .collect().map(_.toString).sorted.toSeq
