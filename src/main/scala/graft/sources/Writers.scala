@@ -53,4 +53,33 @@ object Writers {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Feature-export write path — the engine-side twin of the reference's
+    * export_features_to_warehouse (feature_store_manager.py:758-797):
+    * the computed feature frame is stamped with the export metadata the
+    * reference adds (extraction timestamp + the order-insensitive
+    * feature-version hash of [[graft.ml.FeatureViews.featureVersion]])
+    * and written partitioned by entity hash-bucket, so a serving-side
+    * point lookup prunes to 1/nBuckets of the table and a full refresh
+    * overwrites bucket directories in place. Returns
+    * (records_exported, features_count) — the reference's result dict.
+    *
+    * The caller supplies the extraction timestamp (the reference stamps
+    * datetime.now()); keeping it a parameter keeps the written bytes
+    * deterministic for replay/testing. */
+  def exportFeatures(features: DataFrame, entityCol: String, path: String,
+                     extractionTs: java.sql.Timestamp,
+                     nBuckets: Int = 16): (Long, Int) = {
+    val featCols = features.columns.filterNot(_ == entityCol).toSeq
+    val version = graft.ml.FeatureViews.featureVersion(featCols)
+    features
+      .withColumn("entity_bucket", pmod(col(entityCol), lit(nBuckets)).cast("int"))
+      .withColumn("feature_extraction_ts", lit(extractionTs))
+      .withColumn("feature_version", lit(version))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("entity_bucket")
+      .parquet(path)
+    val written = features.sparkSession.read.parquet(path)
+    (written.count(), features.columns.length)
+  }
 }

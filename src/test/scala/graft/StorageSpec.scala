@@ -31,6 +31,32 @@ class StorageSpec extends AnyFunSuite {
     assert(back.count() > 0)
   }
 
+  test("feature export round-trips with version stamp and bucket pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-feat").toString
+    val features = graft.ml.Inference.aggFeatureStore(Tables.orders(spark, sf))
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val (nRecords, nFeatures) = Writers.exportFeatures(features, "entity_id", dir, ts)
+    assert(nRecords == features.count() && nFeatures == features.columns.length)
+    val back = spark.read.parquet(dir)
+    // metadata stamped: one constant version hash matching the
+    // reference's md5-of-sorted-features recipe, the supplied timestamp
+    val expectVersion = graft.ml.FeatureViews.featureVersion(
+      features.columns.filterNot(_ == "entity_id").toSeq)
+    val versions = back.select("feature_version").distinct().collect()
+    assert(versions.map(_.getString(0)).toSeq == Seq(expectVersion))
+    assert(back.select("feature_extraction_ts").distinct().count() == 1)
+    // every original row+column survives; a bucket filter prunes partitions
+    assert(back.count() == nRecords)
+    features.columns.foreach(c => assert(back.columns.contains(c), s"lost column $c"))
+    val probe = back.filter(col("entity_bucket") === 3)
+    probe.collect()
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(entity_bucket"),
+      s"no bucket pruning in:\n$plan")
+    // bucket assignment is the hash the serving side can recompute
+    assert(probe.filter(pmod(col("entity_id"), lit(16)) =!= 3).count() == 0)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
     Seq("b_orders", "b_lines").foreach { t =>
