@@ -187,10 +187,23 @@ object Ann {
     * Σ|cell|², never corpus²) + the bounded-heap top-k; no broadcast of
     * the corpus side anywhere, so the shape survives any corpus size.
     * Vectors whose cell has no other member emit no rows — the standard
-    * IVF-blocking recall trade, same as [[nearDupPairs]]'s label block. */
-  def knnGraph(embeddings: DataFrame, k: Int = 3, kCents: Int = 16): DataFrame = {
+    * IVF-blocking recall trade, same as [[nearDupPairs]]'s label block.
+    *
+    * The cell count is ADAPTIVE: K = max(16, ⌈√(n/2)⌉), the classic IVF
+    * balance point. A fixed K makes |cell| grow with n and the
+    * within-cell join Σ|cell|² ≈ n²/K quadratic (measured 15× time for
+    * 10× corpus); K ~ √n caps BOTH the brute assign (n·K) and the join
+    * (n²/K) at n^1.5. One narrow count() buys the plan choice — the same
+    * adaptive-plan-selection device as the RFM exact/approx switch. At
+    * corpus sizes where n^1.5 itself is too much, the assign step
+    * graduates to a coarse-quantizer hierarchy ([[lloydCentroids]] over
+    * cell samples); the join shape is already right. Explicit `kCents`
+    * pins K for specs. */
+  def knnGraph(embeddings: DataFrame, k: Int = 3, kCents: Int = 0): DataFrame = {
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-    val assign = centroidRanked(v, kCents).filter(col("rn") === 1)
+    val kc = if (kCents > 0) kCents
+      else math.max(16L, math.ceil(math.sqrt(v.count() / 2.0)).toLong).toInt
+    val assign = centroidRanked(v, kc).filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"))
     val va = v.join(assign, "vec_id")
     val probes = va.select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
@@ -341,7 +354,8 @@ object Ann {
     "q_knn_graph" ->
       s"""WITH $normCte,
          cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv
-           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT GREATEST(16, CEIL(SQRT(COUNT(*) / 2.0))) FROM nv)),
          scoredc AS (
            SELECT nv.vec_id, nv.embedding, nv.nrm, centroid_id,
              FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
