@@ -110,15 +110,31 @@ object Diagnostics {
     val vals = melted.filter(col("v").isNotNull)
       .groupBy(col("feature"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-    val ndv = vals.groupBy(col("feature")).agg(count(lit(1)).as("ndv"))
+    // row/null/min/max stats need no melt: one narrow single-row
+    // aggregate over the unexploded scan, reshaped to per-feature rows
+    // (1 row -> 4). Saves a second full 4-way-exploded pass + shuffle.
+    val stats = lineitem.agg(
+        count(lit(1)).as("n_rows"),
+        cols.flatMap(c => Seq(
+          count(col(c)).as(s"nf_$c"),
+          min(col(c).cast("double")).as(s"mn_$c"),
+          max(col(c).cast("double")).as(s"mx_$c"))): _*)
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("feature"), col("n_rows"),
+          col(s"nf_$c").as("n_filled"),
+          col(s"mn_$c").as("min_v0"), col(s"mx_$c").as("max_v0"))): _*)).as("s"))
+      .select(col("s.*"))
     // 0-indexed run of positions each distinct value occupies in the
-    // sorted-by-value order, plus the feature's non-null total.
+    // sorted-by-value order, plus the feature's non-null total and NDV —
+    // all three windows share one exchange+sort of the grouped frame, so
+    // NDV costs no extra pass or join.
     val wOrd = Window.partitionBy("feature").orderBy("v")
     val wAll = Window.partitionBy("feature")
     val runs = vals
       .withColumn("cum_end", sum(col("cnt")).over(wOrd) - 1)
       .withColumn("cum_start", col("cum_end") - col("cnt") + 1)
       .withColumn("n", sum(col("cnt")).over(wAll))
+      .withColumn("ndv", count(lit(1)).over(wAll))
     // For each of the 7 interior octile ranks r = p*(n-1): keep the
     // value-runs covering floor(r) / ceil(r) and interpolate exactly as
     // Spark's Percentile does — (hi-r)*v_lo + (r-lo)*v_hi, collapsing
@@ -136,7 +152,8 @@ object Diagnostics {
       .agg(
         max(when(col("lo").between(col("cum_start"), col("cum_end")), col("v"))).as("v_lo"),
         max(when(col("hi").between(col("cum_start"), col("cum_end")), col("v"))).as("v_hi"),
-        max(col("r")).as("r"), max(col("lo")).as("lo"), max(col("hi")).as("hi"))
+        max(col("r")).as("r"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        max(col("ndv")).as("ndv"))
       .withColumn("q",
         when(col("lo") === col("hi"), col("v_lo"))
           .otherwise((col("hi") - col("r")) * col("v_lo") +
@@ -149,18 +166,13 @@ object Diagnostics {
         max(when(col("ei") === 4, col("q"))).as("q4"),
         max(when(col("ei") === 5, col("q"))).as("q5"),
         max(when(col("ei") === 6, col("q"))).as("q6"),
-        max(when(col("ei") === 7, col("q"))).as("q7"))
-    melted.groupBy(col("feature"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        count(col("v")).as("n_filled"),
-        min(col("v")).as("min_v"),
-        max(col("v")).as("max_v"))
-      .join(ndv, "feature")
+        max(when(col("ei") === 7, col("q"))).as("q7"),
+        max(col("ndv")).as("ndv"))
+    stats
       .join(edges, "feature")
       .select(
         col("feature"), col("n_rows"), col("n_filled"), col("ndv"),
-        r4(col("min_v")).as("min_v"), r4(col("max_v")).as("max_v"),
+        r4(col("min_v0")).as("min_v"), r4(col("max_v0")).as("max_v"),
         r4(col("q1")).as("e1"), r4(col("q2")).as("e2"),
         r4(col("q3")).as("e3"), r4(col("q4")).as("e4"),
         r4(col("q5")).as("e5"), r4(col("q6")).as("e6"),
