@@ -180,6 +180,15 @@ object Ann {
     topkPerProbe(scored, k)
   }
 
+  /** Adaptive IVF cell count for self-join blocking: the √n balance
+    * point where brute centroid assignment (n·K) and the within-cell
+    * join (Σ|cell|² ≈ n²/K) both cost n^1.5 — a fixed K is quadratic in
+    * the join term (SCALE.md measured 15× time for 10× vectors before
+    * this). The DuckDB oracle mirrors it as
+    * GREATEST(16, CEIL(SQRT(COUNT(*)/2.0))). */
+  def adaptiveCells(n: Long, floor: Int = 16): Int =
+    math.max(floor.toLong, math.ceil(math.sqrt(n / 2.0)).toLong).toInt
+
   /** Approximate k-NN GRAPH: every vector's top-k neighbors among the
     * vectors sharing its IVF cell — the self-similarity product that
     * feeds embedding-based near-dup clustering and diversity sampling.
@@ -201,8 +210,7 @@ object Ann {
     * pins K for specs. */
   def knnGraph(embeddings: DataFrame, k: Int = 3, kCents: Int = 0): DataFrame = {
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-    val kc = if (kCents > 0) kCents
-      else math.max(16L, math.ceil(math.sqrt(v.count() / 2.0)).toLong).toInt
+    val kc = if (kCents > 0) kCents else adaptiveCells(v.count())
     val assign = centroidRanked(v, kc).filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"))
     val va = v.join(assign, "vec_id")

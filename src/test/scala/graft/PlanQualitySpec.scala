@@ -198,6 +198,21 @@ class PlanQualitySpec extends AnyFunSuite {
       s"top-3 must plan as TakeOrderedAndProject:\n$plan")
   }
 
+  test("knn graph cell count scales as sqrt(n) — no fixed-K quadratic join at corpus scale") {
+    import graft.ann.Ann.adaptiveCells
+    // floor holds for small corpora (and exactly matches the verify SF,
+    // keeping oracle results unchanged there)
+    assert(adaptiveCells(0) == 16 && adaptiveCells(500) == 16)
+    // then sqrt growth: expected cell size stays ~sqrt(2n), so the
+    // within-cell pair work n*sqrt(2n) is n^1.5, never n^2
+    assert(adaptiveCells(2048) == 32)
+    assert(adaptiveCells(20000) == 100)
+    assert(adaptiveCells(2000000) == 1000)
+    // 100x the corpus -> ~10x the cells (the quadratic-killing property)
+    val r = adaptiveCells(100L * 1000000) .toDouble / adaptiveCells(1000000)
+    assert(r > 9.0 && r < 11.0, s"cells must grow ~sqrt(n), got ratio $r")
+  }
+
   test("column stats: no exact Percentile aggregate (its value->count buffer is an NDV-sized single-reducer map)") {
     val df = graft.operators.Diagnostics.columnStats(Tables.lineitem(spark, sf))
     val plan = planOf(df)
