@@ -106,6 +106,8 @@ object Catalog {
     "part" -> Tables.part(spark, dir),
     "supplier" -> Tables.supplier(spark, dir),
     "customer" -> Tables.customer(spark, dir),
+    "nation" -> Tables.nation(spark, dir),
+    "region" -> Tables.region(spark, dir),
     "documents" -> Tables.documents(spark, dir),
     "lineitem_orders" -> Tables.lineitem(spark, dir).join(
       Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
@@ -192,6 +194,16 @@ object Catalog {
            CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE)
          FROM supplier
          UNION ALL
+         SELECT 'fact_customer_balance', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(c_custkey AS VARCHAR)) AS BIGINT),
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+         FROM customer
+         UNION ALL
+         SELECT 'fact_returns', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '||' || CAST(l_linenumber AS VARCHAR)) AS BIGINT),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM lineitem WHERE l_returnflag = 'R'
+         UNION ALL
          SELECT 'dim_customer', 'dim', CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(DISTINCT CAST(c_custkey AS VARCHAR)) AS BIGINT),
            CAST(NULL AS DOUBLE)
@@ -211,6 +223,16 @@ object Catalog {
            CAST(COUNT(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT),
            CAST(NULL AS DOUBLE)
          FROM documents
+         UNION ALL
+         SELECT 'dim_nation', 'dim', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(n_nationkey AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM nation
+         UNION ALL
+         SELECT 'dim_region', 'dim', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(r_regionkey AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM region
          ) ORDER BY table_name"""
   )
 }

@@ -10,9 +10,9 @@ import graft.operators.{Catalog, ConfigFacts}
 class CatalogSpec extends AnyFunSuite {
   import TestSession._
 
-  test("bundled catalog parses: 6 facts, 4 dims, every source resolvable") {
+  test("bundled catalog parses: 8 facts, 6 dims, every source resolvable") {
     val cat = Catalog.default
-    assert(cat.facts.size == 6 && cat.dims.size == 4)
+    assert(cat.facts.size == 8 && cat.dims.size == 6)
     val srcs = Catalog.sources(spark, sf).keySet
     cat.facts.foreach(f => assert(srcs.contains(f.source), s"unknown source ${f.source}"))
     cat.dims.foreach(d => assert(srcs.contains(d.source), s"unknown source ${d.source}"))
@@ -45,7 +45,7 @@ class CatalogSpec extends AnyFunSuite {
 
   test("sweep audits every catalog table: one row each, sane counts") {
     val rows = Catalog.sweep(spark, sf).collect()
-    assert(rows.length == 10)
+    assert(rows.length == 14)
     rows.foreach { r =>
       val (name, kind) = (r.getAs[String]("table_name"), r.getAs[String]("kind"))
       assert(r.getAs[Long]("n_rows") > 0, s"$name empty")
@@ -55,10 +55,17 @@ class CatalogSpec extends AnyFunSuite {
     }
     // surrogate keys unique where the business key is the full grain
     val byName = rows.map(r => r.getAs[String]("table_name") -> r).toMap
+    // full-grain tables only: the synthetic lineitem carries duplicate
+    // (orderkey, linenumber) pairs, so lineitem-grain facts are excluded
     Seq("fact_orders", "fact_part_pricing", "fact_supplier_balance",
-      "dim_customer", "dim_part", "dim_supplier", "dim_document").foreach { t =>
+      "fact_customer_balance",
+      "dim_customer", "dim_part", "dim_supplier", "dim_document",
+      "dim_nation", "dim_region").foreach { t =>
       assert(byName(t).getAs[Long]("n_keys") == byName(t).getAs[Long]("n_rows"),
         s"$t surrogate keys not unique")
     }
+    // the quality-rule fact is a strict subset of its source
+    assert(byName("fact_returns").getAs[Long]("n_rows") <
+      Tables.lineitem(spark, sf).count())
   }
 }
