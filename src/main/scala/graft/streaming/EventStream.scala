@@ -98,9 +98,10 @@ object EventStream {
     * twin of Features.sessionize (>30-min gap closes a session). Each
     * micro-batch sorts its per-user slice, closes every session a gap
     * terminates, and carries the open session in state; the final
-    * still-open session per user stays in state on a finite input
-    * (production flushes it with an event-time timeout once the
-    * watermark passes last_s + gap). */
+    * still-open session per user stays in state on a finite input —
+    * [[sessionizedTimeoutStream]] is the production variant that
+    * flushes it with an event-time timeout once the watermark passes
+    * last_s + gap. */
   def sessionized(spark: SparkSession, dir: String,
                   queryName: String = "stream_sessions"): DataFrame = {
     import spark.implicits._
@@ -137,6 +138,57 @@ object EventStream {
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
+  }
+
+  /** Sessionizer with the PRODUCTION flush: same gap-close logic as
+    * [[sessionized]], plus an event-time timeout that emits each key's
+    * final open session once the watermark passes last_s + gap — so
+    * state is bounded (every session leaves state ≤ gap after its last
+    * event, in event time) and the stream's output converges to the
+    * FULL batch sessionize, not just its gap-closed prefix. Input must
+    * carry the event-time watermark; this wires it from tsS. */
+  def sessionizedTimeoutStream(events: org.apache.spark.sql.Dataset[SessEvent],
+                               gapS: Long = 1800L)
+      : org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    def close(userId: Long, s: SessState): SessionOut =
+      SessionOut(s"$userId-${s.seq}", userId, s.seq, s.n,
+        s.start, s.last, s.last - s.start, s.types.size.toLong)
+    val fn = (userId: Long, rows: Iterator[SessEvent],
+              state: GroupState[SessState]) => {
+      if (state.hasTimedOut) {
+        // watermark passed last + gap: no event can extend this session
+        val s = state.get
+        state.remove()
+        Iterator.single(close(userId, s))
+      } else {
+        val sorted = rows.toSeq.sortBy(e => (e.tsS, e.eventId))
+        var st = state.getOption
+        var out = List.empty[SessionOut]
+        sorted.foreach { e =>
+          st match {
+            case None =>
+              st = Some(SessState(1L, e.tsS, e.tsS, 1L, Set(e.eventType)))
+            case Some(s) if e.tsS - s.last > gapS =>
+              out ::= close(userId, s)
+              st = Some(SessState(s.seq + 1, e.tsS, e.tsS, 1L, Set(e.eventType)))
+            case Some(s) =>
+              st = Some(s.copy(last = e.tsS, n = s.n + 1, types = s.types + e.eventType))
+          }
+        }
+        st.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp((s.last + gapS) * 1000L)
+        }
+        out.reverse.iterator
+      }
+    }
+    events
+      .withColumn("ts", timestamp_seconds(col("tsS")))
+      .withWatermark("ts", "0 seconds")
+      .as[SessEvent]
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
   }
 
   /** Streaming model-performance monitor — the readStream twin of

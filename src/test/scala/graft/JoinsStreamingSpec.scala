@@ -78,6 +78,35 @@ class JoinsStreamingSpec extends AnyFunSuite {
     assert(closed.exceptAll(stream).count() == 0)
   }
 
+  test("event-time timeout flushes the open session once the watermark passes the gap") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.SessEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[SessEvent]
+    val q = EventStream.sessionizedTimeoutStream(input.toDS()).toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_timeout").start()
+    // batch 1: user 7, two events 100s apart -> one OPEN session in state
+    input.addData(SessEvent(7L, 1000L, 1L, "view"), SessEvent(7L, 1100L, 2L, "click"))
+    q.processAllAvailable()
+    assert(spark.table("sess_timeout").count() == 0, "nothing should close yet")
+    // batch 2: a far-future event on ANOTHER user advances the watermark
+    // beyond 1100 + 1800 -> user 7's open session must flush via timeout
+    input.addData(SessEvent(9L, 10000L, 3L, "view"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sess_timeout").collect()
+    val u7 = rows.filter(_.getAs[Long]("user_id") == 7L)
+    assert(u7.length == 1, s"expected one flushed session, got ${rows.mkString(", ")}")
+    val s = u7.head
+    assert(s.getAs[Long]("n_events") == 2 && s.getAs[Long]("start_s") == 1000L &&
+      s.getAs[Long]("end_s") == 1100L && s.getAs[Long]("duration_s") == 100L &&
+      s.getAs[Long]("n_event_types") == 2)
+    // user 9's session is still open — the watermark never passed ITS gap
+    assert(!rows.exists(_.getAs[Long]("user_id") == 9L))
+  }
+
   test("rollup includes per-nation, per-region and grand-total levels") {
     val r = Joins.rollupRevenue(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf))
