@@ -484,6 +484,53 @@ object Monitoring {
       .orderBy("rank")
   }
 
+  /** Alert-history rollup (get_alert_summary, ml_monitoring_system.py
+    * :890-919): recent alerts counted by (source, severity) with
+    * shares and the most-recent instant per cell. The alert LOG is
+    * composed from the engine's own deterministic signals — per-type
+    * z-score anomalies (source 'anomaly_zscore': |z|>2 warning, >4
+    * critical; the [[graft.operators.Analytics.anomalyZscore]]
+    * machinery) and absolute threshold breaches (source 'threshold':
+    * value>200 warning, >300 critical) — and "the last N hours" is
+    * anchored at the stream's max event time, the deterministic twin
+    * of the reference's datetime.now() cutoff.
+    *
+    * Scale shape: one broadcast stats pass + one scan filtered to the
+    * alert tail; output is bounded by sources × severities. */
+  def alertSummary(events: DataFrame, hours: Int = 168): DataFrame = {
+    val stats = events.groupBy(col("event_type").as("et"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
+        sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+    val zAlerts = events.join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("az", abs(r4((col("value") - col("mean")) / col("sd"))))
+      .filter(col("az") > 2.0)
+      .select(epochS(col("ts")).as("ts_s"),
+        lit("anomaly_zscore").as("source"),
+        when(col("az") > 4.0, "critical").otherwise("warning").as("severity"))
+    val tAlerts = events.filter(col("value") > 200.0)
+      .select(epochS(col("ts")).as("ts_s"),
+        lit("threshold").as("source"),
+        when(col("value") > 300.0, "critical").otherwise("warning").as("severity"))
+    val bounds = events.agg(epochS(max(col("ts"))).as("mx"))
+    val recent = zAlerts.unionByName(tAlerts)
+      .crossJoin(broadcast(bounds))
+      .filter(col("ts_s") > col("mx") - hours * 3600L)
+    val total = recent.agg(count(lit(1)).as("total_alerts"))
+    recent.groupBy(col("source"), col("severity"))
+      .agg(count(lit(1)).as("n_alerts"), max(col("ts_s")).as("most_recent_s"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("source"), col("severity"), col("n_alerts"),
+        r6(col("n_alerts").cast("double") / col("total_alerts")).as("share"),
+        col("most_recent_s"), col("total_alerts"),
+        lit(hours).as("period_hours"))
+      .orderBy("source", "severity")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_model_perf" -> ((s, d) => modelPerf(Tables.events(s, d))),
     "q_drift_history" -> ((s, d) => driftHistory(Tables.lineitem(s, d))),
@@ -492,7 +539,8 @@ object Monitoring {
     "q_retrain_decision" -> ((s, d) =>
       retrainDecision(Tables.lineitem(s, d), Tables.events(s, d), Tables.orders(s, d))),
     "q_model_consistency" -> ((s, d) => modelConsistency(Tables.events(s, d))),
-    "q_feature_importance" -> ((s, d) => featureImportance(Tables.lineitem(s, d)))
+    "q_feature_importance" -> ((s, d) => featureImportance(Tables.lineitem(s, d))),
+    "q_alert_summary" -> ((s, d) => alertSummary(Tables.events(s, d)))
   )
 
   /** q_model_perf oracle SQL — a val so the retrain-decision oracle can
@@ -782,6 +830,38 @@ object Monitoring {
          SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY mean_importance DESC, feature ASC) AS INT)
            AS rank
          FROM o ORDER BY rank"""
-    }
+    },
+    "q_alert_summary" ->
+      """WITH st AS (
+           SELECT event_type AS et, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
+           FROM events GROUP BY event_type),
+         za AS (
+           SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             'anomaly_zscore' AS source,
+             CASE WHEN abs(FLOOR((value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)) * 10000 + 0.5) / 10000) > 4.0
+                  THEN 'critical' ELSE 'warning' END AS severity
+           FROM events JOIN st ON event_type = et
+           WHERE abs(FLOOR((value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)) * 10000 + 0.5) / 10000) > 2.0),
+         ta AS (
+           SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             'threshold' AS source,
+             CASE WHEN value > 300.0 THEN 'critical' ELSE 'warning' END AS severity
+           FROM events WHERE value > 200.0),
+         b AS (SELECT CAST(FLOOR(epoch(MAX(ts))) AS BIGINT) AS mx FROM events),
+         rec AS (
+           SELECT al.* FROM (SELECT * FROM za UNION ALL SELECT * FROM ta) al, b
+           WHERE ts_s > mx - 604800),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_alerts FROM rec)
+         SELECT source, severity,
+           CAST(COUNT(*) AS BIGINT) AS n_alerts,
+           FLOOR(CAST(COUNT(*) AS DOUBLE) / total_alerts * 1000000 + 0.5) / 1000000 AS share,
+           CAST(MAX(ts_s) AS BIGINT) AS most_recent_s,
+           total_alerts,
+           168 AS period_hours
+         FROM rec, tot
+         GROUP BY source, severity, total_alerts
+         ORDER BY source, severity"""
   )
 }

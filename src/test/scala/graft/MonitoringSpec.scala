@@ -83,6 +83,25 @@ class MonitoringSpec extends AnyFunSuite {
     }
   }
 
+  test("alertSummary: shares sum to 1, totals reconcile, recency inside the window") {
+    val rows = Monitoring.alertSummary(Tables.events(spark, sf)).collect()
+    assert(rows.nonEmpty)
+    val total = rows.head.getAs[Long]("total_alerts")
+    assert(rows.map(_.getAs[Long]("n_alerts")).sum == total)
+    val shareSum = rows.map(_.getAs[Double]("share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"shares sum to $shareSum")
+    val sources = rows.map(_.getAs[String]("source")).toSet
+    assert(sources.subsetOf(Set("anomaly_zscore", "threshold")))
+    rows.foreach { r =>
+      assert(Set("warning", "critical")(r.getAs[String]("severity")))
+      assert(r.getAs[Int]("period_hours") == 168)
+    }
+    // every cell's most-recent alert lies within the window
+    val mx = rows.map(_.getAs[Long]("most_recent_s")).max
+    rows.foreach(r =>
+      assert(mx - r.getAs[Long]("most_recent_s") < 168L * 3600, "stale cell leaked in"))
+  }
+
   test("streaming performance monitor equals the batch windowed aggregate") {
     val streamed = graft.streaming.EventStream.performanceMonitor(spark, sf)
       .collect().map(_.toString).sorted.toSeq
