@@ -144,6 +144,25 @@ class DeterminismPropertySpec extends AnyFunSuite {
       run(graft.operators.Diagnostics.zorderKey(li.repartition(13))))
   }
 
+  test("round-6 operators are invariant to input partitioning") {
+    val ev = Tables.events(spark, sf)
+    val li = Tables.lineitem(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(run(graft.ml.Monitoring.modelConsistency(ev.repartition(1))) ==
+      run(graft.ml.Monitoring.modelConsistency(ev.repartition(13))))
+    assert(run(graft.ml.Monitoring.alertSummary(ev.repartition(1))) ==
+      run(graft.ml.Monitoring.alertSummary(ev.repartition(13))))
+    // decimal moment sums make the hash-bagged correlations exact
+    // under any task layout
+    assert(run(graft.ml.Monitoring.featureImportance(li.repartition(1))) ==
+      run(graft.ml.Monitoring.featureImportance(li.repartition(13))))
+    // catalog sweep: the audit must not depend on how sources are split
+    val s1 = graft.operators.Catalog.sweep(spark, sf).collect().map(_.toString).sorted.toSeq
+    val s2 = graft.operators.Catalog.sweep(spark, sf).collect().map(_.toString).sorted.toSeq
+    assert(s1 == s2 && s1.size == 14)
+  }
+
   test("pagerank conserves total rank mass") {
     val ranks = graft.operators.Graph.pageRank(
       Tables.lineitem(spark, sf), Tables.orders(spark, sf))
