@@ -83,6 +83,24 @@ object TrainPrep {
     numRow.unionByName(catRow).orderBy("column")
   }
 
+  /** Balanced class weights over the document language label — the
+    * sklearn `class_weight='balanced'` recipe w_c = N / (k · n_c) plus
+    * the oversampling factor max(n)/n_c a resampling loader would use
+    * to rebalance. One hash aggregation to class grain (k rows — the
+    * broadcast-sized artifact a trainer consumes); every output double
+    * is a ratio of exact integers, so engine parity is unconditional. */
+  def classWeights(documents: DataFrame): DataFrame = {
+    val g = documents.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    val consts = g.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("k_classes"), max(col("n_docs")).as("max_n"))
+    g.crossJoin(broadcast(consts))
+      .select(col("lang"), col("n_docs"),
+        r6(col("n_docs").cast("double") / col("n_total")).as("share"),
+        r6(col("n_total").cast("double") / (col("k_classes") * col("n_docs"))).as("class_weight"),
+        r6(col("max_n").cast("double") / col("n_docs")).as("oversample_factor"))
+      .orderBy("lang")
+  }
+
   private val corrFeats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** Pearson correlation matrix over the fact's numeric features — the
@@ -160,7 +178,8 @@ object TrainPrep {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_train_assembly" -> ((s, d) => trainingAssembly(Tables.orders(s, d))),
     "q_impute" -> ((s, d) => imputePlan(Tables.events(s, d))),
-    "q_feature_corr" -> ((s, d) => featureCorr(Tables.lineitem(s, d)))
+    "q_feature_corr" -> ((s, d) => featureCorr(Tables.lineitem(s, d))),
+    "q_class_weights" -> ((s, d) => classWeights(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -233,6 +252,16 @@ object TrainPrep {
       s"""WITH sc AS (SELECT $scSql),
          m AS (SELECT ${sumsSql.mkString(", ")} FROM lineitem, sc)
          SELECT * FROM ($pairRows) ORDER BY feature_a, feature_b"""
-    }
+    },
+    "q_class_weights" ->
+      s"""WITH g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang),
+         k AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             CAST(COUNT(*) AS BIGINT) AS k_classes,
+             CAST(MAX(n_docs) AS BIGINT) AS max_n FROM g)
+         SELECT lang, n_docs,
+           ${sqlR("CAST(n_docs AS DOUBLE) / n_total", 6)} AS share,
+           ${sqlR("CAST(n_total AS DOUBLE) / (k_classes * n_docs)", 6)} AS class_weight,
+           ${sqlR("CAST(max_n AS DOUBLE) / n_docs", 6)} AS oversample_factor
+         FROM g, k ORDER BY lang"""
   )
 }

@@ -58,6 +58,22 @@ object Joins {
         col("n_events"), col("sum_value"))
       .orderBy("hour_start_s", "event_type")
 
+  /** SLIDING 1-hour window every 15 minutes — the overlapping-window twin
+    * of [[windowTumbling]] (and of the streaming job's sliding variant).
+    * Spark's window generator expands each event into exactly
+    * width/slide = 4 epoch-aligned windows before the hash aggregation —
+    * a fixed 4× map-side expansion that partial-aggregates away before
+    * the shuffle, so the shuffled volume is windows×types, not events×4.
+    * The oracle rebuilds the same window starts arithmetically
+    * (floor(epoch/slide)·slide − k·slide, k < width/slide). */
+  def windowSliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start_s"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start_s", "event_type")
+
   /** Banded range join: lineitems whose extended price falls within ±band
     * of a part's retail price, aggregated per part. Both sides bucketed on
     * the band width; the join is an equi-join on bucket id. */
@@ -114,6 +130,7 @@ object Joins {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_asof_join" -> ((s, d) => asofJoin(Tables.events(s, d), Tables.orders(s, d))),
     "q_window_tumbling" -> ((s, d) => windowTumbling(Tables.events(s, d))),
+    "q_window_sliding" -> ((s, d) => windowSliding(Tables.events(s, d))),
     "q_range_join" -> ((s, d) => rangeJoin(Tables.lineitem(s, d), Tables.part(s, d))),
     "q_semi_anti" -> ((s, d) => semiAnti(Tables.customer(s, d), Tables.orders(s, d))),
     "q_rollup_cube" -> ((s, d) => rollupRevenue(Tables.lineitem(s, d), Tables.orders(s, d),
@@ -138,6 +155,14 @@ object Joins {
          event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_sliding" ->
+      """WITH k AS (SELECT CAST(i AS BIGINT) AS i FROM generate_series(0, 3) t(i)),
+         w AS (SELECT CAST(FLOOR(epoch(ts) / 900) * 900 - i * 900 AS BIGINT) AS win_start_s,
+                 event_type, value
+               FROM events, k)
+         SELECT win_start_s, event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_range_join" ->
       """SELECT p_partkey, CAST(COUNT(*) AS BIGINT) AS n_lines,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty

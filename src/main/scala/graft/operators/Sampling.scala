@@ -85,6 +85,32 @@ object Sampling {
         col("n_customers"), col("sum_acctbal"), col("gid").cast("int").as("gid"))
       .orderBy("gid", "region_name", "segment")
 
+  /** Leakage-safe GROUPED train/val/test split: the split key is the
+    * GROUP (user), not the row — every event of a user lands in the same
+    * split, the property that keeps eval honest when rows within a group
+    * are correlated (the classic leakage bug a row-level split has).
+    * Same md5 bucket arithmetic as [[trainEvalSplit]], applied to
+    * user_id; emits the per-split audit row (users / events / value
+    * mass / shares). One hash aggregation; the user count is exact
+    * because user→split is functional. */
+  def groupSplit(events: DataFrame): DataFrame = {
+    val tagged = events
+      .withColumn("bucket", hashBucket("user_id"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+    val perSplit = tagged.groupBy(col("split"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        decSum(col("value")).as("sum_value"))
+    val total = perSplit.agg(sum(col("n_events")).as("t_events"))
+    perSplit.crossJoin(broadcast(total))
+      .select(col("split"), col("n_users"), col("n_events"), col("sum_value"),
+        r6(col("n_events").cast("double") / col("t_events")).as("event_share"))
+      .orderBy("split")
+  }
+
   /** Skew-safe salted join: the build side is replicated `salts` ways and
     * the probe side scatters across the replicas, so one hot key spreads
     * over `salts` tasks. Result is identical to the plain join (the
@@ -107,7 +133,8 @@ object Sampling {
     "q_stratified_sample" -> ((s, d) => stratifiedSample(Tables.documents(s, d))),
     "q_group_percentiles" -> ((s, d) => groupPercentiles(Tables.events(s, d))),
     "q_cube" -> ((s, d) => cubeRevenue(Tables.customer(s, d), Tables.nation(s, d), Tables.region(s, d))),
-    "q_salted_join" -> ((s, d) => saltedJoin(Tables.orders(s, d), Tables.customer(s, d)))
+    "q_salted_join" -> ((s, d) => saltedJoin(Tables.orders(s, d), Tables.customer(s, d))),
+    "q_group_split" -> ((s, d) => groupSplit(Tables.events(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -147,6 +174,22 @@ object Sampling {
       """SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
          FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY 1 ORDER BY 1"""
+         GROUP BY 1 ORDER BY 1""",
+    "q_group_split" ->
+      s"""WITH t AS (
+           SELECT user_id, value,
+             CASE WHEN ${hashBucketSql("user_id")} < 80 THEN 'train'
+                  WHEN ${hashBucketSql("user_id")} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+           FROM events),
+         g AS (SELECT split,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+           FROM t GROUP BY split),
+         tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS t_events FROM g)
+         SELECT split, n_users, n_events, sum_value,
+           ${sqlR("CAST(n_events AS DOUBLE) / t_events", 6)} AS event_share
+         FROM g, tot ORDER BY split"""
   )
 }
