@@ -222,6 +222,132 @@ object Ann {
     topkPerProbe(scored, k)
   }
 
+  /** Deterministic ±1 hyperplane sign for LSH bit j, input dim i — md5
+    * parity, same device as the JL projection matrix
+    * ([[Embeddings.randomProjection]]) under a distinct seed prefix so
+    * the two matrices are independent. */
+  private def lshSign(i: Int, j: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"lsh:$i:$j".getBytes("UTF-8"))
+    if (((h(0) >> 4) & 0xf) % 2 == 0) 1 else -1
+  }
+
+  /** Embedding near-dup via COSINE LSH (signed random projections) — the
+    * blocking scheme that needs no label / cluster column: two vectors
+    * with cosine θ agree on a random-hyperplane bit with probability
+    * 1 − θ/π, so banding `nBits` sign bits into nBits/bandBits bands
+    * makes high-cosine pairs collide in some band with high probability
+    * while the corpus spreads over 2^bandBits buckets per band. This is
+    * the MinHash-LSH shape with hyperplane signs instead of shingle
+    * mins: candidates come from bucket equi-joins (never an O(n²) cross
+    * join), then one exact cosine pass keeps pairs ≥ `threshold`. At
+    * larger corpora, raise bandBits ~ log2(n) to hold bucket sizes flat
+    * — the same knob the minhash band store documents. Signature bits
+    * are exact scaled-integer dot signs (engine-reproducible); the
+    * hyperplanes are md5-parity literals, so the oracle rebuilds the
+    * identical matrix in SQL. */
+  def lshNearDup(embeddings: DataFrame, nBits: Int = 16, bandBits: Int = 4,
+                 threshold: Double = 0.35, inDims: Int = 64): DataFrame = {
+    val S = "1099511627776.0" // 2^40, DotScaled.Scale
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val bits = (0 until nBits).map { j =>
+      val sgn = (0 until inDims).map(lshSign(_, j)).mkString("array(", ",", ")")
+      when(expr(s"aggregate(zip_with(embedding, $sgn, (x, s) -> cast(x as double) * s), " +
+        s"cast(0 as bigint), (a, t) -> a + cast(floor(t * $S) as bigint))") >= 0L, 1)
+        .otherwise(0).as(s"bit$j")
+    }
+    val nBands = nBits / bandBits
+    val bands = (0 until nBands).map { b =>
+      (0 until bandBits).map(k => col(s"bit${b * bandBits + k}") * lit(1 << k))
+        .reduce(_ + _)
+    }
+    val banded = v.select(col("vec_id") +: bits: _*)
+      .select(col("vec_id"), posexplode(array(bands: _*)).as(Seq("band_id", "band_val")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("e1"), col("nrm").as("nrm1")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("e2"), col("nrm").as("nrm2")), "vec_b")
+      .withColumn("cosine", r6(dot("e1", "e2") / (col("nrm1") * col("nrm2"))))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "n_shared_bands", "cosine")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Per-label centroid cosine matrix — the cluster-separation /
+    * corpus-diversity diagnostic (which sources or clusters embed close
+    * enough to cross-contaminate dedup and mixing decisions). The only
+    * data-sized step is the (label, dim) partial aggregation of the
+    * exploded coordinate stream; everything after runs on |labels|×dim
+    * rows. All sums are the 2^40 scaled-integer floor device, so means
+    * and cosines are engine-exact at any partitioning. */
+  def labelCentroids(embeddings: DataFrame): DataFrame = {
+    val S = "1099511627776.0"
+    val sums = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(expr(s"cast(floor(cast(x as double) * $S) as bigint)")).as("sx"),
+        count(lit(1)).as("n"))
+      .withColumn("m", col("sx").cast("double") / expr(S) / col("n"))
+    val norms = sums.groupBy(col("label"))
+      .agg(sum(expr(s"cast(floor(m * m * $S) as bigint)")).as("smm"), max(col("n")).as("n"))
+    val dots = sums.select(col("label").as("label_a"), col("dim"), col("m").as("ma"))
+      .join(sums.select(col("label").as("label_b"), col("dim").as("dim_b"), col("m").as("mb")),
+        col("dim") === col("dim_b") && col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(expr(s"cast(floor(ma * mb * $S) as bigint)")).as("sab"))
+    dots
+      .join(broadcast(norms.select(col("label").as("label_a"), col("smm").as("smm_a"), col("n").as("n_a"))), "label_a")
+      .join(broadcast(norms.select(col("label").as("label_b"), col("smm").as("smm_b"), col("n").as("n_b"))), "label_b")
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        r6(col("sab").cast("double") /
+          sqrt(col("smm_a").cast("double") * col("smm_b").cast("double"))).as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
+  /** HIERARCHICAL (two-level) IVF assignment — the coarse-quantizer step
+    * the flat [[ivfAssign]] graduates to when n·K centroid ranking is
+    * itself too much (K ~ √n makes the flat assign n^1.5; a √K coarse
+    * level caps it at n·2√K ≈ n^1.25). The `kCoarse` coarse centroids
+    * are the hash-rank PREFIX of the K fine centroids (same
+    * TakeOrderedAndProject pick, so the hierarchy needs no second
+    * sample): each fine centroid joins its nearest coarse group (K·√K
+    * work, broadcast-sized), each vector ranks coarse centroids
+    * (n·√K), then ranks only the fine centroids of its coarse group
+    * (n·K/√K expected) via an equi-join on the group id — never the
+    * full K. Same tie policy as the flat path (rounded cosine desc, id
+    * asc), so results are oracle-reproducible. */
+  def hierAssign(embeddings: DataFrame, k: Int = 32, kCoarse: Int = 6): DataFrame = {
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val cents = centroids(v, k)
+    val coarse = centroids(v, kCoarse)
+      .select(col("centroid_id").as("coarse_id"), col("ce").as("ge"), col("cnrm").as("gnrm"))
+    val wc = Window.partitionBy(col("centroid_id"))
+      .orderBy(col("gcos").desc, col("coarse_id"))
+    val cassign = cents.crossJoin(broadcast(coarse))
+      .withColumn("gcos", r6(dot("ce", "ge") / (col("cnrm") * col("gnrm"))))
+      .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
+      .select(col("coarse_id"), col("centroid_id"), col("ce"), col("cnrm"))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("gcos").desc, col("coarse_id"))
+    val vcoarse = v.crossJoin(broadcast(coarse))
+      .withColumn("gcos", r6(dot("embedding", "ge") / (col("nrm") * col("gnrm"))))
+      .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"), col("coarse_id"))
+    val wf = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("centroid_id"))
+    vcoarse.join(broadcast(cassign), "coarse_id")
+      .withColumn("ccos", r6(dot("embedding", "ce") / (col("nrm") * col("cnrm"))))
+      .withColumn("rn", row_number().over(wf)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("coarse_id"), col("centroid_id"),
+        col("ccos").as("centroid_cosine"))
+      .orderBy("vec_id")
+  }
+
   /** Per-cluster elementwise vector mean as a typed Aggregator: the
     * buffer is one double[dim] + count per cluster, partial-aggregated
     * map-side — so recomputing K centroids over any corpus size shuffles
@@ -304,7 +430,10 @@ object Ann {
     "q_ann_topk" -> ((s, d) => bruteForceTopK(loadEmb(s, d))),
     "q_ann_ivf" -> ((s, d) => ivfAssign(loadEmb(s, d))),
     "q_ann_ivf_search" -> ((s, d) => ivfSearch(loadEmb(s, d))),
-    "q_knn_graph" -> ((s, d) => knnGraph(loadEmb(s, d)))
+    "q_knn_graph" -> ((s, d) => knnGraph(loadEmb(s, d))),
+    "q_embed_lsh" -> ((s, d) => lshNearDup(loadEmb(s, d))),
+    "q_label_centroids" -> ((s, d) => labelCentroids(loadEmb(s, d))),
+    "q_ann_hier" -> ((s, d) => hierAssign(loadEmb(s, d)))
   )
 
   /** Oracle-side twin of [[dot]]: scaled-integer sum over zipped
@@ -409,6 +538,80 @@ object Ann {
              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
            FROM scored)
          SELECT probe_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
-         FROM rk WHERE rank <= 10 ORDER BY probe_id, rank"""
+         FROM rk WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "q_embed_lsh" ->
+      s"""WITH $normCte,
+         sg AS (SELECT i, j,
+             CASE WHEN (instr('0123456789abcdef',
+               substr(md5('lsh:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+             THEN 1 ELSE -1 END AS s
+           FROM generate_series(0, 63) t1(i), generate_series(0, 15) t2(j)),
+         ex AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+                FROM nv, generate_series(0, 63) t(i)),
+         acc AS (SELECT vec_id, j,
+                  CAST(SUM(CAST(FLOOR(x * s * 1099511627776.0) AS BIGINT)) AS BIGINT) AS a
+                 FROM ex JOIN sg USING (i) GROUP BY vec_id, j),
+         bits AS (SELECT vec_id, j, CASE WHEN a >= 0 THEN 1 ELSE 0 END AS bit FROM acc),
+         bands AS (SELECT vec_id, CAST(j // 4 AS INT) AS band_id,
+                    CAST(SUM(bit << CAST(j % 4 AS INT)) AS INT) AS band_val
+                   FROM bits GROUP BY 1, 2),
+         cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+                  FROM bands a JOIN bands b
+                    ON a.band_id = b.band_id AND a.band_val = b.band_val
+                       AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+         sc AS (SELECT vec_a, vec_b, n_shared_bands,
+                 FLOOR((${dotSql("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+                FROM cand JOIN nv va ON vec_a = va.vec_id
+                          JOIN nv vb ON vec_b = vb.vec_id)
+         SELECT vec_a, vec_b, n_shared_bands, cosine FROM sc
+         WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""",
+    "q_label_centroids" ->
+      """WITH ex AS (SELECT label, CAST(i AS INT) AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
+                FROM embeddings, generate_series(0, 63) t(i)),
+         sums AS (SELECT label, dim,
+             CAST(SUM(CAST(FLOOR(x * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(COUNT(*) AS BIGINT) AS n
+           FROM ex GROUP BY 1, 2),
+         m AS (SELECT label, dim, CAST(sx AS DOUBLE) / 1099511627776.0 / n AS m, n FROM sums),
+         norms AS (SELECT label,
+             CAST(SUM(CAST(FLOOR(m * m * 1099511627776.0) AS BIGINT)) AS BIGINT) AS smm,
+             CAST(MAX(n) AS BIGINT) AS n
+           FROM m GROUP BY 1),
+         dots AS (SELECT a.label AS label_a, b.label AS label_b,
+             CAST(SUM(CAST(FLOOR(a.m * b.m * 1099511627776.0) AS BIGINT)) AS BIGINT) AS sab
+           FROM m a JOIN m b ON a.dim = b.dim AND a.label < b.label
+           GROUP BY 1, 2)
+         SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b,
+           FLOOR((CAST(sab AS DOUBLE) / sqrt(CAST(na.smm AS DOUBLE) * CAST(nb.smm AS DOUBLE))) * 1000000 + 0.5) / 1000000 AS cosine
+         FROM dots JOIN norms na ON label_a = na.label
+                   JOIN norms nb ON label_b = nb.label
+         ORDER BY label_a, label_b""",
+    "q_ann_hier" ->
+      s"""WITH $normCte,
+         cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+         coarse AS (SELECT vec_id AS coarse_id, embedding AS ge, nrm AS gnrm FROM nv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 6),
+         cs AS (SELECT centroid_id, ce, cnrm, coarse_id,
+             FLOOR((${dotSql("ce", "ge")} / (cnrm * gnrm)) * 1000000 + 0.5) / 1000000 AS gcos
+           FROM cents, coarse),
+         ca AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY centroid_id ORDER BY gcos DESC, coarse_id) AS rn FROM cs)
+           WHERE rn = 1),
+         vs AS (SELECT vec_id, embedding, nrm, coarse_id,
+             FLOOR((${dotSql("embedding", "ge")} / (nrm * gnrm)) * 1000000 + 0.5) / 1000000 AS gcos
+           FROM nv, coarse),
+         va AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY gcos DESC, coarse_id) AS rn FROM vs)
+           WHERE rn = 1),
+         sc AS (SELECT va.vec_id, va.coarse_id, ca.centroid_id,
+             FLOOR((${dotSql("va.embedding", "ca.ce")} / (va.nrm * ca.cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
+           FROM va JOIN ca ON va.coarse_id = ca.coarse_id)
+         SELECT vec_id, coarse_id, centroid_id, ccos AS centroid_cosine
+         FROM (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn FROM sc)
+         WHERE rn = 1 ORDER BY vec_id"""
   )
 }

@@ -116,6 +116,37 @@ object Vocab {
       .orderBy("doc_id")
   }
 
+  /** Bigram LM quality score — the order-2 twin of [[unigramLm]]: per-doc
+    * cross-entropy (bits per bigram token) under the corpus's own bigram
+    * distribution, p(w2|w1) = c(w1 w2) / c(w1 ·). Catches word-salad text
+    * a unigram model scores as normal (plausible words, implausible
+    * transitions). Both corpus counts are windows over keys the bigram
+    * stream already groups by (bigram, then its prefix word) — no second
+    * tokenization pass; per-doc log sums run in DECIMAL so the score is
+    * partition-order-independent. Docs under 2 words have no bigrams and
+    * drop out, mirroring [[bigramVocab]]'s filter. No smoothing is
+    * needed: every doc's bigrams are in the corpus counts by
+    * construction, so p > 0 always. */
+  def bigramLm(documents: DataFrame): DataFrame = {
+    val tf = TextPrep.withWords(documents)
+      .filter(size(col("words")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))")).as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    val wB = Window.partitionBy(col("bigram"))
+    val wP = Window.partitionBy(col("w1"))
+    tf.withColumn("cb", sum(col("tf")).over(wB))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("c1", sum(col("tf")).over(wP))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_bigrams"),
+        sum((col("tf") * (log(col("cb").cast("double") / col("c1")) / log(lit(2.0))))
+          .cast("decimal(20,12)")).as("nll0"))
+      .select(col("doc_id"), col("n_bigrams"),
+        r6((col("nll0").cast("double") * -1d) / col("n_bigrams")).as("bits_per_token"))
+      .orderBy("doc_id")
+  }
+
   /** Pretraining mixture plan under sqrt-temperature sampling: per-source
     * target weight ∝ √(available tokens), scaled to the largest total
     * corpus no source has to oversample for (take ≤ avail everywhere —
@@ -183,6 +214,7 @@ object Vocab {
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
     "q_bigram_vocab" -> ((s, d) => bigramVocab(Tables.documents(s, d))),
     "q_unigram_lm" -> ((s, d) => unigramLm(Tables.documents(s, d))),
+    "q_bigram_lm" -> ((s, d) => bigramLm(Tables.documents(s, d))),
     "q_mix_plan" -> ((s, d) => mixPlan(Tables.documents(s, d))),
     "q_mix_take" -> ((s, d) => mixTake(Tables.documents(s, d)))
   )
@@ -223,6 +255,23 @@ object Vocab {
                FROM c, t GROUP BY doc_id)
          SELECT doc_id, n_tokens,
            ${sqlR("(CAST(nll0 AS DOUBLE) * -1) / n_tokens", 6)} AS bits_per_token
+         FROM d ORDER BY doc_id""",
+    "q_bigram_lm" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         w2 AS (SELECT * FROM w WHERE len(words) >= 2),
+         b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bigram
+               FROM w2, UNNEST(generate_series(1, len(words) - 1)) AS t(i)),
+         tf AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS tf FROM b GROUP BY 1, 2),
+         c AS (SELECT *, CAST(SUM(tf) OVER (PARTITION BY bigram) AS BIGINT) AS cb,
+                 split_part(bigram, ' ', 1) AS w1
+               FROM tf),
+         c2 AS (SELECT *, CAST(SUM(tf) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c),
+         d AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                 SUM(CAST(tf * (ln(CAST(cb AS DOUBLE) / c1) / ln(2)) AS DECIMAL(20,12))) AS nll0
+               FROM c2 GROUP BY doc_id)
+         SELECT doc_id, n_bigrams,
+           ${sqlR("(CAST(nll0 AS DOUBLE) * -1) / n_bigrams", 6)} AS bits_per_token
          FROM d ORDER BY doc_id""",
     "q_mix_plan" ->
       s"""WITH n AS (SELECT source, $normSql AS norm FROM documents),
