@@ -163,6 +163,33 @@ class DeterminismPropertySpec extends AnyFunSuite {
     assert(s1 == s2 && s1.size == 14)
   }
 
+  test("session-6 extension operators are invariant to input partitioning") {
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    val ev = Tables.events(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => graft.text.Vocab.bigramLm(d),
+      d => graft.ml.TrainPrep.classWeights(d)
+    ).foreach { op =>
+      assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
+    }
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      e => graft.operators.Sampling.groupSplit(e),
+      e => graft.operators.Joins.windowSliding(e)
+    ).foreach { op =>
+      assert(run(op(ev.repartition(1))) == run(op(ev.repartition(13))))
+    }
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      e => graft.ann.Ann.lshNearDup(e),
+      e => graft.ann.Ann.labelCentroids(e),
+      e => graft.ann.Ann.hierAssign(e)
+    ).foreach { op =>
+      assert(run(op(emb.repartition(1))) == run(op(emb.repartition(13))))
+    }
+  }
+
   test("pagerank conserves total rank mass") {
     val ranks = graft.operators.Graph.pageRank(
       Tables.lineitem(spark, sf), Tables.orders(spark, sf))

@@ -146,6 +146,53 @@ class LlmDataSpec extends AnyFunSuite {
     assert(Ann.lloydAssign(emb, k = 16).count() == emb.count())
   }
 
+  test("ann: cosine LSH recalls near-dup pairs without any blocking label") {
+    val emb = Tables.embeddings(spark, sf)
+    // ground truth: the label-blocked exact pairs (labels are the planted
+    // clusters, so same-label pairs are the recallable population)
+    val truth = Ann.nearDupPairs(emb, threshold = 0.35)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    val lsh = Ann.lshNearDup(emb)
+    val rows = lsh.collect()
+    val pairs = rows.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // 16-bit / 4-band signatures recall the majority of true pairs at the
+    // SAME threshold while searching the whole corpus, not one label
+    // (measured 0.64 on this data; banding theory predicts ~0.4 for the
+    // weakest pairs, higher as cosine grows)
+    val recall = (truth intersect pairs).size.toDouble / truth.size
+    assert(recall >= 0.5, s"LSH recall $recall < 0.5 (missed ${truth -- pairs})")
+    // precision contract: the exact verification pass means every emitted
+    // pair is a TRUE near-dup (cosine >= threshold), band count in [1,4]
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cosine") >= 0.35)
+      val b = r.getAs[Long]("n_shared_bands")
+      assert(b >= 1L && b <= 4L)
+    }
+  }
+
+  test("ann: hierarchical assign is a valid cell function with bounded fit loss vs flat") {
+    val emb = Tables.embeddings(spark, sf)
+    val flat = Ann.ivfAssign(emb, k = 32).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("centroid_id")).toMap
+    val fine = flat.values.toSet
+    val hier = Ann.hierAssign(emb, k = 32, kCoarse = 6).collect()
+    // exactly one cell per vector, and only REAL fine centroids appear
+    assert(hier.length == flat.size)
+    assert(hier.map(_.getAs[Long]("centroid_id")).forall(fine.contains))
+    // the coarse level prunes 32 -> ~32/6 candidates per vector, so some
+    // vectors land in a neighboring cell — the standard IVF recall trade.
+    // On this weakly-clustered synthetic corpus agreement measured 0.41
+    // and mean fit 0.84x flat; lock conservative floors so a regression
+    // (e.g. ranking on the wrong cosine) trips the spec.
+    val agree = hier.count(r => flat(r.getAs[Long]("vec_id")) == r.getAs[Long]("centroid_id"))
+    assert(agree.toDouble / hier.length >= 0.3, s"hier/flat agreement ${agree.toDouble / hier.length}")
+    def meanCos(rows: Array[org.apache.spark.sql.Row]): Double =
+      rows.map(_.getAs[Double]("centroid_cosine")).sum / rows.length
+    val flatFit = Ann.ivfAssign(emb, k = 32).collect().map(_.getAs[Double]("centroid_cosine")).sum / flat.size
+    assert(meanCos(hier) >= 0.75 * flatFit, s"hier fit ${meanCos(hier)} vs flat $flatFit")
+  }
+
   test("multimodal mapPartitions decode matches the column-expression twin") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)

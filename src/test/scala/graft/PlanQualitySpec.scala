@@ -213,6 +213,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(r > 9.0 && r < 11.0, s"cells must grow ~sqrt(n), got ratio $r")
   }
 
+  test("cosine LSH candidates come from band equi-joins, never a cartesian product") {
+    val plan = planOf(graft.ann.Ann.lshNearDup(Tables.embeddings(spark, sf)))
+    assert(!plan.contains("CartesianProduct"), s"LSH plan degenerated to all-pairs:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH plan degenerated to a nested-loop join:\n$plan")
+  }
+
+  test("sliding window aggregates partially: shuffle carries windows, not the 4x event expansion") {
+    val plan = planOf(Joins.windowSliding(Tables.events(spark, sf)))
+    val nHashAgg = "HashAggregate".r.findAllIn(plan).size
+    assert(nHashAgg >= 2, s"expected partial+final HashAggregate, got $nHashAgg in\n$plan")
+  }
+
+  test("label centroids: coordinate stream partial-aggregates; norm artifacts broadcast") {
+    val plan = planOf(graft.ann.Ann.labelCentroids(Tables.embeddings(spark, sf)))
+    val nHashAgg = "HashAggregate".r.findAllIn(plan).size
+    assert(nHashAgg >= 2, s"expected partial aggregation of the (label, dim) stream:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+      s"norm artifacts must broadcast, never shuffle the pair frame:\n$plan")
+  }
+
   test("column stats: no exact Percentile aggregate (its value->count buffer is an NDV-sized single-reducer map)") {
     val df = graft.operators.Diagnostics.columnStats(Tables.lineitem(spark, sf))
     val plan = planOf(df)
