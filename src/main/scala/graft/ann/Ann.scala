@@ -247,7 +247,14 @@ object Ann {
     * hyperplanes are md5-parity literals, so the oracle rebuilds the
     * identical matrix in SQL. */
   def lshNearDup(embeddings: DataFrame, nBits: Int = 16, bandBits: Int = 4,
-                 threshold: Double = 0.35, inDims: Int = 64): DataFrame = {
+                 threshold: Double = 0.35, inDims: Int = 64): DataFrame =
+    lshPairs(embeddings, nBits, bandBits, threshold, inDims)
+      .orderBy("vec_a", "vec_b")
+
+  /** [[lshNearDup]] without the presentation sort — what internal
+    * consumers (cluster propagation) build on. */
+  private def lshPairs(embeddings: DataFrame, nBits: Int, bandBits: Int,
+                       threshold: Double, inDims: Int): DataFrame = {
     val S = "1099511627776.0" // 2^40, DotScaled.Scale
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val bits = (0 until nBits).map { j =>
@@ -275,7 +282,30 @@ object Ann {
       .withColumn("cosine", r6(dot("e1", "e2") / (col("nrm1") * col("nrm2"))))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "n_shared_bands", "cosine")
-      .orderBy("vec_a", "vec_b")
+  }
+
+  /** SEMANTIC survivor mart — the embedding-space twin of
+    * [[graft.dedup.Dedup.survivors]]: connected components over the
+    * cosine-LSH pair graph ([[lshNearDup]]'s verified pairs), every
+    * vector tagged with its semantic cluster (own id when unclustered),
+    * cluster size, and the keep decision (cluster canonical survives).
+    * This is how an embedding-deduped corpus is actually written: LSH
+    * blocks, exact cosine verifies, min-label propagation
+    * ([[graft.dedup.Dedup.propagate]] — same checkpointed loop) closes
+    * the transitive hull, one window sizes clusters. */
+  def embedSurvivors(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val pairs = lshPairs(embeddings, 16, 4, threshold, 64)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val labels = graft.dedup.Dedup.propagate(pairs)
+      .select(col("id").as("vec_id"), col("label").as("cluster_id"))
+    val wC = Window.partitionBy(col("cluster_id"))
+    embeddings.select(col("vec_id"), col("label"))
+      .join(labels, Seq("vec_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("vec_id")))
+      .withColumn("cluster_size", count(lit(1)).over(wC))
+      .select(col("vec_id"), col("label"), col("cluster_id"), col("cluster_size"),
+        (col("vec_id") === col("cluster_id")).as("keep"))
+      .orderBy("vec_id")
   }
 
   /** Per-label centroid cosine matrix — the cluster-separation /
@@ -432,6 +462,7 @@ object Ann {
     "q_ann_ivf_search" -> ((s, d) => ivfSearch(loadEmb(s, d))),
     "q_knn_graph" -> ((s, d) => knnGraph(loadEmb(s, d))),
     "q_embed_lsh" -> ((s, d) => lshNearDup(loadEmb(s, d))),
+    "q_embed_survivors" -> ((s, d) => embedSurvivors(loadEmb(s, d))),
     "q_label_centroids" -> ((s, d) => labelCentroids(loadEmb(s, d))),
     "q_ann_hier" -> ((s, d) => hierAssign(loadEmb(s, d)))
   )
@@ -447,6 +478,38 @@ object Ann {
          SELECT vec_id, label, embedding,
            sqrt(${dotSql("embedding", "embedding")}) AS nrm
          FROM embeddings)"""
+
+  /** Shared oracle CTE chain for the cosine-LSH family (expects `nv`
+    * from [[normCte]] upstream): hyperplane sign matrix → signature
+    * bits → 4-bit bands → bucket-join candidates → exact-cosine-verified
+    * pairs `lshp(vec_a, vec_b, n_shared_bands, cosine)`. */
+  private lazy val lshCtes: String =
+    s"""sg AS (SELECT i, j,
+             CASE WHEN (instr('0123456789abcdef',
+               substr(md5('lsh:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+             THEN 1 ELSE -1 END AS s
+           FROM generate_series(0, 63) t1(i), generate_series(0, 15) t2(j)),
+         lex AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+                FROM nv, generate_series(0, 63) t(i)),
+         acc AS (SELECT vec_id, j,
+                  CAST(SUM(CAST(FLOOR(x * s * 1099511627776.0) AS BIGINT)) AS BIGINT) AS a
+                 FROM lex JOIN sg USING (i) GROUP BY vec_id, j),
+         bits AS (SELECT vec_id, j, CASE WHEN a >= 0 THEN 1 ELSE 0 END AS bit FROM acc),
+         bands AS (SELECT vec_id, CAST(j // 4 AS INT) AS band_id,
+                    CAST(SUM(bit << CAST(j % 4 AS INT)) AS INT) AS band_val
+                   FROM bits GROUP BY 1, 2),
+         cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared_bands
+                  FROM bands a JOIN bands b
+                    ON a.band_id = b.band_id AND a.band_val = b.band_val
+                       AND a.vec_id < b.vec_id
+                  GROUP BY 1, 2),
+         sc AS (SELECT vec_a, vec_b, n_shared_bands,
+                 FLOOR((${dotSql("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+                FROM cand JOIN nv va ON vec_a = va.vec_id
+                          JOIN nv vb ON vec_b = vb.vec_id),
+         lshp AS (SELECT vec_a, vec_b, n_shared_bands, cosine FROM sc
+                  WHERE cosine >= 0.35)"""
 
   val oracles: Map[String, String] = Map(
     "q_embed_neardup" ->
@@ -540,33 +603,24 @@ object Ann {
          SELECT probe_id, CAST(rank AS INT) AS rank, vec_id AS neighbor_id, cosine
          FROM rk WHERE rank <= 10 ORDER BY probe_id, rank""",
     "q_embed_lsh" ->
-      s"""WITH $normCte,
-         sg AS (SELECT i, j,
-             CASE WHEN (instr('0123456789abcdef',
-               substr(md5('lsh:' || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1) % 2 = 0
-             THEN 1 ELSE -1 END AS s
-           FROM generate_series(0, 63) t1(i), generate_series(0, 15) t2(j)),
-         ex AS (SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
-                FROM nv, generate_series(0, 63) t(i)),
-         acc AS (SELECT vec_id, j,
-                  CAST(SUM(CAST(FLOOR(x * s * 1099511627776.0) AS BIGINT)) AS BIGINT) AS a
-                 FROM ex JOIN sg USING (i) GROUP BY vec_id, j),
-         bits AS (SELECT vec_id, j, CASE WHEN a >= 0 THEN 1 ELSE 0 END AS bit FROM acc),
-         bands AS (SELECT vec_id, CAST(j // 4 AS INT) AS band_id,
-                    CAST(SUM(bit << CAST(j % 4 AS INT)) AS INT) AS band_val
-                   FROM bits GROUP BY 1, 2),
-         cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-                  FROM bands a JOIN bands b
-                    ON a.band_id = b.band_id AND a.band_val = b.band_val
-                       AND a.vec_id < b.vec_id
-                  GROUP BY 1, 2),
-         sc AS (SELECT vec_a, vec_b, n_shared_bands,
-                 FLOOR((${dotSql("va.embedding", "vb.embedding")} / (va.nrm * vb.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
-                FROM cand JOIN nv va ON vec_a = va.vec_id
-                          JOIN nv vb ON vec_b = vb.vec_id)
-         SELECT vec_a, vec_b, n_shared_bands, cosine FROM sc
-         WHERE cosine >= 0.35 ORDER BY vec_a, vec_b""",
+      s"""WITH $normCte, $lshCtes
+         SELECT vec_a, vec_b, n_shared_bands, cosine FROM lshp
+         ORDER BY vec_a, vec_b""",
+    "q_embed_survivors" ->
+      s"""WITH RECURSIVE $normCte, $lshCtes,
+         e2 AS (SELECT vec_a s, vec_b d FROM lshp UNION SELECT vec_b, vec_a FROM lshp),
+         nodes AS (SELECT DISTINCT s AS id FROM e2),
+         reach(id, lbl) AS (
+           SELECT id, id FROM nodes
+           UNION
+           SELECT e2.s, r.lbl FROM e2 JOIN reach r ON e2.d = r.id),
+         lab AS (SELECT id AS vec_id, MIN(lbl) AS cluster_id FROM reach GROUP BY id),
+         j AS (SELECT e.vec_id, e.label, COALESCE(lab.cluster_id, e.vec_id) AS cluster_id
+           FROM embeddings e LEFT JOIN lab USING (vec_id))
+         SELECT vec_id, label, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           vec_id = cluster_id AS keep
+         FROM j ORDER BY vec_id""",
     "q_label_centroids" ->
       """WITH ex AS (SELECT label, CAST(i AS INT) AS dim, CAST(embedding[i + 1] AS DOUBLE) AS x
                 FROM embeddings, generate_series(0, 63) t(i)),

@@ -30,11 +30,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** The minhash-signature → LSH-band build shared by full-corpus dedup
-    * and the incremental path: (doc_id, band_idx, bh), 4 rows per doc.
-    * This is exactly what a production pipeline PERSISTS between
-    * increments (see [[bandStore]] / [[minhashIncrement]]). */
-  private[dedup] def lshBands(documents: DataFrame): DataFrame = {
+  /** 8-component minhash signature per document, each component in the
+    * 8-char lowercase-hex chunk form: (doc_id, h0..h7). The signature IS
+    * the corpus sketch — bands hash over it, and the accuracy mart
+    * compares component agreement to exact Jaccard. */
+  private[dedup] def signatures(documents: DataFrame): DataFrame = {
     // min() is duplicate-insensitive — use the shuffle-free shingle stream
     val sh = TextPrep.shinglesAll(documents)
       .withColumn("m0", md5(concat(lit("0:"), col("shingle")).cast("binary")))
@@ -51,13 +51,20 @@ object Dedup {
     }
     val sig = sh.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     // re-hex to the 8-char lowercase chunk form the oracle's string mins
-    // produce, so the band hashes stay byte-identical
+    // produce, so band hashes / comparisons stay byte-identical
     def rehex(c: Column): Column = lower(lpad(hex(c), 8, "0"))
-    sig.select(col("doc_id"), explode(array(
-      (0 to 3).map(b => struct(lit(b).as("band_idx"),
-        md5(concat(rehex(col(s"h${2 * b}")), rehex(col(s"h${2 * b + 1}"))).cast("binary")).as("bh"))): _*)).as("s"))
-      .select(col("doc_id"), col("s.band_idx").as("band_idx"), col("s.bh").as("bh"))
+    sig.select(col("doc_id") +: (0 to 7).map(k => rehex(col(s"h$k")).as(s"h$k")): _*)
   }
+
+  /** The minhash-signature → LSH-band build shared by full-corpus dedup
+    * and the incremental path: (doc_id, band_idx, bh), 4 rows per doc.
+    * This is exactly what a production pipeline PERSISTS between
+    * increments (see [[bandStore]] / [[minhashIncrement]]). */
+  private[dedup] def lshBands(documents: DataFrame): DataFrame =
+    signatures(documents).select(col("doc_id"), explode(array(
+      (0 to 3).map(b => struct(lit(b).as("band_idx"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("bh"))): _*)).as("s"))
+      .select(col("doc_id"), col("s.band_idx").as("band_idx"), col("s.bh").as("bh"))
 
   /** The persisted LSH state for an already-deduped corpus: its band
     * table. Write this once; each increment joins against it instead of
@@ -209,16 +216,27 @@ object Dedup {
     * per component) is unique, so the result is deterministic and
     * oracle-reproducible via a recursive CTE. */
   def nearDupClusters(documents: DataFrame, bucketLimit: Int = 100,
-                      maxIters: Int = 20): DataFrame = {
+                      maxIters: Int = 20): DataFrame =
+    propagate(minhashPairs(documents, bucketLimit), maxIters)
+      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
+        (col("id") =!= col("label")).as("is_duplicate"))
+      .orderBy("doc_id")
+
+  /** Distributed min-label propagation over ANY candidate-pair frame
+    * (columns doc_a, doc_b) — the connected-components engine behind
+    * [[nearDupClusters]] and the embedding-cluster survivor mart
+    * ([[graft.ann.Ann.embedSurvivors]]). Returns (id, label): every node
+    * of the pair graph labeled with its component's minimum id. */
+  private[graft] def propagate(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     // Both edge orientations come out of ONE pass over the pair stream
-    // (explode, not a union of two scans that would each re-run the LSH
-    // self-join lineage). Persisted once; every round reads it.
+    // (explode, not a union of two scans that would each re-run the
+    // candidate-join lineage). Persisted once; every round reads it.
     // Lazy localCheckpoint (not plain persist): every round's plan would
-    // otherwise carry the full shingle→minhash→self-join lineage through
+    // otherwise carry the full candidate-generation lineage through
     // analysis/optimization again — at 2 joins per round that driver-side
     // re-planning dominated the loop. Checkpointing truncates the plan to
     // a cached-scan leaf, so per-round planning is O(round), not O(LSH).
-    val edges = minhashPairs(documents, bucketLimit)
+    val edges = pairs
       .select(explode(array(
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
@@ -273,14 +291,39 @@ object Dedup {
     // then drop every cached frame: nothing this operator persisted leaks
     // into the caller's session (checkpoint blocks are context-cleaned
     // once the returned frame is garbage-collected).
-    val result = labels
-      .select(col("id").as("doc_id"), col("label").as("cluster_id"),
-        (col("id") =!= col("label")).as("is_duplicate"))
-      .orderBy("doc_id")
-      .localCheckpoint()
+    val result = labels.select(col("id"), col("label")).localCheckpoint()
     labels.unpersist()
     edges.unpersist()
     result
+  }
+
+  /** MinHash sketch-accuracy mart — the QA frame a dedup pipeline tunes
+    * its band count with: for every LSH candidate pair, the Jaccard
+    * ESTIMATE from 8-component signature agreement next to the exact
+    * shingle-set Jaccard (under the same df cap the exact join uses) and
+    * the absolute error. Signature agreement is 8 column equality checks
+    * on the already-aggregated signature frame; the exact side restricts
+    * the [[ngramJaccard]] pair stream to the candidates. */
+  def minhashAccuracy(documents: DataFrame, bucketLimit: Int = 100): DataFrame = {
+    val sig = signatures(documents)
+    val cand = minhashPairs(documents, bucketLimit).select(col("doc_a"), col("doc_b"))
+    val sa = sig.select(col("doc_id").as("doc_a") +: (0 to 7).map(k => col(s"h$k").as(s"a$k")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +: (0 to 7).map(k => col(s"h$k").as(s"b$k")): _*)
+    val agree = (0 to 7).map(k =>
+      when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _)
+    val exact = ngramJaccard(documents, threshold = 0.0)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    cand.join(sa, "doc_a").join(sb, "doc_b")
+      .select(col("doc_a"), col("doc_b"), agree.cast("int").as("n_agree"))
+      .join(exact, Seq("doc_a", "doc_b"), "left")
+      .withColumn("exact_jaccard", coalesce(col("jaccard"), lit(0d)))
+      // eighths are exact binary fractions, so est needs no rounding; the
+      // error rounds once on output
+      .select(col("doc_a"), col("doc_b"), col("n_agree"),
+        (col("n_agree") / lit(8d)).as("est_jaccard"),
+        col("exact_jaccard"),
+        r6(abs(col("n_agree") / lit(8d) - col("exact_jaccard"))).as("abs_err"))
+      .orderBy("doc_a", "doc_b")
   }
 
   /** Word-3-gram Jaccard near-dup join. Hot shingles (document frequency
@@ -359,7 +402,8 @@ object Dedup {
     }),
     "q_dedup_clusters" -> ((s, d) => nearDupClusters(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
-    "q_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d)))
+    "q_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
+    "q_minhash_est" -> ((s, d) => minhashAccuracy(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -481,6 +525,29 @@ object Dedup {
            FLOOR((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 AS jaccard
          FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
          WHERE FLOOR((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 >= 0.4
+         ORDER BY 1, 2""",
+    "q_minhash_est" -> {
+      val agreeSql = (0 to 7).map(k =>
+        s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $minhashCtes,
+         cand AS (SELECT DISTINCT da, db FROM pairs),
+         ag AS (SELECT da, db, ($agreeSql) AS n_agree
+           FROM cand JOIN mh a ON da = a.doc_id JOIN mh b ON db = b.doc_id),
+         keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         shp AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM shp GROUP BY doc_id),
+         inter AS (SELECT x.doc_id ja, y.doc_id jb, CAST(COUNT(*) AS BIGINT) i
+           FROM shp x JOIN shp y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+           GROUP BY 1, 2),
+         ex AS (SELECT ja, jb,
+             FLOOR((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 AS jaccard
+           FROM inter JOIN sizes sa ON ja = sa.doc_id JOIN sizes sb ON jb = sb.doc_id)
+         SELECT da AS doc_a, db AS doc_b, CAST(n_agree AS INT) AS n_agree,
+           n_agree / 8.0 AS est_jaccard,
+           COALESCE(ex.jaccard, 0) AS exact_jaccard,
+           FLOOR(ABS(n_agree / 8.0 - COALESCE(ex.jaccard, 0)) * 1000000 + 0.5) / 1000000 AS abs_err
+         FROM ag LEFT JOIN ex ON da = ja AND db = jb
          ORDER BY 1, 2"""
+    }
   )
 }
