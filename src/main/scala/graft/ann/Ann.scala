@@ -378,6 +378,34 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** IVF cell-quality mart — the clustering diagnostic that decides
+    * whether an index needs re-training (Lloyd rounds) or more cells:
+    * per cell, member count, mean fit (cosine to own centroid), and the
+    * assignment MARGIN (own-centroid cosine minus runner-up cosine —
+    * thin margins mean boundary vectors that multi-probe search must
+    * catch). Rides the same ranked frame the assignment already
+    * computes: rn=1 is the fit, rn=2 the runner-up, one co-keyed join
+    * on vec_id, then a K-row aggregate. */
+  def cellQuality(embeddings: DataFrame, k: Int = 32): DataFrame = {
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val ranked = centroidRanked(v, k)
+    val best = ranked.filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id"), col("ccos").as("best"))
+    val second = ranked.filter(col("rn") === 2)
+      .select(col("vec_id"), col("ccos").as("second"))
+    best.join(second, "vec_id")
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("best").cast("decimal(20,12)")).as("sb"),
+        sum((col("best") - col("second")).cast("decimal(20,12)")).as("sm"),
+        min(col("best") - col("second")).as("mm"))
+      .select(col("centroid_id"), col("n_members"),
+        r6(col("sb").cast("double") / col("n_members")).as("avg_cos"),
+        r6(col("sm").cast("double") / col("n_members")).as("avg_margin"),
+        r6(col("mm")).as("min_margin"))
+      .orderBy("centroid_id")
+  }
+
   /** Per-cluster elementwise vector mean as a typed Aggregator: the
     * buffer is one double[dim] + count per cluster, partial-aggregated
     * map-side — so recomputing K centroids over any corpus size shuffles
@@ -463,6 +491,7 @@ object Ann {
     "q_knn_graph" -> ((s, d) => knnGraph(loadEmb(s, d))),
     "q_embed_lsh" -> ((s, d) => lshNearDup(loadEmb(s, d))),
     "q_embed_survivors" -> ((s, d) => embedSurvivors(loadEmb(s, d))),
+    "q_cell_quality" -> ((s, d) => cellQuality(loadEmb(s, d))),
     "q_label_centroids" -> ((s, d) => labelCentroids(loadEmb(s, d))),
     "q_ann_hier" -> ((s, d) => hierAssign(loadEmb(s, d)))
   )
@@ -642,6 +671,25 @@ object Ann {
          FROM dots JOIN norms na ON label_a = na.label
                    JOIN norms nb ON label_b = nb.label
          ORDER BY label_a, label_b""",
+    "q_cell_quality" ->
+      s"""WITH $normCte,
+         cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32),
+         scoredc AS (
+           SELECT nv.vec_id, centroid_id,
+             FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
+           FROM nv, cents),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+           FROM scoredc),
+         best AS (SELECT vec_id, centroid_id, ccos AS best FROM ranked WHERE rn = 1),
+         sec AS (SELECT vec_id, ccos AS second FROM ranked WHERE rn = 2),
+         j AS (SELECT * FROM best JOIN sec USING (vec_id))
+         SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+           ${sqlR("CAST(SUM(CAST(best AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*)", 6)} AS avg_cos,
+           ${sqlR("CAST(SUM(CAST(best - second AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*)", 6)} AS avg_margin,
+           ${sqlR("MIN(best - second)", 6)} AS min_margin
+         FROM j GROUP BY centroid_id ORDER BY centroid_id""",
     "q_ann_hier" ->
       s"""WITH $normCte,
          cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv

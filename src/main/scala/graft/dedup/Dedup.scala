@@ -365,6 +365,28 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Jaccard THRESHOLD-TUNING histogram — the curve a pipeline reads to
+    * pick its dedup cutoff: candidate pairs (≥1 shared shingle under the
+    * df cap) bucketed by Jaccard decile, with each bucket's share and
+    * the cumulative pair count at-or-above it (= how many pairs a
+    * threshold of bucket/10 would merge). The pair stream is the
+    * [[ngramJaccard]] join at threshold 0; everything after runs on ≤11
+    * bucket rows. */
+  def jaccardHistogram(documents: DataFrame, dfLimit: Int = 100): DataFrame = {
+    val pairs = ngramJaccard(documents, threshold = 0.0, dfLimit = dfLimit)
+      .select(least(floor(col("jaccard") * 10).cast("int"), lit(9)).as("bucket"))
+    val g = pairs.groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+    val total = g.agg(sum(col("n_pairs")).as("t_pairs"))
+    val wAbove = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(broadcast(total))
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(wAbove))
+      .select(col("bucket"), (col("bucket") / 10d).as("jaccard_lo"),
+        col("n_pairs"), r6(col("n_pairs").cast("double") / col("t_pairs")).as("share"),
+        col("n_at_or_above"))
+      .orderBy("bucket")
+  }
+
   /** Survivor mart over the WHOLE corpus: every document tagged with its
     * near-dup cluster (its own id when unclustered), the cluster size,
     * its token mass, and the keep decision (cluster canonical survives).
@@ -403,7 +425,8 @@ object Dedup {
     "q_dedup_clusters" -> ((s, d) => nearDupClusters(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
-    "q_minhash_est" -> ((s, d) => minhashAccuracy(Tables.documents(s, d)))
+    "q_minhash_est" -> ((s, d) => minhashAccuracy(Tables.documents(s, d))),
+    "q_jaccard_hist" -> ((s, d) => jaccardHistogram(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -548,6 +571,27 @@ object Dedup {
            FLOOR(ABS(n_agree / 8.0 - COALESCE(ex.jaccard, 0)) * 1000000 + 0.5) / 1000000 AS abs_err
          FROM ag LEFT JOIN ex ON da = ja AND db = jb
          ORDER BY 1, 2"""
-    }
+    },
+    "q_jaccard_hist" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         w2 AS (SELECT * FROM w WHERE len(words) >= 3),
+         sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM w2, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+         keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         shp AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM shp GROUP BY doc_id),
+         inter AS (SELECT a.doc_id da, b.doc_id db, CAST(COUNT(*) AS BIGINT) i
+           FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         jc AS (SELECT LEAST(CAST(FLOOR(
+             (FLOOR((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000) * 10) AS INT), 9) AS bucket
+           FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id),
+         g AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM jc GROUP BY bucket),
+         tot AS (SELECT CAST(SUM(n_pairs) AS BIGINT) AS t_pairs FROM g)
+         SELECT bucket, bucket / 10.0 AS jaccard_lo, n_pairs,
+           ${sqlR("CAST(n_pairs AS DOUBLE) / t_pairs", 6)} AS share,
+           CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC) AS BIGINT) AS n_at_or_above
+         FROM g, tot ORDER BY bucket"""
   )
 }

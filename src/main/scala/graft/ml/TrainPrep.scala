@@ -101,6 +101,40 @@ object TrainPrep {
       .orderBy("lang")
   }
 
+  /** Quantile bucketizer — the per-ROW discretization transform
+    * (sklearn KBinsDiscretizer / Spark ML QuantileDiscretizer twin, but
+    * exact and engine-reproducible): events.value binned into `bins`
+    * equi-depth buckets. Edges come from a cumulative-count window over
+    * the (value, cnt) aggregate — the same exact, disk-backed device as
+    * the column-stats histogram (one external-sort task for this single
+    * column; never an NDV-sized in-memory percentile buffer) — then 9
+    * edges broadcast and the bin assigned row-locally (bin = number of
+    * edges ≤ value), so the transform itself is shuffle-free. Edge k is
+    * the smallest value whose cumulative count reaches ⌈k·n/bins⌉;
+    * assignment by value comparison is deterministic under ties in both
+    * engines, unlike ntile's arbitrary tie order. */
+  def quantileBins(events: DataFrame, bins: Int = 10): DataFrame = {
+    val wCum = Window.orderBy(col("value"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = events.groupBy(col("value")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+    val n = events.agg(count(lit(1)).as("n"))
+    val ks = (1 until bins).map(lit(_))
+    val edges = cum.crossJoin(broadcast(n))
+      .select(col("value"), col("cum"), col("n"),
+        explode(array(ks: _*)).as("k"))
+      .filter(col("cum") >= expr(s"(k * n + ${bins - 1}) div $bins"))
+      .groupBy(col("k")).agg(min(col("value")).as("e"))
+    val eAggs = (1 until bins).map(k => max(when(col("k") === k, col("e"))).as(s"e$k"))
+    val edgeRow = edges.agg(eAggs.head, eAggs.tail: _*)
+    val bin = (1 until bins).map(k =>
+      when(col("value") >= col(s"e$k"), 1).otherwise(0)).reduce(_ + _)
+    events.select(col("event_id"), col("value"))
+      .crossJoin(broadcast(edgeRow))
+      .select(col("event_id"), col("value"), bin.cast("int").as("bin"))
+      .orderBy("event_id")
+  }
+
   private val corrFeats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** Pearson correlation matrix over the fact's numeric features — the
@@ -179,7 +213,8 @@ object TrainPrep {
     "q_train_assembly" -> ((s, d) => trainingAssembly(Tables.orders(s, d))),
     "q_impute" -> ((s, d) => imputePlan(Tables.events(s, d))),
     "q_feature_corr" -> ((s, d) => featureCorr(Tables.lineitem(s, d))),
-    "q_class_weights" -> ((s, d) => classWeights(Tables.documents(s, d)))
+    "q_class_weights" -> ((s, d) => classWeights(Tables.documents(s, d))),
+    "q_quantile_bins" -> ((s, d) => quantileBins(Tables.events(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -262,6 +297,21 @@ object TrainPrep {
            ${sqlR("CAST(n_docs AS DOUBLE) / n_total", 6)} AS share,
            ${sqlR("CAST(n_total AS DOUBLE) / (k_classes * n_docs)", 6)} AS class_weight,
            ${sqlR("CAST(max_n AS DOUBLE) / n_docs", 6)} AS oversample_factor
-         FROM g, k ORDER BY lang"""
+         FROM g, k ORDER BY lang""",
+    "q_quantile_bins" -> {
+      val binSql = (1 to 9).map(k =>
+        s"CASE WHEN value >= e$k THEN 1 ELSE 0 END").mkString(" + ")
+      val edgeCols = (1 to 9).map(k =>
+        s"MAX(CASE WHEN k = $k THEN e END) AS e$k").mkString(", ")
+      s"""WITH vc AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+         cum AS (SELECT value, CAST(SUM(c) OVER (ORDER BY value) AS BIGINT) AS cum FROM vc),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+         ks AS (SELECT k FROM generate_series(1, 9) t(k)),
+         ed AS (SELECT k, MIN(value) AS e FROM cum, ks, nn
+                WHERE cum >= (k * n + 9) // 10 GROUP BY k),
+         er AS (SELECT $edgeCols FROM ed)
+         SELECT event_id, value, CAST($binSql AS INT) AS bin
+         FROM events, er ORDER BY event_id"""
+    }
   )
 }
