@@ -251,12 +251,13 @@ object Ann {
     lshPairs(embeddings, nBits, bandBits, threshold, inDims)
       .orderBy("vec_a", "vec_b")
 
-  /** [[lshNearDup]] without the presentation sort — what internal
-    * consumers (cluster propagation) build on. */
-  private def lshPairs(embeddings: DataFrame, nBits: Int, bandBits: Int,
-                       threshold: Double, inDims: Int): DataFrame = {
+  /** ROW-LOCAL banded LSH signature frame: (vec_id, band_id, band_val),
+    * nBits/bandBits rows per vector. This is the embedding corpus's
+    * persisted dedup state — what [[lshIncrement]] joins a new batch
+    * against instead of re-signing the historical corpus. */
+  def lshBandStore(embeddings: DataFrame, nBits: Int = 16, bandBits: Int = 4,
+                   inDims: Int = 64): DataFrame = {
     val S = "1099511627776.0" // 2^40, DotScaled.Scale
-    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val bits = (0 until nBits).map { j =>
       val sgn = (0 until inDims).map(lshSign(_, j)).mkString("array(", ",", ")")
       when(expr(s"aggregate(zip_with(embedding, $sgn, (x, s) -> cast(x as double) * s), " +
@@ -268,8 +269,17 @@ object Ann {
       (0 until bandBits).map(k => col(s"bit${b * bandBits + k}") * lit(1 << k))
         .reduce(_ + _)
     }
-    val banded = v.select(col("vec_id") +: bits: _*)
+    embeddings.select(col("vec_id") +: bits: _*)
       .select(col("vec_id"), posexplode(array(bands: _*)).as(Seq("band_id", "band_val")))
+  }
+
+  /** [[lshNearDup]] without the presentation sort — what internal
+    * consumers (cluster propagation) build on. */
+  private def lshPairs(embeddings: DataFrame, nBits: Int, bandBits: Int,
+                       threshold: Double, inDims: Int): DataFrame = {
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val banded = lshBandStore(embeddings.select(col("vec_id"), col("embedding")),
+      nBits, bandBits, inDims)
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
@@ -282,6 +292,39 @@ object Ann {
       .withColumn("cosine", r6(dot("e1", "e2") / (col("nrm1") * col("nrm2"))))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "n_shared_bands", "cosine")
+  }
+
+  /** Incremental embedding dedup — the vector twin of
+    * [[graft.dedup.Dedup.minhashIncrement]]: a NEW batch of vectors is
+    * signed/banded ROW-LOCALLY ([[lshBandStore]] on the batch only) and
+    * joined against the corpus's persisted band store, so the historical
+    * corpus is never re-signed. Candidates need ≥1 new side; the exact
+    * cosine verification fetches both sides' vectors by key from
+    * `allVecs` (a key-lookup join — the vectors are stored anyway, this
+    * is not a recompute). Pairs are tagged new_vs_corpus / new_vs_new;
+    * spec-equal to a full [[lshNearDup]] recompute restricted to pairs
+    * touching the batch. */
+  def lshIncrement(newVecs: DataFrame, allVecs: DataFrame, storedBands: DataFrame,
+                   threshold: Double = 0.35): DataFrame = {
+    val all = storedBands.withColumn("is_new", lit(false))
+      .unionByName(lshBandStore(newVecs).withColumn("is_new", lit(true)))
+    val cand = all.as("a")
+      .join(all.as("b"),
+        col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id") && (col("a.is_new") || col("b.is_new")))
+      .groupBy(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        (col("a.is_new") && col("b.is_new")).as("both_new"))
+      .agg(count(lit(1)).as("n_shared_bands"))
+    val v = withNorm(allVecs.select(col("vec_id"), col("embedding")))
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("e1"), col("nrm").as("nrm1")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("e2"), col("nrm").as("nrm2")), "vec_b")
+      .withColumn("cosine", r6(dot("e1", "e2") / (col("nrm1") * col("nrm2"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("n_shared_bands"),
+        when(col("both_new"), "new_vs_new").otherwise("new_vs_corpus").as("kind"),
+        col("cosine"))
+      .orderBy("vec_a", "vec_b")
   }
 
   /** SEMANTIC survivor mart — the embedding-space twin of
@@ -492,6 +535,16 @@ object Ann {
     "q_embed_lsh" -> ((s, d) => lshNearDup(loadEmb(s, d))),
     "q_embed_survivors" -> ((s, d) => embedSurvivors(loadEmb(s, d))),
     "q_cell_quality" -> ((s, d) => cellQuality(loadEmb(s, d))),
+    "q_embed_incremental" -> ((s, d) => {
+      // deterministic batch split: vectors with md5 digit < 2 (~1/8)
+      // arrive as the new increment, mirroring q_dedup_incremental
+      val emb = loadEmb(s, d)
+      val tagged = emb.withColumn("dg",
+        expr("instr('0123456789abcdef', substr(md5(cast(vec_id as string)), 1, 1)) - 1"))
+      val fresh = tagged.filter(col("dg") < 2).drop("dg")
+      val existing = tagged.filter(col("dg") >= 2).drop("dg")
+      lshIncrement(fresh, emb, lshBandStore(existing))
+    }),
     "q_label_centroids" -> ((s, d) => labelCentroids(loadEmb(s, d))),
     "q_ann_hier" -> ((s, d) => hierAssign(loadEmb(s, d)))
   )
@@ -635,6 +688,18 @@ object Ann {
       s"""WITH $normCte, $lshCtes
          SELECT vec_a, vec_b, n_shared_bands, cosine FROM lshp
          ORDER BY vec_a, vec_b""",
+    "q_embed_incremental" ->
+      s"""WITH $normCte, $lshCtes,
+         g AS (SELECT vec_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) < 2 AS is_new
+           FROM embeddings),
+         t AS (SELECT vec_a, vec_b, n_shared_bands, cosine, ga.is_new AS na, gb.is_new AS nb
+           FROM lshp JOIN g ga ON ga.vec_id = vec_a JOIN g gb ON gb.vec_id = vec_b
+           WHERE ga.is_new OR gb.is_new)
+         SELECT vec_a, vec_b, n_shared_bands,
+           CASE WHEN na AND nb THEN 'new_vs_new' ELSE 'new_vs_corpus' END AS kind,
+           cosine
+         FROM t ORDER BY vec_a, vec_b""",
     "q_embed_survivors" ->
       s"""WITH RECURSIVE $normCte, $lshCtes,
          e2 AS (SELECT vec_a s, vec_b d FROM lshp UNION SELECT vec_b, vec_a FROM lshp),

@@ -77,6 +77,26 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** SLIDING 1-hour/15-minute windowed aggregation — streaming twin of
+    * Joins.windowSliding. Each event feeds its 4 covering windows; the
+    * 2-hour watermark closes windows (and drops their state) once event
+    * time passes window end + 2h, so state is bounded by
+    * (width/slide)·active-window count regardless of stream length. */
+  def slidingCounts(spark: SparkSession, dir: String,
+                    queryName: String = "stream_sliding"): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), decSum(col("value")).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("win_start_s"),
+        col("event_type"), col("n_events"), col("sum_value"))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup on event_id with a watermark bounding the
     * dedup state — the streaming twin of Dedup.exact (late duplicates
     * beyond the watermark age out of state instead of growing it

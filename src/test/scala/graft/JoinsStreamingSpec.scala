@@ -48,6 +48,13 @@ class JoinsStreamingSpec extends AnyFunSuite {
     assert(batch.exceptAll(stream).count() == 0)
   }
 
+  test("streaming sliding windows equal the batch sliding window") {
+    val stream = EventStream.slidingCounts(spark, sf)
+    val batch = Joins.windowSliding(Tables.events(spark, sf))
+    assert(stream.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stream).count() == 0)
+  }
+
   test("stateful running user counts equal batch per-user counts") {
     val stateful = EventStream.runningUserCounts(spark, sf)
     val batch = Tables.events(spark, sf).groupBy("user_id")

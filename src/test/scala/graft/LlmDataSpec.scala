@@ -193,6 +193,23 @@ class LlmDataSpec extends AnyFunSuite {
     assert(meanCos(hier) >= 0.75 * flatFit, s"hier fit ${meanCos(hier)} vs flat $flatFit")
   }
 
+  test("incremental embedding dedup equals full recompute restricted to new-side pairs") {
+    val emb = Tables.embeddings(spark, sf)
+      .withColumn("dg", expr(
+        "instr('0123456789abcdef', substr(md5(cast(vec_id as string)), 1, 1)) - 1"))
+    val fresh = emb.filter(col("dg") < 2).drop("dg")
+    val existing = emb.filter(col("dg") >= 2).drop("dg")
+    val freshIds = fresh.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(freshIds.nonEmpty)
+    val inc = graft.ann.Ann.lshIncrement(fresh, emb.drop("dg"),
+        graft.ann.Ann.lshBandStore(existing))
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val full = graft.ann.Ann.lshNearDup(emb.drop("dg"))
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+      .filter { case (a, b) => freshIds(a) || freshIds(b) }.toSet
+    assert(inc == full, s"increment=${inc.size} full-new=${full.size}")
+  }
+
   test("minhash accuracy mart: perfect-jaccard pairs agree on all 8 components") {
     val docs = Tables.documents(spark, sf)
     val rows = Dedup.minhashAccuracy(docs).collect()
