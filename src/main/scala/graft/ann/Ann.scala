@@ -246,10 +246,28 @@ object Ann {
     * are exact scaled-integer dot signs (engine-reproducible); the
     * hyperplanes are md5-parity literals, so the oracle rebuilds the
     * identical matrix in SQL. */
-  def lshNearDup(embeddings: DataFrame, nBits: Int = 16, bandBits: Int = 4,
-                 threshold: Double = 0.35, inDims: Int = 64): DataFrame =
-    lshPairs(embeddings, nBits, bandBits, threshold, inDims)
+  def lshNearDup(embeddings: DataFrame, nBits: Int = 16, bandBits: Int = 0,
+                 threshold: Double = 0.35, inDims: Int = 64,
+                 bucketLimit: Int = 100): DataFrame =
+    lshPairs(embeddings, nBits, bandBits, threshold, inDims, bucketLimit)
       .orderBy("vec_a", "vec_b")
+
+  /** ADAPTIVE band width for the cosine-LSH family: the smallest of
+    * {4, 8, 16} sign bits per band that keeps expected bucket size
+    * n/2^bits at or under the hot-bucket cap — without it, EITHER the
+    * candidate join is Θ(n²/2^bits) (measured 45× time for 10×
+    * vectors) OR the cap silently drops every bucket (measured recall
+    * 0 at 20k vectors with 4-bit bands). Wider bands mean fewer bands
+    * from the same 16 signature bits (4×4 → 2×8 → 1×16) — the standard
+    * recall-for-boundedness ladder; corpora past 2^16·cap vectors need
+    * more hyperplanes (raise nBits). One narrow count() buys the plan
+    * choice — the same adaptive-plan-selection device as [[adaptiveCells]]
+    * and the RFM exact/approx switch; the oracle mirrors the rule with
+    * a count-driven CASE. */
+  def adaptiveBandBits(n: Long, bucketLimit: Int = 100): Int =
+    if (n <= (1L << 4) * bucketLimit) 4
+    else if (n <= (1L << 8) * bucketLimit) 8
+    else 16
 
   /** ROW-LOCAL banded LSH signature frame: (vec_id, band_id, band_val),
     * nBits/bandBits rows per vector. This is the embedding corpus's
@@ -274,12 +292,31 @@ object Ann {
   }
 
   /** [[lshNearDup]] without the presentation sort — what internal
-    * consumers (cluster propagation) build on. */
+    * consumers (cluster propagation) build on.
+    *
+    * HOT-BUCKET CAP (same guard and trade as
+    * [[graft.dedup.Dedup.minhashLsh]]): sign-bit buckets larger than
+    * `bucketLimit` vectors are dropped before the self-join — without
+    * it the candidate join is Θ(n²/2^bandBits) pairs (measured 45×
+    * time for 10× vectors on the dense synthetic 10× corpus). Dense
+    * clusters still pair through their other bands unless those are
+    * hot too; at corpus scale the production knob is
+    * bandBits ≈ log2(n/bucketLimit), which keeps buckets near the cap
+    * instead of discarding mass. The bucket count is a window over the
+    * SAME (band_id, band_val) partitioning the self-join shuffles on
+    * (ReuseExchange — one exchange serves count, filter, both sides). */
   private def lshPairs(embeddings: DataFrame, nBits: Int, bandBits: Int,
-                       threshold: Double, inDims: Int): DataFrame = {
+                       threshold: Double, inDims: Int,
+                       bucketLimit: Int = 100): DataFrame = {
+    val bb = if (bandBits > 0) bandBits
+      else adaptiveBandBits(embeddings.count(), bucketLimit)
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val wB = Window.partitionBy(col("band_id"), col("band_val"))
     val banded = lshBandStore(embeddings.select(col("vec_id"), col("embedding")),
-      nBits, bandBits, inDims)
+      nBits, bb, inDims)
+      .withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= bucketLimit)
+      .select("vec_id", "band_id", "band_val")
     val cand = banded.as("a")
       .join(banded.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
@@ -305,9 +342,19 @@ object Ann {
     * spec-equal to a full [[lshNearDup]] recompute restricted to pairs
     * touching the batch. */
   def lshIncrement(newVecs: DataFrame, allVecs: DataFrame, storedBands: DataFrame,
-                   threshold: Double = 0.35): DataFrame = {
+                   threshold: Double = 0.35, bucketLimit: Int = 100,
+                   bandBits: Int = 4): DataFrame = {
+    val wB = Window.partitionBy(col("band_id"), col("band_val"))
+    // cap applies to MERGED bucket sizes (store ∪ batch) so the result
+    // equals the full-recompute restriction — the minhashIncrement rule.
+    // bandBits must match the width the stored bands were built with (a
+    // real store versions this in its metadata).
     val all = storedBands.withColumn("is_new", lit(false))
-      .unionByName(lshBandStore(newVecs).withColumn("is_new", lit(true)))
+      .unionByName(lshBandStore(newVecs, bandBits = bandBits)
+        .withColumn("is_new", lit(true)))
+      .withColumn("bucket_n", count(lit(1)).over(wB))
+      .filter(col("bucket_n") <= bucketLimit)
+      .select("vec_id", "band_id", "band_val", "is_new")
     val cand = all.as("a")
       .join(all.as("b"),
         col("a.band_id") === col("b.band_id") && col("a.band_val") === col("b.band_val") &&
@@ -337,7 +384,7 @@ object Ann {
     * ([[graft.dedup.Dedup.propagate]] — same checkpointed loop) closes
     * the transitive hull, one window sizes clusters. */
   def embedSurvivors(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
-    val pairs = lshPairs(embeddings, 16, 4, threshold, 64)
+    val pairs = lshPairs(embeddings, 16, 0, threshold, 64)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
     val labels = graft.dedup.Dedup.propagate(pairs)
       .select(col("id").as("vec_id"), col("label").as("cluster_id"))
@@ -543,7 +590,10 @@ object Ann {
         expr("instr('0123456789abcdef', substr(md5(cast(vec_id as string)), 1, 1)) - 1"))
       val fresh = tagged.filter(col("dg") < 2).drop("dg")
       val existing = tagged.filter(col("dg") >= 2).drop("dg")
-      lshIncrement(fresh, emb, lshBandStore(existing))
+      // the increment must band with the same width the full corpus
+      // would choose, so spec-equality to the full recompute holds
+      val bb = adaptiveBandBits(emb.count())
+      lshIncrement(fresh, emb, lshBandStore(existing, bandBits = bb), bandBits = bb)
     }),
     "q_label_centroids" -> ((s, d) => labelCentroids(loadEmb(s, d))),
     "q_ann_hier" -> ((s, d) => hierAssign(loadEmb(s, d)))
@@ -577,12 +627,19 @@ object Ann {
                   CAST(SUM(CAST(FLOOR(x * s * 1099511627776.0) AS BIGINT)) AS BIGINT) AS a
                  FROM lex JOIN sg USING (i) GROUP BY vec_id, j),
          bits AS (SELECT vec_id, j, CASE WHEN a >= 0 THEN 1 ELSE 0 END AS bit FROM acc),
-         bands AS (SELECT vec_id, CAST(j // 4 AS INT) AS band_id,
-                    CAST(SUM(bit << CAST(j % 4 AS INT)) AS INT) AS band_val
-                   FROM bits GROUP BY 1, 2),
+         nnv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nv),
+         bbs AS (SELECT CASE WHEN n <= 1600 THEN 4
+                             WHEN n <= 25600 THEN 8
+                             ELSE 16 END AS bb FROM nnv),
+         bands AS (SELECT vec_id, CAST(j // bb AS INT) AS band_id,
+                    CAST(SUM(bit << CAST(j % bb AS INT)) AS INT) AS band_val
+                   FROM bits, bbs GROUP BY vec_id, j // bb),
+         coldv AS (SELECT band_id, band_val FROM bands
+                   GROUP BY 1, 2 HAVING COUNT(*) <= 100),
+         keptv AS (SELECT bands.* FROM bands JOIN coldv USING (band_id, band_val)),
          cand AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    CAST(COUNT(*) AS BIGINT) AS n_shared_bands
-                  FROM bands a JOIN bands b
+                  FROM keptv a JOIN keptv b
                     ON a.band_id = b.band_id AND a.band_val = b.band_val
                        AND a.vec_id < b.vec_id
                   GROUP BY 1, 2),

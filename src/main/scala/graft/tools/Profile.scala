@@ -47,6 +47,31 @@ object Profile {
         }
       }
     }
+    if (sys.env.contains("SPARK_GRAFT_S2")) {
+      // session-2 heavy family: run each twice, read the second (warm) line
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      val ev = graft.Tables.events(spark, sfDir)
+      emb.count(); ev.count()
+      for (round <- 1 to 2) {
+        t(s"embed_lsh_$round") { graft.ann.Ann.lshNearDup(emb).count() }
+        t(s"embed_survivors_$round") { graft.ann.Ann.embedSurvivors(emb).count() }
+        t(s"embed_incr_$round") {
+          val tagged = emb.withColumn("dg",
+            expr("instr('0123456789abcdef', substr(md5(cast(vec_id as string)), 1, 1)) - 1"))
+          val bb = graft.ann.Ann.adaptiveBandBits(emb.count())
+          graft.ann.Ann.lshIncrement(tagged.filter(col("dg") < 2).drop("dg"), emb,
+            graft.ann.Ann.lshBandStore(tagged.filter(col("dg") >= 2).drop("dg"), bandBits = bb),
+            bandBits = bb).count()
+        }
+        t(s"minhash_est_$round") { graft.dedup.Dedup.minhashAccuracy(docs).count() }
+        t(s"jaccard_hist_$round") { graft.dedup.Dedup.jaccardHistogram(docs).count() }
+        t(s"bigram_lm_$round") { graft.text.Vocab.bigramLm(docs).count() }
+        t(s"quantile_bins_$round") { graft.ml.TrainPrep.quantileBins(ev).count() }
+        t(s"window_sliding_$round") { graft.operators.Joins.windowSliding(ev).count() }
+        t(s"group_split_$round") { graft.operators.Sampling.groupSplit(ev).count() }
+        spark.catalog.clearCache()
+      }
+    }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       val q = graft.text.Vocab.tfidf(docs)
       q.collect()
