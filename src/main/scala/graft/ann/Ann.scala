@@ -468,6 +468,30 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** ANN index-quality EVALUATION mart: per probe, recall@k of the IVF
+    * multi-probe search against the exact brute-force ground truth —
+    * the number an index owner actually watches when tuning
+    * kCents/nCells (the recall spec asserts a floor; this mart reports
+    * the per-probe curve as a query). Composes the two existing search
+    * paths and joins their neighbor sets; cost is bounded by the probe
+    * count, not the corpus. */
+  def annEval(embeddings: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame = {
+    val bf = bruteForceTopK(embeddings, nProbes, k)
+      .select(col("probe_id"), col("neighbor_id"))
+    val iv = ivfSearch(embeddings, nProbes, k)
+      .select(col("probe_id").as("ip"), col("neighbor_id").as("in_"))
+    val nf = iv.groupBy(col("ip")).agg(count(lit(1)).as("n_found"))
+    bf.join(iv, col("probe_id") === col("ip") && col("neighbor_id") === col("in_"), "left")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("in_").isNotNull, 1L).otherwise(0L)).as("n_hits"))
+      .join(nf, col("probe_id") === col("ip"), "left")
+      .select(col("probe_id"), col("n_true"),
+        coalesce(col("n_found"), lit(0L)).as("n_found"), col("n_hits"),
+        r6(col("n_hits").cast("double") / col("n_true")).as("recall"))
+      .orderBy("probe_id")
+  }
+
   /** IVF cell-quality mart — the clustering diagnostic that decides
     * whether an index needs re-training (Lloyd rounds) or more cells:
     * per cell, member count, mean fit (cosine to own centroid), and the
@@ -582,6 +606,7 @@ object Ann {
     "q_embed_lsh" -> ((s, d) => lshNearDup(loadEmb(s, d))),
     "q_embed_survivors" -> ((s, d) => embedSurvivors(loadEmb(s, d))),
     "q_cell_quality" -> ((s, d) => cellQuality(loadEmb(s, d))),
+    "q_ann_eval" -> ((s, d) => annEval(loadEmb(s, d))),
     "q_embed_incremental" -> ((s, d) => {
       // deterministic batch split: vectors with md5 digit < 2 (~1/8)
       // arrive as the new increment, mirroring q_dedup_incremental
@@ -793,6 +818,52 @@ object Ann {
          FROM dots JOIN norms na ON label_a = na.label
                    JOIN norms nb ON label_b = nb.label
          ORDER BY label_a, label_b""",
+    "q_ann_eval" ->
+      s"""WITH $normCte,
+         eprobes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm FROM nv WHERE vec_id < 10),
+         bsc AS (
+           SELECT nv.vec_id, probe_id,
+             FLOOR((${dotSql("embedding", "pe")} / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM nv, eprobes WHERE nv.vec_id <> probe_id),
+         brk AS (
+           SELECT probe_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+           FROM bsc),
+         bf AS (SELECT probe_id, vec_id FROM brk WHERE rank <= 10),
+         ecents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         esc AS (
+           SELECT nv.vec_id, nv.embedding, nv.nrm, centroid_id,
+             FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
+           FROM nv, ecents),
+         erk AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+           FROM esc),
+         eassign AS (SELECT vec_id, centroid_id FROM erk WHERE rn = 1),
+         epcells AS (
+           SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm, centroid_id AS pcell
+           FROM erk WHERE vec_id < 10 AND rn <= 5),
+         ecorpus AS (SELECT nv.vec_id, nv.embedding, nv.nrm, eassign.centroid_id
+           FROM nv JOIN eassign USING (vec_id)),
+         isc AS (
+           SELECT ecorpus.vec_id, probe_id,
+             FLOOR((${dotSql("embedding", "pe")} / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM ecorpus JOIN epcells ON centroid_id = pcell AND vec_id <> probe_id),
+         irk AS (
+           SELECT probe_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+           FROM isc),
+         iv AS (SELECT probe_id, vec_id FROM irk WHERE rank <= 10),
+         nf AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_found FROM iv GROUP BY 1),
+         hits AS (SELECT bf.probe_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(SUM(CASE WHEN iv.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           FROM bf LEFT JOIN iv ON bf.probe_id = iv.probe_id AND bf.vec_id = iv.vec_id
+           GROUP BY 1)
+         SELECT hits.probe_id AS probe_id, n_true,
+           COALESCE(n_found, 0) AS n_found, n_hits,
+           ${sqlR("CAST(n_hits AS DOUBLE) / n_true", 6)} AS recall
+         FROM hits LEFT JOIN nf ON hits.probe_id = nf.probe_id
+         ORDER BY 1""",
     "q_cell_quality" ->
       s"""WITH $normCte,
          cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv

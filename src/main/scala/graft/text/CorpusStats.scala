@@ -60,9 +60,52 @@ object CorpusStats {
       .orderBy("source", "bucket")
   }
 
+  /** Corpus-composition drift: per-source KL divergence (bits) of the
+    * source's unigram distribution from the whole-corpus distribution —
+    * the "did this crawl/source shift vocabulary" check a recurring
+    * ingestion run reads before mixing, plus each source's most
+    * divergent token. One token-stream pass: corpus word totals ride a
+    * window over the word partitioning the (source, word) aggregation
+    * already shuffles to; per-source KL sums run in DECIMAL (order-
+    * independent). Only words PRESENT in the source contribute (p>0),
+    * and q>0 always since the corpus contains the source — no smoothing
+    * needed. */
+  def corpusDrift(documents: DataFrame): DataFrame = {
+    val wW = org.apache.spark.sql.expressions.Window.partitionBy(col("word"))
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val wR = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("contrib_r").desc, col("word"))
+    val csw = TextPrep.withWords(documents)
+      .select(col("source"), explode(col("words")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("c"))
+    val total = csw.agg(sum(col("c")).as("t"))
+    val scored = csw
+      .withColumn("cw", sum(col("c")).over(wW))
+      .withColumn("ts", sum(col("c")).over(wS))
+      .withColumn("n_types", count(lit(1)).over(wS))
+      .crossJoin(broadcast(total))
+      // p·log2(p/q) with p = c/ts (source), q = cw/t (corpus)
+      .withColumn("contrib",
+        (col("c") / col("ts")) *
+          (log((col("c") / col("ts")) / (col("cw") / col("t"))) / log(lit(2.0))))
+      .withColumn("contrib_r", r6(col("contrib")))
+      .withColumn("rn", row_number().over(wR))
+    scored.groupBy(col("source"))
+      .agg(max(col("ts")).as("n_tokens"),
+        max(col("n_types")).as("n_types"),
+        sum(col("contrib").cast("decimal(20,12)")).as("kl0"),
+        max(when(col("rn") === 1, col("word"))).as("top_term"),
+        max(when(col("rn") === 1, col("contrib_r"))).as("top_term_kl"))
+      .select(col("source"), col("n_tokens"), col("n_types"),
+        r6(col("kl0").cast("double")).as("kl_bits"),
+        col("top_term"), col("top_term_kl"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
-    "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d)))
+    "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
+    "q_corpus_drift" -> ((s, d) => corpusDrift(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -90,6 +133,29 @@ object CorpusStats {
            FROM b GROUP BY 1, 2)
          SELECT source, bucket, n_docs, n_tokens,
            ${sqlR("CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source)", 6)} AS doc_share
-         FROM g ORDER BY source, bucket"""
+         FROM g ORDER BY source, bucket""",
+    "q_corpus_drift" ->
+      s"""WITH n AS (SELECT source, $normSql AS norm FROM documents),
+         w AS (SELECT source, unnest(string_split(norm, ' ')) AS word FROM n),
+         csw AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c FROM w GROUP BY 1, 2),
+         tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM csw),
+         sc AS (SELECT source, word, c,
+             CAST(SUM(c) OVER (PARTITION BY word) AS BIGINT) AS cw,
+             CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS ts,
+             CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_types
+           FROM csw),
+         k AS (SELECT *,
+             (CAST(c AS DOUBLE) / ts) *
+               (ln((CAST(c AS DOUBLE) / ts) / (CAST(cw AS DOUBLE) / t)) / ln(2)) AS contrib
+           FROM sc, tot),
+         r AS (SELECT *, ${sqlR("contrib", 6)} AS contrib_r,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY ${sqlR("contrib", 6)} DESC, word) AS rn
+           FROM k)
+         SELECT source, MAX(ts) AS n_tokens, MAX(n_types) AS n_types,
+           ${sqlR("CAST(SUM(CAST(contrib AS DECIMAL(20,12))) AS DOUBLE)", 6)} AS kl_bits,
+           MAX(CASE WHEN rn = 1 THEN word END) AS top_term,
+           MAX(CASE WHEN rn = 1 THEN contrib_r END) AS top_term_kl
+         FROM r GROUP BY source ORDER BY source"""
   )
 }
