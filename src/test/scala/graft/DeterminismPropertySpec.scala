@@ -192,10 +192,13 @@ class DeterminismPropertySpec extends AnyFunSuite {
     }
     Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
       d => graft.dedup.Dedup.minhashAccuracy(d),
-      d => graft.dedup.Dedup.jaccardHistogram(d)
+      d => graft.dedup.Dedup.jaccardHistogram(d),
+      d => graft.text.CorpusStats.corpusDrift(d)
     ).foreach { op =>
       assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
     }
+    assert(run(graft.ann.Ann.annEval(emb.repartition(1))) ==
+      run(graft.ann.Ann.annEval(emb.repartition(13))))
     assert(run(graft.ml.TrainPrep.quantileBins(ev.repartition(1))) ==
       run(graft.ml.TrainPrep.quantileBins(ev.repartition(13))))
   }

@@ -58,6 +58,22 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Embeddings.randomProjection(emptyEmb).count() == 0)
   }
 
+  test("session-2 operators are well-defined on empty inputs") {
+    assert(Ann.lshNearDup(emptyEmb).count() == 0)
+    assert(Ann.embedSurvivors(emptyEmb).count() == 0)
+    assert(Ann.labelCentroids(emptyEmb).count() == 0)
+    assert(Ann.hierAssign(emptyEmb).count() == 0)
+    assert(Ann.cellQuality(emptyEmb).count() == 0)
+    assert(Dedup.minhashAccuracy(emptyDocs).count() == 0)
+    assert(Dedup.jaccardHistogram(emptyDocs).count() == 0)
+    assert(Vocab.bigramLm(emptyDocs).count() == 0)
+    assert(graft.text.CorpusStats.corpusDrift(emptyDocs).count() == 0)
+    val emptyEv = Tables.events(spark, sf).limit(0)
+    assert(graft.ml.TrainPrep.quantileBins(emptyEv).count() == 0)
+    assert(graft.operators.Sampling.groupSplit(emptyEv).count() == 0)
+    assert(graft.operators.Joins.windowSliding(emptyEv).count() == 0)
+  }
+
   test("quantizeInt8 defines the all-zero vector: scale=0, q_l1=0, err=0, cos=1") {
     import spark.implicits._
     val zero = Seq((0L, Array.fill(8)(0.0f)), (1L, Array(1.0f, -2.0f, 0.5f)))
