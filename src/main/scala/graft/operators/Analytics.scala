@@ -281,7 +281,50 @@ object Analytics {
       .orderBy("attributed_to")
   }
 
+  /** Revenue percentile standings: each customer's revenue rank within
+    * their nation as percent_rank and cume_dist — the peer-comparison
+    * mart every BI layer ships. One aggregate to customer grain, one
+    * broadcast dim join, rank windows partitioned by nation (per-nation
+    * partitions are customer-count-bounded). Exact decimal revenue
+    * makes rank ties identical across engines. */
+  def revenuePercentiles(orders: DataFrame, customer: DataFrame,
+                         nation: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("n_name")).orderBy(col("revenue"))
+    orders.groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("revenue"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name"), col("revenue"),
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cume_dist"))
+      .orderBy("c_custkey")
+  }
+
+  /** Hour-of-day × value-decile event heatmap — the ops-dashboard grid
+    * (when do high-value events happen). Value bins are equi-width over
+    * the observed [min, max] (one broadcast row); the grid is 24×10
+    * cells regardless of event count, counts partial-aggregate. */
+  def eventHeatmap(events: DataFrame, bins: Int = 10): DataFrame = {
+    val mm = events.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val wAll = Window.partitionBy(lit(1))
+    events.select(col("ts"), col("value"))
+      .crossJoin(broadcast(mm))
+      .select(hour(col("ts")).cast("int").as("hour_of_day"),
+        least(lit(bins - 1), floor((col("value") - col("vmin")) /
+          ((col("vmax") - col("vmin")) / bins)).cast("int")).as("value_bin"))
+      .groupBy(col("hour_of_day"), col("value_bin"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("share", r6(col("n_events").cast("double") /
+        sum(col("n_events")).over(wAll)))
+      .orderBy("hour_of_day", "value_bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_revenue_percentiles" -> ((s, d) => revenuePercentiles(Tables.orders(s, d),
+      Tables.customer(s, d), Tables.nation(s, d))),
+    "q_event_heatmap" -> ((s, d) => eventHeatmap(Tables.events(s, d))),
     "q_attribution" -> ((s, d) => attribution(Tables.events(s, d))),
     "q_event_transitions" -> ((s, d) => eventTransitions(Tables.events(s, d))),
     "q_active_users" -> ((s, d) => activeUsers(Tables.events(s, d))),
@@ -301,6 +344,27 @@ object Analytics {
   private val profiled = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
   val oracles: Map[String, String] = Map(
+    "q_revenue_percentiles" ->
+      s"""WITH r AS (SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM orders GROUP BY 1),
+         j AS (SELECT c_custkey, n_name, revenue
+           FROM r JOIN customer ON o_custkey = c_custkey
+                  JOIN nation ON c_nationkey = n_nationkey)
+         SELECT c_custkey, n_name, revenue,
+           ${sqlR("PERCENT_RANK() OVER (PARTITION BY n_name ORDER BY revenue)", 6)} AS pct_rank,
+           ${sqlR("CUME_DIST() OVER (PARTITION BY n_name ORDER BY revenue)", 6)} AS cume_dist
+         FROM j ORDER BY c_custkey""",
+    "q_event_heatmap" ->
+      s"""WITH mm AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+         b AS (SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+             CAST(LEAST(9, FLOOR((value - vmin) / ((vmax - vmin) / 10))) AS INT) AS value_bin
+           FROM events, mm),
+         g AS (SELECT hour_of_day, value_bin, CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM b GROUP BY 1, 2)
+         SELECT hour_of_day, value_bin, n_events,
+           ${sqlR("CAST(n_events AS DOUBLE) / SUM(n_events) OVER ()", 6)} AS share
+         FROM g ORDER BY 1, 2""",
     "q_attribution" ->
       """WITH e AS (
            SELECT user_id, event_id, event_type,

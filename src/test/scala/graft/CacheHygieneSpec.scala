@@ -13,7 +13,9 @@ class CacheHygieneSpec extends AnyFunSuite {
 
   private val formerlyLeaky =
     Seq("q_dedup_minhash", "q_ngram_jaccard", "q_dedup_clusters", "q_drift_sweep",
-      "q_scd2_integrity")
+      "q_scd2_integrity",
+      // session-2 consumers of the checkpointed propagation loop
+      "q_embed_survivors", "q_dedup_survivors")
 
   test("session cache manager is empty after each query's collect") {
     formerlyLeaky.foreach { name =>
