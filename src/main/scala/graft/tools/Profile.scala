@@ -69,6 +69,17 @@ object Profile {
         t(s"quantile_bins_$round") { graft.ml.TrainPrep.quantileBins(ev).count() }
         t(s"window_sliding_$round") { graft.operators.Joins.windowSliding(ev).count() }
         t(s"group_split_$round") { graft.operators.Sampling.groupSplit(ev).count() }
+        t(s"corpus_drift_$round") { graft.text.CorpusStats.corpusDrift(docs).count() }
+        t(s"ann_eval_$round") { graft.ann.Ann.annEval(emb).count() }
+        t(s"cell_quality_$round") { graft.ann.Ann.cellQuality(emb).count() }
+        t(s"hier_assign_$round") { graft.ann.Ann.hierAssign(emb).count() }
+        t(s"label_centroids_$round") { graft.ann.Ann.labelCentroids(emb).count() }
+        t(s"event_heatmap_$round") { graft.operators.Analytics.eventHeatmap(ev).count() }
+        t(s"rev_pctile_$round") {
+          graft.operators.Analytics.revenuePercentiles(
+            graft.Tables.orders(spark, sfDir), graft.Tables.customer(spark, sfDir),
+            graft.Tables.nation(spark, sfDir)).count()
+        }
         spark.catalog.clearCache()
       }
     }

@@ -201,6 +201,13 @@ class DeterminismPropertySpec extends AnyFunSuite {
       run(graft.ann.Ann.annEval(emb.repartition(13))))
     assert(run(graft.ml.TrainPrep.quantileBins(ev.repartition(1))) ==
       run(graft.ml.TrainPrep.quantileBins(ev.repartition(13))))
+    assert(run(graft.operators.Analytics.eventHeatmap(ev.repartition(1))) ==
+      run(graft.operators.Analytics.eventHeatmap(ev.repartition(13))))
+    val ord = Tables.orders(spark, sf)
+    assert(run(graft.operators.Analytics.revenuePercentiles(
+        ord.repartition(1), Tables.customer(spark, sf), Tables.nation(spark, sf))) ==
+      run(graft.operators.Analytics.revenuePercentiles(
+        ord.repartition(13), Tables.customer(spark, sf), Tables.nation(spark, sf))))
   }
 
   test("pagerank conserves total rank mass") {
