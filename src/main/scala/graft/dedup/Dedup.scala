@@ -311,8 +311,34 @@ object Dedup {
     val sb = sig.select(col("doc_id").as("doc_b") +: (0 to 7).map(k => col(s"h$k").as(s"b$k")): _*)
     val agree = (0 to 7).map(k =>
       when(col(s"a$k") === col(s"b$k"), 1).otherwise(0)).reduce(_ + _)
-    val exact = ngramJaccard(documents, threshold = 0.0)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    // the exact side only needs CANDIDATE pairs, so the shingle
+    // self-join runs over candidate documents alone — exact verification
+    // cost is bounded by the candidate set, never corpus². The df cap is
+    // still measured on the FULL corpus (one linear pass) BEFORE the
+    // prune, so jaccard values are identical to the corpus-wide join and
+    // the oracle; extra pairs between candidate docs that are not
+    // themselves candidates fall out at the final restriction.
+    val candDocs = cand
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    val sh = TextPrep.shinglesAll(documents)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+    val wS = Window.partitionBy(col("sh"))
+    val shp = sh
+      .withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= 100)
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select("doc_id", "sh")
+    val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val exact = shp.as("x")
+      .join(shp.as("y"), col("x.sh") === col("y.sh") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_intersect"))
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        r6(col("n_intersect") / (col("na") + col("nb") - col("n_intersect"))).as("jaccard"))
     cand.join(sa, "doc_a").join(sb, "doc_b")
       .select(col("doc_a"), col("doc_b"), agree.cast("int").as("n_agree"))
       .join(exact, Seq("doc_a", "doc_b"), "left")
