@@ -149,10 +149,67 @@ object Filters {
       .orderBy("doc_id")
   }
 
+  /** Winnowed document fingerprints (the MOSS scheme): hash every word
+    * k-gram, slide a w-window over the positional hash stream, keep each
+    * window's MINIMUM — the classic guarantee that any shared run of at
+    * least k+w-1 consecutive words shares a fingerprint, at ~1/w the
+    * storage of the full gram set. Hashes are the first 16 hex chars of
+    * md5 (fixed-width lowercase hex minimizes lexicographically exactly
+    * like its numeric value, and both engines produce identical
+    * strings). Per-doc rolling windows are doc-length-bounded; docs
+    * shorter than k+w-1 words emit no fingerprints. */
+  private[text] def winnowFingerprints(documents: DataFrame, k: Int = 5,
+                                       w: Int = 4): DataFrame = {
+    val grams = TextPrep.withWords(documents)
+      .filter(size(col("words")) >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(words) - $k), " +
+          s"i -> substr(md5(concat_ws(' ', slice(words, i + 1, $k))), 1, 16))"))
+        .as(Seq("pos", "h")))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wWin = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, w - 1)
+    grams
+      .withColumn("ng", count(lit(1)).over(wDoc))
+      .withColumn("fp", min(col("h")).over(wWin))
+      .filter(col("pos") <= col("ng") - w)
+      .select(col("doc_id"), col("fp")).distinct()
+  }
+
+  /** Winnowing decontamination — the LONG-MATCH screen [[decontaminate]]
+    * can't provide: 3-gram containment dilutes a verbatim 50-word eval
+    * quote inside a long document below any threshold, while a winnowed
+    * fingerprint match fires on ANY shared run of ≥ k+w-1 words
+    * regardless of document length. Same eval-split device and broadcast
+    * probe shape as [[decontaminate]]; reports per-doc fingerprint
+    * counts, matches, and the flag (any_match OR high containment). */
+  def winnowContam(documents: DataFrame, k: Int = 5, w: Int = 4,
+                   matchThreshold: Int = 1): DataFrame = {
+    val withD = documents.withColumn("d", hexNoise("doc_id"))
+    val evalFp = winnowFingerprints(withD.filter(col("d") === 0), k, w)
+      .select("fp").distinct().withColumn("in_eval", lit(1))
+    val train = withD.filter(col("d") =!= 0)
+    val tagged = winnowFingerprints(train, k, w)
+      .join(broadcast(evalFp), Seq("fp"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(coalesce(col("in_eval"), lit(0))).as("n_matches"))
+    train.select(col("doc_id"))
+      .join(tagged, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_fingerprints", "n_matches"))
+      .withColumn("match_share",
+        r6(when(col("n_fingerprints") > 0,
+          col("n_matches") / col("n_fingerprints")).otherwise(lit(0d))))
+      .withColumn("is_contaminated", col("n_matches") >= matchThreshold)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_rep_filter" -> ((s, d) => repetition(Tables.documents(s, d))),
     "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
-    "q_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d)))
+    "q_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "q_winnow_contam" -> ((s, d) => winnowContam(Tables.documents(s, d)))
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -242,6 +299,35 @@ object Filters {
          SELECT doc_id, n_shingles, n_overlap,
            ${sqlR("CASE WHEN n_shingles > 0 THEN CAST(n_overlap AS DOUBLE) / n_shingles ELSE 0 END", 6)} AS containment,
            ${sqlR("CASE WHEN n_shingles > 0 THEN CAST(n_overlap AS DOUBLE) / n_shingles ELSE 0 END", 6)} >= 0.2 AS is_contaminated
+         FROM o ORDER BY doc_id""",
+    "q_winnow_contam" ->
+      s"""WITH w AS (SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) AS d,
+             string_split($normSql, ' ') AS words
+           FROM documents),
+         g AS (SELECT doc_id, d, CAST(i - 1 AS BIGINT) AS pos,
+             substr(md5(array_to_string(list_slice(words, i, i + 4), ' ')), 1, 16) AS h
+           FROM w, UNNEST(generate_series(1, len(words) - 4)) AS t(i)
+           WHERE len(words) >= 5),
+         c AS (SELECT doc_id, d, pos, h,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM g),
+         f AS (SELECT DISTINCT doc_id, d, fp FROM c WHERE pos <= ng - 4),
+         ev AS (SELECT DISTINCT fp FROM f WHERE d = 0),
+         agg AS (SELECT f.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+             CAST(SUM(CASE WHEN ev.fp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
+           FROM f LEFT JOIN ev ON f.fp = ev.fp
+           WHERE f.d <> 0 GROUP BY f.doc_id),
+         o AS (SELECT t.doc_id,
+             CAST(COALESCE(n_fingerprints, 0) AS BIGINT) AS n_fingerprints,
+             CAST(COALESCE(n_matches, 0) AS BIGINT) AS n_matches
+           FROM (SELECT doc_id FROM w WHERE d <> 0) t LEFT JOIN agg USING (doc_id))
+         SELECT doc_id, n_fingerprints, n_matches,
+           ${sqlR("CASE WHEN n_fingerprints > 0 THEN CAST(n_matches AS DOUBLE) / n_fingerprints ELSE 0 END", 6)} AS match_share,
+           n_matches >= 1 AS is_contaminated
          FROM o ORDER BY doc_id"""
   )
 }

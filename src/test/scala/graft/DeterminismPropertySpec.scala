@@ -193,7 +193,8 @@ class DeterminismPropertySpec extends AnyFunSuite {
     Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
       d => graft.dedup.Dedup.minhashAccuracy(d),
       d => graft.dedup.Dedup.jaccardHistogram(d),
-      d => graft.text.CorpusStats.corpusDrift(d)
+      d => graft.text.CorpusStats.corpusDrift(d),
+      d => graft.text.Filters.winnowContam(d)
     ).foreach { op =>
       assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
     }

@@ -126,6 +126,32 @@ class FiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowing: any shared run of k+w-1 words is caught; clean docs are not") {
+    import spark.implicits._
+    // doc 16 -> md5 digit of "16" is 'c'? the eval split is md5-digit==0;
+    // construct ids so the quote-carrying doc and the clean doc are NOT
+    // in the eval split while doc `evalId` is. Find ids by the same rule
+    // the operator uses.
+    def digit(id: Long): Int =
+      "0123456789abcdef".indexOf(java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.charAt(0))
+    val evalId = (1L to 200L).find(digit(_) == 0).get
+    val ids = (1L to 200L).filter(i => digit(i) != 0 && i != evalId).take(2)
+    val quote = "the winnowing guarantee promises any shared run of eight words is caught"
+    val docs = Seq(
+      (evalId, s"benchmark question text $quote and its answer", "en", "eval", 50L),
+      // 8+ consecutive words copied from the eval doc inside unrelated text
+      (ids(0), s"a long training document that quotes $quote somewhere deep inside more filler words", "en", "tr", 90L),
+      (ids(1), "completely unrelated clean training text about spark physical planning and shuffles going on for a while", "en", "tr", 90L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = graft.text.Filters.winnowContam(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(ids(0)).getAs[Boolean]("is_contaminated"),
+      s"verbatim 12-word quote missed: ${out(ids(0))}")
+    assert(!out(ids(1)).getAs[Boolean]("is_contaminated"))
+    assert(!out.contains(evalId)) // eval split never scored
+  }
+
   test("quantizeInt8: reconstruction error bounded by scale/2, cosine preserved") {
     val out = Embeddings.quantizeInt8(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty)
