@@ -321,7 +321,29 @@ object Analytics {
       .orderBy("hour_of_day", "value_bin")
   }
 
+  /** New vs returning users per epoch-week: weekly actives split by
+    * whether the week is the user's first-seen week, plus the returning
+    * share — the growth-accounting companion to [[retentionCohorts]].
+    * Same scale shape: distinct on the (user, week) grid, first-seen via
+    * a co-keyed min aggregate, then a collapse to the tiny weekly frame;
+    * no window over raw events. */
+  def newVsReturning(events: DataFrame): DataFrame = {
+    val weekly = events
+      .select(col("user_id"), floor(epochS(col("ts")) / 604800L).cast("long").as("week"))
+      .distinct()
+    val firstSeen = weekly.groupBy(col("user_id")).agg(min(col("week")).as("first_week"))
+    weekly.join(firstSeen, "user_id")
+      .groupBy(col("week"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("week") === col("first_week"), 1L).otherwise(0L)).as("n_new"))
+      .withColumn("n_returning", col("n_active") - col("n_new"))
+      .withColumn("returning_share",
+        r6(col("n_returning").cast("double") / col("n_active")))
+      .orderBy("week")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_new_returning" -> ((s, d) => newVsReturning(Tables.events(s, d))),
     "q_revenue_percentiles" -> ((s, d) => revenuePercentiles(Tables.orders(s, d),
       Tables.customer(s, d), Tables.nation(s, d))),
     "q_event_heatmap" -> ((s, d) => eventHeatmap(Tables.events(s, d))),
@@ -344,6 +366,19 @@ object Analytics {
   private val profiled = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
 
   val oracles: Map[String, String] = Map(
+    "q_new_returning" ->
+      s"""WITH weekly AS (
+           SELECT DISTINCT user_id,
+             CAST(FLOOR(CAST(FLOOR(epoch(ts)) AS BIGINT) / 604800) AS BIGINT) AS week
+           FROM events),
+         fs AS (SELECT user_id, MIN(week) AS first_week FROM weekly GROUP BY 1),
+         g AS (SELECT week,
+             CAST(COUNT(*) AS BIGINT) AS n_active,
+             CAST(SUM(CASE WHEN week = first_week THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+           FROM weekly JOIN fs USING (user_id) GROUP BY 1)
+         SELECT week, n_active, n_new, n_active - n_new AS n_returning,
+           ${sqlR("CAST(n_active - n_new AS DOUBLE) / n_active", 6)} AS returning_share
+         FROM g ORDER BY week""",
     "q_revenue_percentiles" ->
       s"""WITH r AS (SELECT o_custkey,
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue

@@ -82,7 +82,68 @@ object Marts {
         count(lit(1)).as("n_lines"))
       .orderBy("region_name", "nation_name")
 
+  /** Period-over-period growth: monthly revenue per market segment with
+    * month-over-month growth % and an up/down label — the trend panel
+    * every revenue dashboard leads with. One aggregate to the
+    * (segment, month) grid (bounded: |segments| × months regardless of
+    * order count), so the lag window runs over a tiny frame; revenue is
+    * exact decimal; the growth division happens on identical rounded
+    * doubles in both engines. */
+  def periodGrowth(orders: DataFrame, customer: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("segment")).orderBy(col("month"))
+    orders
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(decSum(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .withColumn("prev_revenue", lag(col("revenue"), 1).over(w))
+      .withColumn("growth_pct",
+        r6(when(col("prev_revenue").isNotNull && col("prev_revenue") =!= 0d,
+          (col("revenue") - col("prev_revenue")) / col("prev_revenue") * 100d)))
+      .withColumn("trend",
+        when(col("prev_revenue").isNull, lit("first"))
+          .when(col("revenue") >= col("prev_revenue"), lit("up"))
+          .otherwise(lit("down")))
+      .orderBy("segment", "month")
+  }
+
+  /** Pareto (80/20) revenue concentration per nation: customers ranked by
+    * revenue within their nation, cumulative revenue share, and the
+    * pareto-core flag (customers needed to reach 80% of the nation's
+    * revenue, inclusive of the one crossing the line). The cumulative
+    * sum runs in DECIMAL over the rank window — order-independent within
+    * each prefix, so the share is engine-exact; the 80% test is pure
+    * integer-scaled decimal arithmetic (cum−rev)·10 < total·8, never a
+    * float boundary. Per-nation partitions are customer-count-bounded. */
+  def paretoShare(orders: DataFrame, customer: DataFrame,
+                  nation: DataFrame): DataFrame = {
+    val wR = Window.partitionBy(col("nation_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+    val wN = Window.partitionBy(col("nation_name"))
+    orders.groupBy(col("o_custkey"))
+      .agg(decSum(col("o_totalprice")).as("revenue"))
+      .join(customer.select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("nation_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", row_number().over(wR))
+      .withColumn("cum_dec",
+        sum(col("revenue").cast("decimal(18,4)")).over(wR.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot_dec", sum(col("revenue").cast("decimal(18,4)")).over(wN))
+      .select(col("nation_name"), col("rnk"), col("c_custkey"), col("revenue"),
+        r6(col("cum_dec").cast("double") / col("tot_dec").cast("double")).as("cum_share"),
+        ((col("cum_dec") - col("revenue").cast("decimal(18,4)")) * 10 <
+          col("tot_dec") * 8).as("pareto_core"))
+      .orderBy("nation_name", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_period_growth" -> ((s, d) =>
+      periodGrowth(Tables.orders(s, d), Tables.customer(s, d))),
+    "q_pareto_share" -> ((s, d) =>
+      paretoShare(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q_mart_local_supplier" -> ((s, d) =>
       localSupplierVolume(Tables.lineitem(s, d), Tables.orders(s, d), Tables.customer(s, d),
         Tables.supplier(s, d), Tables.nation(s, d), Tables.region(s, d))),
@@ -94,6 +155,43 @@ object Marts {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_period_growth" ->
+      s"""WITH m AS (
+           SELECT c_mktsegment AS segment, strftime(o_orderdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY 1, 2),
+         g AS (SELECT *,
+             LAG(revenue) OVER (PARTITION BY segment ORDER BY month) AS prev_revenue
+           FROM m)
+         SELECT segment, month, revenue, n_orders, prev_revenue,
+           ${sqlR("CASE WHEN prev_revenue IS NOT NULL AND prev_revenue <> 0 " +
+             "THEN (revenue - prev_revenue) / prev_revenue * 100 END", 6)} AS growth_pct,
+           CASE WHEN prev_revenue IS NULL THEN 'first'
+                WHEN revenue >= prev_revenue THEN 'up' ELSE 'down' END AS trend
+         FROM g ORDER BY segment, month""",
+    "q_pareto_share" ->
+      s"""WITH per_cust AS (
+           SELECT o_custkey AS c_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+           FROM orders GROUP BY 1),
+         j AS (SELECT n_name AS nation_name, p.c_custkey, revenue
+           FROM per_cust p
+           JOIN customer ON p.c_custkey = customer.c_custkey
+           JOIN nation ON c_nationkey = n_nationkey),
+         r AS (SELECT *,
+             CAST(ROW_NUMBER() OVER (PARTITION BY nation_name
+               ORDER BY revenue DESC, c_custkey) AS INT) AS rnk,
+             SUM(CAST(revenue AS DECIMAL(18,4))) OVER (PARTITION BY nation_name
+               ORDER BY revenue DESC, c_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_dec,
+             SUM(CAST(revenue AS DECIMAL(18,4))) OVER (PARTITION BY nation_name) AS tot_dec
+           FROM j)
+         SELECT nation_name, rnk, c_custkey, revenue,
+           ${sqlR("CAST(cum_dec AS DOUBLE) / CAST(tot_dec AS DOUBLE)", 6)} AS cum_share,
+           (cum_dec - CAST(revenue AS DECIMAL(18,4))) * 10 < tot_dec * 8 AS pareto_core
+         FROM r ORDER BY nation_name, rnk""",
     "q_mart_local_supplier" ->
       """SELECT r_name AS region_name, n_name AS nation_name,
            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,

@@ -102,10 +102,41 @@ object CorpusStats {
       .orderBy("source")
   }
 
+  /** N-gram novelty: per document, the share of its DISTINCT word-3-gram
+    * shingles that appear nowhere else in the corpus (df = 1) — the
+    * diversity/boilerplate signal: template text scores near 0 (all its
+    * shingles recur elsewhere), fresh prose near 1. One shingle stream:
+    * the df count is a window over the SAME hashed-shingle partitioning
+    * the per-doc distinct already shuffled to (ReuseExchange, no second
+    * tokenization pass), and shingles travel as xxhash64 int64 keys —
+    * 8-byte shuffle keys, count-equal to raw text modulo 64-bit
+    * collisions (the [[graft.dedup.Dedup.ngramJaccard]] trade). Docs
+    * under 3 words have no shingles: novelty 0, never flagged. */
+  def ngramNovelty(documents: DataFrame, boilerplateMax: Double = 0.2): DataFrame = {
+    val wS = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
+    val perDoc = TextPrep.shinglesAll(documents)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+      .withColumn("df", count(lit(1)).over(wS))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+    documents.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_unique"))
+      .withColumn("novelty",
+        r6(when(col("n_shingles") > 0,
+          col("n_unique").cast("double") / col("n_shingles")).otherwise(lit(0d))))
+      .withColumn("is_boilerplate",
+        col("n_shingles") > 0 && col("novelty") <= boilerplateMax)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
-    "q_corpus_drift" -> ((s, d) => corpusDrift(Tables.documents(s, d)))
+    "q_corpus_drift" -> ((s, d) => corpusDrift(Tables.documents(s, d))),
+    "q_ngram_novelty" -> ((s, d) => ngramNovelty(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -134,6 +165,29 @@ object CorpusStats {
          SELECT source, bucket, n_docs, n_tokens,
            ${sqlR("CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY source)", 6)} AS doc_share
          FROM g ORDER BY source, bucket""",
+    "q_ngram_novelty" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         sh AS (SELECT DISTINCT doc_id,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+           FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+           WHERE len(words) >= 3),
+         d AS (SELECT doc_id, shingle,
+             CAST(COUNT(*) OVER (PARTITION BY shingle) AS BIGINT) AS df
+           FROM sh),
+         agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique
+           FROM d GROUP BY 1),
+         o AS (SELECT doc_id, source,
+             CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(COALESCE(n_unique, 0) AS BIGINT) AS n_unique
+           FROM documents LEFT JOIN agg USING (doc_id))
+         SELECT doc_id, source, n_shingles, n_unique,
+           ${sqlR("CASE WHEN n_shingles > 0 THEN CAST(n_unique AS DOUBLE) / n_shingles ELSE 0 END", 6)} AS novelty,
+           n_shingles > 0 AND
+             ${sqlR("CASE WHEN n_shingles > 0 THEN CAST(n_unique AS DOUBLE) / n_shingles ELSE 0 END", 6)} <= 0.2
+             AS is_boilerplate
+         FROM o ORDER BY doc_id""",
     "q_corpus_drift" ->
       s"""WITH n AS (SELECT source, $normSql AS norm FROM documents),
          w AS (SELECT source, unnest(string_split(norm, ' ')) AS word FROM n),

@@ -205,7 +205,41 @@ object Filters {
       .orderBy("doc_id")
   }
 
+  /** Cross-document verbatim-overlap pairs — the MOSS similarity matrix
+    * built from the SAME winnowed fingerprints as [[winnowContam]], but
+    * doc-vs-doc inside the corpus instead of train-vs-eval: any two docs
+    * sharing a run of ≥ k+w-1 words share a fingerprint, so pairs with
+    * `minShared`+ shared fingerprints are long-verbatim-duplicate
+    * candidates MinHash's bag-of-shingles estimate underweights. Same
+    * candidate-generation discipline as every dedup operator: fingerprints
+    * shared by more than `fpCap` docs (corpus boilerplate) are dropped
+    * before the self-join — the pair count is Σ|fp bucket|²-bounded, never
+    * O(n²) — and the bucket count is a window over the SAME fp
+    * partitioning the join shuffles on. Overlap shares use each doc's
+    * FULL fingerprint count (computed before the cap). */
+  def winnowOverlap(documents: DataFrame, k: Int = 5, w: Int = 4,
+                    fpCap: Int = 100, minShared: Int = 2): DataFrame = {
+    val fp = winnowFingerprints(documents, k, w)
+    val perDoc = fp.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val wF = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val kept = fp.withColumn("bn", count(lit(1)).over(wF))
+      .filter(col("bn") <= fpCap)
+      .select("doc_id", "fp")
+    kept.as("a").join(kept.as("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(perDoc.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a")), "doc_a")
+      .join(perDoc.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b")), "doc_b")
+      .withColumn("overlap_share",
+        r6(col("n_shared").cast("double") / least(col("n_fp_a"), col("n_fp_b"))))
+      .select("doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b", "overlap_share")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_winnow_overlap" -> ((s, d) => winnowOverlap(Tables.documents(s, d))),
     "q_rep_filter" -> ((s, d) => repetition(Tables.documents(s, d))),
     "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
@@ -215,6 +249,29 @@ object Filters {
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "q_winnow_overlap" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+         g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+             substr(md5(array_to_string(list_slice(words, i, i + 4), ' ')), 1, 16) AS h
+           FROM w, UNNEST(generate_series(1, len(words) - 4)) AS t(i)
+           WHERE len(words) >= 5),
+         c AS (SELECT doc_id, pos, h,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS ng,
+             MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM g),
+         f AS (SELECT DISTINCT doc_id, fp FROM c WHERE pos <= ng - 4),
+         pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM f GROUP BY 1),
+         cold AS (SELECT fp FROM f GROUP BY fp HAVING COUNT(*) <= 100),
+         kept AS (SELECT f.* FROM f JOIN cold USING (fp)),
+         pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+         SELECT doc_a, doc_b, n_shared, pa.n_fp AS n_fp_a, pb.n_fp AS n_fp_b,
+           ${sqlR("CAST(n_shared AS DOUBLE) / LEAST(pa.n_fp, pb.n_fp)", 6)} AS overlap_share
+         FROM pr JOIN pd pa ON doc_a = pa.doc_id JOIN pd pb ON doc_b = pb.doc_id
+         ORDER BY doc_a, doc_b""",
     "q_rep_filter" -> {
       // per-n gram streams via UNNEST(generate_series) — the
       // q_fingerprint pattern, kept per-size for clarity (oracle-side

@@ -209,7 +209,81 @@ object Vocab {
       .orderBy("source")
   }
 
+  /** CCNet-style perplexity bucketing: every doc assigned to the
+    * head / middle / tail third of the corpus by its [[bigramLm]]
+    * cross-entropy (head = lowest bits/token = most fluent), with the
+    * keep decision (drop the tail) — the quality gate CCNet applies
+    * before training. Tertile CUTOFFS come from the exact
+    * cumulative-count-window device of
+    * [[graft.ml.TrainPrep.quantileBins]] (one disk-backed external sort
+    * over the distinct rounded scores — never an NDV-sized in-memory
+    * percentile buffer), then two edges broadcast and the bucket
+    * assigned row-locally; ties bucket deterministically by value
+    * comparison in both engines. Docs under 2 words have no bigrams and
+    * drop out, mirroring [[bigramLm]]. */
+  def pplFilter(documents: DataFrame): DataFrame = {
+    val scored = bigramLm(documents)
+    val wCum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = scored.groupBy(col("bits_per_token").as("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(wCum))
+    val n = scored.agg(count(lit(1)).as("n"))
+    val edges = cum.crossJoin(broadcast(n))
+      .select(col("v"), col("cum"), col("n"), explode(array(lit(1), lit(2))).as("k"))
+      .filter(col("cum") >= expr("(k * n + 2) div 3"))
+      .groupBy(col("k")).agg(min(col("v")).as("e"))
+    val edgeRow = edges.agg(
+      max(when(col("k") === 1, col("e"))).as("e1"),
+      max(when(col("k") === 2, col("e"))).as("e2"))
+    scored.crossJoin(broadcast(edgeRow))
+      .select(col("doc_id"), col("n_bigrams"), col("bits_per_token"),
+        when(col("bits_per_token") < col("e1"), lit("head"))
+          .when(col("bits_per_token") < col("e2"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+      .withColumn("keep", col("bucket") =!= "tail")
+      .orderBy("doc_id")
+  }
+
+  /** Data-constrained epoch plan — the multi-epoch extension of
+    * [[mixPlan]] (Muennighoff et al.'s repeat-data regime): a token
+    * budget of `budgetMult`× the corpus is allocated √-proportionally,
+    * but no source repeats more than `maxEpochs` times (returns on
+    * repeated data decay); small sources hit the cap and the plan
+    * reports the realized share so the trainer sees the shortfall.
+    * Everything is closed-form from one per-source token count: two
+    * broadcast scalar frames (√-weight normalizer + realized total), all
+    * shares from exact integer/decimal sums. */
+  def epochPlan(documents: DataFrame, budgetMult: Int = 2,
+                maxEpochs: Double = 4.0): DataFrame = {
+    val bySrc = TextPrep.withWords(documents)
+      .groupBy(col("source"))
+      .agg(sum(size(col("words")).cast("long")).as("avail_tokens"))
+    val consts = bySrc.agg(
+      sum(sqrt(col("avail_tokens").cast("double")).cast("decimal(20,12)")).as("z0"),
+      sum(col("avail_tokens")).as("total"))
+    val planned = bySrc.crossJoin(broadcast(consts))
+      .withColumn("weight", sqrt(col("avail_tokens").cast("double")) / col("z0").cast("double"))
+      .withColumn("target_tokens",
+        col("weight") * (col("total") * budgetMult).cast("double"))
+      .withColumn("epochs_uncapped", col("target_tokens") / col("avail_tokens"))
+      .withColumn("epochs", least(lit(maxEpochs), col("epochs_uncapped")))
+      .withColumn("take_tokens",
+        floor(col("epochs") * col("avail_tokens")).cast("long"))
+    val realized = planned.agg(sum(col("take_tokens")).as("take_total"))
+    planned.crossJoin(broadcast(realized))
+      .select(col("source"), col("avail_tokens"),
+        r6(col("weight")).as("weight"),
+        floor(col("target_tokens")).cast("long").as("target_tokens"),
+        r4(col("epochs")).as("epochs"),
+        (col("epochs_uncapped") > maxEpochs).as("capped"),
+        col("take_tokens"),
+        r6(col("take_tokens").cast("double") / col("take_total")).as("realized_share"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ppl_filter" -> ((s, d) => pplFilter(Tables.documents(s, d))),
+    "q_epoch_plan" -> ((s, d) => epochPlan(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
     "q_chunk_docs" -> ((s, d) => chunkDocs(Tables.documents(s, d))),
     "q_bigram_vocab" -> ((s, d) => bigramVocab(Tables.documents(s, d))),
@@ -273,6 +347,68 @@ object Vocab {
          SELECT doc_id, n_bigrams,
            ${sqlR("(CAST(nll0 AS DOUBLE) * -1) / n_bigrams", 6)} AS bits_per_token
          FROM d ORDER BY doc_id""",
+    "q_ppl_filter" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         w2 AS (SELECT * FROM w WHERE len(words) >= 2),
+         b AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bigram
+               FROM w2, UNNEST(generate_series(1, len(words) - 1)) AS t(i)),
+         tf AS (SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS tf FROM b GROUP BY 1, 2),
+         c AS (SELECT *, CAST(SUM(tf) OVER (PARTITION BY bigram) AS BIGINT) AS cb,
+                 split_part(bigram, ' ', 1) AS w1
+               FROM tf),
+         c2 AS (SELECT *, CAST(SUM(tf) OVER (PARTITION BY w1) AS BIGINT) AS c1 FROM c),
+         d AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                 SUM(CAST(tf * (ln(CAST(cb AS DOUBLE) / c1) / ln(2)) AS DECIMAL(20,12))) AS nll0
+               FROM c2 GROUP BY doc_id),
+         sc AS (SELECT doc_id, n_bigrams,
+                 ${sqlR("(CAST(nll0 AS DOUBLE) * -1) / n_bigrams", 6)} AS bits_per_token
+               FROM d),
+         vc AS (SELECT bits_per_token AS v, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY 1),
+         cm AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+               FROM vc),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+         ed AS (SELECT k, MIN(v) AS e
+               FROM cm, nn, generate_series(1, 2) t(k)
+               WHERE cum >= (k * n + 2) // 3
+               GROUP BY k),
+         er AS (SELECT MAX(CASE WHEN k = 1 THEN e END) AS e1,
+                 MAX(CASE WHEN k = 2 THEN e END) AS e2 FROM ed)
+         SELECT doc_id, n_bigrams, bits_per_token,
+           CASE WHEN bits_per_token < e1 THEN 'head'
+                WHEN bits_per_token < e2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CASE WHEN bits_per_token < e1 THEN 'head'
+                WHEN bits_per_token < e2 THEN 'middle'
+                ELSE 'tail' END <> 'tail' AS keep
+         FROM sc, er ORDER BY doc_id""",
+    "q_epoch_plan" ->
+      s"""WITH n AS (SELECT source, $normSql AS norm FROM documents),
+         w AS (SELECT source, len(string_split(norm, ' ')) AS n_tok FROM n),
+         g AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS avail_tokens FROM w GROUP BY 1),
+         k AS (SELECT CAST(SUM(CAST(sqrt(CAST(avail_tokens AS DOUBLE)) AS DECIMAL(20,12))) AS DOUBLE) AS z0,
+                 CAST(SUM(avail_tokens) AS BIGINT) AS total FROM g),
+         p AS (SELECT source, avail_tokens,
+             sqrt(CAST(avail_tokens AS DOUBLE)) / z0 AS weight,
+             sqrt(CAST(avail_tokens AS DOUBLE)) / z0 * CAST(total * 2 AS DOUBLE) AS target_tokens
+           FROM g, k),
+         p2 AS (SELECT *,
+             target_tokens / avail_tokens AS epochs_uncapped,
+             LEAST(4.0, target_tokens / avail_tokens) AS epochs
+           FROM p),
+         p3 AS (SELECT *,
+             CAST(FLOOR(epochs * avail_tokens) AS BIGINT) AS take_tokens
+           FROM p2),
+         tt AS (SELECT CAST(SUM(take_tokens) AS BIGINT) AS take_total FROM p3)
+         SELECT source, avail_tokens,
+           ${sqlR("weight", 6)} AS weight,
+           CAST(FLOOR(target_tokens) AS BIGINT) AS target_tokens,
+           ${sqlR("epochs", 4)} AS epochs,
+           epochs_uncapped > 4.0 AS capped,
+           take_tokens,
+           ${sqlR("CAST(take_tokens AS DOUBLE) / take_total", 6)} AS realized_share
+         FROM p3, tt ORDER BY source""",
     "q_mix_plan" ->
       s"""WITH n AS (SELECT source, $normSql AS norm FROM documents),
          w AS (SELECT source, len(string_split(norm, ' ')) AS n_tok FROM n),
