@@ -211,6 +211,32 @@ class DeterminismPropertySpec extends AnyFunSuite {
         ord.repartition(13), Tables.customer(spark, sf), Tables.nation(spark, sf))))
   }
 
+  test("session-3 operators are invariant to input partitioning") {
+    val docs = Tables.documents(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val ord = Tables.orders(spark, sf)
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      d => graft.text.CorpusStats.ngramNovelty(d),
+      d => graft.text.Filters.winnowOverlap(d),
+      d => graft.text.Vocab.pplFilter(d),
+      d => graft.text.Vocab.epochPlan(d)
+    ).foreach { op =>
+      assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
+    }
+    assert(run(graft.operators.Analytics.newVsReturning(ev.repartition(1))) ==
+      run(graft.operators.Analytics.newVsReturning(ev.repartition(13))))
+    assert(run(graft.operators.Marts.periodGrowth(
+        ord.repartition(1), Tables.customer(spark, sf))) ==
+      run(graft.operators.Marts.periodGrowth(
+        ord.repartition(13), Tables.customer(spark, sf))))
+    assert(run(graft.operators.Marts.paretoShare(
+        ord.repartition(1), Tables.customer(spark, sf), Tables.nation(spark, sf))) ==
+      run(graft.operators.Marts.paretoShare(
+        ord.repartition(13), Tables.customer(spark, sf), Tables.nation(spark, sf))))
+  }
+
   test("pagerank conserves total rank mass") {
     val ranks = graft.operators.Graph.pageRank(
       Tables.lineitem(spark, sf), Tables.orders(spark, sf))

@@ -91,6 +91,24 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(n.getAs[Double]("scale") > 0.0 && n.getAs[Long]("q_l1") > 0L)
   }
 
+  test("session-3 operators are well-defined on empty inputs") {
+    val emptyEv = Tables.events(spark, sf).limit(0)
+    val emptyOrd = Tables.orders(spark, sf).limit(0)
+    val cust = Tables.customer(spark, sf)
+    val nat = Tables.nation(spark, sf)
+    assert(graft.operators.Analytics.newVsReturning(emptyEv).count() == 0)
+    assert(graft.operators.Marts.periodGrowth(emptyOrd, cust).count() == 0)
+    assert(graft.operators.Marts.paretoShare(emptyOrd, cust, nat).count() == 0)
+    assert(graft.text.CorpusStats.ngramNovelty(emptyDocs).count() == 0)
+    assert(graft.text.Filters.winnowOverlap(emptyDocs).count() == 0)
+    assert(Vocab.pplFilter(emptyDocs).count() == 0)
+    assert(Vocab.epochPlan(emptyDocs).count() == 0)
+    // one doc: novelty is defined (all shingles unique), no overlap pairs
+    val nov = graft.text.CorpusStats.ngramNovelty(oneDoc).collect()
+    assert(nov.length == 1 && nov(0).getAs[Double]("novelty") == 1.0)
+    assert(graft.text.Filters.winnowOverlap(oneDoc).count() == 0)
+  }
+
   test("inference/graph/pq family is well-defined on empty inputs") {
     val emptyOrders = Tables.orders(spark, sf).limit(0)
     val emptyLi = Tables.lineitem(spark, sf).limit(0)

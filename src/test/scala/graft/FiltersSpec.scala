@@ -152,6 +152,28 @@ class FiltersSpec extends AnyFunSuite {
     assert(!out.contains(evalId)) // eval split never scored
   }
 
+  test("winnowOverlap: docs sharing a long verbatim run pair up; clean docs never appear") {
+    import spark.implicits._
+    val shared = "one two three four five six seven eight nine ten eleven twelve " +
+      "thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon zeta", "en", "a", 90L),
+      (2L, s"totally different framing text with $shared closing words here now", "en", "b", 95L),
+      (3L, "clean text about catalyst optimizer rules and broadcast joins sharing absolutely nothing verbatim with anybody else", "en", "c", 80L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Filters.winnowOverlap(docs).collect()
+    assert(out.length == 1, s"expected exactly the (1,2) pair, got ${out.toSeq}")
+    val r = out(0)
+    assert(r.getAs[Long]("doc_a") == 1L && r.getAs[Long]("doc_b") == 2L)
+    // a 20-word shared run spans many w-windows -> several shared fingerprints
+    assert(r.getAs[Long]("n_shared") >= 2)
+    val share = r.getAs[Double]("overlap_share")
+    assert(share > 0.0 && share <= 1.0)
+    // share is n_shared over the SMALLER full fingerprint count
+    assert(math.abs(share - r.getAs[Long]("n_shared").toDouble /
+      math.min(r.getAs[Long]("n_fp_a"), r.getAs[Long]("n_fp_b"))) <= 1e-6)
+  }
+
   test("quantizeInt8: reconstruction error bounded by scale/2, cosine preserved") {
     val out = Embeddings.quantizeInt8(Tables.embeddings(spark, sf)).collect()
     assert(out.nonEmpty)

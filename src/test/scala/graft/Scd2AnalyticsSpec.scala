@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Analytics, Scd2}
+import graft.operators.{Analytics, Marts, Scd2}
 
 class Scd2AnalyticsSpec extends AnyFunSuite {
   import TestSession._
@@ -123,6 +123,64 @@ class Scd2AnalyticsSpec extends AnyFunSuite {
     assert(out(("HIGH", "2024-01-03")).getAs[Double]("revenue_filled") == 40.0)
     // LOW cohort: days 2-3 carry day-1's revenue forward
     assert(out(("LOW", "2024-01-03")).getAs[Double]("revenue_filled") == 7.0)
+  }
+
+  test("new vs returning: news sum to the user base, first week is all new") {
+    val ev = Tables.events(spark, sf)
+    val out = Analytics.newVsReturning(ev).collect()
+    assert(out.nonEmpty)
+    // every user is new in exactly one week
+    assert(out.map(_.getAs[Long]("n_new")).sum ==
+      ev.select("user_id").distinct().count())
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_active") ==
+        r.getAs[Long]("n_new") + r.getAs[Long]("n_returning"))
+      val share = r.getAs[Double]("returning_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+    assert(out.minBy(_.getAs[Long]("week")).getAs[Long]("n_returning") == 0L)
+  }
+
+  test("period growth: lag chains within segment, trend matches the revenue sign") {
+    val out = Marts.periodGrowth(
+      Tables.orders(spark, sf), Tables.customer(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("segment")).foreach { case (seg, rows) =>
+      val sorted = rows.sortBy(_.getAs[String]("month"))
+      assert(sorted.head.getAs[String]("trend") == "first", seg)
+      assert(sorted.head.isNullAt(sorted.head.fieldIndex("prev_revenue")))
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) =>
+          val prevRev = prev.getAs[Double]("revenue")
+          assert(cur.getAs[Double]("prev_revenue") == prevRev,
+            s"$seg lag chain broken")
+          val up = cur.getAs[Double]("revenue") >= prevRev
+          assert(cur.getAs[String]("trend") == (if (up) "up" else "down"))
+          val g = cur.getAs[Double]("growth_pct")
+          assert(if (up) g >= 0.0 else g < 0.0)
+        case _ =>
+      }
+    }
+  }
+
+  test("pareto share: cumulative share hits 1 per nation and the 80% core is a rank prefix") {
+    val out = Marts.paretoShare(Tables.orders(spark, sf),
+      Tables.customer(spark, sf), Tables.nation(spark, sf)).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("nation_name")).foreach { case (nat, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length),
+        s"$nat ranks not dense")
+      val cums = sorted.map(_.getAs[Double]("cum_share"))
+      assert(math.abs(cums.last - 1.0) <= 1e-4, s"$nat cum share ${cums.last}")
+      assert(cums.zip(cums.tail).forall { case (a, b) => a <= b + 1e-9 },
+        s"$nat cumulative share not monotone")
+      // core flag: true exactly while the PREVIOUS cumulative mass is < 80%
+      val core = sorted.map(_.getAs[Boolean]("pareto_core"))
+      assert(core.head, s"$nat top customer must be in the core")
+      assert(!core.zip(core.tail).exists { case (a, b) => !a && b },
+        s"$nat core is not a prefix")
+    }
   }
 
   test("scd2 as-of lookup: each probe exactly once, matches inside the version interval") {

@@ -97,6 +97,41 @@ class VocabSpec extends AnyFunSuite {
       "binding source should be sampled at ~rate 1")
   }
 
+  test("pplFilter: tertiles partition the scored docs, keep drops exactly the tail") {
+    val out = Vocab.pplFilter(Tables.documents(spark, sf)).collect()
+    val n = out.length
+    assert(n > 0)
+    val byBucket = out.groupBy(_.getAs[String]("bucket")).view.mapValues(_.length).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    // the exact cumulative-count edges give balanced thirds up to tie slack
+    byBucket.values.foreach(c => assert(math.abs(c - n / 3.0) <= n / 6.0 + 2.0))
+    out.foreach(r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[String]("bucket") != "tail")))
+    // buckets are monotone in the score: no head doc outscores a middle doc
+    def scores(b: String) =
+      out.filter(_.getAs[String]("bucket") == b).map(_.getAs[Double]("bits_per_token"))
+    assert(scores("head").max <= scores("middle").min)
+    assert(scores("middle").max <= scores("tail").min)
+  }
+
+  test("epochPlan: epoch cap binds, realized shares sum to 1, budget never exceeded") {
+    val out = Vocab.epochPlan(Tables.documents(spark, sf)).collect()
+    assert(out.nonEmpty)
+    assert(math.abs(out.map(_.getAs[Double]("realized_share")).sum - 1.0) < 1e-3)
+    out.foreach { r =>
+      val epochs = r.getAs[Double]("epochs")
+      assert(epochs > 0.0 && epochs <= 4.0 + 1e-9)
+      assert(r.getAs[Long]("take_tokens") <=
+        (4.0 * r.getAs[Long]("avail_tokens")).toLong + 1)
+      if (r.getAs[Boolean]("capped")) assert(epochs == 4.0)
+    }
+    // 2x-corpus budget in the multi-epoch regime: more than one full pass,
+    // but never more than the budget (caps and floors only remove tokens)
+    val totalAvail = out.map(_.getAs[Long]("avail_tokens")).sum
+    val totalTake = out.map(_.getAs[Long]("take_tokens")).sum
+    assert(totalTake > totalAvail && totalTake <= 2L * totalAvail)
+  }
+
   test("projection is deterministic across partition layouts") {
     val emb = Tables.embeddings(spark, sf)
     val a = Embeddings.randomProjection(emb).collect().map(_.toString).sorted
