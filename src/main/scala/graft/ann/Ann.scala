@@ -269,6 +269,29 @@ object Ann {
     else if (n <= (1L << 8) * bucketLimit) 8
     else 16
 
+  /** Full adaptive LSH parameterization: (nBits, bandBits). Inside the
+    * 16-signature-bit regime this is [[adaptiveBandBits]] with the fixed
+    * 16 hyperplanes (4×4 → 2×8 → 1×16 bands — the ladder the oracles
+    * mirror). Past 2^16·cap vectors, 16-bit buckets saturate — every
+    * bucket goes hot and the cap would zero recall again — so the next
+    * rungs RAISE the hyperplane count: bandBits grows to the smallest b
+    * with n ≤ 2^b·cap (bounded at 30 so band values stay in an int) and
+    * the signature doubles it, giving TWO bands of b bits — strictly
+    * more bands than the 1×16 rung it replaces, so expected recall at
+    * the crossover is no worse while every bucket stays at the cap.
+    * Test scale never crosses the rung (2^16·cap ≈ 6.5M vectors), so
+    * the wide branch is exercised by forcing its parameters explicitly
+    * (AdaptiveLshSpec), not by the oracle. */
+  def adaptiveLshParams(n: Long, bucketLimit: Int = 100): (Int, Int) = {
+    val bb = adaptiveBandBits(n, bucketLimit)
+    if (bb < 16 || n <= (1L << 16) * bucketLimit) (16, bb)
+    else {
+      var b = 17
+      while (b < 30 && n > (1L << b) * bucketLimit) b += 1
+      (2 * b, b)
+    }
+  }
+
   /** ROW-LOCAL banded LSH signature frame: (vec_id, band_id, band_val),
     * nBits/bandBits rows per vector. This is the embedding corpus's
     * persisted dedup state — what [[lshIncrement]] joins a new batch
@@ -308,12 +331,15 @@ object Ann {
   private def lshPairs(embeddings: DataFrame, nBits: Int, bandBits: Int,
                        threshold: Double, inDims: Int,
                        bucketLimit: Int = 100): DataFrame = {
-    val bb = if (bandBits > 0) bandBits
-      else adaptiveBandBits(embeddings.count(), bucketLimit)
+    // bandBits=0 → fully adaptive: past the 16-bit rung the signature
+    // widens too (adaptiveLshParams), closing the saturation gap the
+    // fixed-nBits ladder left open at ~6.5M vectors.
+    val (nb, bb) = if (bandBits > 0) (nBits, bandBits)
+      else adaptiveLshParams(embeddings.count(), bucketLimit)
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val wB = Window.partitionBy(col("band_id"), col("band_val"))
     val banded = lshBandStore(embeddings.select(col("vec_id"), col("embedding")),
-      nBits, bb, inDims)
+      nb, bb, inDims)
       .withColumn("bucket_n", count(lit(1)).over(wB))
       .filter(col("bucket_n") <= bucketLimit)
       .select("vec_id", "band_id", "band_val")

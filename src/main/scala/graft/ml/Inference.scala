@@ -105,6 +105,39 @@ object Inference {
   def ensembleScore(orders: DataFrame): DataFrame =
     scoreWith(features(orders), fitMoments(orders)).orderBy("o_orderkey")
 
+  /** Calibration reliability bins over the ensemble scores — the
+    * reliability-diagram frame (and the per-bin ECE terms) model
+    * monitoring plots: scores bucketed into 10 equi-width bins, per bin
+    * the mean predicted probability vs the observed positive rate and
+    * their absolute gap. Outcome = order priority is URGENT/HIGH.
+    * Binning happens on the r6-rounded score — identical doubles in
+    * both engines, so no observation flips bins at an edge; the mean
+    * is an exact DECIMAL sum of those 6-decimal scores. Scoring is
+    * row-local after one broadcast moments row, the outcome join is
+    * co-keyed on o_orderkey, and the rollup lands on a 10-row grid —
+    * nothing here grows with order count but the two scans.
+    * Ref: /root/reference/ml_platform/ml_monitoring_system.py:371
+    * (performance monitoring) — the calibration view of the same
+    * prediction stream. */
+  def calibrationBins(orders: DataFrame): DataFrame = {
+    val lab = orders.select(col("o_orderkey").as("k"),
+      col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("actual"))
+    scoreWith(features(orders), fitMoments(orders))
+      .join(lab, col("o_orderkey") === col("k"))
+      .withColumn("bin",
+        least(lit(9L), floor(col("p_ensemble") * 10d)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        (sum(col("p_ensemble").cast("decimal(18,8)")).cast("double") /
+          count(lit(1))).as("mp0"),
+        sum(when(col("actual"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        r6(col("mp0")).as("mean_predicted"),
+        r6(col("n_pos") / col("n")).as("observed_rate"),
+        r6(abs(col("mp0") - col("n_pos") / col("n"))).as("abs_gap"))
+      .orderBy("bin")
+  }
+
   /** Aggregated feature-store mart: one row per customer with the
     * reference's aggregated_features columns derived from orders. Two
     * aggregations over o_custkey (percentiles can't compose from
@@ -173,12 +206,16 @@ object Inference {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ensemble_score" -> ((s, d) => ensembleScore(Tables.orders(s, d))),
-    "q_agg_feature_store" -> ((s, d) => aggFeatureStore(Tables.orders(s, d)))
+    "q_agg_feature_store" -> ((s, d) => aggFeatureStore(Tables.orders(s, d))),
+    "q_calibration_bins" -> ((s, d) => calibrationBins(Tables.orders(s, d)))
   )
 
-  val oracles: Map[String, String] = Map(
-    "q_ensemble_score" ->
-      """WITH raw AS (
+  /** Shared oracle CTE chain for the mock-ensemble family: raw features
+    * → global moments → z-scores → per-model probabilities → p_ens.
+    * q_ensemble_score selects the scored frame from it;
+    * q_calibration_bins rolls the same chain up to reliability bins. */
+  private val ensCtes: String =
+    """raw AS (
            SELECT o_orderkey,
              CAST(o_totalprice AS DOUBLE) AS f1,
              CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) AS f2,
@@ -206,7 +243,11 @@ object Inference {
                1.5*(1.0/(1.0 + exp(-(z1 + 0.5*z2))) - 0.5) +
                0.8*(1.0/(1.0 + exp(-(z2 - z3))) - 0.5)))) AS p_nn
            FROM z),
-         e AS (SELECT *, (p_xgb + p_rf + p_nn) / 3.0 AS p_ens FROM p)
+         e AS (SELECT *, (p_xgb + p_rf + p_nn) / 3.0 AS p_ens FROM p)"""
+
+  val oracles: Map[String, String] = Map(
+    "q_ensemble_score" ->
+      s"""WITH $ensCtes
          SELECT o_orderkey,
            FLOOR(z1 * 1000000 + 0.5) / 1000000 AS z_amount,
            FLOOR(p_xgb * 1000000 + 0.5) / 1000000 AS p_xgb,
@@ -218,6 +259,25 @@ object Inference {
            ((p_xgb > 0.5) = (p_ens > 0.5) AND (p_rf > 0.5) = (p_ens > 0.5)
              AND (p_nn > 0.5) = (p_ens > 0.5)) AS models_agree
          FROM e ORDER BY o_orderkey""",
+    "q_calibration_bins" ->
+      s"""WITH $ensCtes,
+         ens AS (SELECT o_orderkey,
+             FLOOR(p_ens * 1000000 + 0.5) / 1000000 AS p_ensemble FROM e),
+         lab AS (SELECT o_orderkey,
+             o_orderpriority IN ('1-URGENT', '2-HIGH') AS actual FROM orders),
+         b AS (SELECT LEAST(9, CAST(FLOOR(p_ensemble * 10) AS BIGINT)) AS bin0,
+             p_ensemble, actual
+           FROM ens JOIN lab USING (o_orderkey)),
+         agg AS (SELECT CAST(bin0 AS INT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(p_ensemble AS DECIMAL(18,8))) AS DOUBLE) / COUNT(*) AS mp0,
+             CAST(SUM(CASE WHEN actual THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+           FROM b GROUP BY 1)
+         SELECT bin, n, n_pos,
+           ${sqlR("mp0", 6)} AS mean_predicted,
+           ${sqlR("CAST(n_pos AS DOUBLE) / n", 6)} AS observed_rate,
+           ${sqlR("abs(mp0 - CAST(n_pos AS DOUBLE) / n)", 6)} AS abs_gap
+         FROM agg ORDER BY bin""",
     "q_agg_feature_store" ->
       """WITH base AS (
            SELECT o_custkey,

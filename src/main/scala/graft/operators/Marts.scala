@@ -139,9 +139,134 @@ object Marts {
       .orderBy("nation_name", "rnk")
   }
 
+  /** Late-fulfillment order-priority mart (TPC-H Q4 shape, adapted to
+    * this schema's dates): per (quarter, priority) count of orders with
+    * at least one lineitem shipping more than 60 days after the order
+    * was placed. The EXISTS is a left-semi join with the lateness
+    * predicate inside the join condition — lineitem columns never enter
+    * the aggregate, and the output grid is bounded (quarters ×
+    * priorities) regardless of order count.
+    * Ref: /root/reference/models/marts/facts/fact_sales_daily.sql:1
+    * (fact-layer grain) — the priority/fulfillment slice a warehouse
+    * serves on top of it. */
+  def orderPriority(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.select(col("l_orderkey"), col("l_shipdate")),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("interval 60 days"),
+        "left_semi")
+      .groupBy(concat(year(col("o_orderdate")), lit("-Q"),
+          quarter(col("o_orderdate"))).as("quarter"),
+        col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_delayed_orders"))
+      .orderBy("quarter", "o_orderpriority")
+
+  /** Promotion revenue share per ship-month (TPC-H Q14 shape): what
+    * fraction of revenue came from PROMO-type parts. One broadcast of
+    * the part dim (it is orders-of-magnitude smaller than lineitem),
+    * both the promo and total sums exact decimal in the same
+    * aggregate, grid bounded by months. */
+  def promoShare(lineitem: DataFrame, part: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(part.select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("month"))
+      .agg(
+        decSum(when(col("p_type") === "PROMO",
+          col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(lit(0d)))
+          .as("promo_revenue"),
+        decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("total_revenue"),
+        count(lit(1)).as("n_lines"))
+      .withColumn("promo_share_pct",
+        r6(col("promo_revenue") * 100d / col("total_revenue")))
+      .orderBy("month")
+
+  /** Top supplier per nation over a fixed ship window (TPC-H Q15
+    * shape): revenue aggregates to supplier grain first (bounded by
+    * |supplier|), then a per-nation rank keeps the max — ties all kept,
+    * as Q15 does. The ship-window filter pushes to the lineitem scan;
+    * supplier and nation broadcast. */
+  def topSupplier(lineitem: DataFrame, supplier: DataFrame,
+                  nation: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("nation_name")).orderBy(col("revenue").desc)
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01") &&
+        col("l_shipdate") < lit("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation.select(col("n_nationkey"), col("n_name").as("nation_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("nation_name"), col("s_suppkey"), col("s_name"),
+        col("revenue"), col("n_lines"))
+      .orderBy("nation_name", "s_suppkey")
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … orders — zero-order customers kept by
+    * the left join. Two aggregations: customer grain (shuffles on
+    * custkey) then the bounded order-count grid; no window anywhere. */
+  def customerOrderDist(customer: DataFrame, orders: DataFrame): DataFrame =
+    customer.select(col("c_custkey"))
+      .join(orders.select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("n_customers").desc, col("n_orders").desc)
+
+  /** Daily open-order backlog: cumulative orders placed minus cumulative
+    * orders fully shipped (an order is fulfilled on its LAST lineitem
+    * ship date), densified over the full date spine. Both flows
+    * aggregate to daily grain before any window; the cumulative sums
+    * run over the bounded spine (days in the data's range — thousands
+    * of rows at any corpus size), so the single-partition window is a
+    * constant, not a scale term. Orders with no lineitems stay in the
+    * backlog forever — the honest read of the data. */
+  def orderBacklog(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val placed = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_placed"))
+    val fulfilled = lineitem.groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("fulfill_ts"))
+      .groupBy(to_date(col("fulfill_ts")).as("day"))
+      .agg(count(lit(1)).as("n_fulfilled"))
+    val bounds = orders.agg(min(to_date(col("o_orderdate"))).as("mn"))
+      .crossJoin(lineitem.agg(max(to_date(col("l_shipdate"))).as("mx_ship")))
+      .crossJoin(orders.agg(max(to_date(col("o_orderdate"))).as("mx_ord")))
+      .select(col("mn"), greatest(col("mx_ship"), col("mx_ord")).as("mx"))
+    val spine = broadcast(bounds)
+      .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(placed, Seq("day"), "left")
+      .join(fulfilled, Seq("day"), "left")
+      .withColumn("n_placed", coalesce(col("n_placed"), lit(0L)))
+      .withColumn("n_fulfilled", coalesce(col("n_fulfilled"), lit(0L)))
+      .withColumn("cum_placed", sum(col("n_placed")).over(w))
+      .withColumn("cum_fulfilled", sum(col("n_fulfilled")).over(w))
+      .withColumn("backlog", col("cum_placed") - col("cum_fulfilled"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_period_growth" -> ((s, d) =>
       periodGrowth(Tables.orders(s, d), Tables.customer(s, d))),
+    "q_mart_order_priority" -> ((s, d) =>
+      orderPriority(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q_mart_promo_share" -> ((s, d) =>
+      promoShare(Tables.lineitem(s, d), Tables.part(s, d))),
+    "q_mart_top_supplier" -> ((s, d) =>
+      topSupplier(Tables.lineitem(s, d), Tables.supplier(s, d), Tables.nation(s, d))),
+    "q_mart_customer_dist" -> ((s, d) =>
+      customerOrderDist(Tables.customer(s, d), Tables.orders(s, d))),
+    "q_order_backlog" -> ((s, d) =>
+      orderBacklog(Tables.orders(s, d), Tables.lineitem(s, d))),
     "q_pareto_share" -> ((s, d) =>
       paretoShare(Tables.orders(s, d), Tables.customer(s, d), Tables.nation(s, d))),
     "q_mart_local_supplier" -> ((s, d) =>
@@ -155,6 +280,84 @@ object Marts {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_mart_order_priority" ->
+      """SELECT CAST(year(o_orderdate) AS VARCHAR) || '-Q' ||
+             CAST(quarter(o_orderdate) AS VARCHAR) AS quarter,
+           o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_delayed_orders
+         FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_mart_promo_share" ->
+      s"""WITH m AS (
+           SELECT strftime(l_shipdate, '%Y-%m') AS month,
+             CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+               THEN l_extendedprice * (1 - l_discount) ELSE 0 END AS DECIMAL(18,4))) AS DOUBLE) AS promo_revenue,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS total_revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1)
+         SELECT month, promo_revenue, total_revenue, n_lines,
+           ${sqlR("promo_revenue * 100 / total_revenue", 6)} AS promo_share_pct
+         FROM m ORDER BY month""",
+    "q_mart_top_supplier" ->
+      """WITH per_supp AS (
+           SELECT l_suppkey,
+             CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+             AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+           GROUP BY 1),
+         ranked AS (
+           SELECT n_name AS nation_name, s_suppkey, s_name, revenue, n_lines,
+             RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC) AS rnk
+           FROM per_supp
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey)
+         SELECT nation_name, s_suppkey, s_name, revenue, n_lines
+         FROM ranked WHERE rnk = 1 ORDER BY nation_name, s_suppkey""",
+    "q_mart_customer_dist" ->
+      """WITH per_cust AS (
+           SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+           GROUP BY 1)
+         SELECT n_orders, CAST(COUNT(*) AS BIGINT) AS n_customers
+         FROM per_cust GROUP BY 1
+         ORDER BY n_customers DESC, n_orders DESC""",
+    "q_order_backlog" ->
+      """WITH bounds AS (
+           SELECT (SELECT CAST(MIN(o_orderdate) AS DATE) FROM orders) AS mn,
+             GREATEST((SELECT CAST(MAX(l_shipdate) AS DATE) FROM lineitem),
+                      (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS mx),
+         spine AS (
+           SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+             CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+         placed AS (
+           SELECT CAST(o_orderdate AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_placed
+           FROM orders GROUP BY 1),
+         per_order AS (
+           SELECT l_orderkey, MAX(l_shipdate) AS fulfill_ts FROM lineitem GROUP BY 1),
+         fulfilled AS (
+           SELECT CAST(fulfill_ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_fulfilled
+           FROM per_order GROUP BY 1),
+         daily AS (
+           SELECT s.day, COALESCE(p.n_placed, 0) AS n_placed,
+             COALESCE(f.n_fulfilled, 0) AS n_fulfilled
+           FROM spine s
+           LEFT JOIN placed p ON s.day = p.day
+           LEFT JOIN fulfilled f ON s.day = f.day)
+         SELECT day, n_placed, n_fulfilled,
+           CAST(SUM(n_placed) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_placed,
+           CAST(SUM(n_fulfilled) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_fulfilled,
+           CAST(SUM(n_placed) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) -
+            SUM(n_fulfilled) OVER (ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+         FROM daily ORDER BY day""",
     "q_period_growth" ->
       s"""WITH m AS (
            SELECT c_mktsegment AS segment, strftime(o_orderdate, '%Y-%m') AS month,

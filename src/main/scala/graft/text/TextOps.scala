@@ -132,6 +132,43 @@ object TextOps {
       .orderBy("source", "predicted_lang")
   }
 
+  /** Gopher-style quality gates (Rae et al. 2021, arXiv:2112.11446,
+    * table A1 — the published rule set most pretraining pipelines start
+    * from), each rule its own flag so the funnel is auditable:
+    * word count in [50, 100k], mean word length in [3, 10],
+    * symbol-to-word ratio (# and … ) ≤ 0.1, ≥ 80% of words contain an
+    * alphabetic character, ≥ 2 stopword hits. All row-local column
+    * expressions over one tokenized pass — shuffle-free at any corpus
+    * size; thresholds compare identically-rounded doubles in both
+    * engines, so no gate sits on a float boundary. */
+  def gopherGates(documents: DataFrame): DataFrame =
+    TextPrep.withWords(documents)
+      .withColumn("n_words", size(col("words")))
+      .withColumn("mean_word_len",
+        r4((length(col("norm")) - (col("n_words") - 1)) / col("n_words")))
+      .withColumn("n_symbols",
+        ((length(col("text")) - length(expr("replace(text, '#', '')"))) +
+          (length(col("text")) - length(expr("replace(text, '...', '')"))) / lit(3))
+          .cast("long"))
+      .withColumn("symbol_ratio", r4(col("n_symbols") / col("n_words")))
+      .withColumn("n_alpha_words", expr("size(filter(words, w -> w rlike '[a-z]'))"))
+      .withColumn("alpha_frac", r4(col("n_alpha_words") / col("n_words")))
+      .withColumn("n_stop",
+        expr(s"size(filter(words, w -> w IN ${inList(stop("en"))}))"))
+      .withColumn("pass_word_count", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("pass_word_len",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("pass_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("pass_stop", col("n_stop") >= 2)
+      .withColumn("keep",
+        col("pass_word_count") && col("pass_word_len") && col("pass_symbol") &&
+          col("pass_alpha") && col("pass_stop"))
+      .select("doc_id", "n_words", "mean_word_len", "n_symbols", "symbol_ratio",
+        "n_alpha_words", "alpha_frac", "n_stop", "pass_word_count",
+        "pass_word_len", "pass_symbol", "pass_alpha", "pass_stop", "keep")
+      .orderBy("doc_id")
+
   /** Token counting: whitespace tokens, BPE-ish regex tokens
     * (letter-runs | digit-runs | other), and the chars/4 estimate. */
   def tokenCount(documents: DataFrame): DataFrame =
@@ -164,7 +201,8 @@ object TextOps {
     "q_token_count" -> ((s, d) => tokenCount(Tables.documents(s, d))),
     "q_fingerprint" -> ((s, d) => fingerprint(Tables.documents(s, d))),
     "q_corpus_curate" -> ((s, d) => curate(Tables.documents(s, d))),
-    "q_corpus_report" -> ((s, d) => corpusReport(Tables.documents(s, d)))
+    "q_corpus_report" -> ((s, d) => corpusReport(Tables.documents(s, d))),
+    "q_gopher_gates" -> ((s, d) => gopherGates(Tables.documents(s, d)))
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
@@ -189,6 +227,34 @@ object TextOps {
                 WHEN s_de >= s_fr THEN 'de'
                 ELSE 'fr' END) = lang AS is_match
          FROM sc ORDER BY doc_id""",
+    "q_gopher_gates" ->
+      s"""WITH w AS (SELECT doc_id, text, $normSql AS norm,
+             string_split($normSql, ' ') AS words FROM documents),
+         d AS (SELECT doc_id,
+             CAST(len(words) AS INT) AS n_words,
+             FLOOR((CAST(length(norm) - (len(words) - 1) AS DOUBLE) / len(words)) * 10000 + 0.5) / 10000 AS mean_word_len,
+             CAST((length(text) - length(replace(text, '#', ''))) +
+                  (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(words, w2 -> regexp_matches(w2, '[a-z]'))) AS INT) AS n_alpha_words,
+             CAST(${hits("en")} AS INT) AS n_stop
+           FROM w),
+         g AS (SELECT doc_id, n_words, mean_word_len, n_symbols,
+             ${sqlR("CAST(n_symbols AS DOUBLE) / n_words", 4)} AS symbol_ratio,
+             n_alpha_words,
+             ${sqlR("CAST(n_alpha_words AS DOUBLE) / n_words", 4)} AS alpha_frac,
+             n_stop
+           FROM d)
+         SELECT doc_id, n_words, mean_word_len, n_symbols, symbol_ratio,
+           n_alpha_words, alpha_frac, n_stop,
+           n_words >= 50 AND n_words <= 100000 AS pass_word_count,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_word_len,
+           symbol_ratio <= 0.1 AS pass_symbol,
+           alpha_frac >= 0.8 AS pass_alpha,
+           n_stop >= 2 AS pass_stop,
+           (n_words >= 50 AND n_words <= 100000)
+             AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+             AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
+         FROM g ORDER BY doc_id""",
     "q_text_quality" ->
       s"""WITH w AS (SELECT doc_id, text, $normSql AS norm,
              string_split($normSql, ' ') AS words FROM documents),
