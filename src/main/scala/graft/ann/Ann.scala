@@ -298,6 +298,11 @@ object Ann {
     * against instead of re-signing the historical corpus. */
   def lshBandStore(embeddings: DataFrame, nBits: Int = 16, bandBits: Int = 4,
                    inDims: Int = 64): DataFrame = {
+    // a non-dividing bandBits would silently DROP the trailing signature
+    // bits (integer nBands truncates); internal callers pass {4,8,16} or
+    // adaptiveLshParams' (2b, b), but the parameters are public
+    require(nBits % bandBits == 0,
+      s"bandBits=$bandBits must divide nBits=$nBits — trailing hyperplane bits would be lost")
     val S = "1099511627776.0" // 2^40, DotScaled.Scale
     val bits = (0 until nBits).map { j =>
       val sgn = (0 until inDims).map(lshSign(_, j)).mkString("array(", ",", ")")

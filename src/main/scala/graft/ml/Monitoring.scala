@@ -504,9 +504,15 @@ object Monitoring {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
         sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("s2"))
       .withColumn("mean", col("s1") / col("n"))
-      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+      // degenerate groups (single event: n-1 = 0; constant value: sd = 0)
+      // must drop out IDENTICALLY in both engines — Spark's x/0 yields
+      // NULL while DuckDB's IEEE division yields ±inf (a phantom
+      // 'critical'), so the guard is explicit on both sides
+      .withColumn("sd", when(col("n") > 1,
+        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))))
     val zAlerts = events.join(broadcast(stats), col("event_type") === col("et"))
-      .withColumn("az", abs(r4((col("value") - col("mean")) / col("sd"))))
+      .withColumn("az", when(col("sd") > 0,
+        abs(r4((col("value") - col("mean")) / col("sd")))))
       .filter(col("az") > 2.0)
       .select(epochS(col("ts")).as("ts_s"),
         lit("anomaly_zscore").as("source"),
@@ -837,13 +843,16 @@ object Monitoring {
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
              CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
            FROM events GROUP BY event_type),
+         sd AS (SELECT *, CASE WHEN n > 1
+                  THEN sqrt((s2 - s1*s1/n)/(n-1)) END AS sdev FROM st),
          za AS (
            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
              'anomaly_zscore' AS source,
-             CASE WHEN abs(FLOOR((value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)) * 10000 + 0.5) / 10000) > 4.0
+             CASE WHEN abs(FLOOR((value - s1/n) / sdev * 10000 + 0.5) / 10000) > 4.0
                   THEN 'critical' ELSE 'warning' END AS severity
-           FROM events JOIN st ON event_type = et
-           WHERE abs(FLOOR((value - s1/n) / sqrt((s2 - s1*s1/n)/(n-1)) * 10000 + 0.5) / 10000) > 2.0),
+           FROM events JOIN sd ON event_type = et
+           WHERE sdev > 0
+             AND abs(FLOOR((value - s1/n) / sdev * 10000 + 0.5) / 10000) > 2.0),
          ta AS (
            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
              'threshold' AS source,

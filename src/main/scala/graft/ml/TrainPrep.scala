@@ -104,21 +104,27 @@ object TrainPrep {
   /** Quantile bucketizer — the per-ROW discretization transform
     * (sklearn KBinsDiscretizer / Spark ML QuantileDiscretizer twin, but
     * exact and engine-reproducible): events.value binned into `bins`
-    * equi-depth buckets. Edges come from a cumulative-count window over
-    * the (value, cnt) aggregate — the same exact, disk-backed device as
-    * the column-stats histogram (one external-sort task for this single
-    * column; never an NDV-sized in-memory percentile buffer) — then 9
+    * equi-depth buckets. Edges come from an exact cumulative count over
+    * the (value, cnt) aggregate via [[graft.functions.PrefixSum]] — a
+    * two-level prefix sum whose serial term is NDV/32, not NDV (a
+    * continuous column has NDV ≈ rows, so the old partition-less window
+    * was one external-sort task at 100×; never an NDV-sized in-memory
+    * percentile buffer either) — then 9
     * edges broadcast and the bin assigned row-locally (bin = number of
     * edges ≤ value), so the transform itself is shuffle-free. Edge k is
     * the smallest value whose cumulative count reaches ⌈k·n/bins⌉;
     * assignment by value comparison is deterministic under ties in both
     * engines, unlike ntile's arbitrary tie order. */
   def quantileBins(events: DataFrame, bins: Int = 10): DataFrame = {
-    val wCum = Window.orderBy(col("value"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = events.groupBy(col("value")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wCum))
-    val n = events.agg(count(lit(1)).as("n"))
+    // NULL values are excluded from the edge computation (and from n):
+    // Spark's window sorts NULLs first while DuckDB's sorts them last, so
+    // a NULL-bearing column would shift every edge by the null count in
+    // one engine only. NULL rows still appear in the output with bin 0
+    // (every comparison is false) — identically in both engines.
+    val ev = events.filter(col("value").isNotNull)
+    val cum = graft.functions.PrefixSum.cumulative(
+      ev.groupBy(col("value")).agg(count(lit(1)).as("c")), "value", "c")
+    val n = ev.agg(count(lit(1)).as("n"))
     val ks = (1 until bins).map(lit(_))
     val edges = cum.crossJoin(broadcast(n))
       .select(col("value"), col("cum"), col("n"),
@@ -303,9 +309,10 @@ object TrainPrep {
         s"CASE WHEN value >= e$k THEN 1 ELSE 0 END").mkString(" + ")
       val edgeCols = (1 to 9).map(k =>
         s"MAX(CASE WHEN k = $k THEN e END) AS e$k").mkString(", ")
-      s"""WITH vc AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1),
+      s"""WITH vc AS (SELECT value, CAST(COUNT(*) AS BIGINT) AS c FROM events
+                WHERE value IS NOT NULL GROUP BY 1),
          cum AS (SELECT value, CAST(SUM(c) OVER (ORDER BY value) AS BIGINT) AS cum FROM vc),
-         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+         nn AS (SELECT CAST(COUNT(value) AS BIGINT) AS n FROM events),
          ks AS (SELECT k FROM generate_series(1, 9) t(k)),
          ed AS (SELECT k, MIN(value) AS e FROM cum, ks, nn
                 WHERE cum >= (k * n + 9) // 10 GROUP BY k),

@@ -92,17 +92,17 @@ object Diagnostics {
     * that scales out instead of funneling values through one task.
     *
     * The equi-depth edges are derived from the SAME (feature, value,
-    * cnt) aggregate the NDV path computes — a cumulative-count window
-    * per feature locates, for each target rank p*(n-1), the two
+    * cnt) aggregate the NDV path computes — an exact distributed
+    * cumulative count ([[graft.functions.PrefixSum]], range-bucketed
+    * within each feature) locates, for each target rank p*(n-1), the two
     * bracketing distinct values, and Spark's exact-percentile linear
     * interpolation `(hi-r)*v_lo + (r-lo)*v_hi` reproduces the result
     * bit-for-bit. Spark's own `percentile()` aggregate would buffer a
     * value→count map per feature ON ONE REDUCER — NDV-sized (1e7-1e8
     * entries for a price column at 100× scale), an OOM funnel. The
-    * window path sorts the grouped frame per feature instead: disk-
-    * backed external sort, never an in-memory map, and still exact. */
+    * prefix-sum path sorts 32 range buckets per feature instead: disk-
+    * backed parallel sorts, never an in-memory map, and still exact. */
   def columnStats(lineitem: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
     val melted = lineitem.select(explode(array(cols.map(c =>
         struct(lit(c).as("feature"), col(c).cast("double").as("v"))): _*)).as("s"))
@@ -125,16 +125,19 @@ object Diagnostics {
           col(s"mn_$c").as("min_v0"), col(s"mx_$c").as("max_v0"))): _*)).as("s"))
       .select(col("s.*"))
     // 0-indexed run of positions each distinct value occupies in the
-    // sorted-by-value order, plus the feature's non-null total and NDV —
-    // all three windows share one exchange+sort of the grouped frame, so
-    // NDV costs no extra pass or join.
-    val wOrd = Window.partitionBy("feature").orderBy("v")
-    val wAll = Window.partitionBy("feature")
-    val runs = vals
-      .withColumn("cum_end", sum(col("cnt")).over(wOrd) - 1)
+    // sorted-by-value order, via the two-level prefix sum of
+    // [[graft.functions.PrefixSum]] grouped by feature: the cumulative
+    // count no longer serializes one task PER COLUMN (a few-column,
+    // huge-NDV profile ran as 4 external sorts of NDV rows each) — each
+    // feature's distinct frame splits across 32 range buckets. The
+    // feature's non-null total and NDV come from a 4-row aggregate
+    // broadcast back instead of a feature-wide window.
+    val totals = vals.groupBy(col("feature"))
+      .agg(sum(col("cnt")).as("n"), count(lit(1)).as("ndv"))
+    val runs = graft.functions.PrefixSum.cumulative(vals, "v", "cnt", Seq("feature"))
+      .withColumn("cum_end", col("cum") - 1)
       .withColumn("cum_start", col("cum_end") - col("cnt") + 1)
-      .withColumn("n", sum(col("cnt")).over(wAll))
-      .withColumn("ndv", count(lit(1)).over(wAll))
+      .join(broadcast(totals), "feature")
     // For each of the 7 interior octile ranks r = p*(n-1): keep the
     // value-runs covering floor(r) / ceil(r) and interpolate exactly as
     // Spark's Percentile does — (hi-r)*v_lo + (r-lo)*v_hi, collapsing

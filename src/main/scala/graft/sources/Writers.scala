@@ -79,7 +79,11 @@ object Writers {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("entity_bucket")
       .parquet(path)
-    val written = features.sparkSession.read.parquet(path)
-    (written.count(), features.columns.length)
+    // count from the INPUT frame (one aggregate over the source plan) —
+    // re-reading the just-written dataset doubled the export's IO for a
+    // number the write already determined; features_count = featCols so
+    // it agrees with the version hash's notion of the feature set (the
+    // entity column is an address, not a feature)
+    (features.count(), featCols.length)
   }
 }

@@ -213,20 +213,19 @@ object Vocab {
     * head / middle / tail third of the corpus by its [[bigramLm]]
     * cross-entropy (head = lowest bits/token = most fluent), with the
     * keep decision (drop the tail) — the quality gate CCNet applies
-    * before training. Tertile CUTOFFS come from the exact
-    * cumulative-count-window device of
-    * [[graft.ml.TrainPrep.quantileBins]] (one disk-backed external sort
-    * over the distinct rounded scores — never an NDV-sized in-memory
-    * percentile buffer), then two edges broadcast and the bucket
+    * before training. Tertile CUTOFFS come from the exact distributed
+    * cumulative count of [[graft.functions.PrefixSum]] over the distinct
+    * rounded scores (range-bucketed parallel sorts — never an NDV-sized
+    * in-memory percentile buffer, and no single-partition window
+    * either), then two edges broadcast and the bucket
     * assigned row-locally; ties bucket deterministically by value
     * comparison in both engines. Docs under 2 words have no bigrams and
     * drop out, mirroring [[bigramLm]]. */
   def pplFilter(documents: DataFrame): DataFrame = {
     val scored = bigramLm(documents)
-    val wCum = Window.orderBy(col("v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = scored.groupBy(col("bits_per_token").as("v")).agg(count(lit(1)).as("c"))
-      .withColumn("cum", sum(col("c")).over(wCum))
+    val cum = graft.functions.PrefixSum.cumulative(
+      scored.groupBy(col("bits_per_token").as("v")).agg(count(lit(1)).as("c")),
+      "v", "c")
     val n = scored.agg(count(lit(1)).as("n"))
     val edges = cum.crossJoin(broadcast(n))
       .select(col("v"), col("cum"), col("n"), explode(array(lit(1), lit(2))).as("k"))

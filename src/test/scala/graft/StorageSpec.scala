@@ -36,7 +36,9 @@ class StorageSpec extends AnyFunSuite {
     val features = graft.ml.Inference.aggFeatureStore(Tables.orders(spark, sf))
     val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val (nRecords, nFeatures) = Writers.exportFeatures(features, "entity_id", dir, ts)
-    assert(nRecords == features.count() && nFeatures == features.columns.length)
+    // features_count = the feature set the version hash covers (entity
+    // column excluded — it is an address, not a feature)
+    assert(nRecords == features.count() && nFeatures == features.columns.length - 1)
     val back = spark.read.parquet(dir)
     // metadata stamped: one constant version hash matching the
     // reference's md5-of-sorted-features recipe, the supplied timestamp
