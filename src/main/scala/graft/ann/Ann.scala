@@ -248,8 +248,10 @@ object Ann {
     * identical matrix in SQL. */
   def lshNearDup(embeddings: DataFrame, nBits: Int = 16, bandBits: Int = 0,
                  threshold: Double = 0.35, inDims: Int = 64,
-                 bucketLimit: Int = 100): DataFrame =
-    lshPairs(embeddings, nBits, bandBits, threshold, inDims, bucketLimit)
+                 bucketLimit: Int = 100,
+                 countOverride: Option[Long] = None): DataFrame =
+    lshPairs(embeddings, nBits, bandBits, threshold, inDims, bucketLimit,
+      countOverride)
       .orderBy("vec_a", "vec_b")
 
   /** ADAPTIVE band width for the cosine-LSH family: the smallest of
@@ -335,12 +337,17 @@ object Ann {
     * (ReuseExchange — one exchange serves count, filter, both sides). */
   private def lshPairs(embeddings: DataFrame, nBits: Int, bandBits: Int,
                        threshold: Double, inDims: Int,
-                       bucketLimit: Int = 100): DataFrame = {
+                       bucketLimit: Int = 100,
+                       countOverride: Option[Long] = None): DataFrame = {
     // bandBits=0 → fully adaptive: past the 16-bit rung the signature
     // widens too (adaptiveLshParams), closing the saturation gap the
-    // fixed-nBits ladder left open at ~6.5M vectors.
+    // fixed-nBits ladder left open at ~6.5M vectors. countOverride
+    // injects the corpus count driving the parameter choice WITHOUT
+    // changing the data — the verification seam that lets a spec push
+    // the auto-selection past the 2^16·cap rung (unreachable with real
+    // test-scale data) and watch the wide signature run end to end.
     val (nb, bb) = if (bandBits > 0) (nBits, bandBits)
-      else adaptiveLshParams(embeddings.count(), bucketLimit)
+      else adaptiveLshParams(countOverride.getOrElse(embeddings.count()), bucketLimit)
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val wB = Window.partitionBy(col("band_id"), col("band_val"))
     val banded = lshBandStore(embeddings.select(col("vec_id"), col("embedding")),

@@ -306,7 +306,14 @@ object Dedup {
     * the [[ngramJaccard]] pair stream to the candidates. */
   def minhashAccuracy(documents: DataFrame, bucketLimit: Int = 100): DataFrame = {
     val sig = signatures(documents)
-    val cand = minhashPairs(documents, bucketLimit).select(col("doc_a"), col("doc_b"))
+    // The candidate frame feeds TWO consumers (the final estimate join and
+    // the candidate-doc semi-join below); without truncation each consumer
+    // re-runs the whole shingle→minhash→band self-join lineage. Eager
+    // localCheckpoint: candidates are df-capped (≤ bucketLimit²·bands
+    // pairs per bucket), a tiny frame relative to the corpus — the same
+    // device as the cluster-propagation loop.
+    val cand = minhashPairs(documents, bucketLimit)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val sa = sig.select(col("doc_id").as("doc_a") +: (0 to 7).map(k => col(s"h$k").as(s"a$k")): _*)
     val sb = sig.select(col("doc_id").as("doc_b") +: (0 to 7).map(k => col(s"h$k").as(s"b$k")): _*)
     val agree = (0 to 7).map(k =>
@@ -401,7 +408,12 @@ object Dedup {
   def jaccardHistogram(documents: DataFrame, dfLimit: Int = 100): DataFrame = {
     val pairs = ngramJaccard(documents, threshold = 0.0, dfLimit = dfLimit)
       .select(least(floor(col("jaccard") * 10).cast("int"), lit(9)).as("bucket"))
+    // ≤10 bucket rows, but TWO consumers (the total aggregate and the
+    // final projection) — without truncation each re-runs the full shingle
+    // self-join lineage, doubling the query. Eager localCheckpoint keeps
+    // the pair join to one execution.
     val g = pairs.groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint()
     val total = g.agg(sum(col("n_pairs")).as("t_pairs"))
     val wAbove = Window.orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

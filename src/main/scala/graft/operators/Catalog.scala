@@ -24,7 +24,7 @@ import graft.functions.Fns._
   * summary measure) so the driver's DuckDB oracle hash-verifies the
   * whole catalog-generated surface against independently hand-written
   * SQL in one query. Scale shape: one fully-parallel aggregate scan per
-  * source table, ten one-row frames unioned — the nightly
+  * source table, 28 one-row frames unioned — the nightly
   * reconciliation audit a 100 TB warehouse runs per table anyway. */
 object Catalog {
 
@@ -109,6 +109,7 @@ object Catalog {
     "nation" -> Tables.nation(spark, dir),
     "region" -> Tables.region(spark, dir),
     "documents" -> Tables.documents(spark, dir),
+    "embeddings" -> Tables.embeddings(spark, dir),
     "lineitem_orders" -> Tables.lineitem(spark, dir).join(
       Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
       col("l_orderkey") === col("o_orderkey")))
@@ -204,6 +205,46 @@ object Catalog {
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
          FROM lineitem WHERE l_returnflag = 'R'
          UNION ALL
+         SELECT 'fact_discounted_sales', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '||' || CAST(l_linenumber AS VARCHAR)) AS BIGINT),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM lineitem WHERE l_discount > 0
+         UNION ALL
+         SELECT 'fact_taxed_lineitems', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '||' || CAST(l_linenumber AS VARCHAR)) AS BIGINT),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM lineitem WHERE l_tax > 0
+         UNION ALL
+         SELECT 'fact_bulk_lineitems', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(l_orderkey AS VARCHAR) || '||' || CAST(l_linenumber AS VARCHAR)) AS BIGINT),
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM lineitem WHERE l_quantity >= 30
+         UNION ALL
+         SELECT 'fact_open_orders', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(o_orderkey AS VARCHAR)) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM orders WHERE o_orderstatus = 'O'
+         UNION ALL
+         SELECT 'fact_finished_orders', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(o_orderkey AS VARCHAR)) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM orders WHERE o_orderstatus = 'F'
+         UNION ALL
+         SELECT 'fact_urgent_orders', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(o_orderkey AS VARCHAR)) AS BIGINT),
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+         FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+         UNION ALL
+         SELECT 'fact_purchase_events', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS BIGINT),
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+         FROM events WHERE event_type = 'purchase' AND value IS NOT NULL
+         UNION ALL
+         SELECT 'fact_doc_volume', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT),
+           CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)
+         FROM documents WHERE n_chars > 0
+         UNION ALL
          SELECT 'dim_customer', 'dim', CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(DISTINCT CAST(c_custkey AS VARCHAR)) AS BIGINT),
            CAST(NULL AS DOUBLE)
@@ -233,6 +274,36 @@ object Catalog {
            CAST(COUNT(DISTINCT CAST(r_regionkey AS VARCHAR)) AS BIGINT),
            CAST(NULL AS DOUBLE)
          FROM region
+         UNION ALL
+         SELECT 'dim_order', 'dim', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(o_orderkey AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM orders
+         UNION ALL
+         SELECT 'dim_event', 'dim', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(event_id AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM events
+         UNION ALL
+         SELECT 'dim_embedding', 'dim', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(vec_id AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM embeddings
+         UNION ALL
+         SELECT 'dim_doc_source', 'dim', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM documents
+         UNION ALL
+         SELECT 'dim_part_size', 'dim', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(p_partkey AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM part
+         UNION ALL
+         SELECT 'dim_supplier_nation', 'dim', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(s_suppkey AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM supplier
          ) ORDER BY table_name"""
   )
 }

@@ -15,7 +15,9 @@ class CacheHygieneSpec extends AnyFunSuite {
     Seq("q_dedup_minhash", "q_ngram_jaccard", "q_dedup_clusters", "q_drift_sweep",
       "q_scd2_integrity",
       // session-2 consumers of the checkpointed propagation loop
-      "q_embed_survivors", "q_dedup_survivors")
+      "q_embed_survivors", "q_dedup_survivors",
+      // QA frames that checkpoint their capped candidate/bucket frames
+      "q_minhash_est", "q_jaccard_hist")
 
   test("session cache manager is empty after each query's collect") {
     formerlyLeaky.foreach { name =>

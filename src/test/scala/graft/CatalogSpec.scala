@@ -10,9 +10,9 @@ import graft.operators.{Catalog, ConfigFacts}
 class CatalogSpec extends AnyFunSuite {
   import TestSession._
 
-  test("bundled catalog parses: 8 facts, 6 dims, every source resolvable") {
+  test("bundled catalog parses: 16 facts, 12 dims, every source resolvable") {
     val cat = Catalog.default
-    assert(cat.facts.size == 8 && cat.dims.size == 6)
+    assert(cat.facts.size == 16 && cat.dims.size == 12)
     val srcs = Catalog.sources(spark, sf).keySet
     cat.facts.foreach(f => assert(srcs.contains(f.source), s"unknown source ${f.source}"))
     cat.dims.foreach(d => assert(srcs.contains(d.source), s"unknown source ${d.source}"))
@@ -45,7 +45,7 @@ class CatalogSpec extends AnyFunSuite {
 
   test("sweep audits every catalog table: one row each, sane counts") {
     val rows = Catalog.sweep(spark, sf).collect()
-    assert(rows.length == 14)
+    assert(rows.length == 28)
     rows.foreach { r =>
       val (name, kind) = (r.getAs[String]("table_name"), r.getAs[String]("kind"))
       assert(r.getAs[Long]("n_rows") > 0, s"$name empty")
@@ -58,9 +58,11 @@ class CatalogSpec extends AnyFunSuite {
     // full-grain tables only: the synthetic lineitem carries duplicate
     // (orderkey, linenumber) pairs, so lineitem-grain facts are excluded
     Seq("fact_orders", "fact_part_pricing", "fact_supplier_balance",
-      "fact_customer_balance",
+      "fact_customer_balance", "fact_open_orders", "fact_finished_orders",
+      "fact_urgent_orders", "fact_purchase_events", "fact_doc_volume",
       "dim_customer", "dim_part", "dim_supplier", "dim_document",
-      "dim_nation", "dim_region").foreach { t =>
+      "dim_nation", "dim_region", "dim_order", "dim_event", "dim_embedding",
+      "dim_doc_source", "dim_part_size", "dim_supplier_nation").foreach { t =>
       assert(byName(t).getAs[Long]("n_keys") == byName(t).getAs[Long]("n_rows"),
         s"$t surrogate keys not unique")
     }

@@ -172,4 +172,38 @@ class Session4Spec extends AnyFunSuite {
     }
     assert(n > 0)
   }
+
+  test("wide-rung AUTO-selection: bandBits=0 with an injected count past " +
+       "2^16*cap chooses and runs the widened signature end to end") {
+    // Real test-scale data can never cross the 2^16*cap ≈ 6.5M-vector
+    // rung, so the previous coverage forced (34, 17) by hand — proving
+    // the store works at that width but not that the SELECTOR picks it.
+    // countOverride injects the corpus count that drives adaptiveLshParams
+    // while the data stays small: the bandBits=0 path must (a) select the
+    // 2x17-bit rung for the injected count and (b) still recall every
+    // exact duplicate through the widened signature it selected.
+    val injected = (1L << 16) * 100 + 1
+    assert(Ann.adaptiveLshParams(injected) == (34, 17))
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val dup = emb.union(emb.withColumn("vec_id", col("vec_id") + lit(1000000L)))
+    val auto = Ann.lshNearDup(dup, bandBits = 0, threshold = 0.999,
+        countOverride = Some(injected))
+      .select("vec_a", "vec_b", "n_shared_bands").collect()
+    val pairSet = auto.map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val ids = emb.select("vec_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      assert(pairSet.contains((id, id + 1000000L)),
+        s"duplicate pair for vec $id not recalled by the auto-selected wide rung")
+    }
+    // the 2x17-bit rung has exactly 2 bands — an exact duplicate shares
+    // both; any pair sharing MORE than 2 bands proves a narrower (more
+    // bands) parameterization ran instead of the auto-selected wide one
+    assert(auto.forall(_.getAs[Long]("n_shared_bands") <= 2),
+      "a pair shares >2 bands — the wide 2-band rung was not the one that ran")
+    val dupPairs = auto.filter(r =>
+      pairSet.contains((r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))) &&
+        r.getAs[Long]("vec_b") - r.getAs[Long]("vec_a") == 1000000L)
+    assert(dupPairs.forall(_.getAs[Long]("n_shared_bands") == 2),
+      "exact duplicates must share both wide bands")
+  }
 }
