@@ -24,15 +24,37 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
 
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses to read
-    * as a timestamp. Read nanos as long and truncate to microseconds —
-    * exactly what DuckDB does when it materializes ns parquet, so the
-    * oracle sees identical instants. */
-  def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  /** Normalize the `ts` column to TimestampType regardless of the physical
+    * parquet encoding the test-data generator happened to use:
+    *  - TIMESTAMP(NANOS): Spark 4 reads it as Long (with nanosAsLong);
+    *    truncate to microseconds — exactly what DuckDB does when it
+    *    materializes ns parquet, so the oracle sees identical instants.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ; cast to TimestampType (value-preserving under the
+    *    UTC session zone every entry point sets).
+    *  - TimestampType: already what downstream operators expect.
+    * Anything else fails loudly with the observed type. */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types._
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported parquet type $other; expected ns-as-long, timestamp_ntz, or timestamp")
+    }
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    // Keep the nanos escape hatch on: if the generator reverts to
+    // TIMESTAMP(NANOS), the read still succeeds (as Long) and the shim above
+    // applies, instead of Spark refusing the file outright.
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Pin the session zone so the NTZ→Timestamp cast is value-preserving
+    // on any machine (the oracle reads the same naive instants).
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

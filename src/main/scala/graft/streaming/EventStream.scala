@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
+import graft.Tables
 import graft.functions.Fns._
 
 /** One event, as the streaming sessionizer consumes it. */
@@ -53,8 +54,8 @@ object EventStream {
     Files.createSymbolicLink(streamDir.resolve("events.parquet"),
       Paths.get(s"$dir/events.parquet"))
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
-    spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventTs(
+      spark.readStream.schema(schema).parquet(streamDir.toString))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —

@@ -160,7 +160,9 @@ class DeterminismPropertySpec extends AnyFunSuite {
     // catalog sweep: the audit must not depend on how sources are split
     val s1 = graft.operators.Catalog.sweep(spark, sf).collect().map(_.toString).sorted.toSeq
     val s2 = graft.operators.Catalog.sweep(spark, sf).collect().map(_.toString).sorted.toSeq
-    assert(s1 == s2 && s1.size == 14)
+    val declared = graft.operators.Catalog.default.facts.size +
+      graft.operators.Catalog.default.dims.size
+    assert(s1 == s2 && s1.size == declared)
   }
 
   test("session-6 extension operators are invariant to input partitioning") {
