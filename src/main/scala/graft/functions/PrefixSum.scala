@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * distinct-value frame — the two-level prefix sum that replaces a
   * partition-less `Window.orderBy(value)`:
   *
-  *  1. one approx-percentile pass over the distinct-value frame yields
-  *     `buckets`-1 range boundaries per group (a bounded sketch — never
-  *     an NDV-sized buffer), pinned by an eager localCheckpoint so every
-  *     plan branch buckets identically;
+  *  1. one probe pass over the distinct-value frame yields, per group,
+  *     `buckets`-1 approx-percentile range boundaries AND the group's
+  *     distinct count (same aggregate — the NDV probe is free), pinned by
+  *     an eager localCheckpoint so every plan branch buckets identically;
   *  2. each row gets a broadcast-computed bucket id (count of boundaries
   *     below its value — ties stay deterministic because equal values get
   *     equal buckets), and the cumulative sum runs under
@@ -21,35 +21,59 @@ import org.apache.spark.sql.functions._
   *     offsets via a broadcast triangular self-join, and the global
   *     cumulative count is offset + local cumulative.
   *
-  * The result is bit-identical to the single-partition window (the
-  * boundaries only PLACE the cut points; sums are exact longs) while the
-  * serial term drops from one NDV-sized external sort to NDV/buckets.
-  * On a 1000-executor cluster reading a continuous column (NDV ≈ rows),
-  * that is the difference between one straggler task sorting the whole
-  * distinct frame and a fleet of range-local sorts.
+  * ADAPTIVE: when the probe shows every group's NDV under
+  * `fallbackNdv`, the machinery above is pure overhead — a single
+  * window over a ≤64k-row frame sorts in milliseconds, while the
+  * bucketed path pays two more localCheckpoints and three exchanges.
+  * The probe is already materialized, so the branch costs nothing
+  * extra; below the threshold the plan collapses to the one-window
+  * form. At 100× scale (NDV ≈ rows for a continuous column) the probe
+  * reads past the threshold and the bucketed path engages — the
+  * difference between one straggler task sorting the whole distinct
+  * frame and a fleet of range-local sorts. PlanQualitySpec pins both
+  * sides of the branch.
+  *
+  * The result is bit-identical either way (the boundaries only PLACE
+  * the cut points; sums are exact longs).
   *
   * `valueCol` must be non-null (callers filter); `cntCol` must be a
   * bigint count. Adds the column `cum`; internal columns are dropped.
   */
 object PrefixSum {
 
+  /** NDV below which the single-window form wins: a 64k-row external
+    * sort is milliseconds on one task, well under the bucketed path's
+    * fixed overhead. */
+  val DefaultFallbackNdv = 65536L
+
   def cumulative(frame: DataFrame, valueCol: String, cntCol: String,
-                 groupCols: Seq[String] = Nil, buckets: Int = 32): DataFrame = {
+                 groupCols: Seq[String] = Nil, buckets: Int = 32,
+                 fallbackNdv: Long = DefaultFallbackNdv): DataFrame = {
     val pcts = (1 until buckets).map(i => i.toDouble / buckets)
       .mkString("array(", ",", ")")
     val bAgg = expr(s"approx_percentile($valueCol, $pcts, 1000)").as("pfx_bs")
+    val nAgg = count(lit(1)).as("pfx_ndv")
     // ONE boundary set for every branch: approx_percentile's merge order
     // is not guaranteed deterministic across recomputations, and the
     // bucketed frame feeds both the windowed branch and the subtotal
     // branch — a checkpoint of this tiny frame (one row per group) makes
     // the bucket assignment a constant of the query.
     val bounds =
-      (if (groupCols.isEmpty) frame.agg(bAgg)
-       else frame.groupBy(groupCols.map(col): _*).agg(bAgg))
+      (if (groupCols.isEmpty) frame.agg(bAgg, nAgg)
+       else frame.groupBy(groupCols.map(col): _*).agg(bAgg, nAgg))
         .localCheckpoint()
+    val maxNdv = bounds.agg(max(col("pfx_ndv"))).first() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    if (maxNdv <= fallbackNdv) {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return frame.withColumn("cum", sum(col(cntCol)).over(w))
+    }
     val withB =
-      if (groupCols.isEmpty) frame.crossJoin(broadcast(bounds))
-      else frame.join(broadcast(bounds), groupCols)
+      if (groupCols.isEmpty) frame.crossJoin(broadcast(bounds.drop("pfx_ndv")))
+      else frame.join(broadcast(bounds.drop("pfx_ndv")), groupCols)
     val bucketed = withB.withColumn("pfx_bucket",
       expr(s"aggregate(pfx_bs, 0, (a, x) -> a + (CASE WHEN $valueCol > x THEN 1 ELSE 0 END))"))
     val keys = groupCols :+ "pfx_bucket"
@@ -74,5 +98,67 @@ object PrefixSum {
     local.join(broadcast(off), keys)
       .withColumn("cum", col("pfx_local") + col("pfx_off"))
       .drop("pfx_bs", "pfx_bucket", "pfx_local", "pfx_off")
+  }
+
+  /** Exact per-group percentiles with Spark `Percentile` interpolation —
+    * the distributed replacement for `expr("percentile(v, p)")`, whose
+    * value→count buffer is an NDV-sized in-memory map ON ONE REDUCER (the
+    * OOM funnel every profile-at-scale query hits). Here the distinct
+    * frame's cumulative counts come from [[cumulative]] (range-bucketed
+    * past `fallbackNdv`), each requested rank lands on the value-run
+    * covering it, and the interpolation (hi−r)·v_lo + (r−lo)·v_hi is the
+    * same arithmetic `Percentile.getPercentile` evaluates — bit-identical
+    * output, never a single-reducer buffer.
+    *
+    * Returns one row per group: `groupCols` ++ one double column per
+    * `(label, p)` plus `n_<suffix>` (the non-null count the percentile
+    * ranks were computed over). NULL values are excluded, matching the
+    * aggregate's semantics. Empty input yields an empty frame (grouped)
+    * — callers that need a NULL row for the global case guard upstream.
+    */
+  def exactPercentiles(df: DataFrame, valueCol: String,
+                       groupCols: Seq[String],
+                       percentiles: Seq[(String, Double)],
+                       buckets: Int = 32,
+                       fallbackNdv: Long = DefaultFallbackNdv): DataFrame = {
+    val vals = df.filter(col(valueCol).isNotNull)
+      .groupBy((groupCols :+ valueCol).map(col): _*)
+      .agg(count(lit(1)).as("pct_cnt"))
+    val totals =
+      (if (groupCols.isEmpty) vals.agg(sum(col("pct_cnt")).as("pct_n"))
+       else vals.groupBy(groupCols.map(col): _*).agg(sum(col("pct_cnt")).as("pct_n")))
+    val runs0 = cumulative(vals, valueCol, "pct_cnt", groupCols, buckets, fallbackNdv)
+      .withColumn("pct_end", col("cum") - 1)
+      .withColumn("pct_start", col("pct_end") - col("pct_cnt") + 1)
+    val runs =
+      if (groupCols.isEmpty) runs0.crossJoin(broadcast(totals))
+      else runs0.join(broadcast(totals), groupCols)
+    val specs = percentiles.zipWithIndex.map { case ((_, p), i) =>
+      struct(lit(i).as("ei"), lit(p).as("p"))
+    }
+    val placed = runs
+      .withColumn("pp", explode(array(specs: _*)))
+      .withColumn("r", col("pp.p") * (col("pct_n") - 1).cast("double"))
+      .withColumn("lo", floor(col("r")))
+      .withColumn("hi", ceil(col("r")))
+      .filter(col("lo").between(col("pct_start"), col("pct_end")) ||
+              col("hi").between(col("pct_start"), col("pct_end")))
+      .groupBy((groupCols.map(col) :+ col("pp.ei").as("ei")): _*)
+      .agg(
+        max(when(col("lo").between(col("pct_start"), col("pct_end")),
+          col(valueCol))).as("v_lo"),
+        max(when(col("hi").between(col("pct_start"), col("pct_end")),
+          col(valueCol))).as("v_hi"),
+        max(col("r")).as("r"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        max(col("pct_n")).as("pct_n"))
+      .withColumn("q",
+        when(col("lo") === col("hi"), col("v_lo"))
+          .otherwise((col("hi") - col("r")) * col("v_lo") +
+                     (col("r") - col("lo")) * col("v_hi")))
+    val pivots = percentiles.zipWithIndex.map { case ((label, _), i) =>
+      max(when(col("ei") === i, col("q"))).as(label)
+    } :+ max(col("pct_n")).as("pct_n")
+    if (groupCols.isEmpty) placed.agg(pivots.head, pivots.tail: _*)
+    else placed.groupBy(groupCols.map(col): _*).agg(pivots.head, pivots.tail: _*)
   }
 }

@@ -522,8 +522,15 @@ object Features {
         sum((c * c).cast("decimal(30,8)")).cast("double").as("s2"),
         sum((c * c * c).cast("decimal(38,8)")).cast("double").as("s3"),
         sum((c * c * c * c).cast("decimal(38,8)")).cast("double").as("s4"),
-        min(c).as("min_v"), max(c).as("max_v"),
-        expr("percentile(v, array(0.25, 0.5, 0.75))").as("qs"))
+        min(c).as("min_v"), max(c).as("max_v"))
+      // Quartiles via the distributed exact-percentile device — the
+      // `percentile(v, array(...))` aggregate buffers an NDV-sized
+      // value→count map on one reducer (1e7-1e8 entries for a price
+      // column at 100× scale); the prefix-sum path is bit-identical and
+      // range-bucketed past the NDV threshold.
+      val qs = graft.functions.PrefixSum.exactPercentiles(
+        vdf, "v", Nil,
+        Seq("q25_0" -> 0.25, "q50_0" -> 0.5, "q75_0" -> 0.75)).drop("pct_n")
       val nf = col("n_filled")
       val mean = col("s1") / nf
       val varP = col("s2") / nf - (col("s1") / nf) * (col("s1") / nf)
@@ -538,16 +545,16 @@ object Features {
           max(col("s1")).as("s1"), max(col("s2")).as("s2"),
           max(col("s3")).as("s3"), max(col("s4")).as("s4"),
           max(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
-          first(col("qs")).as("qs"),
           sum(when(abs(c - mean) > lit(3) * sqrt(varP), 1L).otherwise(0L)).as("outlier_count"))
+        .crossJoin(broadcast(qs))
         .select(
           lit(name).as("feature"), col("n_rows"), col("n_filled"),
           r6(mean).as("mean_v"),
           r6(sqrt((col("s2") - col("s1") * col("s1") / nf) / (nf - 1))).as("std_v"),
           col("min_v"), col("max_v"),
-          r6(col("qs").getItem(0)).as("q25"),
-          r6(col("qs").getItem(1)).as("median_v"),
-          r6(col("qs").getItem(2)).as("q75"),
+          r6(col("q25_0")).as("q25"),
+          r6(col("q50_0")).as("median_v"),
+          r6(col("q75_0")).as("q75"),
           r6(m3 / (sqrt(varP) * varP)).as("skewness"),
           r6(m4 / (varP * varP) - lit(3)).as("kurtosis"),
           col("outlier_count"),

@@ -65,9 +65,13 @@ object TrainPrep {
         "instr('0123456789abcdef', substr(md5(cast(event_id as string)), 1, 1)) - 1"))
       .withColumn("value_n", when(col("d") === 0, lit(null)).otherwise(col("value")))
       .withColumn("type_n", when(col("d") === 1, lit(null)).otherwise(col("event_type")))
+    // Median via the distributed exact-percentile device, not the
+    // `percentile` aggregate (NDV-sized single-reducer buffer at scale).
+    val med = graft.functions.PrefixSum.exactPercentiles(
+      gated.select(col("value_n")), "value_n", Nil, Seq("med" -> 0.5)).drop("pct_n")
     val numRow = gated.agg(
-        sum(when(col("value_n").isNull, 1L).otherwise(0L)).as("n_missing"),
-        expr("percentile(value_n, 0.5d)").as("med"))
+        sum(when(col("value_n").isNull, 1L).otherwise(0L)).as("n_missing"))
+      .crossJoin(broadcast(med))
       .select(lit("value").as("column"), lit("median").as("strategy"),
         col("n_missing"), r6(col("med")).as("fill_num"),
         lit(null).cast("string").as("fill_cat"))

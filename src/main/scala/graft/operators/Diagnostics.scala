@@ -29,13 +29,18 @@ object Diagnostics {
     * (deterministic tie-break on key) with their combined share. */
   def skewProfile(df: DataFrame, key: String): DataFrame = {
     val cnts = df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    // Frequency percentiles via the distributed exact-percentile device,
+    // NOT `percentile(c, …)`: that aggregate buffers an n_keys-sized
+    // value→count map on one reducer — this is the SKEW DIAGNOSTIC, it
+    // must not itself OOM on the 100×-scale key counts it profiles.
+    val pcts = graft.functions.PrefixSum.exactPercentiles(
+      cnts, "c", Nil,
+      Seq("p50_0" -> 0.5, "p90_0" -> 0.9, "p99_0" -> 0.99)).drop("pct_n")
     val stats = cnts.agg(
       count(lit(1)).as("n_keys"),
       sum(col("c")).as("n_rows"),
-      max(col("c")).as("max_freq"),
-      expr("percentile(c, 0.5)").as("p50_0"),
-      expr("percentile(c, 0.9)").as("p90_0"),
-      expr("percentile(c, 0.99)").as("p99_0"))
+      max(col("c")).as("max_freq"))
+      .crossJoin(broadcast(pcts))
     // top-3 via sort-limit (TakeOrderedAndProject — bounded state per
     // partition, no global sort), then folded to one row
     val top = cnts.orderBy(col("c").desc, col("k").asc).limit(3)

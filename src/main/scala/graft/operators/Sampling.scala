@@ -60,15 +60,22 @@ object Sampling {
       .withColumn("sample_ratio", r4(col("n_sampled") / col("n_total")))
       .orderBy("lang")
 
-  /** Exact quartiles of event value per event type. */
-  def groupPercentiles(events: DataFrame): DataFrame =
-    events.groupBy(col("event_type"))
-      .agg(
-        r6(expr("percentile(value, 0.25)")).as("p25"),
-        r6(expr("percentile(value, 0.5)")).as("p50"),
-        r6(expr("percentile(value, 0.75)")).as("p75"),
-        count(lit(1)).as("n"))
+  /** Exact quartiles of event value per event type — distributed via
+    * [[graft.functions.PrefixSum.exactPercentiles]] (grouped cumulative
+    * counts, range-bucketed past the NDV threshold) rather than
+    * `percentile(value, …)`, whose per-group value→count buffer sits on
+    * one reducer and scales with the group's NDV. */
+  def groupPercentiles(events: DataFrame): DataFrame = {
+    val qs = graft.functions.PrefixSum.exactPercentiles(
+      events.select(col("event_type"), col("value")), "value", Seq("event_type"),
+      Seq("p25_0" -> 0.25, "p50_0" -> 0.5, "p75_0" -> 0.75)).drop("pct_n")
+    events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .join(broadcast(qs), Seq("event_type"), "left")
+      .select(col("event_type"),
+        r6(col("p25_0")).as("p25"), r6(col("p50_0")).as("p50"),
+        r6(col("p75_0")).as("p75"), col("n"))
       .orderBy("event_type")
+  }
 
   /** CUBE over (region, market segment): every subtotal combination with
     * grouping ids. */

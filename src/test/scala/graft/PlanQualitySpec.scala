@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
 import graft.ml.Features
 import graft.operators.{Joins, Marts, Sampling, Warehouse}
 
@@ -234,21 +235,42 @@ class PlanQualitySpec extends AnyFunSuite {
       s"norm artifacts must broadcast, never shuffle the pair frame:\n$plan")
   }
 
-  test("column stats: no exact Percentile aggregate (its value->count buffer is an NDV-sized single-reducer map)") {
-    val df = graft.operators.Diagnostics.columnStats(Tables.lineitem(spark, sf))
+  // No bare `percentile(` in any quantile query plan — that aggregate's
+  // value->count buffer is an NDV-sized single-reducer map (the OOM
+  // funnel). approx_percentile/percentile_approx is the bounded-sketch
+  // boundary estimator PrefixSum legitimately uses.
+  private def assertNoExactPercentile(df: org.apache.spark.sql.DataFrame): Unit = {
     val plan = planOf(df)
-    // bare `percentile(` only — approx_percentile/percentile_approx is the
-    // bounded-sketch boundary estimator PrefixSum legitimately uses
     assert("(?<![\\w_])percentile\\(".r.findFirstIn(plan).isEmpty,
       s"exact percentile aggregate present — NDV-sized buffer funnels one reducer at scale:\n$plan")
+  }
+
+  test("column stats: no exact Percentile aggregate (its value->count buffer is an NDV-sized single-reducer map)") {
+    val df = graft.operators.Diagnostics.columnStats(Tables.lineitem(spark, sf))
+    assertNoExactPercentile(df)
     // the edges must come from the windowed cumulative-count path instead
-    assert(plan.contains("Window"), s"expected the cumulative-count window path:\n$plan")
+    assert(planOf(df).contains("Window"),
+      s"expected the cumulative-count window path:\n${planOf(df)}")
+  }
+
+  test("skew profile / group percentiles / feature stats / impute: no exact Percentile aggregate") {
+    assertNoExactPercentile(
+      graft.operators.Diagnostics.skewProfile(Tables.lineitem(spark, sf), "l_partkey"))
+    assertNoExactPercentile(
+      graft.operators.Sampling.groupPercentiles(Tables.events(spark, sf)))
+    assertNoExactPercentile(graft.ml.Features.featureStats(Seq(
+      "o_totalprice" -> Tables.orders(spark, sf).select("o_totalprice"))))
+    assertNoExactPercentile(
+      graft.ml.TrainPrep.imputePlan(Tables.events(spark, sf)))
   }
 
   // A Window with no partitionSpec moves EVERYTHING to one task — the
-  // serial term the two-level PrefixSum exists to remove. The quantile-
-  // edge queries ran exactly that shape through round 6 (the bench tail's
-  // `WindowExec: No Partition Defined` warnings); lock the fix in.
+  // serial term the two-level PrefixSum exists to remove ABOVE its NDV
+  // fallback threshold. Below the threshold the single window IS the
+  // right plan (a <=64k-row sort is milliseconds; the bucketed path's
+  // checkpoints would dominate) — so the contract is branch-specific:
+  // forced past the threshold the plan must be bucketed with no
+  // partition-less window; under it, it must collapse to one window.
   // sparkPlan, not executedPlan: AQE wraps the tree in an
   // AdaptiveSparkPlanExec whose collect() sees no children pre-execution
   private def partitionlessWindows(df: org.apache.spark.sql.DataFrame): Seq[String] =
@@ -257,29 +279,59 @@ class PlanQualitySpec extends AnyFunSuite {
           if w.partitionSpec.isEmpty => w.simpleStringWithNodeId()
     }
 
-  test("quantile bins: cumulative-count edges run on a partitioned window (no single-task sort)") {
-    val df = graft.ml.TrainPrep.quantileBins(Tables.events(spark, sf))
-    val offenders = partitionlessWindows(df)
-    assert(offenders.isEmpty, s"partition-less WindowExec in plan: $offenders")
-  }
-
-  test("ppl filter: tertile edges run on a partitioned window (no single-task sort)") {
-    val df = graft.text.Vocab.pplFilter(Tables.documents(spark, sf))
-    val offenders = partitionlessWindows(df)
-    assert(offenders.isEmpty, s"partition-less WindowExec in plan: $offenders")
-  }
-
-  test("column stats: per-feature edge computation is range-bucketed past the column count") {
-    val df = graft.operators.Diagnostics.columnStats(Tables.lineitem(spark, sf))
-    val offenders = partitionlessWindows(df)
-    assert(offenders.isEmpty, s"partition-less WindowExec in plan: $offenders")
-    // the cumulative window must partition by (feature, bucket), not
-    // feature alone — otherwise parallelism is capped at 4 columns
-    val buckets = df.queryExecution.sparkPlan.collect {
+  test("prefix sum above the NDV threshold: range-bucketed windows, no single-task sort") {
+    val vals = Tables.lineitem(spark, sf)
+      .groupBy(col("l_extendedprice").as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = graft.functions.PrefixSum.cumulative(
+      vals, "v", "cnt", fallbackNdv = 16)
+    assert(partitionlessWindows(cum).isEmpty,
+      s"partition-less WindowExec above the fallback threshold: ${partitionlessWindows(cum)}")
+    val bucketed = cum.queryExecution.sparkPlan.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec
           if w.partitionSpec.exists(_.toString.contains("pfx_bucket")) => w
     }
-    assert(buckets.nonEmpty,
-      "cumulative window not bucketed within features — one task per column at scale")
+    assert(bucketed.nonEmpty,
+      "cumulative window not range-bucketed — one straggler task sorts the distinct frame at scale")
+    // grouped form: the window must partition by (group, bucket), not
+    // group alone — otherwise parallelism is capped at the group count
+    val grouped = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag").as("g"), col("l_extendedprice").as("v"))
+      .groupBy(col("g"), col("v")).agg(count(lit(1)).as("cnt"))
+    val gcum = graft.functions.PrefixSum.cumulative(
+      grouped, "v", "cnt", Seq("g"), fallbackNdv = 16)
+    val gBucketed = gcum.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.exists(_.toString.contains("pfx_bucket")) => w
+    }
+    assert(gBucketed.nonEmpty, "grouped cumulative window not bucketed within groups")
+  }
+
+  test("prefix sum below the NDV threshold: collapses to the single-window form") {
+    val vals = Tables.lineitem(spark, sf)
+      .groupBy(col("l_quantity").as("v")).agg(count(lit(1)).as("cnt"))
+    val cum = graft.functions.PrefixSum.cumulative(vals, "v", "cnt")
+    // no pfx_bucket machinery — the overhead the fallback exists to avoid
+    val bucketed = cum.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.exists(_.toString.contains("pfx_bucket")) => w
+    }
+    assert(bucketed.isEmpty, "bucketed path engaged below the NDV threshold")
+    assert(partitionlessWindows(cum).nonEmpty, "expected the single-window fallback form")
+  }
+
+  test("exact percentiles match the Percentile aggregate bit-for-bit on both branches") {
+    val ev = Tables.events(spark, sf)
+    val expect = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("qs"))
+      .select(col("event_type"), col("qs").getItem(0).as("p25"),
+        col("qs").getItem(1).as("p50"), col("qs").getItem(2).as("p75"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    for (threshold <- Seq(1L, graft.functions.PrefixSum.DefaultFallbackNdv)) {
+      val got = graft.functions.PrefixSum.exactPercentiles(
+        ev.select(col("event_type"), col("value")), "value", Seq("event_type"),
+        Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), fallbackNdv = threshold)
+        .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+      assert(got == expect, s"exactPercentiles(fallbackNdv=$threshold) diverged from Percentile")
+    }
   }
 }
