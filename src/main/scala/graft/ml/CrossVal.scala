@@ -200,9 +200,75 @@ object CrossVal {
     rows.reduce(_.unionByName(_)).orderBy("model", "noise_level")
   }
 
+  /** The other half of `_test_model_robustness` (822-851): replace each
+    * feature with its (r6-rounded exact) median and re-score every
+    * model — the degradation profile that tells an operator which
+    * features a model actually leans on. In z-space the replacement is
+    * one broadcast constant per feature, z_med_i = (m_i − mean_i)/sd_i,
+    * so the whole 4-model × 3-feature grid still costs ONE scan; the
+    * three medians come from a single grouped
+    * [[graft.functions.PrefixSum.exactPercentiles]] pass over the
+    * melted feature stream (never a per-feature percentile buffer). */
+  def missingFeatureImpact(orders: DataFrame): DataFrame = {
+    val models = Seq("ens", "nn", "rf", "xgb")
+    val feats = Inference.features(orders)
+      .withColumn("actual", col("f2") <= 2.0d)
+    val melted = feats.select(explode(array(
+      struct(lit("f1").as("f"), col("f1").as("v")),
+      struct(lit("f2").as("f"), col("f2").as("v")),
+      struct(lit("f3").as("f"), col("f3").as("v")))).as("s"))
+      .select(col("s.f").as("f"), col("s.v").as("v"))
+    val meds = graft.functions.PrefixSum.exactPercentiles(
+      melted, "v", Seq("f"), Seq("med" -> 0.5))
+    // r6 the medians BEFORE use: DuckDB's median() interpolation agrees
+    // with Spark's Percentile to well past 1e-6 (q_impute's oracle
+    // proves it on this data), and rounding both sides makes every
+    // downstream z and prediction bit-identical by construction.
+    val medRow = meds.agg(
+      max(when(col("f") === "f1", r6(col("med")))).as("m1"),
+      max(when(col("f") === "f2", r6(col("med")))).as("m2"),
+      max(when(col("f") === "f3", r6(col("med")))).as("m3"))
+    val j = feats
+      .crossJoin(broadcast(Inference.fitMoments(orders)))
+      .crossJoin(broadcast(medRow))
+    def mean(i: Int): Column = col(s"s1_$i") / col("n")
+    def sd(i: Int): Column =
+      sqrt(col(s"s2_$i") / col("n") - mean(i) * mean(i))
+    def z(i: Int): Column = (col(s"f$i") - mean(i)) / sd(i)
+    def zMed(i: Int): Column = (col(s"m$i") - mean(i)) / sd(i)
+    def probs(z1: Column, z2: Column, z3: Column): Map[String, Column] = {
+      val (px, pr, pn) =
+        (Inference.pXgb(z1, z2, z3), Inference.pRf(z1, z2, z3), Inference.pNn(z1, z2, z3))
+      Map("xgb" -> px, "rf" -> pr, "nn" -> pn, "ens" -> (px + pr + pn) / lit(3d))
+    }
+    val clean = probs(z(1), z(2), z(3))
+    val replaced = Map(
+      "f1" -> probs(zMed(1), z(2), z(3)),
+      "f2" -> probs(z(1), zMed(2), z(3)),
+      "f3" -> probs(z(1), z(2), zMed(3)))
+    val aggs =
+      models.map(m => sum(when((clean(m) > 0.5d) === col("actual"), 1L)
+        .otherwise(0L)).as(s"cc_$m")) ++
+      replaced.toSeq.sortBy(_._1).flatMap { case (f, ps) =>
+        models.map(m => sum(when((ps(m) > 0.5d) === col("actual"), 1L)
+          .otherwise(0L)).as(s"mc_${m}_$f"))
+      } :+ count(lit(1)).as("n_rows")
+    val counts = j.agg(aggs.head, aggs.tail: _*)
+    val rows = for (m <- models; f <- Seq("f1", "f2", "f3")) yield {
+      val base = col(s"cc_$m").cast("double") / col("n_rows")
+      val acc = col(s"mc_${m}_$f").cast("double") / col("n_rows")
+      counts.select(
+        lit(m).as("model"), lit(f).as("missing_feature"), col("n_rows"),
+        r6(base).as("baseline_accuracy"), r6(acc).as("accuracy"),
+        r6(base - acc).as("accuracy_drop"))
+    }
+    rows.reduce(_.unionByName(_)).orderBy("model", "missing_feature")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_cv_metrics" -> ((s, d) => cvMetrics(Tables.orders(s, d))),
-    "q_model_robustness" -> ((s, d) => modelRobustness(Tables.orders(s, d)))
+    "q_model_robustness" -> ((s, d) => modelRobustness(Tables.orders(s, d))),
+    "q_missing_feature_impact" -> ((s, d) => missingFeatureImpact(Tables.orders(s, d)))
   )
 
   /** Shared oracle fragment: features + fold + md5 noise digits. */
@@ -293,6 +359,63 @@ object CrossVal {
              """sqrt(CAST(sa2 AS DOUBLE) / k
                - (CAST(sa AS DOUBLE) / k) * (CAST(sa AS DOUBLE) / k))""", 6)} AS cv_std_accuracy
          FROM mt CROSS JOIN rl ORDER BY fold"""
+    },
+    "q_missing_feature_impact" -> {
+      def zrep(i: Int): (String, String, String) = {
+        val zs = Seq("z1", "z2", "z3")
+          .updated(i - 1, s"zm$i")
+        (zs(0), zs(1), zs(2))
+      }
+      def modelSelects: String = {
+        val sels = for (m <- Seq("ens", "nn", "rf", "xgb"); f <- Seq("f1", "f2", "f3")) yield {
+          val base = s"CAST(cc_$m AS DOUBLE) / n_rows"
+          val acc = s"CAST(mc_${m}_$f AS DOUBLE) / n_rows"
+          s"""SELECT '$m' AS model, '$f' AS missing_feature, n_rows,
+             ${sqlR(base, 6)} AS baseline_accuracy,
+             ${sqlR(acc, 6)} AS accuracy,
+             ${sqlR(s"$base - ($acc)", 6)} AS accuracy_drop
+           FROM counts"""
+        }
+        sels.mkString("\n UNION ALL \n")
+      }
+      val (cx, cr, cn) = pSql("z1", "z2", "z3")
+      val repCols = (1 to 3).map { i =>
+        val (z1, z2, z3) = zrep(i)
+        val (px, pr, pn) = pSql(z1, z2, z3)
+        s"""CAST(SUM(CASE WHEN ((($px) + ($pr) + ($pn)) / 3.0 > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) mc_ens_f$i,
+           CAST(SUM(CASE WHEN (($pn) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) mc_nn_f$i,
+           CAST(SUM(CASE WHEN (($pr) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) mc_rf_f$i,
+           CAST(SUM(CASE WHEN (($px) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) mc_xgb_f$i"""
+      }.mkString(",\n")
+      s"""WITH $featSql,
+         med AS (SELECT
+             ${sqlR("median(f1)", 6)} AS m1,
+             ${sqlR("median(f2)", 6)} AS m2,
+             ${sqlR("median(f3)", 6)} AS m3 FROM raw),
+         m AS (SELECT CAST(COUNT(*) AS BIGINT) n,
+             CAST(SUM(CAST(f1 AS DECIMAL(18,4))) AS DOUBLE) s1_1,
+             CAST(SUM(CAST(f1*f1 AS DECIMAL(30,8))) AS DOUBLE) s2_1,
+             CAST(SUM(CAST(f2 AS DECIMAL(18,4))) AS DOUBLE) s1_2,
+             CAST(SUM(CAST(f2*f2 AS DECIMAL(30,8))) AS DOUBLE) s2_2,
+             CAST(SUM(CAST(f3 AS DECIMAL(18,4))) AS DOUBLE) s1_3,
+             CAST(SUM(CAST(f3*f3 AS DECIMAL(30,8))) AS DOUBLE) s2_3
+           FROM raw),
+         z AS (SELECT actual,
+             (f1 - s1_1/n) / sqrt(s2_1/n - (s1_1/n)*(s1_1/n)) AS z1,
+             (f2 - s1_2/n) / sqrt(s2_2/n - (s1_2/n)*(s1_2/n)) AS z2,
+             (f3 - s1_3/n) / sqrt(s2_3/n - (s1_3/n)*(s1_3/n)) AS z3,
+             (m1 - s1_1/n) / sqrt(s2_1/n - (s1_1/n)*(s1_1/n)) AS zm1,
+             (m2 - s1_2/n) / sqrt(s2_2/n - (s1_2/n)*(s1_2/n)) AS zm2,
+             (m3 - s1_3/n) / sqrt(s2_3/n - (s1_3/n)*(s1_3/n)) AS zm3
+           FROM raw CROSS JOIN m CROSS JOIN med),
+         counts AS (SELECT CAST(COUNT(*) AS BIGINT) n_rows,
+             CAST(SUM(CASE WHEN ((($cx) + ($cr) + ($cn)) / 3.0 > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) cc_ens,
+             CAST(SUM(CASE WHEN (($cn) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) cc_nn,
+             CAST(SUM(CASE WHEN (($cr) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) cc_rf,
+             CAST(SUM(CASE WHEN (($cx) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) cc_xgb,
+             $repCols
+           FROM z)
+         SELECT * FROM ($modelSelects) AS t ORDER BY model, missing_feature"""
     },
     "q_model_robustness" -> {
       def zs(l: String): (String, String, String) =

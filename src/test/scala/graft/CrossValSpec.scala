@@ -37,6 +37,29 @@ class CrossValSpec extends AnyFunSuite {
     assert(global > 0, "degenerate: ensemble predicts nothing positive")
   }
 
+  test("missing-feature impact: 12 rows, replacement is live, drop reconciles") {
+    val r = CrossVal.missingFeatureImpact(Tables.orders(spark, sf)).collect()
+    assert(r.length == 12)
+    r.foreach { row =>
+      val base = row.getAs[Double]("baseline_accuracy")
+      val acc = row.getAs[Double]("accuracy")
+      assert(math.abs((base - acc) - row.getAs[Double]("accuracy_drop")) < 2e-6)
+      assert(acc >= 0d && acc <= 1d)
+    }
+    // the median replacement must actually move at least one model's
+    // accuracy per feature (the twins all read every feature). NOTE:
+    // drops can be NEGATIVE here — the mock models are fixed formulas,
+    // not fitted to the label, so blanking a feature can align the
+    // scores with the majority class and IMPROVE raw accuracy; the mart
+    // reports the signed profile exactly as the reference records it.
+    Seq("f1", "f2", "f3").foreach { f =>
+      val drops = r.filter(_.getAs[String]("missing_feature") == f)
+        .map(_.getAs[Double]("accuracy_drop"))
+      assert(drops.exists(d => math.abs(d) > 0d),
+        s"median replacement of $f moved no model — replacement not wired?")
+    }
+  }
+
   test("model robustness: 12 rows, stable baseline per model, drop = baseline - accuracy") {
     val r = CrossVal.modelRobustness(Tables.orders(spark, sf)).collect()
     assert(r.length == 12)
