@@ -112,9 +112,16 @@ object Diagnostics {
     val melted = lineitem.select(explode(array(cols.map(c =>
         struct(lit(c).as("feature"), col(c).cast("double").as("v"))): _*)).as("s"))
       .select(col("s.feature").as("feature"), col("s.v").as("v"))
+    // Distinct-value frame pinned by an eager localCheckpoint: its
+    // lineage is the 4-way melt + shuffle over the full table, and it
+    // feeds THREE consumers (the totals aggregate, the prefix-sum NDV
+    // probe, and the cumulative window) — without pinning each re-runs
+    // the melt scan. The frame is NDV-scale (the same magnitude the
+    // cumulative shuffle moves anyway).
     val vals = melted.filter(col("v").isNotNull)
       .groupBy(col("feature"), col("v"))
       .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     // row/null/min/max stats need no melt: one narrow single-row
     // aggregate over the unexploded scan, reshaped to per-feature rows
     // (1 row -> 4). Saves a second full 4-way-exploded pass + shuffle.

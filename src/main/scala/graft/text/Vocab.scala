@@ -223,10 +223,19 @@ object Vocab {
     * drop out, mirroring [[bigramLm]]. */
   def pplFilter(documents: DataFrame): DataFrame = {
     val scored = bigramLm(documents)
-    val cum = graft.functions.PrefixSum.cumulative(
-      scored.groupBy(col("bits_per_token").as("v")).agg(count(lit(1)).as("c")),
-      "v", "c")
-    val n = scored.agg(count(lit(1)).as("n"))
+    // The (score, count) distinct frame is DOC-scale (≤ one row per
+    // document) but its lineage is the full bigram-LM scoring pass; the
+    // prefix-sum device reads it twice (NDV probe + cumulative window)
+    // and the total once more. One eager localCheckpoint pins it so the
+    // LM scoring runs once for the edge computation instead of three
+    // times — the same per-round pinning trick the dedup cluster
+    // propagation uses. The final per-doc bucketing below still scans
+    // `scored` directly (row-parallel, no benefit from the checkpoint).
+    val dist = scored.groupBy(col("bits_per_token").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val cum = graft.functions.PrefixSum.cumulative(dist, "v", "c")
+    val n = dist.agg(sum(col("c")).as("n"))
     val edges = cum.crossJoin(broadcast(n))
       .select(col("v"), col("cum"), col("n"), explode(array(lit(1), lit(2))).as("k"))
       .filter(col("cum") >= expr("(k * n + 2) div 3"))
