@@ -121,9 +121,17 @@ object PrefixSum {
                        percentiles: Seq[(String, Double)],
                        buckets: Int = 32,
                        fallbackNdv: Long = DefaultFallbackNdv): DataFrame = {
+    // Pin the distinct frame: it feeds the totals aggregate plus the
+    // NDV probe and cumulative window inside [[cumulative]] — three
+    // executions of the upstream scan without pinning (for skewProfile
+    // the upstream is itself the full per-key count aggregate). The
+    // frame is NDV-scale, the same magnitude the cumulative shuffle
+    // already moves; the lineage-truncation trade is the one the dedup
+    // cluster propagation already makes.
     val vals = df.filter(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("pct_cnt"))
+      .localCheckpoint()
     val totals =
       (if (groupCols.isEmpty) vals.agg(sum(col("pct_cnt")).as("pct_n"))
        else vals.groupBy(groupCols.map(col): _*).agg(sum(col("pct_cnt")).as("pct_n")))
