@@ -86,8 +86,6 @@ object CrossVal {
     val feats = Inference.features(orders)
       .withColumn("fold", (hexDigit("o_orderkey", 1) % folds).cast("int"))
       .withColumn("actual", col("f2") <= 2.0d)
-    // ≤k rows, but TWO consumers (the global rollup and the train-moment
-    // subtraction) — pin it so the full feature scan aggregates once.
     val perFold = feats.groupBy(col("fold")).agg(
       count(lit(1)).as("fn"),
       sum(col("f1").cast("decimal(18,4)")).as("d1_1"),
@@ -96,7 +94,6 @@ object CrossVal {
       sum((col("f2") * col("f2")).cast("decimal(30,8)")).as("d2_2"),
       sum(col("f3").cast("decimal(18,4)")).as("d1_3"),
       sum((col("f3") * col("f3")).cast("decimal(30,8)")).as("d2_3"))
-      .localCheckpoint()
     val glob = perFold.agg(
       sum(col("fn")).as("gn"),
       sum(col("d1_1")).as("g1_1"), sum(col("d2_1")).as("g2_1"),
@@ -131,13 +128,10 @@ object CrossVal {
       sum(when(col("actual") && !col("pred"), 1L).otherwise(0L)).as("fn"))
     val (acc, prec, rec, f1) =
       weightedMetrics(col("tp"), col("fp"), col("tn"), col("fn"))
-    // k rows, two consumers (the rollup and the final attach) — pin so
-    // the scoring scan runs once, not three times
     val folded = conf.select(
       col("fold"), col("n_test"),
       r6(acc).as("accuracy"), r6(prec).as("precision_w"),
       r6(rec).as("recall_w"), r6(f1).as("f1_w"))
-      .localCheckpoint()
     // cv mean/std over the ROUNDED fold accuracies through exact
     // decimals — partition-order-proof in both engines
     val roll = folded.agg(
@@ -193,9 +187,7 @@ object CrossVal {
         models.map(m => sum(when((noisy(m) > 0.5d) === col("actual"), 1L)
           .otherwise(0L)).as(s"nc_${m}_${lvlKey(l)}"))
       } :+ count(lit(1)).as("n_rows")
-    // ONE row, but the 12-row unpivot below selects from it 12 times —
-    // without pinning each select re-runs the full correctness scan
-    val counts = j.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val counts = j.agg(aggs.head, aggs.tail: _*)
     val rows = for (m <- models; l <- levels) yield {
       val base = col(s"cc_$m").cast("double") / col("n_rows")
       val acc = col(s"nc_${m}_${lvlKey(l)}").cast("double") / col("n_rows")
@@ -261,8 +253,7 @@ object CrossVal {
         models.map(m => sum(when((ps(m) > 0.5d) === col("actual"), 1L)
           .otherwise(0L)).as(s"mc_${m}_$f"))
       } :+ count(lit(1)).as("n_rows")
-    // ONE row, 12 unpivot consumers — pin it (see modelRobustness)
-    val counts = j.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val counts = j.agg(aggs.head, aggs.tail: _*)
     val rows = for (m <- models; f <- Seq("f1", "f2", "f3")) yield {
       val base = col(s"cc_$m").cast("double") / col("n_rows")
       val acc = col(s"mc_${m}_$f").cast("double") / col("n_rows")
