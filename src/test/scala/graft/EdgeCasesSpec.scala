@@ -123,4 +123,16 @@ class EdgeCasesSpec extends AnyFunSuite {
     val sp = graft.operators.Diagnostics.skewProfile(emptyLi, "l_partkey").collect()
     assert(sp.length == 1 && sp(0).getAs[Long]("n_keys") == 0L)
   }
+
+  test("model-evaluation marts are well-defined on empty orders") {
+    val emptyOrders = Tables.orders(spark, sf).limit(0)
+    // no folds exist -> no fold rows
+    assert(graft.ml.CrossVal.cvMetrics(emptyOrders).count() == 0)
+    // the grids keep their model x level / model x feature shape with
+    // zero counts (n_rows = 0, null metrics) — they never throw
+    val rob = graft.ml.CrossVal.modelRobustness(emptyOrders).collect()
+    assert(rob.length == 12 && rob.forall(_.getAs[Long]("n_rows") == 0L))
+    val mfi = graft.ml.CrossVal.missingFeatureImpact(emptyOrders).collect()
+    assert(mfi.length == 12 && mfi.forall(_.getAs[Long]("n_rows") == 0L))
+  }
 }
