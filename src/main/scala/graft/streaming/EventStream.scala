@@ -50,6 +50,9 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Same UTC pin as Tables.events: the NTZ→Timestamp normalization in
+    // normalizeEventTs is only value-preserving under a UTC session zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val streamDir = Files.createTempDirectory("graft-stream")
     Files.createSymbolicLink(streamDir.resolve("events.parquet"),
       Paths.get(s"$dir/events.parquet"))
