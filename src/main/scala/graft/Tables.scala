@@ -46,6 +46,13 @@ object Tables {
     }
   }
 
+  /** NOTE: this loader SETS two session confs (nanosAsLong=true,
+    * session.timeZone=UTC) as a deliberate engine-wide contract — every
+    * oracle comparison and every timestamp-bearing operator in this
+    * library assumes the UTC session zone, and the entry points
+    * (Verify/Bench/TestSession) either pin it at build or rely on this.
+    * A host application running deliberately non-UTC should not load
+    * through graft loaders mid-session. */
   def events(s: SparkSession, d: String): DataFrame = {
     // Keep the nanos escape hatch on: if the generator reverts to
     // TIMESTAMP(NANOS), the read still succeeds (as Long) and the shim above

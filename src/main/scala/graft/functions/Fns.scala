@@ -60,6 +60,14 @@ object Fns {
     * to emit event timestamps. */
   def epochS(c: Column): Column = unix_timestamp(c)
 
+  /** Hex digit `pos` (1-based) of md5(id) as an int 0..15 — THE
+    * deterministic noise/fold/gate source shared by the monitoring and
+    * model-evaluation twins (the engine's replay-safe substitute for
+    * `random_state` / `np.random`). Single definition so the marts and
+    * their DuckDB oracle fragments can never drift apart. */
+  def hexDigit(idCol: String, pos: Int): Column =
+    expr(s"instr('0123456789abcdef', substr(md5(cast($idCol as string)), $pos, 1)) - 1")
+
   /** Normalized document text: lowercase, collapse whitespace, trim. */
   def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))

@@ -71,9 +71,21 @@ object PrefixSum {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       return frame.withColumn("cum", sum(col(cntCol)).over(w))
     }
+    // Group-key joins are NULL-SAFE (<=>): a NULL group key is a real
+    // group to groupBy/Window.partitionBy (and to the percentile()
+    // aggregate this device replaces) — a plain equi-join would silently
+    // drop it on the bucketed branch only, making the two branches
+    // disagree.
+    def nullSafeOn(cols: Seq[String], prefix: String) =
+      cols.map(g => col(g) <=> col(s"$prefix$g")).reduce(_ && _)
     val withB =
       if (groupCols.isEmpty) frame.crossJoin(broadcast(bounds.drop("pfx_ndv")))
-      else frame.join(broadcast(bounds.drop("pfx_ndv")), groupCols)
+      else {
+        val b = bounds.drop("pfx_ndv").select(
+          groupCols.map(g => col(g).as(s"pfx_j_$g")) :+ col("pfx_bs"): _*)
+        frame.join(broadcast(b), nullSafeOn(groupCols, "pfx_j_"))
+          .drop(groupCols.map(g => s"pfx_j_$g"): _*)
+      }
     val bucketed = withB.withColumn("pfx_bucket",
       expr(s"aggregate(pfx_bs, 0, (a, x) -> a + (CASE WHEN $valueCol > x THEN 1 ELSE 0 END))"))
     val keys = groupCols :+ "pfx_bucket"
@@ -90,12 +102,15 @@ object PrefixSum {
       groupCols.map(g => col(g).as(s"pfx_b_$g")) ++
         Seq(col("pfx_bucket").as("pfx_b_bucket"), col("pfx_tot").as("pfx_b_tot")): _*)
     val joinCond = groupCols
-      .map(g => col(g) === col(s"pfx_b_$g"))
+      .map(g => col(g) <=> col(s"pfx_b_$g"))
       .foldLeft(col("pfx_b_bucket") < col("pfx_bucket"))(_ && _)
     val off = tot.join(broadcast(totB), joinCond, "left")
       .groupBy(keys.map(col): _*)
       .agg(coalesce(sum(col("pfx_b_tot")), lit(0L)).as("pfx_off"))
-    local.join(broadcast(off), keys)
+    val offB = off.select(
+      keys.map(k => col(k).as(s"pfx_o_$k")) :+ col("pfx_off"): _*)
+    local.join(broadcast(offB), nullSafeOn(keys, "pfx_o_"))
+      .drop(keys.map(k => s"pfx_o_$k"): _*)
       .withColumn("cum", col("pfx_local") + col("pfx_off"))
       .drop("pfx_bs", "pfx_bucket", "pfx_local", "pfx_off")
   }
@@ -107,14 +122,19 @@ object PrefixSum {
     * frame's cumulative counts come from [[cumulative]] (range-bucketed
     * past `fallbackNdv`), each requested rank lands on the value-run
     * covering it, and the interpolation (hi−r)·v_lo + (r−lo)·v_hi is the
-    * same arithmetic `Percentile.getPercentile` evaluates — bit-identical
-    * output, never a single-reducer buffer.
+    * same arithmetic `Percentile.getPercentile` evaluates — including its
+    * equal-endpoint short-circuit (when both rank endpoints land on the
+    * same value-run the result IS that value; the reconstruction form
+    * can be 1 ulp off for non-dyadic p) — bit-identical output, never a
+    * single-reducer buffer.
     *
     * Returns one row per group: `groupCols` ++ one double column per
-    * `(label, p)` plus `n_<suffix>` (the non-null count the percentile
-    * ranks were computed over). NULL values are excluded, matching the
-    * aggregate's semantics. Empty input yields an empty frame (grouped)
-    * — callers that need a NULL row for the global case guard upstream.
+    * `(label, p)` plus `pct_n` (the non-null count the percentile ranks
+    * were computed over; callers usually `.drop("pct_n")`). NULL values
+    * are excluded, matching the aggregate's semantics; NULL GROUP KEYS
+    * are kept as their own group, matching groupBy. Empty input yields
+    * an empty frame (grouped) — callers that need a NULL row for the
+    * global case guard upstream.
     */
   def exactPercentiles(df: DataFrame, valueCol: String,
                        groupCols: Seq[String],
@@ -140,7 +160,14 @@ object PrefixSum {
       .withColumn("pct_start", col("pct_end") - col("pct_cnt") + 1)
     val runs =
       if (groupCols.isEmpty) runs0.crossJoin(broadcast(totals))
-      else runs0.join(broadcast(totals), groupCols)
+      else {
+        // null-safe: a NULL group key is a real group (see cumulative)
+        val t = totals.select(
+          groupCols.map(g => col(g).as(s"pct_j_$g")) :+ col("pct_n"): _*)
+        runs0.join(broadcast(t),
+            groupCols.map(g => col(g) <=> col(s"pct_j_$g")).reduce(_ && _))
+          .drop(groupCols.map(g => s"pct_j_$g"): _*)
+      }
     val specs = percentiles.zipWithIndex.map { case ((_, p), i) =>
       struct(lit(i).as("ei"), lit(p).as("p"))
     }
@@ -159,8 +186,13 @@ object PrefixSum {
           col(valueCol))).as("v_hi"),
         max(col("r")).as("r"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
         max(col("pct_n")).as("pct_n"))
+      // Equal-endpoint short-circuit, as Percentile.getPercentile does:
+      // when both rank endpoints fall in the same duplicated-value run,
+      // return the value itself — the reconstruction (hi−r)·v + (r−lo)·v
+      // is 1 ulp off for non-dyadic p, which an r6 half-boundary turns
+      // into an oracle hash drift.
       .withColumn("q",
-        when(col("lo") === col("hi"), col("v_lo"))
+        when(col("lo") === col("hi") || col("v_lo") === col("v_hi"), col("v_lo"))
           .otherwise((col("hi") - col("r")) * col("v_lo") +
                      (col("r") - col("lo")) * col("v_hi")))
     val pivots = percentiles.zipWithIndex.map { case ((label, _), i) =>

@@ -44,11 +44,6 @@ import graft.functions.Fns._
   */
 object CrossVal {
 
-  /** Hex digit `pos` (1-based) of md5(id) as int 0..15 — deterministic
-    * noise/fold source, same device as [[Monitoring]]'s hexNoise. */
-  private def hexDigit(idCol: String, pos: Int): Column =
-    expr(s"instr('0123456789abcdef', substr(md5(cast($idCol as string)), $pos, 1)) - 1")
-
   private def safeDiv(num: Column, den: Column): Column =
     when(den > 0d, num / den).otherwise(lit(0d))
 
@@ -110,15 +105,10 @@ object CrossVal {
       (col("g2_2") - col("d2_2")).cast("double").as("s2_2"),
       (col("g1_3") - col("d1_3")).cast("double").as("s1_3"),
       (col("g2_3") - col("d2_3")).cast("double").as("s2_3"))
-    def z(i: Int): Column = {
-      val mean = col(s"s1_$i") / col("n")
-      val std = sqrt(col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n")))
-      (col(s"f$i") - mean) / std
-    }
+    def z(i: Int): Column = Inference.zMoment(i)
     val scored = feats.join(broadcast(train), "fold")
       .withColumn("p_ens",
-        (Inference.pXgb(z(1), z(2), z(3)) + Inference.pRf(z(1), z(2), z(3)) +
-          Inference.pNn(z(1), z(2), z(3))) / lit(3d))
+        Inference.ensembleProbs(z(1), z(2), z(3))("ens"))
       .withColumn("pred", col("p_ens") > 0.5d)
     val conf = scored.groupBy(col("fold")).agg(
       count(lit(1)).as("n_test"),
@@ -166,23 +156,14 @@ object CrossVal {
       .withColumn("u2", (hexDigit("o_orderkey", 2) - 7.5d) / 7.5d)
       .withColumn("u3", (hexDigit("o_orderkey", 3) - 7.5d) / 7.5d)
     val j = feats.crossJoin(broadcast(Inference.fitMoments(orders)))
-    def z(i: Int): Column = {
-      val mean = col(s"s1_$i") / col("n")
-      val std = sqrt(col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n")))
-      (col(s"f$i") - mean) / std
-    }
-    def probs(z1: Column, z2: Column, z3: Column): Map[String, Column] = {
-      val (px, pr, pn) =
-        (Inference.pXgb(z1, z2, z3), Inference.pRf(z1, z2, z3), Inference.pNn(z1, z2, z3))
-      Map("xgb" -> px, "rf" -> pr, "nn" -> pn, "ens" -> (px + pr + pn) / lit(3d))
-    }
-    val clean = probs(z(1), z(2), z(3))
+    def z(i: Int): Column = Inference.zMoment(i)
+    val clean = Inference.ensembleProbs(z(1), z(2), z(3))
     def lvlKey(l: Double) = f"${(l * 100).round}%02d"
     val aggs =
       models.map(m => sum(when((clean(m) > 0.5d) === col("actual"), 1L)
         .otherwise(0L)).as(s"cc_$m")) ++
       levels.flatMap { l =>
-        val noisy = probs(
+        val noisy = Inference.ensembleProbs(
           z(1) + col("u1") * lit(l), z(2) + col("u2") * lit(l), z(3) + col("u3") * lit(l))
         models.map(m => sum(when((noisy(m) > 0.5d) === col("actual"), 1L)
           .otherwise(0L)).as(s"nc_${m}_${lvlKey(l)}"))
@@ -231,21 +212,13 @@ object CrossVal {
     val j = feats
       .crossJoin(broadcast(Inference.fitMoments(orders)))
       .crossJoin(broadcast(medRow))
-    def mean(i: Int): Column = col(s"s1_$i") / col("n")
-    def sd(i: Int): Column =
-      sqrt(col(s"s2_$i") / col("n") - mean(i) * mean(i))
-    def z(i: Int): Column = (col(s"f$i") - mean(i)) / sd(i)
-    def zMed(i: Int): Column = (col(s"m$i") - mean(i)) / sd(i)
-    def probs(z1: Column, z2: Column, z3: Column): Map[String, Column] = {
-      val (px, pr, pn) =
-        (Inference.pXgb(z1, z2, z3), Inference.pRf(z1, z2, z3), Inference.pNn(z1, z2, z3))
-      Map("xgb" -> px, "rf" -> pr, "nn" -> pn, "ens" -> (px + pr + pn) / lit(3d))
-    }
-    val clean = probs(z(1), z(2), z(3))
+    def z(i: Int): Column = Inference.zMoment(i)
+    def zMed(i: Int): Column = Inference.zOf(col(s"m$i"), i)
+    val clean = Inference.ensembleProbs(z(1), z(2), z(3))
     val replaced = Map(
-      "f1" -> probs(zMed(1), z(2), z(3)),
-      "f2" -> probs(z(1), zMed(2), z(3)),
-      "f3" -> probs(z(1), z(2), zMed(3)))
+      "f1" -> Inference.ensembleProbs(zMed(1), z(2), z(3)),
+      "f2" -> Inference.ensembleProbs(z(1), zMed(2), z(3)),
+      "f3" -> Inference.ensembleProbs(z(1), z(2), zMed(3)))
     val aggs =
       models.map(m => sum(when((clean(m) > 0.5d) === col("actual"), 1L)
         .otherwise(0L)).as(s"cc_$m")) ++

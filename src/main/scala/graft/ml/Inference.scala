@@ -52,6 +52,27 @@ object Inference {
       lit(1.5d) * (sigmoid(z1 + lit(0.5d) * z2) - lit(0.5d)) +
         lit(0.8d) * (sigmoid(z2 - z3) - lit(0.5d)))
 
+  /** Standardize `value` against the broadcast moment columns
+    * (`n`, `s1_i`, `s2_i`) in scope — the single copy of the population
+    * scaler formula (load-bearing for oracle bit-parity) every consumer
+    * shares: [[scoreWith]], the streaming twin, and the CV/robustness
+    * marts ([[CrossVal]]). */
+  def zOf(value: Column, i: Int): Column = {
+    val mean = col(s"s1_$i") / col("n")
+    val std = sqrt(col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n")))
+    (value - mean) / std
+  }
+
+  /** zOf of the raw feature column f_i itself. */
+  def zMoment(i: Int): Column = zOf(col(s"f$i"), i)
+
+  /** All four model probabilities over one standardized feature triple —
+    * the equal-weight ensemble included. */
+  def ensembleProbs(z1: Column, z2: Column, z3: Column): Map[String, Column] = {
+    val (px, pr, pn) = (pXgb(z1, z2, z3), pRf(z1, z2, z3), pNn(z1, z2, z3))
+    Map("xgb" -> px, "rf" -> pr, "nn" -> pn, "ens" -> (px + pr + pn) / lit(3d))
+  }
+
   /** Ensemble batch scoring over orders. Features per order:
     * f1 = o_totalprice, f2 = priority rank (1-5), f3 = weekday(0-6).
     * Each is standardized with the population scaler the reference's
@@ -84,13 +105,9 @@ object Inference {
     * frame or inside a micro-batch (no shuffle downstream of the
     * broadcast; unsorted, callers order at the edge). */
   def scoreWith(feats: DataFrame, moments: DataFrame): DataFrame = {
-    def z(i: Int): Column = {
-      val mean = col(s"s1_$i") / col("n")
-      val std = sqrt(col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n")))
-      ((col(s"f$i") - mean) / std).as(s"z$i")
-    }
     val scaled = feats.crossJoin(broadcast(moments))
-      .select(col("o_orderkey"), z(1), z(2), z(3))
+      .select(col("o_orderkey"),
+        zMoment(1).as("z1"), zMoment(2).as("z2"), zMoment(3).as("z3"))
     scaled
       .withColumn("p_xgb", pXgb(col("z1"), col("z2"), col("z3")))
       .withColumn("p_rf", pRf(col("z1"), col("z2"), col("z3")))

@@ -35,9 +35,8 @@ import graft.functions.Fns._
 object Monitoring {
 
   /** First hex digit of md5(id) as an int in 0..15 — the deterministic
-    * noise source shared with the oracle SQL. */
-  private def hexNoise(idCol: String): Column =
-    expr(s"instr('0123456789abcdef', substr(md5(cast($idCol as string)), 1, 1)) - 1")
+    * noise source shared with the oracle SQL ([[graft.functions.Fns.hexDigit]]). */
+  private def hexNoise(idCol: String): Column = hexDigit(idCol, 1)
 
   /** Deterministic (y_true, y_pred) columns on an events frame: the
     * label is value>50, the prediction flips the label when the md5

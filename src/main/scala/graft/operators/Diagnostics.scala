@@ -170,7 +170,11 @@ object Diagnostics {
         max(col("r")).as("r"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
         max(col("ndv")).as("ndv"))
       .withColumn("q",
-        when(col("lo") === col("hi"), col("v_lo"))
+        // equal-endpoint short-circuit as Percentile.getPercentile (and
+        // PrefixSum.exactPercentiles) — octile ranks are dyadic so the
+        // reconstruction happens to be exact here, but keep the forms
+        // identical
+        when(col("lo") === col("hi") || col("v_lo") === col("v_hi"), col("v_lo"))
           .otherwise((col("hi") - col("r")) * col("v_lo") +
                      (col("r") - col("lo")) * col("v_hi")))
       .groupBy("feature")

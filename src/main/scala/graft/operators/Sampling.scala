@@ -69,8 +69,12 @@ object Sampling {
     val qs = graft.functions.PrefixSum.exactPercentiles(
       events.select(col("event_type"), col("value")), "value", Seq("event_type"),
       Seq("p25_0" -> 0.25, "p50_0" -> 0.5, "p75_0" -> 0.75)).drop("pct_n")
+    // null-safe join: a NULL event_type is a real group to groupBy (and
+    // to the percentile aggregate this replaces) in both engines
     events.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-      .join(broadcast(qs), Seq("event_type"), "left")
+      .join(broadcast(qs.withColumnRenamed("event_type", "et_q")),
+        col("event_type") <=> col("et_q"), "left")
+      .drop("et_q")
       .select(col("event_type"),
         r6(col("p25_0")).as("p25"), r6(col("p50_0")).as("p50"),
         r6(col("p75_0")).as("p75"), col("n"))

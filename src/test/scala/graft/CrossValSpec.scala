@@ -27,14 +27,27 @@ class CrossValSpec extends AnyFunSuite {
     assert(math.abs(r.head.getAs[Double]("cv_std_accuracy") - std) < 1e-6)
   }
 
-  test("cv metrics: per-fold scaler excludes the fold (train moments differ across folds)") {
-    // with leakage (global scaler) every fold would score identically to
-    // ensembleScore; the fold-out scaler must move at least one decision
-    // boundary — weak but cheap canary that the fold subtraction is live
+  test("cv metrics: per-fold scaler excludes the fold (differs from the leaked global scaler)") {
     val orders = Tables.orders(spark, sf)
-    val global = graft.ml.Inference.ensembleScore(orders)
-      .agg(sum(when(col("prediction"), 1L).otherwise(0L))).first().getLong(0)
-    assert(global > 0, "degenerate: ensemble predicts nothing positive")
+    val cv = CrossVal.cvMetrics(orders).collect()
+      .map(r => r.getAs[Int]("fold") -> r.getAs[Double]("accuracy")).toMap
+    // leaked twin: score with the GLOBAL scaler (ensembleScore), same
+    // folds and label — if cvMetrics leaked the fold into its scaler,
+    // every fold accuracy would equal this
+    val leaked = graft.ml.Inference.ensembleScore(orders)
+      .join(orders.select(col("o_orderkey"),
+        (substring(col("o_orderpriority"), 1, 1).cast("double") <= 2.0d).as("actual")),
+        "o_orderkey")
+      .withColumn("fold", expr(
+        "cast((instr('0123456789abcdef', substr(md5(cast(o_orderkey as string)), 1, 1)) - 1) % 5 as int)"))
+      .groupBy("fold")
+      .agg((sum(when(col("prediction") === col("actual"), 1L).otherwise(0L)).cast("double")
+        / count(lit(1))).as("acc"))
+      .collect().map(r => r.getAs[Int]("fold") -> r.getAs[Double]("acc")).toMap
+    assert(cv.keySet == leaked.keySet)
+    val diffs = cv.keys.count(f => math.abs(cv(f) - leaked(f)) > 1e-9)
+    assert(diffs > 0,
+      s"every fold scored identically to the leaked global scaler — fold exclusion not live\ncv=$cv\nleaked=$leaked")
   }
 
   test("missing-feature impact: 12 rows, replacement is live, drop reconciles") {
