@@ -43,7 +43,7 @@ case class SessionOut(session_id: String, user_id: Long, session_seq: Long,
   */
 object EventStream {
 
-  /** Streaming events with the same ns→µs timestamp handling as
+  /** Streaming events with the same encoding-adaptive ts handling as
     * graft.Tables.events. The file stream source needs a directory, so the
     * single test parquet is staged into a temp dir via symlink (a real
     * deployment points this at the landing directory / Kafka instead). */
