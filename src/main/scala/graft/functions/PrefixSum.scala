@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
   * distinct-value frame — the two-level prefix sum that replaces a
   * partition-less `Window.orderBy(value)`:
   *
-  *  1. one probe pass over the distinct-value frame yields, per group,
-  *     `buckets`-1 approx-percentile range boundaries AND the group's
-  *     distinct count (same aggregate — the NDV probe is free), pinned by
-  *     an eager localCheckpoint so every plan branch buckets identically;
+  *  1. a cheap eager probe (per-group distinct counts) picks the branch;
+  *     on the bucketed side a second pass yields `buckets`-1
+  *     approx-percentile range boundaries per group, pinned by an eager
+  *     localCheckpoint so every plan branch buckets identically;
   *  2. each row gets a broadcast-computed bucket id (count of boundaries
   *     below its value — ties stay deterministic because equal values get
   *     equal buckets), and the cumulative sum runs under
@@ -23,11 +23,11 @@ import org.apache.spark.sql.functions._
   *
   * ADAPTIVE: when the probe shows every group's NDV under
   * `fallbackNdv`, the machinery above is pure overhead — a single
-  * window over a ≤64k-row frame sorts in milliseconds, while the
-  * bucketed path pays two more localCheckpoints and three exchanges.
-  * The probe is already materialized, so the branch costs nothing
-  * extra; below the threshold the plan collapses to the one-window
-  * form. At 100× scale (NDV ≈ rows for a continuous column) the probe
+  * window over a bounded frame sorts in well under the bucketed
+  * path's fixed cost (two more localCheckpoints, the boundary sketch
+  * and three exchanges), and the fallback branch skips the boundary
+  * estimation entirely. At 100× scale (NDV ≈ rows for a continuous
+  * column) the probe
   * reads past the threshold and the bucketed path engages — the
   * difference between one straggler task sorting the whole distinct
   * frame and a fleet of range-local sorts. PlanQualitySpec pins both
@@ -38,39 +38,62 @@ import org.apache.spark.sql.functions._
   *
   * `valueCol` must be non-null (callers filter); `cntCol` must be a
   * bigint count. Adds the column `cum`; internal columns are dropped.
+  *
+  * EAGER: every entry point in this object runs Spark jobs at
+  * DataFrame-CONSTRUCTION time (the NDV probe, plus localCheckpoints of
+  * the boundary/subtotal frames on the bucketed branch) — it is not a
+  * pure plan-to-plan transform. Callers pay the input lineage at build
+  * time (pin it first if it is expensive — see
+  * [[exactPercentilesOnCounts]]), and none of these devices can be
+  * applied to a streaming DataFrame.
   */
 object PrefixSum {
 
-  /** NDV below which the single-window form wins: a 64k-row external
-    * sort is milliseconds on one task, well under the bucketed path's
-    * fixed overhead. */
-  val DefaultFallbackNdv = 65536L
+  /** NDV below which the single-window form wins. The bucketed path's
+    * fixed cost is substantial regardless of data size — two more
+    * localCheckpoints, an NDV probe, four broadcasts and ~8 AQE stage
+    * jobs, measured at ~1s of driver-serial overhead — while a one-task
+    * external sort of a ≤1M-row distinct frame is comfortably under
+    * that (≈0.5s), and under a grouped `partitionBy` the "straggler" is
+    * one task per GROUP, running in parallel. Past ~1M distinct values
+    * the serial sort term starts to dominate any fleet (a continuous
+    * column at 100 TB has NDV ≈ rows, i.e. billions — deep into the
+    * bucketed regime either way), so the cutover sits where the two
+    * curves cross, not at the smallest "safe" value. */
+  val DefaultFallbackNdv = 1L << 20
 
   def cumulative(frame: DataFrame, valueCol: String, cntCol: String,
                  groupCols: Seq[String] = Nil, buckets: Int = 32,
                  fallbackNdv: Long = DefaultFallbackNdv): DataFrame = {
+    // Branch on a CHEAP probe first (per-group row counts of the distinct
+    // frame — no sketch work), so the fallback side never pays for
+    // boundary estimation at all; the approx_percentile pass below runs
+    // only once the bucketed path is already decided.
+    val ndvAgg = count(lit(1)).as("pfx_ndv")
+    val maxNdv =
+      (if (groupCols.isEmpty) frame.agg(ndvAgg)
+       else frame.groupBy(groupCols.map(col): _*).agg(ndvAgg))
+        .agg(max(col("pfx_ndv"))).first() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    if (maxNdv <= fallbackNdv) {
+      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      return frame.withColumn("cum", sum(col(cntCol)).over(w))
+    }
     val pcts = (1 until buckets).map(i => i.toDouble / buckets)
       .mkString("array(", ",", ")")
     val bAgg = expr(s"approx_percentile($valueCol, $pcts, 1000)").as("pfx_bs")
-    val nAgg = count(lit(1)).as("pfx_ndv")
     // ONE boundary set for every branch: approx_percentile's merge order
     // is not guaranteed deterministic across recomputations, and the
     // bucketed frame feeds both the windowed branch and the subtotal
     // branch — a checkpoint of this tiny frame (one row per group) makes
     // the bucket assignment a constant of the query.
     val bounds =
-      (if (groupCols.isEmpty) frame.agg(bAgg, nAgg)
-       else frame.groupBy(groupCols.map(col): _*).agg(bAgg, nAgg))
+      (if (groupCols.isEmpty) frame.agg(bAgg)
+       else frame.groupBy(groupCols.map(col): _*).agg(bAgg))
         .localCheckpoint()
-    val maxNdv = bounds.agg(max(col("pfx_ndv"))).first() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
-    if (maxNdv <= fallbackNdv) {
-      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      return frame.withColumn("cum", sum(col(cntCol)).over(w))
-    }
     // Group-key joins are NULL-SAFE (<=>): a NULL group key is a real
     // group to groupBy/Window.partitionBy (and to the percentile()
     // aggregate this device replaces) — a plain equi-join would silently
@@ -79,9 +102,9 @@ object PrefixSum {
     def nullSafeOn(cols: Seq[String], prefix: String) =
       cols.map(g => col(g) <=> col(s"$prefix$g")).reduce(_ && _)
     val withB =
-      if (groupCols.isEmpty) frame.crossJoin(broadcast(bounds.drop("pfx_ndv")))
+      if (groupCols.isEmpty) frame.crossJoin(broadcast(bounds))
       else {
-        val b = bounds.drop("pfx_ndv").select(
+        val b = bounds.select(
           groupCols.map(g => col(g).as(s"pfx_j_$g")) :+ col("pfx_bs"): _*)
         frame.join(broadcast(b), nullSafeOn(groupCols, "pfx_j_"))
           .drop(groupCols.map(g => s"pfx_j_$g"): _*)
@@ -152,12 +175,32 @@ object PrefixSum {
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("pct_cnt"))
       .localCheckpoint()
+    exactPercentilesOnCounts(vals, valueCol, "pct_cnt", groupCols,
+      percentiles, buckets, fallbackNdv)
+  }
+
+  /** [[exactPercentiles]] over a PRE-AGGREGATED distinct-value frame:
+    * `vals` must hold one row per (groupCols..., valueCol) with `cntCol`
+    * its bigint multiplicity, no NULL values (NULL group keys are fine),
+    * and SHOULD already be materialized (localCheckpoint/cache) — the
+    * device runs eager probe jobs against it, so an unpinned lineage is
+    * recomputed several times. Callers that already need the distinct
+    * frame for other per-value passes (a profile computing moments,
+    * outlier counts and quartiles, e.g. [[graft.ml.Features.featureStats]])
+    * build + pin it ONCE and share it, instead of paying a second
+    * distinct shuffle inside this device. */
+  def exactPercentilesOnCounts(vals: DataFrame, valueCol: String,
+                               cntCol: String,
+                               groupCols: Seq[String],
+                               percentiles: Seq[(String, Double)],
+                               buckets: Int = 32,
+                               fallbackNdv: Long = DefaultFallbackNdv): DataFrame = {
     val totals =
-      (if (groupCols.isEmpty) vals.agg(sum(col("pct_cnt")).as("pct_n"))
-       else vals.groupBy(groupCols.map(col): _*).agg(sum(col("pct_cnt")).as("pct_n")))
-    val runs0 = cumulative(vals, valueCol, "pct_cnt", groupCols, buckets, fallbackNdv)
+      (if (groupCols.isEmpty) vals.agg(sum(col(cntCol)).as("pct_n"))
+       else vals.groupBy(groupCols.map(col): _*).agg(sum(col(cntCol)).as("pct_n")))
+    val runs0 = cumulative(vals, valueCol, cntCol, groupCols, buckets, fallbackNdv)
       .withColumn("pct_end", col("cum") - 1)
-      .withColumn("pct_start", col("pct_end") - col("pct_cnt") + 1)
+      .withColumn("pct_start", col("pct_end") - col(cntCol) + 1)
     val runs =
       if (groupCols.isEmpty) runs0.crossJoin(broadcast(totals))
       else {

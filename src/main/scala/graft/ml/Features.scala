@@ -507,60 +507,74 @@ object Features {
     * |z|>3 outlier count+rate. All moments are exact decimal sums
     * (deterministic under any partitioning); skew/kurtosis derive from
     * those moments with identically-structured arithmetic in the oracle,
-    * so doubles match bit-for-bit. Two aggregate passes per feature —
-    * the second counts outliers against the first pass's broadcast
-    * mean/std (population std, as scipy.zscore uses; std_v itself is the
-    * sample std, as pandas .std() reports). */
+    * so doubles match bit-for-bit.
+    *
+    * All features melt into ONE (feature, v) stream, reduced by a single
+    * distinct shuffle to the (feature, v, cnt) frame that EVERY pass —
+    * moments, outlier counts, quartiles — then consumes: per-value
+    * decimal sums weighted by cnt are exactly the per-row sums (decimal
+    * addition is exact, so grouping equal values first changes nothing),
+    * and the pinned frame is the one
+    * [[graft.functions.PrefixSum.exactPercentilesOnCounts]] needs
+    * anyway. The profile therefore costs ONE pass over the raw data
+    * regardless of feature count — the per-feature form paid the
+    * percentile device's fixed eager overhead (NDV probe +
+    * distinct-frame checkpoint) once per feature, plus two more raw
+    * scans for moments and outliers. The `percentile(v, array(...))`
+    * aggregate the quartile path replaces buffers an NDV-sized
+    * value→count map on one reducer (1e7-1e8 entries for a price column
+    * at 100× scale); the prefix-sum path is bit-identical and
+    * range-bucketed past the NDV threshold. Outlier counts compare
+    * against the broadcast moments (population std, as scipy.zscore
+    * uses; std_v itself is the sample std, as pandas .std() reports). */
   def featureStats(named: Seq[(String, DataFrame)]): DataFrame = {
-    val stats = named.map { case (name, dfc) =>
-      val c = col("v")
-      val vdf = dfc.select(col(dfc.columns.head).as("v"))
-      val mom = vdf.agg(
-        count(lit(1)).as("n_rows"),
-        count(c).as("n_filled"),
-        sum(c.cast("decimal(18,4)")).cast("double").as("s1"),
-        sum((c * c).cast("decimal(30,8)")).cast("double").as("s2"),
-        sum((c * c * c).cast("decimal(38,8)")).cast("double").as("s3"),
-        sum((c * c * c * c).cast("decimal(38,8)")).cast("double").as("s4"),
-        min(c).as("min_v"), max(c).as("max_v"))
-      // Quartiles via the distributed exact-percentile device — the
-      // `percentile(v, array(...))` aggregate buffers an NDV-sized
-      // value→count map on one reducer (1e7-1e8 entries for a price
-      // column at 100× scale); the prefix-sum path is bit-identical and
-      // range-bucketed past the NDV threshold.
-      val qs = graft.functions.PrefixSum.exactPercentiles(
-        vdf, "v", Nil,
-        Seq("q25_0" -> 0.25, "q50_0" -> 0.5, "q75_0" -> 0.75)).drop("pct_n")
-      val nf = col("n_filled")
-      val mean = col("s1") / nf
-      val varP = col("s2") / nf - (col("s1") / nf) * (col("s1") / nf)
-      val m3 = col("s3") / nf - lit(3) * (col("s1") / nf) * (col("s2") / nf) +
-        lit(2) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf)
-      val m4 = col("s4") / nf - lit(4) * (col("s1") / nf) * (col("s3") / nf) +
-        lit(6) * (col("s1") / nf) * (col("s1") / nf) * (col("s2") / nf) -
-        lit(3) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf)
-      vdf.crossJoin(broadcast(mom))
-        .agg(
-          max(col("n_rows")).as("n_rows"), max(col("n_filled")).as("n_filled"),
-          max(col("s1")).as("s1"), max(col("s2")).as("s2"),
-          max(col("s3")).as("s3"), max(col("s4")).as("s4"),
-          max(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
-          sum(when(abs(c - mean) > lit(3) * sqrt(varP), 1L).otherwise(0L)).as("outlier_count"))
-        .crossJoin(broadcast(qs))
-        .select(
-          lit(name).as("feature"), col("n_rows"), col("n_filled"),
-          r6(mean).as("mean_v"),
-          r6(sqrt((col("s2") - col("s1") * col("s1") / nf) / (nf - 1))).as("std_v"),
-          col("min_v"), col("max_v"),
-          r6(col("q25_0")).as("q25"),
-          r6(col("q50_0")).as("median_v"),
-          r6(col("q75_0")).as("q75"),
-          r6(m3 / (sqrt(varP) * varP)).as("skewness"),
-          r6(m4 / (varP * varP) - lit(3)).as("kurtosis"),
-          col("outlier_count"),
-          r6(col("outlier_count") / nf).as("outlier_rate"))
-    }
-    stats.reduce(_ unionAll _).orderBy("feature")
+    val c = col("v")
+    val melted = named.map { case (name, dfc) =>
+      dfc.select(lit(name).as("feature"), col(dfc.columns.head).as("v"))
+    }.reduce(_ unionAll _)
+    // NULL v rows survive into the distinct frame (n_rows needs them);
+    // every numeric aggregate below ignores them exactly as the per-row
+    // form does, and the percentile device gets the filtered view.
+    val vals = melted.groupBy(col("feature"), c)
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val mom = vals.groupBy("feature").agg(
+      sum(col("cnt")).as("n_rows"),
+      sum(when(c.isNotNull, col("cnt")).otherwise(0L)).as("n_filled"),
+      sum(c.cast("decimal(18,4)") * col("cnt")).cast("double").as("s1"),
+      sum((c * c).cast("decimal(30,8)") * col("cnt")).cast("double").as("s2"),
+      sum((c * c * c).cast("decimal(38,8)") * col("cnt")).cast("double").as("s3"),
+      sum((c * c * c * c).cast("decimal(38,8)") * col("cnt")).cast("double").as("s4"),
+      min(c).as("min_v"), max(c).as("max_v"))
+    val qs = graft.functions.PrefixSum.exactPercentilesOnCounts(
+      vals.filter(c.isNotNull), "v", "cnt", Seq("feature"),
+      Seq("q25_0" -> 0.25, "q50_0" -> 0.5, "q75_0" -> 0.75)).drop("pct_n")
+    val nf = col("n_filled")
+    val mean = col("s1") / nf
+    val varP = col("s2") / nf - (col("s1") / nf) * (col("s1") / nf)
+    val m3 = col("s3") / nf - lit(3) * (col("s1") / nf) * (col("s2") / nf) +
+      lit(2) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf)
+    val m4 = col("s4") / nf - lit(4) * (col("s1") / nf) * (col("s3") / nf) +
+      lit(6) * (col("s1") / nf) * (col("s1") / nf) * (col("s2") / nf) -
+      lit(3) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf)
+    val outliers = vals.join(broadcast(mom), "feature")
+      .groupBy("feature")
+      .agg(sum(when(abs(c - mean) > lit(3) * sqrt(varP), col("cnt")).otherwise(0L))
+        .as("outlier_count"))
+    mom.join(outliers, "feature").join(broadcast(qs), "feature")
+      .select(
+        col("feature"), col("n_rows"), col("n_filled"),
+        r6(mean).as("mean_v"),
+        r6(sqrt((col("s2") - col("s1") * col("s1") / nf) / (nf - 1))).as("std_v"),
+        col("min_v"), col("max_v"),
+        r6(col("q25_0")).as("q25"),
+        r6(col("q50_0")).as("median_v"),
+        r6(col("q75_0")).as("q75"),
+        r6(m3 / (sqrt(varP) * varP)).as("skewness"),
+        r6(m4 / (varP * varP) - lit(3)).as("kurtosis"),
+        col("outlier_count"),
+        r6(col("outlier_count") / nf).as("outlier_rate"))
+      .orderBy("feature")
   }
 
   /** Categorical feature profile (feature_store_manager.py:846-855):
