@@ -183,6 +183,7 @@ object Inference {
       expr("percentile(amt, 0.5)").as("med0"),
       expr("percentile(amt, 0.95)").as("p95_0"),
       min(col("age_days")).as("recency_days"),
+      max(col("age_days")).as("tenure_days"),
       // exact least-squares slope of amount over days-before-cutoff
       // (trend per day TOWARD the cutoff, so the sign is negated below)
       sum(col("age_days").cast("decimal(18,4)")).cast("double").as("sx"),
@@ -203,6 +204,12 @@ object Inference {
           .otherwise(lit(0d)))
       .withColumn("dow_preference",
         col("top_dow_n").cast("double") / col("dow_total"))
+      // customer_lifetime_value (feature_store_manager.py:204-207):
+      // total_spent / tenure in years, tenure floored at 0.1y; tenure
+      // runs from the FIRST order to the cutoff (the orders-derived twin
+      // of the reference's signup_date).
+      .withColumn("clv",
+        col("s1") / greatest(col("tenure_days") / lit(365.25d), lit(0.1d)))
     val bounds = joined.agg(
       min(col("recency_days")).as("rec_mn"), max(col("recency_days")).as("rec_mx"),
       min(col("n_orders")).as("frq_mn"), max(col("n_orders")).as("frq_mx"),
@@ -223,6 +230,7 @@ object Inference {
         r6(col("amount_trend")).as("amount_trend"),
         r6(col("dow_preference")).as("dow_preference_score"),
         col("recency_days").cast("long").as("recency_days"),
+        r4(col("clv")).as("customer_lifetime_value"),
         r6(col("mon_n") * col("frq_n")).as("amount_x_frequency_score"),
         r6((lit(1d) - col("rec_n")) * 0.3d + col("frq_n") * 0.3d + col("mon_n") * 0.4d)
           .as("rfm_composite_score"))
@@ -317,6 +325,7 @@ object Inference {
              quantile_cont(amt, 0.5) med0,
              quantile_cont(amt, 0.95) p95_0,
              MIN(age_days) recency_days,
+             MAX(age_days) tenure_days,
              CAST(SUM(CAST(age_days AS DECIMAL(18,4))) AS DOUBLE) sx,
              CAST(SUM(CAST(age_days*age_days AS DECIMAL(30,8))) AS DOUBLE) sxx,
              CAST(SUM(CAST(age_days*amt AS DECIMAL(38,8))) AS DOUBLE) sxy
@@ -355,6 +364,7 @@ object Inference {
            FLOOR(amount_trend * 1000000 + 0.5) / 1000000 AS amount_trend,
            FLOOR(dow_preference * 1000000 + 0.5) / 1000000 AS dow_preference_score,
            CAST(recency_days AS BIGINT) AS recency_days,
+           FLOOR((s1 / GREATEST(tenure_days / 365.25, 0.1)) * 10000 + 0.5) / 10000 AS customer_lifetime_value,
            FLOOR(mon_n * frq_n * 1000000 + 0.5) / 1000000 AS amount_x_frequency_score,
            FLOOR(((1 - rec_n)*0.3 + frq_n*0.3 + mon_n*0.4) * 1000000 + 0.5) / 1000000 AS rfm_composite_score
          FROM nrm ORDER BY entity_id"""
