@@ -44,6 +44,13 @@ import graft.functions.Fns._
   */
 object CrossVal {
 
+  /** Noise levels and degradation threshold of `_test_model_robustness`
+    * (automated_training_pipeline.py:822-873) — the SINGLE source both
+    * [[modelRobustness]] and its oracle SQL derive from, so changing a
+    * default can never desync query and oracle. */
+  val DefaultNoiseLevels: Seq[Double] = Seq(0.01, 0.05, 0.1)
+  val DefaultDropThreshold: Double = 0.05
+
   private def safeDiv(num: Column, den: Column): Column =
     when(den > 0d, num / den).otherwise(lit(0d))
 
@@ -129,7 +136,12 @@ object CrossVal {
       sum(col("accuracy").cast("decimal(18,8)")).as("sa"),
       sum((col("accuracy") * col("accuracy")).cast("decimal(30,16)")).as("sa2"))
     val cvMean = col("sa").cast("double") / col("k")
-    val cvStd = sqrt(col("sa2").cast("double") / col("k") - cvMean * cvMean)
+    // Clamp the variance at 0: (near-)identical fold accuracies can make
+    // the difference a fractionally negative double, where Spark's sqrt
+    // returns NaN but DuckDB's RAISES — the oracle run would crash
+    // instead of comparing. Mirrored with GREATEST(0.0, ...) in the SQL.
+    val cvStd = sqrt(greatest(lit(0d),
+      col("sa2").cast("double") / col("k") - cvMean * cvMean))
     folded.crossJoin(broadcast(roll))
       .select(col("fold"), col("n_test"), col("accuracy"),
         col("precision_w"), col("recall_w"), col("f1_w"),
@@ -147,8 +159,8 @@ object CrossVal {
     * aggregate row. `degraded` flags an accuracy drop past
     * `dropThreshold` (0.05 — five accuracy points). */
   def modelRobustness(orders: DataFrame,
-                      levels: Seq[Double] = Seq(0.01, 0.05, 0.1),
-                      dropThreshold: Double = 0.05): DataFrame = {
+                      levels: Seq[Double] = DefaultNoiseLevels,
+                      dropThreshold: Double = DefaultDropThreshold): DataFrame = {
     val models = Seq("ens", "nn", "rf", "xgb")
     val feats = Inference.features(orders)
       .withColumn("actual", col("f2") <= 2.0d)
@@ -158,20 +170,22 @@ object CrossVal {
     val j = feats.crossJoin(broadcast(Inference.fitMoments(orders)))
     def z(i: Int): Column = Inference.zMoment(i)
     val clean = Inference.ensembleProbs(z(1), z(2), z(3))
-    def lvlKey(l: Double) = f"${(l * 100).round}%02d"
+    // Column keys by level INDEX, not a rounded label: two non-default
+    // levels that round alike (0.015 and 0.02) must not collide into one
+    // duplicate aggregate alias.
     val aggs =
       models.map(m => sum(when((clean(m) > 0.5d) === col("actual"), 1L)
         .otherwise(0L)).as(s"cc_$m")) ++
-      levels.flatMap { l =>
+      levels.zipWithIndex.flatMap { case (l, i) =>
         val noisy = Inference.ensembleProbs(
           z(1) + col("u1") * lit(l), z(2) + col("u2") * lit(l), z(3) + col("u3") * lit(l))
         models.map(m => sum(when((noisy(m) > 0.5d) === col("actual"), 1L)
-          .otherwise(0L)).as(s"nc_${m}_${lvlKey(l)}"))
+          .otherwise(0L)).as(s"nc_${m}_l$i"))
       } :+ count(lit(1)).as("n_rows")
     val counts = j.agg(aggs.head, aggs.tail: _*)
-    val rows = for (m <- models; l <- levels) yield {
+    val rows = for (m <- models; (l, i) <- levels.zipWithIndex) yield {
       val base = col(s"cc_$m").cast("double") / col("n_rows")
-      val acc = col(s"nc_${m}_${lvlKey(l)}").cast("double") / col("n_rows")
+      val acc = col(s"nc_${m}_l$i").cast("double") / col("n_rows")
       counts.select(
         lit(m).as("model"), lit(l).as("noise_level"), col("n_rows"),
         r6(base).as("baseline_accuracy"), r6(acc).as("accuracy"),
@@ -329,8 +343,8 @@ object CrossVal {
          SELECT fold, n_test, accuracy, precision_w, recall_w, f1_w,
            ${sqlR("CAST(sa AS DOUBLE) / k", 6)} AS cv_mean_accuracy,
            ${sqlR(
-             """sqrt(CAST(sa2 AS DOUBLE) / k
-               - (CAST(sa AS DOUBLE) / k) * (CAST(sa AS DOUBLE) / k))""", 6)} AS cv_std_accuracy
+             """sqrt(GREATEST(0.0, CAST(sa2 AS DOUBLE) / k
+               - (CAST(sa AS DOUBLE) / k) * (CAST(sa AS DOUBLE) / k)))""", 6)} AS cv_std_accuracy
          FROM mt CROSS JOIN rl ORDER BY fold"""
     },
     "q_missing_feature_impact" -> {
@@ -393,29 +407,31 @@ object CrossVal {
     "q_model_robustness" -> {
       def zs(l: String): (String, String, String) =
         (s"(z1 + u1 * $l)", s"(z2 + u2 * $l)", s"(z3 + u3 * $l)")
+      // Levels and threshold come from the SAME constants the Spark mart
+      // defaults to — changing DefaultNoiseLevels/DefaultDropThreshold
+      // can never desync query and oracle.
+      val lvls = DefaultNoiseLevels.zipWithIndex
       def modelSelects: String = {
-        val levels = Seq("0.01" -> "01", "0.05" -> "05", "0.1" -> "10")
-        val sels = for (m <- Seq("ens", "nn", "rf", "xgb"); (l, lk) <- levels) yield {
+        val sels = for (m <- Seq("ens", "nn", "rf", "xgb"); (l, i) <- lvls) yield {
           val base = s"CAST(cc_$m AS DOUBLE) / n_rows"
-          val acc = s"CAST(nc_${m}_$lk AS DOUBLE) / n_rows"
+          val acc = s"CAST(nc_${m}_l$i AS DOUBLE) / n_rows"
           s"""SELECT '$m' AS model, CAST($l AS DOUBLE) AS noise_level, n_rows,
              ${sqlR(base, 6)} AS baseline_accuracy,
              ${sqlR(acc, 6)} AS accuracy,
              ${sqlR(s"$base - ($acc)", 6)} AS accuracy_drop,
-             $base - ($acc) > 0.05 AS degraded
+             $base - ($acc) > $DefaultDropThreshold AS degraded
            FROM counts"""
         }
         sels.mkString("\n UNION ALL \n")
       }
       val (cx, cr, cn) = pSql("z1", "z2", "z3")
-      val lvls = Seq("0.01" -> "01", "0.05" -> "05", "0.1" -> "10")
-      val noisyCols = lvls.map { case (l, lk) =>
-        val (z1, z2, z3) = zs(l)
+      val noisyCols = lvls.map { case (l, i) =>
+        val (z1, z2, z3) = zs(l.toString)
         val (px, pr, pn) = pSql(z1, z2, z3)
-        s"""CAST(SUM(CASE WHEN ((($px) + ($pr) + ($pn)) / 3.0 > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_ens_$lk,
-           CAST(SUM(CASE WHEN (($pn) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_nn_$lk,
-           CAST(SUM(CASE WHEN (($pr) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_rf_$lk,
-           CAST(SUM(CASE WHEN (($px) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_xgb_$lk"""
+        s"""CAST(SUM(CASE WHEN ((($px) + ($pr) + ($pn)) / 3.0 > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_ens_l$i,
+           CAST(SUM(CASE WHEN (($pn) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_nn_l$i,
+           CAST(SUM(CASE WHEN (($pr) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_rf_l$i,
+           CAST(SUM(CASE WHEN (($px) > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) nc_xgb_l$i"""
       }.mkString(",\n")
       s"""WITH $featSql,
          m AS (SELECT CAST(COUNT(*) AS BIGINT) n,
