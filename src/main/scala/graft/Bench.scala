@@ -15,6 +15,11 @@ object Bench {
       // default).
       .config("spark.sql.files.maxPartitionBytes", "1048576")
       .config("spark.sql.files.openCostInBytes", "262144")
+      // The engine-wide timestamp contract (see Tables.events): UTC zone
+      // pinned at build, nanos escape hatch on in case the generator
+      // reverts events.ts to TIMESTAMP(NANOS).
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -46,21 +46,24 @@ object Tables {
     }
   }
 
-  /** NOTE: this loader SETS two session confs (nanosAsLong=true,
-    * session.timeZone=UTC) as a deliberate engine-wide contract — every
-    * oracle comparison and every timestamp-bearing operator in this
-    * library assumes the UTC session zone, and the entry points
-    * (Verify/Bench/TestSession) either pin it at build or rely on this.
-    * A host application running deliberately non-UTC should not load
-    * through graft loaders mid-session. */
+  /** The UTC session zone is an engine-wide CONTRACT, not a side effect:
+    * every oracle comparison and every timestamp-bearing operator in this
+    * library assumes it, and the graft entry points (Verify, Bench, the
+    * tools mains, the test session, the streaming readers) pin it at
+    * session build. This loader therefore ASSERTS the zone instead of
+    * silently overwriting it — a host application deliberately running
+    * non-UTC fails loudly here rather than having the behavior of every
+    * subsequent timestamp expression flipped under it. If the generator
+    * ever reverts events.ts to TIMESTAMP(NANOS), set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` at session build (the
+    * entry points do) so the read lands on the Long branch of
+    * [[normalizeEventTs]] instead of Spark refusing the file. */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Keep the nanos escape hatch on: if the generator reverts to
-    // TIMESTAMP(NANOS), the read still succeeds (as Long) and the shim above
-    // applies, instead of Spark refusing the file outright.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Pin the session zone so the NTZ→Timestamp cast is value-preserving
-    // on any machine (the oracle reads the same naive instants).
-    s.conf.set("spark.sql.session.timeZone", "UTC")
+    val tz = s.conf.get("spark.sql.session.timeZone")
+    if (tz != "UTC") throw new IllegalStateException(
+      s"graft requires spark.sql.session.timeZone=UTC (found '$tz'): " +
+        "timestamp semantics and oracle parity are defined under UTC. " +
+        "Pin it at SparkSession build; graft will not overwrite a host's zone.")
     normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

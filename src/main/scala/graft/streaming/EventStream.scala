@@ -50,9 +50,13 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Same UTC pin as Tables.events: the NTZ→Timestamp normalization in
-    // normalizeEventTs is only value-preserving under a UTC session zone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Same UTC contract as Tables.events: the NTZ→Timestamp normalization
+    // in normalizeEventTs is only value-preserving under a UTC session
+    // zone — assert it rather than flip a host's zone mid-session.
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    if (tz != "UTC") throw new IllegalStateException(
+      s"graft streaming requires spark.sql.session.timeZone=UTC (found '$tz'); " +
+        "pin it at SparkSession build.")
     val streamDir = Files.createTempDirectory("graft-stream")
     Files.createSymbolicLink(streamDir.resolve("events.parquet"),
       Paths.get(s"$dir/events.parquet"))

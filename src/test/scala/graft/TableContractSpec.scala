@@ -80,4 +80,18 @@ class TableContractSpec extends AnyFunSuite {
       .filter(col("a.ts") =!= col("b.ts")).count()
     assert(mismatches == 0, "nanos-shim round trip changed instants")
   }
+
+  test("a non-UTC session fails loudly instead of being silently re-zoned") {
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val e = intercept[IllegalStateException] { Tables.events(spark, sf) }
+      assert(e.getMessage.contains("UTC"), s"unhelpful message: ${e.getMessage}")
+      val es = intercept[IllegalStateException] {
+        graft.streaming.EventStream.readEvents(spark, sf)
+      }
+      assert(es.getMessage.contains("UTC"))
+    } finally spark.conf.set(key, saved)
+  }
 }
