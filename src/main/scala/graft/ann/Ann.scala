@@ -482,7 +482,12 @@ object Ann {
   def hierAssign(embeddings: DataFrame, k: Int = 32, kCoarse: Int = 6): DataFrame = {
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val cents = centroids(v, k)
-    val coarse = centroids(v, kCoarse)
+    // The coarse level is the hash-rank PREFIX of the fine centroids:
+    // re-rank the K-row centroid frame, not the corpus — a second full
+    // TakeOrderedAndProject over n vectors would compute the same rows.
+    val coarse = cents
+      .orderBy(md5(col("centroid_id").cast("string")), col("centroid_id"))
+      .limit(kCoarse)
       .select(col("centroid_id").as("coarse_id"), col("ce").as("ge"), col("cnrm").as("gnrm"))
     val wc = Window.partitionBy(col("centroid_id"))
       .orderBy(col("gcos").desc, col("coarse_id"))
