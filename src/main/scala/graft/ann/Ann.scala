@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.functions.DotScaled
+import graft.functions.{DotScaled, PlanStats}
 import graft.functions.Fns._
 
 /** Bounded-heap per-group top-k: keeps the k best (cosine desc, id asc)
@@ -210,7 +210,7 @@ object Ann {
     * pins K for specs. */
   def knnGraph(embeddings: DataFrame, k: Int = 3, kCents: Int = 0): DataFrame = {
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-    val kc = if (kCents > 0) kCents else adaptiveCells(v.count())
+    val kc = if (kCents > 0) kCents else adaptiveCells(PlanStats.rowCount(embeddings))
     val assign = centroidRanked(v, kc).filter(col("rn") === 1)
       .select(col("vec_id"), col("centroid_id"))
     val va = v.join(assign, "vec_id")
@@ -347,7 +347,7 @@ object Ann {
     // the auto-selection past the 2^16·cap rung (unreachable with real
     // test-scale data) and watch the wide signature run end to end.
     val (nb, bb) = if (bandBits > 0) (nBits, bandBits)
-      else adaptiveLshParams(countOverride.getOrElse(embeddings.count()), bucketLimit)
+      else adaptiveLshParams(countOverride.getOrElse(PlanStats.rowCount(embeddings)), bucketLimit)
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val wB = Window.partitionBy(col("band_id"), col("band_val"))
     val banded = lshBandStore(embeddings.select(col("vec_id"), col("embedding")),
@@ -660,7 +660,7 @@ object Ann {
       val existing = tagged.filter(col("dg") >= 2).drop("dg")
       // the increment must band with the same width the full corpus
       // would choose, so spec-equality to the full recompute holds
-      val bb = adaptiveBandBits(emb.count())
+      val bb = adaptiveBandBits(PlanStats.rowCount(emb))
       lshIncrement(fresh, emb, lshBandStore(existing, bandBits = bb), bandBits = bb)
     }),
     "q_label_centroids" -> ((s, d) => labelCentroids(loadEmb(s, d))),

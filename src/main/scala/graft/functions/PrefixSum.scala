@@ -171,10 +171,14 @@ object PrefixSum {
     // frame is NDV-scale, the same magnitude the cumulative shuffle
     // already moves; the lineage-truncation trade is the one the dedup
     // cluster propagation already makes.
+    // LAZY checkpoint: the device's first eager job (the NDV probe in
+    // [[cumulative]]) materializes the distinct frame as a side effect,
+    // so pinning costs no extra pass of its own — every later branch
+    // (cumulative window, totals, boundary sketch) reuses the pinned RDD.
     val vals = df.filter(col(valueCol).isNotNull)
       .groupBy((groupCols :+ valueCol).map(col): _*)
       .agg(count(lit(1)).as("pct_cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     exactPercentilesOnCounts(vals, valueCol, "pct_cnt", groupCols,
       percentiles, buckets, fallbackNdv)
   }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.Tables
 import graft.functions.Fns._
+import graft.functions.PrefixSum
 
 /** Approximate sketches + time-range windows.
   *
@@ -13,21 +14,67 @@ import graft.functions.Fns._
   * over the full key space; HLL and quantile sketches answer the same
   * profiling questions in one pass with bounded error — the scale path
   * for the reference's profiling/statistics features. Sketch internals
-  * are engine-specific, so `q_approx_profile` is a rows-only check; the
-  * spec bounds its error against the exact answers instead.
+  * are engine-specific, so `q_approx_profile` cannot hash-compare the
+  * raw estimates; instead it emits the EXACT answers (oracle-checkable)
+  * plus boolean bound checks that the sketches landed within their
+  * declared error — the oracle asserts those booleans are literally
+  * TRUE, turning the sketch-error contract into a hash-gated row.
   */
 object Approx {
 
-  /** One-pass approximate profile of the event stream (exact values
-    * alongside, for error inspection). */
-  def approxProfile(events: DataFrame): DataFrame =
-    events.agg(
-      approx_count_distinct(col("user_id")).as("approx_users"),
+  /** One-pass approximate profile of the event stream, emitted as an
+    * oracle-comparable contract row:
+    *
+    *   - `exact_users` / `exact_values`: exact distinct counts (DuckDB
+    *     computes the same values independently);
+    *   - `exact_p50`: exact interpolated median via the distributed
+    *     [[PrefixSum.exactPercentiles]] device (no single-reducer
+    *     Percentile buffer), rounded to 6dp as the percentile oracles do;
+    *   - `users_hll_ok` / `values_hll_ok`: HLL estimate within 5% / 6%
+    *     (3σ of rsd 0.02) of exact;
+    *   - `p50_rank_ok` / `p90_rank_ok`: the approx_percentile(accuracy
+    *     10000) value's RANK RUN [frac(<v), frac(≤v)] intersects
+    *     p ± 0.005 — rank-space is the sketch's actual guarantee
+    *     (1/accuracy), and the run form stays correct under heavy
+    *     duplicate values.
+    *
+    * Everything non-scan is a broadcast of 1-row artifacts: two full
+    * scans total (sketch+NDV aggregate, rank recount) plus the
+    * percentile device's distinct shuffle. */
+  def approxProfile(events: DataFrame): DataFrame = {
+    val sk = events.agg(
+      approx_count_distinct(col("user_id")).as("au"),
       countDistinct(col("user_id")).as("exact_users"),
-      approx_count_distinct(col("value"), 0.02).as("approx_values"),
-      expr("approx_percentile(value, 0.5, 10000)").as("approx_p50"),
-      expr("percentile(value, 0.5)").as("exact_p50"),
-      expr("approx_percentile(value, 0.9, 10000)").as("approx_p90"))
+      approx_count_distinct(col("value"), 0.02).as("av"),
+      countDistinct(col("value")).as("exact_values"),
+      expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
+      expr("approx_percentile(value, 0.9, 10000)").as("ap90"))
+    val p50 = PrefixSum.exactPercentiles(
+        events.select("value"), "value", Nil, Seq("p50_raw" -> 0.5))
+      .select((floor(col("p50_raw") * 1e6 + 0.5) / 1e6).as("exact_p50"))
+    val ranks = events.select("value").filter(col("value").isNotNull)
+      .crossJoin(broadcast(sk.select("ap50", "ap90")))
+      .agg(
+        (sum(when(col("value") < col("ap50"), 1L).otherwise(0L)) /
+          count(lit(1))).as("r50_lt"),
+        (sum(when(col("value") <= col("ap50"), 1L).otherwise(0L)) /
+          count(lit(1))).as("r50_le"),
+        (sum(when(col("value") < col("ap90"), 1L).otherwise(0L)) /
+          count(lit(1))).as("r90_lt"),
+        (sum(when(col("value") <= col("ap90"), 1L).otherwise(0L)) /
+          count(lit(1))).as("r90_le"))
+    def rankOk(lt: String, le: String, p: Double, tol: Double) =
+      (col(lt) <= lit(p + tol)) && (col(le) >= lit(p - tol))
+    sk.crossJoin(broadcast(p50)).crossJoin(broadcast(ranks))
+      .select(
+        col("exact_users"), col("exact_values"), col("exact_p50"),
+        (abs(col("au") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("users_hll_ok"),
+        (abs(col("av") - col("exact_values")) <=
+          col("exact_values") * 0.06).as("values_hll_ok"),
+        rankOk("r50_lt", "r50_le", 0.5, 0.005).as("p50_rank_ok"),
+        rankOk("r90_lt", "r90_le", 0.9, 0.005).as("p90_rank_ok"))
+  }
 
   /** Time-range rolling window: events in the PRECEDING HOUR per user
     * (value-range frame, not row-count frame — the correct semantics for
@@ -49,9 +96,20 @@ object Approx {
     "q_rolling_time_window" -> ((s, d) => rollingTimeWindow(Tables.events(s, d)))
   )
 
-  /** q_approx_profile deliberately has NO oracle: sketch values are
-    * engine-specific (rows-only check; error-bounded by ApproxSpec). */
+  // q_approx_profile's oracle computes the exact stats independently and
+  // asserts the sketch-bound booleans literally TRUE — a hash mismatch
+  // means either an exact-stat divergence or a sketch outside its
+  // declared error. Sketches are deterministic in Spark, so the gate is
+  // stable run-to-run.
   val oracles: Map[String, String] = Map(
+    "q_approx_profile" ->
+      """SELECT
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS exact_values,
+           FLOOR(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS exact_p50,
+           TRUE AS users_hll_ok, TRUE AS values_hll_ok,
+           TRUE AS p50_rank_ok, TRUE AS p90_rank_ok
+         FROM events""",
     "q_rolling_time_window" ->
       """WITH t AS (SELECT event_id, user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, value FROM events)
          SELECT event_id, user_id, ts_s,

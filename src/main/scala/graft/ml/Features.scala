@@ -107,8 +107,9 @@ object Features {
     * through single partitions and the indexed-sort form wins. One
     * lightweight count decides; this is the registered path. */
   def rfmExact(events: DataFrame, windowMax: Long = 1000000L): DataFrame = {
-    val n = events.filter(col("event_type") === "purchase")
-      .select(col("user_id")).distinct().count()
+    val n = graft.functions.PlanStats.rowCount(
+      events.filter(col("event_type") === "purchase")
+        .select(col("user_id")).distinct())
     if (n <= windowMax) rfm(events) else rfmExactDistributed(events)
   }
 
@@ -535,9 +536,12 @@ object Features {
     // NULL v rows survive into the distinct frame (n_rows needs them);
     // every numeric aggregate below ignores them exactly as the per-row
     // form does, and the percentile device gets the filtered view.
+    // lazy: the percentile device's probe job materializes the pin;
+    // moments/outliers then reuse the RDD instead of re-running the
+    // 4-table union + distinct
     val vals = melted.groupBy(col("feature"), c)
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val mom = vals.groupBy("feature").agg(
       sum(col("cnt")).as("n_rows"),
       sum(when(c.isNotNull, col("cnt")).otherwise(0L)).as("n_filled"),

@@ -24,7 +24,7 @@ import graft.functions.Fns._
   * summary measure) so the driver's DuckDB oracle hash-verifies the
   * whole catalog-generated surface against independently hand-written
   * SQL in one query. Scale shape: one fully-parallel aggregate scan per
-  * source table, 28 one-row frames unioned — the nightly
+  * source table, 32 one-row frames unioned — the nightly
   * reconciliation audit a 100 TB warehouse runs per table anyway. */
 object Catalog {
 
@@ -112,7 +112,30 @@ object Catalog {
     "embeddings" -> Tables.embeddings(spark, dir),
     "lineitem_orders" -> Tables.lineitem(spark, dir).join(
       Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
-      col("l_orderkey") === col("o_orderkey")))
+      col("l_orderkey") === col("o_orderkey")),
+    // Aggregated composites for the daily-grain facts. Measures stay
+    // DECIMAL(18,4) (exact, order-independent sums) so the downstream
+    // sweep's decSum and the DuckDB oracle agree bit-for-bit; counts are
+    // cast to double because generateFact's row_hash formats measures
+    // with %.2f. One partial-aggregated shuffle each at any scale.
+    "daily_sales" -> Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("sale_date"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("daily_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("daily_revenue")),
+    "user_daily_events" -> Tables.events(spark, dir)
+      .groupBy(col("user_id"), to_date(col("ts")).as("activity_date"))
+      .agg(
+        count(lit(1)).cast("double").as("n_events"),
+        sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("daily_value")),
+    "order_dates" -> Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("order_date")).distinct(),
+    "nation_region" -> Tables.nation(spark, dir).join(
+      broadcast(Tables.region(spark, dir)),
+      col("n_regionkey") === col("r_regionkey")))
 
   /** Generate one catalog fact by name (the user-facing entry point:
     * `catalogFact(spark, dir, "fact_sales")`). */
@@ -245,6 +268,24 @@ object Catalog {
            CAST(SUM(CAST(n_chars AS DECIMAL(18,4))) AS DOUBLE)
          FROM documents WHERE n_chars > 0
          UNION ALL
+         SELECT 'fact_sales_daily', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(sale_date AS VARCHAR)) AS BIGINT),
+           CAST(SUM(daily_revenue) AS DOUBLE)
+         FROM (SELECT CAST(l_shipdate AS DATE) AS sale_date,
+                 SUM(CAST(l_quantity AS DECIMAL(18,4))) AS daily_qty,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS daily_revenue
+               FROM lineitem GROUP BY 1)
+         WHERE daily_qty > 0
+         UNION ALL
+         SELECT 'fact_user_daily', 'fact', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(user_id AS VARCHAR) || '||' || CAST(activity_date AS VARCHAR)) AS BIGINT),
+           CAST(SUM(daily_value) AS DOUBLE)
+         FROM (SELECT user_id, CAST(ts AS DATE) AS activity_date,
+                 COUNT(*) AS n_events,
+                 SUM(CAST(value AS DECIMAL(18,4))) AS daily_value
+               FROM events GROUP BY 1, 2)
+         WHERE n_events > 0
+         UNION ALL
          SELECT 'dim_customer', 'dim', CAST(COUNT(*) AS BIGINT),
            CAST(COUNT(DISTINCT CAST(c_custkey AS VARCHAR)) AS BIGINT),
            CAST(NULL AS DOUBLE)
@@ -304,6 +345,16 @@ object Catalog {
            CAST(COUNT(DISTINCT CAST(s_suppkey AS VARCHAR)) AS BIGINT),
            CAST(NULL AS DOUBLE)
          FROM supplier
+         UNION ALL
+         SELECT 'dim_date', 'dim', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(order_date AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM (SELECT DISTINCT CAST(o_orderdate AS DATE) AS order_date FROM orders)
+         UNION ALL
+         SELECT 'dim_geography', 'dim', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(DISTINCT CAST(n_nationkey AS VARCHAR)) AS BIGINT),
+           CAST(NULL AS DOUBLE)
+         FROM nation JOIN region ON n_regionkey = r_regionkey
          ) ORDER BY table_name"""
   )
 }

@@ -52,8 +52,13 @@ object ConfigFacts {
       val c = col(m.column)
       m.castTo.fold(c)(t => c.cast(t)).as(m.name)
     }
+    // measures hash through %.2f of their DOUBLE form: a no-op for the
+    // double columns every oracle-compared fact uses, and the cast is
+    // what lets DECIMAL/BIGINT measures (aggregated composite sources)
+    // format at all — java.util.Formatter rejects %f on non-float types
     val hashCols = cfg.businessKeys.map(col) ++
-      cfg.measures.map(m => cfg.hashFormatted.getOrElse(m.column, fmt2(col(m.column))))
+      cfg.measures.map(m =>
+        cfg.hashFormatted.getOrElse(m.column, fmt2(col(m.column).cast("double"))))
     val base = source
       .filter(cfg.qualityRules.map(expr).reduceOption(_ && _).getOrElse(lit(true)))
       .select(

@@ -85,6 +85,57 @@ object Profile {
         spark.catalog.clearCache()
       }
     }
+    if (sys.env.contains("SPARK_GRAFT_FS")) {
+      // phase breakdown of the melted feature-stats device
+      def inputs() = Seq(
+        "customer.c_acctbal" -> graft.Tables.customer(spark, sfDir).select("c_acctbal"),
+        "events.value" -> graft.Tables.events(spark, sfDir).select("value"),
+        "lineitem.l_extendedprice" -> graft.Tables.lineitem(spark, sfDir).select("l_extendedprice"),
+        "orders.o_totalprice" -> graft.Tables.orders(spark, sfDir).select("o_totalprice"))
+      inputs().map(_._2.count()).sum // warm scans
+      for (round <- 1 to 2) {
+        t(s"fs_vals_distinct_$round") {
+          val melted = inputs().map { case (n, dfc) =>
+            dfc.select(lit(n).as("feature"), col(dfc.columns.head).as("v")) }
+            .reduce(_ unionAll _)
+          melted.groupBy(col("feature"), col("v")).agg(count(lit(1)).as("cnt")).count()
+        }
+        t(s"fs_full_$round") { graft.ml.Features.featureStats(inputs()).count() }
+        // sub-phases over a pre-pinned distinct frame
+        val c = col("v")
+        val melted = inputs().map { case (n, dfc) =>
+          dfc.select(lit(n).as("feature"), col(dfc.columns.head).as("v")) }
+          .reduce(_ unionAll _)
+        val vals = melted.groupBy(col("feature"), c)
+          .agg(count(lit(1)).as("cnt")).localCheckpoint(false)
+        vals.count()
+        t(s"fs_mom_$round") {
+          vals.groupBy("feature").agg(
+            sum(col("cnt")).as("n_rows"),
+            sum(when(c.isNotNull, col("cnt")).otherwise(0L)).as("n_filled"),
+            sum(c.cast("decimal(18,4)") * col("cnt")).cast("double").as("s1"),
+            sum((c * c).cast("decimal(30,8)") * col("cnt")).cast("double").as("s2"),
+            sum((c * c * c).cast("decimal(38,8)") * col("cnt")).cast("double").as("s3"),
+            sum((c * c * c * c).cast("decimal(38,8)") * col("cnt")).cast("double").as("s4"),
+            min(c).as("min_v"), max(c).as("max_v")).count()
+        }
+        t(s"fs_qs_$round") {
+          graft.functions.PrefixSum.exactPercentilesOnCounts(
+            vals.filter(c.isNotNull), "v", "cnt", Seq("feature"),
+            Seq("q25_0" -> 0.25, "q50_0" -> 0.5, "q75_0" -> 0.75)).count()
+        }
+        t(s"fs_qs_bucketed_$round") {
+          graft.functions.PrefixSum.exactPercentilesOnCounts(
+            vals.filter(c.isNotNull), "v", "cnt", Seq("feature"),
+            Seq("q25_0" -> 0.25, "q50_0" -> 0.5, "q75_0" -> 0.75),
+            fallbackNdv = 1000L).count()
+        }
+        t(s"fs_mfi_$round") {
+          graft.ml.CrossVal.missingFeatureImpact(
+            graft.Tables.orders(spark, sfDir)).count()
+        }
+      }
+    }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       val q = graft.text.Vocab.tfidf(docs)
       q.collect()

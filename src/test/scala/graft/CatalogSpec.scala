@@ -10,9 +10,9 @@ import graft.operators.{Catalog, ConfigFacts}
 class CatalogSpec extends AnyFunSuite {
   import TestSession._
 
-  test("bundled catalog parses: 16 facts, 12 dims, every source resolvable") {
+  test("bundled catalog parses: 18 facts, 14 dims, every source resolvable") {
     val cat = Catalog.default
-    assert(cat.facts.size == 16 && cat.dims.size == 12)
+    assert(cat.facts.size == 18 && cat.dims.size == 14)
     val srcs = Catalog.sources(spark, sf).keySet
     cat.facts.foreach(f => assert(srcs.contains(f.source), s"unknown source ${f.source}"))
     cat.dims.foreach(d => assert(srcs.contains(d.source), s"unknown source ${d.source}"))
@@ -43,9 +43,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(fromCatalog.nonEmpty && fromCatalog == handWritten)
   }
 
+  test("aggregated-source facts and calendar/geography dims materialize fully") {
+    // full collect() so row_hash/change_hash (pruned away by the sweep's
+    // aggregates) actually evaluate — including %.2f over DECIMAL measures
+    val daily = Catalog.catalogFact(spark, sf, "fact_sales_daily").collect()
+    assert(daily.nonEmpty && daily.map(_.getAs[String]("fact_key")).distinct.length == daily.length)
+    assert(daily.forall(r => r.getAs[String]("row_hash").length == 32))
+    val user = Catalog.catalogFact(spark, sf, "fact_user_daily").collect()
+    assert(user.nonEmpty && user.map(_.getAs[String]("fact_key")).distinct.length == user.length)
+    val dates = Catalog.catalogDim(spark, sf, "dim_date").collect()
+    assert(dates.nonEmpty)
+    assert(dates.forall { r =>
+      val (y, m, q) = (r.getAs[Int]("year_num"), r.getAs[Int]("month_num"), r.getAs[Int]("quarter_num"))
+      y > 1990 && m >= 1 && m <= 12 && q == (m - 1) / 3 + 1
+    })
+    val geo = Catalog.catalogDim(spark, sf, "dim_geography").collect()
+    assert(geo.length == Tables.nation(spark, sf).count())
+    assert(geo.forall(r => r.getAs[String]("region_name").nonEmpty))
+  }
+
   test("sweep audits every catalog table: one row each, sane counts") {
     val rows = Catalog.sweep(spark, sf).collect()
-    assert(rows.length == 28)
+    assert(rows.length == 32)
     rows.foreach { r =>
       val (name, kind) = (r.getAs[String]("table_name"), r.getAs[String]("kind"))
       assert(r.getAs[Long]("n_rows") > 0, s"$name empty")
@@ -60,6 +79,7 @@ class CatalogSpec extends AnyFunSuite {
     Seq("fact_orders", "fact_part_pricing", "fact_supplier_balance",
       "fact_customer_balance", "fact_open_orders", "fact_finished_orders",
       "fact_urgent_orders", "fact_purchase_events", "fact_doc_volume",
+      "fact_sales_daily", "fact_user_daily", "dim_date", "dim_geography",
       "dim_customer", "dim_part", "dim_supplier", "dim_document",
       "dim_nation", "dim_region", "dim_order", "dim_event", "dim_embedding",
       "dim_doc_source", "dim_part_size", "dim_supplier_nation").foreach { t =>

@@ -33,13 +33,11 @@ class QualityApproxSpec extends AnyFunSuite {
 
   test("approx sketches land within tolerance of exact answers") {
     val row = Approx.approxProfile(Tables.events(spark, sf)).collect()(0)
-    val approxUsers = row.getAs[Long]("approx_users").toDouble
-    val exactUsers = row.getAs[Long]("exact_users").toDouble
-    assert(math.abs(approxUsers - exactUsers) / exactUsers < 0.05,
-      s"HLL error too large: $approxUsers vs $exactUsers")
-    val p50a = row.getAs[Double]("approx_p50")
-    val p50e = row.getAs[Double]("exact_p50")
-    assert(math.abs(p50a - p50e) / math.max(p50e, 1e-9) < 0.05)
+    assert(row.getAs[Long]("exact_users") > 0)
+    assert(row.getAs[Long]("exact_values") > 0)
+    assert(!row.isNullAt(row.fieldIndex("exact_p50")))
+    for (c <- Seq("users_hll_ok", "values_hll_ok", "p50_rank_ok", "p90_rank_ok"))
+      assert(row.getAs[Boolean](c), s"sketch bound violated: $c")
   }
 
   test("time-range window counts only events within the preceding hour") {
