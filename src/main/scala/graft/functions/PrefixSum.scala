@@ -78,6 +78,10 @@ object PrefixSum {
         case r => r.getLong(0)
       }
     if (maxNdv <= fallbackNdv) {
+      // With no groupCols this logs Spark's "WindowExec: No Partition
+      // Defined" warning — benign HERE ONLY: the probe just proved the
+      // frame is ≤ fallbackNdv rows, so the single-task sort is the
+      // cheaper plan by design (see the ADAPTIVE note above).
       val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       return frame.withColumn("cum", sum(col(cntCol)).over(w))

@@ -62,6 +62,11 @@ object Features {
     * by population; [[rfmApprox]] is the sketch-threshold variant. */
   def rfm(events: DataFrame): DataFrame = {
     val perUser = rfmBase(events)
+    // Global ntile windows log Spark's "WindowExec: No Partition
+    // Defined" warning — benign HERE ONLY: rfmExact routes to this form
+    // solely when the purchase population is ≤ windowMax (the per-user
+    // AGGREGATE, tiny relative to the event scan); past the cap it
+    // switches to rfmExactDistributed, which has no global window.
     val wR = Window.orderBy(col("recency_days"), col("user_id"))
     val wF = Window.orderBy(col("frequency"), col("user_id"))
     val wM = Window.orderBy(col("monetary"), col("user_id"))
