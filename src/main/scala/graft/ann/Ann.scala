@@ -61,8 +61,10 @@ class TopKNeighbors(k: Int)
   * thresholds) are bit-deterministic under any partitioning and
   * reproducible by the SQL oracle. No shuffle is spent on the vector math
   * itself; candidate generation is the only distributed step:
-  *   - near-dup: pairs blocked by coarse cluster (label) — an IVF cell
-  *     join, not an O(n²) cross join;
+  *   - near-dup: the EXACT baseline is label-blocked all-pairs
+  *     (deliberately Θ(n²/|labels|) — the truth set that calibrates
+  *     the LSH path); the scale path is the banded, bucket-capped
+  *     [[lshNearDup]];
   *   - top-k: small probe set broadcast against the corpus;
   *   - IVF: one broadcast of K centroids, assignments in a single pass.
   */
@@ -80,8 +82,25 @@ object Ann {
     emb.withColumn("nrm", sqrt(dot("embedding", "embedding")))
   }
 
-  /** Embedding cosine near-dup pairs within a coarse cluster (label acts
-    * as the IVF cell / blocking key). */
+  /** EXACT embedding cosine near-dup pairs within a label block — the
+    * family's calibration BASELINE, not its scale path.
+    *
+    * Label is a fixed-cardinality blocking key, so this is
+    * Θ(n²/|labels|) BY DESIGN — the exact truth set [[lshNearDup]]'s
+    * recall is measured against (LlmDataSpec does exactly that), the
+    * same role [[bruteForceTopK]] plays for the ANN search family.
+    * SCALE.md (round 9) measures the quadratic directly: 15.9× time for
+    * 3× vectors. At production scale the baseline runs on a bounded
+    * hash-sample of the corpus (compose with the q_hash_sample device)
+    * to calibrate the LSH path's recall; the full-corpus near-dup
+    * operator is [[lshNearDup]] (banded, bucket-capped, n-linear
+    * candidates, exact verification).
+    *
+    * An IVF cell re-blocking (the [[knnGraph]] device) was tried and
+    * rejected here: single-cell blocking keeps only 4/26 true pairs at
+    * sf0.01, and multi-probe variants that recover recall just
+    * re-implement a worse [[lshNearDup]] while destroying the truth-set
+    * role. */
   def nearDupPairs(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
     val v = withNorm(embeddings.select(col("vec_id"), col("label"), col("embedding")))
     val a = v.select(col("vec_id").as("vec_a"), col("label"),
@@ -196,7 +215,7 @@ object Ann {
     * Σ|cell|², never corpus²) + the bounded-heap top-k; no broadcast of
     * the corpus side anywhere, so the shape survives any corpus size.
     * Vectors whose cell has no other member emit no rows — the standard
-    * IVF-blocking recall trade, same as [[nearDupPairs]]'s label block.
+    * IVF-blocking recall trade (the exact baseline [[nearDupPairs]] has no such loss — and pays quadratic cost for it).
     *
     * The cell count is ADAPTIVE: K = max(16, ⌈√(n/2)⌉), the classic IVF
     * balance point. A fixed K makes |cell| grow with n and the
