@@ -499,6 +499,10 @@ object Ann {
     * full K. Same tie policy as the flat path (rounded cosine desc, id
     * asc), so results are oracle-reproducible. */
   def hierAssign(embeddings: DataFrame, k: Int = 32, kCoarse: Int = 6): DataFrame = {
+    // the coarse level is a prefix of the fine centroids, so it cannot
+    // be wider than the fine level — fail loudly instead of silently
+    // capping kCoarse at k
+    require(kCoarse <= k, s"kCoarse ($kCoarse) must be <= k ($k)")
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val cents = centroids(v, k)
     // The coarse level is the hash-rank PREFIX of the fine centroids:

@@ -9,9 +9,10 @@ import org.apache.spark.sql.functions._
   * partition-less `Window.orderBy(value)`:
   *
   *  1. a cheap eager probe (per-group distinct counts) picks the branch;
-  *     on the bucketed side a second pass yields `buckets`-1
-  *     approx-percentile range boundaries per group, pinned by an eager
-  *     localCheckpoint so every plan branch buckets identically;
+  *     on the bucketed side `buckets`-1 approx-percentile range
+  *     boundaries per group are pinned by a LAZY localCheckpoint
+  *     (materialized by the first consuming job) so every plan branch
+  *     buckets identically without a dedicated eager pass;
   *  2. each row gets a broadcast-computed bucket id (count of boundaries
   *     below its value — ties stay deterministic because equal values get
   *     equal buckets), and the cumulative sum runs under
@@ -39,13 +40,11 @@ import org.apache.spark.sql.functions._
   * `valueCol` must be non-null (callers filter); `cntCol` must be a
   * bigint count. Adds the column `cum`; internal columns are dropped.
   *
-  * EAGER: every entry point in this object runs Spark jobs at
-  * DataFrame-CONSTRUCTION time (the NDV probe, plus localCheckpoints of
-  * the boundary/subtotal frames on the bucketed branch) — it is not a
-  * pure plan-to-plan transform. Callers pay the input lineage at build
-  * time (pin it first if it is expensive — see
-  * [[exactPercentilesOnCounts]]), and none of these devices can be
-  * applied to a streaming DataFrame.
+  * EAGER: every entry point in this object runs a Spark job at
+  * DataFrame-CONSTRUCTION time (the NDV probe) — it is not a pure
+  * plan-to-plan transform. Callers pay the input lineage at build time
+  * (pin it first if it is expensive — see [[exactPercentilesOnCounts]]),
+  * and none of these devices can be applied to a streaming DataFrame.
   */
 object PrefixSum {
 
@@ -62,6 +61,11 @@ object PrefixSum {
     * curves cross, not at the smallest "safe" value. */
   val DefaultFallbackNdv = 1L << 20
 
+  /** `frame` SHOULD be materialized (localCheckpoint/cache) by the
+    * caller: the probe runs eagerly against it and the window/subtotal/
+    * boundary branches each re-execute its lineage otherwise —
+    * [[exactPercentiles]] pins for you; direct callers (e.g.
+    * quantileBins) pin at the call site. */
   def cumulative(frame: DataFrame, valueCol: String, cntCol: String,
                  groupCols: Seq[String] = Nil, buckets: Int = 32,
                  fallbackNdv: Long = DefaultFallbackNdv): DataFrame = {
@@ -93,11 +97,13 @@ object PrefixSum {
     // is not guaranteed deterministic across recomputations, and the
     // bucketed frame feeds both the windowed branch and the subtotal
     // branch — a checkpoint of this tiny frame (one row per group) makes
-    // the bucket assignment a constant of the query.
+    // the bucket assignment a constant of the query. LAZY: the first
+    // consuming job materializes it, so the sketch is not a dedicated
+    // eager pass over the input lineage.
     val bounds =
       (if (groupCols.isEmpty) frame.agg(bAgg)
        else frame.groupBy(groupCols.map(col): _*).agg(bAgg))
-        .localCheckpoint()
+        .localCheckpoint(false)
     // Group-key joins are NULL-SAFE (<=>): a NULL group key is a real
     // group to groupBy/Window.partitionBy (and to the percentile()
     // aggregate this device replaces) — a plain equi-join would silently
@@ -124,7 +130,7 @@ object PrefixSum {
     // twice more (once per self-join side).
     val tot = bucketed.groupBy(keys.map(col): _*)
       .agg(sum(col(cntCol)).as("pfx_tot"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val totB = tot.select(
       groupCols.map(g => col(g).as(s"pfx_b_$g")) ++
         Seq(col("pfx_bucket").as("pfx_b_bucket"), col("pfx_tot").as("pfx_b_tot")): _*)

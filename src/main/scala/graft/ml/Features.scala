@@ -515,18 +515,18 @@ object Features {
     * those moments with identically-structured arithmetic in the oracle,
     * so doubles match bit-for-bit.
     *
-    * All features melt into ONE (feature, v) stream, reduced by a single
-    * distinct shuffle to the (feature, v, cnt) frame that EVERY pass —
-    * moments, outlier counts, quartiles — then consumes: per-value
-    * decimal sums weighted by cnt are exactly the per-row sums (decimal
-    * addition is exact, so grouping equal values first changes nothing),
-    * and the pinned frame is the one
-    * [[graft.functions.PrefixSum.exactPercentilesOnCounts]] needs
-    * anyway. The profile therefore costs ONE pass over the raw data
-    * regardless of feature count — the per-feature form paid the
-    * percentile device's fixed eager overhead (NDV probe +
-    * distinct-frame checkpoint) once per feature, plus two more raw
-    * scans for moments and outliers. The `percentile(v, array(...))`
+    * All features melt into ONE (feature, v) stream consumed by exactly
+    * two grouped passes regardless of feature count: a per-row moments
+    * aggregate (decimal sums in the oracle's own per-row shape — a
+    * cnt-weighted product would clamp decimal(≥30,8)·bigint to scale 6
+    * and drift from the oracle's scale-8 sums) and one distinct shuffle
+    * building the (feature, v, cnt) frame that the quartile device and
+    * the exact bigint-weighted outlier counts share. The per-feature
+    * form paid the percentile device's fixed eager overhead (NDV probe
+    * + distinct-frame checkpoint) once per feature instead. A left join
+    * against the registered feature names keeps one output row per
+    * feature even for empty/all-NULL inputs, matching the oracle's
+    * ungrouped aggregates. The `percentile(v, array(...))`
     * aggregate the quartile path replaces buffers an NDV-sized
     * value→count map on one reducer (1e7-1e8 entries for a price column
     * at 100× scale); the prefix-sum path is bit-identical and
@@ -534,55 +534,79 @@ object Features {
     * against the broadcast moments (population std, as scipy.zscore
     * uses; std_v itself is the sample std, as pandas .std() reports). */
   def featureStats(named: Seq[(String, DataFrame)]): DataFrame = {
+    val spark = named.head._2.sparkSession
+    import spark.implicits._
     val c = col("v")
     val melted = named.map { case (name, dfc) =>
       dfc.select(lit(name).as("feature"), col(dfc.columns.head).as("v"))
     }.reduce(_ unionAll _)
-    // NULL v rows survive into the distinct frame (n_rows needs them);
-    // every numeric aggregate below ignores them exactly as the per-row
-    // form does, and the percentile device gets the filtered view.
-    // lazy: the percentile device's probe job materializes the pin;
-    // moments/outliers then reuse the RDD instead of re-running the
-    // 4-table union + distinct
-    val vals = melted.groupBy(col("feature"), c)
+    // Moments sum PER ROW over the raw melted stream — the exact shape
+    // the oracle computes. A cnt-weighted product over the distinct
+    // frame is NOT equivalent: Spark clamps decimal(30,8)·bigint and
+    // decimal(38,8)·bigint to DecimalType(38,6), silently rounding each
+    // per-value contribution to 6 fractional digits while the oracle
+    // keeps 8 — a latent hash drift on any low-variance feature.
+    val momGrouped = melted.groupBy("feature").agg(
+      count(lit(1)).as("n_rows"),
+      count(c).as("n_filled"),
+      sum(c.cast("decimal(18,4)")).cast("double").as("s1"),
+      sum((c * c).cast("decimal(30,8)")).cast("double").as("s2"),
+      sum((c * c * c).cast("decimal(38,8)")).cast("double").as("s3"),
+      sum((c * c * c * c).cast("decimal(38,8)")).cast("double").as("s4"),
+      min(c).as("min_v"), max(c).as("max_v"))
+    // One output row per REGISTERED feature, unconditionally — the
+    // oracle's ungrouped aggregates emit a row even for an empty or
+    // all-NULL input, where a bare groupBy (and the inner joins below)
+    // would silently drop the feature most worth flagging.
+    val names = named.map(_._1).toDF("feature")
+    val mom = names.join(momGrouped, Seq("feature"), "left")
+      .na.fill(0L, Seq("n_rows", "n_filled"))
+    // distinct non-null values for the percentile device and the
+    // cnt-weighted (exact bigint) outlier counts; lazy pin — the
+    // device's probe job materializes it, outliers reuse the RDD
+    val vals = melted.filter(c.isNotNull).groupBy(col("feature"), c)
       .agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
-    val mom = vals.groupBy("feature").agg(
-      sum(col("cnt")).as("n_rows"),
-      sum(when(c.isNotNull, col("cnt")).otherwise(0L)).as("n_filled"),
-      sum(c.cast("decimal(18,4)") * col("cnt")).cast("double").as("s1"),
-      sum((c * c).cast("decimal(30,8)") * col("cnt")).cast("double").as("s2"),
-      sum((c * c * c).cast("decimal(38,8)") * col("cnt")).cast("double").as("s3"),
-      sum((c * c * c * c).cast("decimal(38,8)") * col("cnt")).cast("double").as("s4"),
-      min(c).as("min_v"), max(c).as("max_v"))
     val qs = graft.functions.PrefixSum.exactPercentilesOnCounts(
-      vals.filter(c.isNotNull), "v", "cnt", Seq("feature"),
+      vals, "v", "cnt", Seq("feature"),
       Seq("q25_0" -> 0.25, "q50_0" -> 0.5, "q75_0" -> 0.75)).drop("pct_n")
     val nf = col("n_filled")
-    val mean = col("s1") / nf
-    val varP = col("s2") / nf - (col("s1") / nf) * (col("s1") / nf)
-    val m3 = col("s3") / nf - lit(3) * (col("s1") / nf) * (col("s2") / nf) +
-      lit(2) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf)
-    val m4 = col("s4") / nf - lit(4) * (col("s1") / nf) * (col("s3") / nf) +
-      lit(6) * (col("s1") / nf) * (col("s1") / nf) * (col("s2") / nf) -
-      lit(3) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf) * (col("s1") / nf)
-    val outliers = vals.join(broadcast(mom), "feature")
+    // try_divide everywhere a divisor can be zero (empty/all-NULL
+    // feature: nf = 0; constant feature: varP = 0): ANSI `/` THROWS on a
+    // zero divisor while DuckDB yields NULL for every division by zero —
+    // try_divide is DuckDB's exact semantics, and on nonzero divisors it
+    // is the same Divide arithmetic bit-for-bit.
+    def tdiv(a: Column, b: Column): Column = try_divide(a, b)
+    val mean = tdiv(col("s1"), nf)
+    val varP = tdiv(col("s2"), nf) - tdiv(col("s1"), nf) * tdiv(col("s1"), nf)
+    val m3 = tdiv(col("s3"), nf) - lit(3) * tdiv(col("s1"), nf) * tdiv(col("s2"), nf) +
+      lit(2) * tdiv(col("s1"), nf) * tdiv(col("s1"), nf) * tdiv(col("s1"), nf)
+    val m4 = tdiv(col("s4"), nf) - lit(4) * tdiv(col("s1"), nf) * tdiv(col("s3"), nf) +
+      lit(6) * tdiv(col("s1"), nf) * tdiv(col("s1"), nf) * tdiv(col("s2"), nf) -
+      lit(3) * tdiv(col("s1"), nf) * tdiv(col("s1"), nf) * tdiv(col("s1"), nf) * tdiv(col("s1"), nf)
+    val outliers = vals.join(broadcast(momGrouped), "feature")
       .groupBy("feature")
       .agg(sum(when(abs(c - mean) > lit(3) * sqrt(varP), col("cnt")).otherwise(0L))
-        .as("outlier_count"))
-    mom.join(outliers, "feature").join(broadcast(qs), "feature")
+        .as("out_n"))
+    mom.join(outliers, Seq("feature"), "left")
+      .join(broadcast(qs), Seq("feature"), "left")
+      // a feature with rows but no non-null values has no outlier row;
+      // the oracle's SUM(CASE...) over those rows is 0, not NULL
+      .withColumn("outlier_count",
+        when(col("n_rows") > 0, coalesce(col("out_n"), lit(0L))))
       .select(
         col("feature"), col("n_rows"), col("n_filled"),
         r6(mean).as("mean_v"),
-        r6(sqrt((col("s2") - col("s1") * col("s1") / nf) / (nf - 1))).as("std_v"),
+        r6(sqrt(tdiv(col("s2") - tdiv(col("s1") * col("s1"), nf), nf - 1)))
+          .as("std_v"),
         col("min_v"), col("max_v"),
         r6(col("q25_0")).as("q25"),
         r6(col("q50_0")).as("median_v"),
         r6(col("q75_0")).as("q75"),
-        r6(m3 / (sqrt(varP) * varP)).as("skewness"),
-        r6(m4 / (varP * varP) - lit(3)).as("kurtosis"),
+        r6(tdiv(m3, sqrt(varP) * varP)).as("skewness"),
+        r6(tdiv(m4, varP * varP) - lit(3)).as("kurtosis"),
         col("outlier_count"),
-        r6(col("outlier_count") / nf).as("outlier_rate"))
+        r6(tdiv(col("outlier_count").cast("double"), nf)).as("outlier_rate"))
       .orderBy("feature")
   }
 

@@ -126,8 +126,13 @@ object TrainPrep {
     // one engine only. NULL rows still appear in the output with bin 0
     // (every comparison is false) — identically in both engines.
     val ev = events.filter(col("value").isNotNull)
+    // lazy pin: cumulative's eager NDV probe materializes the distinct
+    // frame, so the window/subtotal branches (and the bucketed branch's
+    // boundary sketch) reuse the RDD instead of re-running the event
+    // scan once per consumer
     val cum = graft.functions.PrefixSum.cumulative(
-      ev.groupBy(col("value")).agg(count(lit(1)).as("c")), "value", "c")
+      ev.groupBy(col("value")).agg(count(lit(1)).as("c"))
+        .localCheckpoint(false), "value", "c")
     val n = ev.agg(count(lit(1)).as("n"))
     val ks = (1 until bins).map(lit(_))
     val edges = cum.crossJoin(broadcast(n))

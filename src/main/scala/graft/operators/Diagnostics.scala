@@ -121,7 +121,7 @@ object Diagnostics {
     val vals = melted.filter(col("v").isNotNull)
       .groupBy(col("feature"), col("v"))
       .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(false) // lazy: the device's probe job materializes it
     // row/null/min/max stats need no melt: one narrow single-row
     // aggregate over the unexploded scan, reshaped to per-feature rows
     // (1 row -> 4). Saves a second full 4-way-exploded pass + shuffle.

@@ -49,10 +49,13 @@ object EventStream {
     * deployment points this at the landing directory / Kafka instead). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // Same UTC contract as Tables.events: the NTZ→Timestamp normalization
-    // in normalizeEventTs is only value-preserving under a UTC session
-    // zone — assert it rather than flip a host's zone mid-session.
+    // Same contract as Tables.events: assert, never mutate, host session
+    // state. The nanos escape hatch (like the UTC zone) is pinned at
+    // session build by the graft entry points; flipping it here would be
+    // exactly the mid-session conf mutation the loader contract bans.
+    // (It only matters if the generator reverts events.ts to
+    // TIMESTAMP(NANOS), in which case the batch loader fails loudly
+    // first with the same remedy.)
     val tz = spark.conf.get("spark.sql.session.timeZone")
     if (tz != "UTC") throw new IllegalStateException(
       s"graft streaming requires spark.sql.session.timeZone=UTC (found '$tz'); " +

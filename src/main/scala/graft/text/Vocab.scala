@@ -226,14 +226,16 @@ object Vocab {
     // The (score, count) distinct frame is DOC-scale (≤ one row per
     // document) but its lineage is the full bigram-LM scoring pass; the
     // prefix-sum device reads it twice (NDV probe + cumulative window)
-    // and the total once more. One eager localCheckpoint pins it so the
-    // LM scoring runs once for the edge computation instead of three
-    // times — the same per-round pinning trick the dedup cluster
-    // propagation uses. The final per-doc bucketing below still scans
-    // `scored` directly (row-parallel, no benefit from the checkpoint).
+    // and the total once more. One LAZY localCheckpoint pins it — the
+    // device's probe job materializes it, so the LM scoring runs once
+    // for the edge computation instead of three times (the same
+    // per-round pinning trick the dedup cluster propagation uses) and
+    // the pin itself costs no dedicated pass. The final per-doc
+    // bucketing below still scans `scored` directly (row-parallel, no
+    // benefit from the checkpoint).
     val dist = scored.groupBy(col("bits_per_token").as("v"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val cum = graft.functions.PrefixSum.cumulative(dist, "v", "c")
     val n = dist.agg(sum(col("c")).as("n"))
     val edges = cum.crossJoin(broadcast(n))

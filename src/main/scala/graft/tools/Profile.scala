@@ -101,24 +101,15 @@ object Profile {
           melted.groupBy(col("feature"), col("v")).agg(count(lit(1)).as("cnt")).count()
         }
         t(s"fs_full_$round") { graft.ml.Features.featureStats(inputs()).count() }
-        // sub-phases over a pre-pinned distinct frame
+        // quartile-device sub-phase over a pre-pinned distinct frame
+        // (the device's dominant cost; moments measure <0.3 s inline)
         val c = col("v")
         val melted = inputs().map { case (n, dfc) =>
           dfc.select(lit(n).as("feature"), col(dfc.columns.head).as("v")) }
           .reduce(_ unionAll _)
-        val vals = melted.groupBy(col("feature"), c)
+        val vals = melted.filter(c.isNotNull).groupBy(col("feature"), c)
           .agg(count(lit(1)).as("cnt")).localCheckpoint(false)
         vals.count()
-        t(s"fs_mom_$round") {
-          vals.groupBy("feature").agg(
-            sum(col("cnt")).as("n_rows"),
-            sum(when(c.isNotNull, col("cnt")).otherwise(0L)).as("n_filled"),
-            sum(c.cast("decimal(18,4)") * col("cnt")).cast("double").as("s1"),
-            sum((c * c).cast("decimal(30,8)") * col("cnt")).cast("double").as("s2"),
-            sum((c * c * c).cast("decimal(38,8)") * col("cnt")).cast("double").as("s3"),
-            sum((c * c * c * c).cast("decimal(38,8)") * col("cnt")).cast("double").as("s4"),
-            min(c).as("min_v"), max(c).as("max_v")).count()
-        }
         t(s"fs_qs_$round") {
           graft.functions.PrefixSum.exactPercentilesOnCounts(
             vals.filter(c.isNotNull), "v", "cnt", Seq("feature"),

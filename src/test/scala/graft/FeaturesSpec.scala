@@ -6,6 +6,25 @@ import graft.ml.Features
 class FeaturesSpec extends AnyFunSuite {
   import TestSession._
 
+  test("featureStats emits one row per registered feature, even all-NULL") {
+    import spark.implicits._
+    val allNull = Seq[Option[Double]](None, None, None).toDF("x")
+    val ok = Seq(1.0, 2.0, 3.0, 4.0).toDF("y")
+    val out = Features.featureStats(Seq("nulls.x" -> allNull, "vals.y" -> ok))
+      .collect()
+    assert(out.map(_.getAs[String]("feature")).toSeq == Seq("nulls.x", "vals.y"))
+    val r = out(0)
+    // the all-NULL feature keeps its diagnostics row: counted rows, zero
+    // filled, zero outliers (rows exist, none exceed any bound), NULL
+    // everywhere an aggregate has no input — as the oracle's ungrouped
+    // aggregates behave
+    assert(r.getAs[Long]("n_rows") == 3L && r.getAs[Long]("n_filled") == 0L)
+    assert(r.getAs[Long]("outlier_count") == 0L)
+    assert(r.isNullAt(r.fieldIndex("median_v")) && r.isNullAt(r.fieldIndex("mean_v")))
+    val v = out(1)
+    assert(v.getAs[Long]("n_filled") == 4L && v.getAs[Double]("median_v") == 2.5d)
+  }
+
   test("rfm scores are quintiles in 1..5 and segments well-formed") {
     val r = Features.rfm(Tables.events(spark, sf)).collect()
     assert(r.nonEmpty)
