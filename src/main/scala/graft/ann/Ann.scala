@@ -502,7 +502,8 @@ object Ann {
     // the coarse level is a prefix of the fine centroids, so it cannot
     // be wider than the fine level — fail loudly instead of silently
     // capping kCoarse at k
-    require(kCoarse <= k, s"kCoarse ($kCoarse) must be <= k ($k)")
+    require(kCoarse >= 1 && kCoarse <= k,
+      s"kCoarse ($kCoarse) must be in [1, k=$k]")
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val cents = centroids(v, k)
     // The coarse level is the hash-rank PREFIX of the fine centroids:

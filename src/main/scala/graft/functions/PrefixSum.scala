@@ -10,9 +10,9 @@ import org.apache.spark.sql.functions._
   *
   *  1. a cheap eager probe (per-group distinct counts) picks the branch;
   *     on the bucketed side `buckets`-1 approx-percentile range
-  *     boundaries per group are pinned by a LAZY localCheckpoint
-  *     (materialized by the first consuming job) so every plan branch
-  *     buckets identically without a dedicated eager pass;
+  *     boundaries per group are pinned by an EAGER localCheckpoint so
+  *     every plan branch buckets identically (lazy would race on a
+  *     cluster — see the inline note);
   *  2. each row gets a broadcast-computed bucket id (count of boundaries
   *     below its value — ties stay deterministic because equal values get
   *     equal buckets), and the cumulative sum runs under
@@ -40,11 +40,12 @@ import org.apache.spark.sql.functions._
   * `valueCol` must be non-null (callers filter); `cntCol` must be a
   * bigint count. Adds the column `cum`; internal columns are dropped.
   *
-  * EAGER: every entry point in this object runs a Spark job at
-  * DataFrame-CONSTRUCTION time (the NDV probe) — it is not a pure
-  * plan-to-plan transform. Callers pay the input lineage at build time
-  * (pin it first if it is expensive — see [[exactPercentilesOnCounts]]),
-  * and none of these devices can be applied to a streaming DataFrame.
+  * EAGER: every entry point in this object runs Spark jobs at
+  * DataFrame-CONSTRUCTION time (the NDV probe; on the bucketed branch
+  * also the boundary-sketch checkpoint) — it is not a pure plan-to-plan
+  * transform. Callers pay the input lineage at build time (pin it first
+  * if it is expensive — see [[exactPercentilesOnCounts]]), and none of
+  * these devices can be applied to a streaming DataFrame.
   */
 object PrefixSum {
 
@@ -97,13 +98,18 @@ object PrefixSum {
     // is not guaranteed deterministic across recomputations, and the
     // bucketed frame feeds both the windowed branch and the subtotal
     // branch — a checkpoint of this tiny frame (one row per group) makes
-    // the bucket assignment a constant of the query. LAZY: the first
-    // consuming job materializes it, so the sketch is not a dedicated
-    // eager pass over the input lineage.
+    // the bucket assignment a constant of the query. This checkpoint
+    // must stay EAGER: a lazy one can be materialized by TWO concurrent
+    // broadcast-collect jobs (the final plan's own exchange plus the one
+    // frozen inside the subtotal frame's checkpoint plan), and on a
+    // multi-executor cluster the racing copies can hold DIFFERENT
+    // boundary arrays — local-mode tests can never exhibit it. The
+    // eager job is tiny because callers pin `frame` first (see the
+    // method contract).
     val bounds =
       (if (groupCols.isEmpty) frame.agg(bAgg)
        else frame.groupBy(groupCols.map(col): _*).agg(bAgg))
-        .localCheckpoint(false)
+        .localCheckpoint()
     // Group-key joins are NULL-SAFE (<=>): a NULL group key is a real
     // group to groupBy/Window.partitionBy (and to the percentile()
     // aggregate this device replaces) — a plain equi-join would silently
@@ -127,7 +133,9 @@ object PrefixSum {
     val local = bucketed.withColumn("pfx_local", sum(col(cntCol)).over(wLoc))
     // Subtotals are ≤ groups × buckets rows; checkpointing them keeps the
     // triangular offset join from recomputing the underlying aggregate
-    // twice more (once per self-join side).
+    // twice more (once per self-join side). LAZY is safe HERE (unlike
+    // bounds): the subtotal values are exact sums, so even a racing
+    // double materialization yields identical content.
     val tot = bucketed.groupBy(keys.map(col): _*)
       .agg(sum(col(cntCol)).as("pfx_tot"))
       .localCheckpoint(false)

@@ -558,7 +558,7 @@ object Features {
     // oracle's ungrouped aggregates emit a row even for an empty or
     // all-NULL input, where a bare groupBy (and the inner joins below)
     // would silently drop the feature most worth flagging.
-    val names = named.map(_._1).toDF("feature")
+    val names = named.map(_._1).distinct.toDF("feature")
     val mom = names.join(momGrouped, Seq("feature"), "left")
       .na.fill(0L, Seq("n_rows", "n_filled"))
     // distinct non-null values for the percentile device and the

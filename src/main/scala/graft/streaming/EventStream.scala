@@ -61,8 +61,14 @@ object EventStream {
       s"graft streaming requires spark.sql.session.timeZone=UTC (found '$tz'); " +
         "pin it at SparkSession build.")
     val streamDir = Files.createTempDirectory("graft-stream")
-    Files.createSymbolicLink(streamDir.resolve("events.parquet"),
+    val link = Files.createSymbolicLink(streamDir.resolve("events.parquet"),
       Paths.get(s"$dir/events.parquet"))
+    // staging is per-call scratch: clean it up at JVM exit (deleteOnExit
+    // runs in reverse registration order — dir registered first so the
+    // link inside it deletes first). A real deployment points the stream
+    // at its landing directory and never takes this path.
+    streamDir.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     Tables.normalizeEventTs(
       spark.readStream.schema(schema).parquet(streamDir.toString))

@@ -112,12 +112,12 @@ object Profile {
         vals.count()
         t(s"fs_qs_$round") {
           graft.functions.PrefixSum.exactPercentilesOnCounts(
-            vals.filter(c.isNotNull), "v", "cnt", Seq("feature"),
+            vals, "v", "cnt", Seq("feature"),
             Seq("q25_0" -> 0.25, "q50_0" -> 0.5, "q75_0" -> 0.75)).count()
         }
         t(s"fs_qs_bucketed_$round") {
           graft.functions.PrefixSum.exactPercentilesOnCounts(
-            vals.filter(c.isNotNull), "v", "cnt", Seq("feature"),
+            vals, "v", "cnt", Seq("feature"),
             Seq("q25_0" -> 0.25, "q50_0" -> 0.5, "q75_0" -> 0.75),
             fallbackNdv = 1000L).count()
         }
