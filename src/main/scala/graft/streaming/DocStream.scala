@@ -16,16 +16,13 @@ import org.apache.spark.sql.streaming.OutputMode
   */
 object DocStream {
 
-  /** Streaming read of the documents table (same temp-dir symlink
-    * staging as [[EventStream.readEvents]] — production points this at
-    * the landing directory). */
+  /** Streaming read of the documents table (same [[Staging.stageParquet]]
+    * scratch staging as [[EventStream.readEvents]] — production points
+    * this at the landing directory). */
   def readDocuments(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val streamDir = Files.createTempDirectory("graft-docstream")
-    Files.createSymbolicLink(streamDir.resolve("documents.parquet"),
-      Paths.get(s"$dir/documents.parquet"))
+    val streamDir = Staging.stageParquet(dir, "documents", "graft-docstream")
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    spark.readStream.schema(schema).parquet(streamDir.toString)
+    spark.readStream.schema(schema).parquet(streamDir)
   }
 
   /** Row-local LSH banding: the EXACT same signature math as

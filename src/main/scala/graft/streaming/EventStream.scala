@@ -60,18 +60,10 @@ object EventStream {
     if (tz != "UTC") throw new IllegalStateException(
       s"graft streaming requires spark.sql.session.timeZone=UTC (found '$tz'); " +
         "pin it at SparkSession build.")
-    val streamDir = Files.createTempDirectory("graft-stream")
-    val link = Files.createSymbolicLink(streamDir.resolve("events.parquet"),
-      Paths.get(s"$dir/events.parquet"))
-    // staging is per-call scratch: clean it up at JVM exit (deleteOnExit
-    // runs in reverse registration order — dir registered first so the
-    // link inside it deletes first). A real deployment points the stream
-    // at its landing directory and never takes this path.
-    streamDir.toFile.deleteOnExit()
-    link.toFile.deleteOnExit()
+    val streamDir = Staging.stageParquet(dir, "events", "graft-stream")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     Tables.normalizeEventTs(
-      spark.readStream.schema(schema).parquet(streamDir.toString))
+      spark.readStream.schema(schema).parquet(streamDir))
   }
 
   /** Tumbling 1-hour windowed aggregation with a 2-hour watermark —

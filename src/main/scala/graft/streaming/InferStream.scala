@@ -19,15 +19,12 @@ import graft.ml.Inference
   */
 object InferStream {
 
-  /** Streaming read of the orders table (temp-dir symlink staging, as
-    * [[DocStream.readDocuments]]). */
+  /** Streaming read of the orders table ([[Staging.stageParquet]]
+    * scratch staging, as [[DocStream.readDocuments]]). */
   def readOrders(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val streamDir = Files.createTempDirectory("graft-inferstream")
-    Files.createSymbolicLink(streamDir.resolve("orders.parquet"),
-      Paths.get(s"$dir/orders.parquet"))
+    val streamDir = Staging.stageParquet(dir, "orders", "graft-inferstream")
     val schema = spark.read.parquet(s"$dir/orders.parquet").schema
-    spark.readStream.schema(schema).parquet(streamDir.toString)
+    spark.readStream.schema(schema).parquet(streamDir)
   }
 
   /** Score an orders stream against a pre-fit static scaler. Returns the

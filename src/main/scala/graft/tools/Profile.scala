@@ -127,6 +127,31 @@ object Profile {
         }
       }
     }
+    if (sys.env.contains("SPARK_GRAFT_STREAM")) {
+      // streaming twins: wall-clock to drain the full finite input
+      // through the memory sink (micro-batch count ~constant, so this
+      // measures per-batch state + aggregation growth with input size)
+      for (round <- 1 to 2) {
+        t(s"stream_windowed_$round") {
+          graft.streaming.EventStream.windowedCounts(spark, sfDir, s"pw$round").count()
+        }
+        t(s"stream_sliding_$round") {
+          graft.streaming.EventStream.slidingCounts(spark, sfDir, s"ps$round").count()
+        }
+        t(s"stream_dedup_$round") {
+          graft.streaming.EventStream.dedupedEvents(spark, sfDir, s"pd$round").count()
+        }
+        t(s"stream_sessions_$round") {
+          graft.streaming.EventStream.sessionized(spark, sfDir, s"pse$round").count()
+        }
+        t(s"stream_scd2_$round") {
+          graft.streaming.EventStream.scd2Stream(spark, sfDir, s"psc$round").count()
+        }
+        t(s"stream_perfmon_$round") {
+          graft.streaming.EventStream.performanceMonitor(spark, sfDir, s"ppm$round").count()
+        }
+      }
+    }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       val q = graft.text.Vocab.tfidf(docs)
       q.collect()
