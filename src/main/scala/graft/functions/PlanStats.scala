@@ -1,6 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
 
 /** Session-scoped memo for the narrow eager probes the adaptive-plan
   * devices run (row counts that pick a physical form: IVF cell counts,
@@ -14,13 +17,21 @@ import org.apache.spark.sql.DataFrame
   * identical reads produce the same key) collapses those repeats into
   * one job per distinct frame.
   *
+  * The canonicalized string alone is NOT a sound key: canonicalization
+  * erases column names and `HadoopFsRelation.toString` omits the file
+  * path, so two parquet reads of DIFFERENT directories with same-typed
+  * schemas canonicalize identically. The key therefore appends each
+  * leaf's concrete identity — file-source root paths, checkpoint RDD
+  * ids, output column names — and any plan with a leaf that has no
+  * stable identity (e.g. a LocalRelation, whose in-memory rows are
+  * invisible to the plan string) is simply NOT cached: the probe runs,
+  * correct but unmemoized.
+  *
   * Contract: only sound for DETERMINISTIC plans over inputs that are
   * immutable for the life of the session — exactly the shape of the
   * probed frames (parquet table scans plus deterministic projections/
-  * filters). Frames with non-deterministic expressions or checkpointed
-  * lineage (LogicalRDD carries a unique id) simply never collide, so
-  * they pay one count and age out of the bounded LRU. A host app that
-  * rewrites table files mid-session calls [[clear()]].
+  * filters). A host app that rewrites table files mid-session calls
+  * [[clear()]].
   */
 object PlanStats {
 
@@ -34,17 +45,37 @@ object PlanStats {
         size() > MaxEntries
     }
 
-  private def key(df: DataFrame): String =
-    df.queryExecution.analyzed.canonicalized.toString
+  /** Stable cache key, or None when any leaf lacks a session-stable
+    * identity (then the caller counts without caching). */
+  private def key(df: DataFrame): Option[String] = {
+    val plan = df.queryExecution.analyzed
+    val leafIds = plan.collectLeaves().map {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          Some("fs:" + fs.location.rootPaths.mkString(","))
+        case _ => None // non-file DSv1 relation: no stable printable identity
+      }
+      case rdd: LogicalRDD => Some("rdd:" + rdd.rdd.id) // checkpointed lineage
+      case v2: DataSourceV2Relation => Some("v2:" + v2.name)
+      case _ => None // LocalRelation etc.: data not visible in the plan string
+    }
+    if (leafIds.exists(_.isEmpty)) None
+    else Some(plan.canonicalized.toString +
+      "|" + plan.output.map(_.name).mkString(",") +
+      "|" + leafIds.flatten.mkString(";"))
+  }
 
-  /** `df.count()`, memoized by canonical plan. */
+  /** `df.count()`, memoized by canonical plan + concrete leaf identity. */
   def rowCount(df: DataFrame): Long = {
-    val k = key(df)
-    val hit = cache.synchronized(Option(cache.get(k)))
-    hit.map(_.longValue()).getOrElse {
-      val n = df.count()
-      cache.synchronized(cache.put(k, java.lang.Long.valueOf(n)))
-      n
+    key(df) match {
+      case None => df.count()
+      case Some(k) =>
+        val hit = cache.synchronized(Option(cache.get(k)))
+        hit.map(_.longValue()).getOrElse {
+          val n = df.count()
+          cache.synchronized(cache.put(k, java.lang.Long.valueOf(n)))
+          n
+        }
     }
   }
 

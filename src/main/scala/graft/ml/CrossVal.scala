@@ -300,9 +300,9 @@ object CrossVal {
              CAST(g1_3 - d1_3 AS DOUBLE) s1_3, CAST(g2_3 - d2_3 AS DOUBLE) s2_3
            FROM pf CROSS JOIN g),
          z AS (SELECT f.fold, f.actual,
-             (f1 - s1_1/n) / sqrt(s2_1/n - (s1_1/n)*(s1_1/n)) AS z1,
-             (f2 - s1_2/n) / sqrt(s2_2/n - (s1_2/n)*(s1_2/n)) AS z2,
-             (f3 - s1_3/n) / sqrt(s2_3/n - (s1_3/n)*(s1_3/n)) AS z3
+             ${Inference.zSql("f1", 1)} AS z1,
+             ${Inference.zSql("f2", 2)} AS z2,
+             ${Inference.zSql("f3", 3)} AS z3
            FROM f JOIN tr USING (fold)),
          sc AS (SELECT fold, actual,
              (($px) + ($pr) + ($pn)) / 3.0 > 0.5 AS pred FROM z),
@@ -388,12 +388,12 @@ object CrossVal {
              CAST(SUM(CAST(f3*f3 AS DECIMAL(30,8))) AS DOUBLE) s2_3
            FROM raw),
          z AS (SELECT actual,
-             (f1 - s1_1/n) / sqrt(s2_1/n - (s1_1/n)*(s1_1/n)) AS z1,
-             (f2 - s1_2/n) / sqrt(s2_2/n - (s1_2/n)*(s1_2/n)) AS z2,
-             (f3 - s1_3/n) / sqrt(s2_3/n - (s1_3/n)*(s1_3/n)) AS z3,
-             (m1 - s1_1/n) / sqrt(s2_1/n - (s1_1/n)*(s1_1/n)) AS zm1,
-             (m2 - s1_2/n) / sqrt(s2_2/n - (s1_2/n)*(s1_2/n)) AS zm2,
-             (m3 - s1_3/n) / sqrt(s2_3/n - (s1_3/n)*(s1_3/n)) AS zm3
+             ${Inference.zSql("f1", 1)} AS z1,
+             ${Inference.zSql("f2", 2)} AS z2,
+             ${Inference.zSql("f3", 3)} AS z3,
+             ${Inference.zSql("m1", 1)} AS zm1,
+             ${Inference.zSql("m2", 2)} AS zm2,
+             ${Inference.zSql("m3", 3)} AS zm3
            FROM raw CROSS JOIN m CROSS JOIN med),
          counts AS (SELECT CAST(COUNT(*) AS BIGINT) n_rows,
              CAST(SUM(CASE WHEN ((($cx) + ($cr) + ($cn)) / 3.0 > 0.5) = actual THEN 1 ELSE 0 END) AS BIGINT) cc_ens,
@@ -443,9 +443,9 @@ object CrossVal {
              CAST(SUM(CAST(f3*f3 AS DECIMAL(30,8))) AS DOUBLE) s2_3
            FROM raw),
          z AS (SELECT actual,
-             (f1 - s1_1/n) / sqrt(s2_1/n - (s1_1/n)*(s1_1/n)) AS z1,
-             (f2 - s1_2/n) / sqrt(s2_2/n - (s1_2/n)*(s1_2/n)) AS z2,
-             (f3 - s1_3/n) / sqrt(s2_3/n - (s1_3/n)*(s1_3/n)) AS z3,
+             ${Inference.zSql("f1", 1)} AS z1,
+             ${Inference.zSql("f2", 2)} AS z2,
+             ${Inference.zSql("f3", 3)} AS z3,
              (h1 - 7.5) / 7.5 AS u1, (h2 - 7.5) / 7.5 AS u2, (h3 - 7.5) / 7.5 AS u3
            FROM raw CROSS JOIN m),
          counts AS (SELECT CAST(COUNT(*) AS BIGINT) n_rows,

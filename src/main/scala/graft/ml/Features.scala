@@ -303,8 +303,14 @@ object Features {
       sum(col("value").cast("decimal(18,4)")).cast("double").as("u_s1"),
       sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("u_s2"))
       .withColumn("u_avg", col("u_s1") / col("u_n"))
+      // variance clamped at 0: a user whose values are all identical can
+      // leave a fractionally negative double here (decimal sums cast to
+      // double), where Spark's sqrt is NaN but the oracle's DuckDB sqrt
+      // RAISES; the clamp is bit-identical whenever variance >= 0
+      .withColumn("u_var", try_divide(
+        col("u_s2") - col("u_s1") * col("u_s1") / col("u_n"), col("u_n") - 1))
       .withColumn("u_std", when(col("u_n") > 1,
-        sqrt((col("u_s2") - col("u_s1") * col("u_s1") / col("u_n")) / (col("u_n") - 1)))
+        sqrt(when(col("u_var") < 0, lit(0d)).otherwise(col("u_var"))))
         .otherwise(lit(0d)))
       .select("user_id", "u_n", "u_avg", "u_std")
     val perType = base.groupBy(col("user_id"), col("event_type"))
@@ -578,7 +584,15 @@ object Features {
     // is the same Divide arithmetic bit-for-bit.
     def tdiv(a: Column, b: Column): Column = try_divide(a, b)
     val mean = tdiv(col("s1"), nf)
-    val varP = tdiv(col("s2"), nf) - tdiv(col("s1"), nf) * tdiv(col("s1"), nf)
+    // Clamp the variance at 0: a CONSTANT feature's decimal-exact sums
+    // cast to double can make s2/n − (s1/n)² a fractionally negative
+    // double (≈ −1e−18), where Spark's sqrt yields NaN but DuckDB's
+    // sqrt RAISES — the oracle run would crash instead of comparing.
+    // CASE-style clamping preserves NULL (empty feature) on both sides
+    // and is bit-identical whenever the variance is non-negative.
+    def clamp0(v: Column): Column = when(v < 0, lit(0d)).otherwise(v)
+    val varP = clamp0(
+      tdiv(col("s2"), nf) - tdiv(col("s1"), nf) * tdiv(col("s1"), nf))
     val m3 = tdiv(col("s3"), nf) - lit(3) * tdiv(col("s1"), nf) * tdiv(col("s2"), nf) +
       lit(2) * tdiv(col("s1"), nf) * tdiv(col("s1"), nf) * tdiv(col("s1"), nf)
     val m4 = tdiv(col("s4"), nf) - lit(4) * tdiv(col("s1"), nf) * tdiv(col("s3"), nf) +
@@ -597,7 +611,7 @@ object Features {
       .select(
         col("feature"), col("n_rows"), col("n_filled"),
         r6(mean).as("mean_v"),
-        r6(sqrt(tdiv(col("s2") - tdiv(col("s1") * col("s1"), nf), nf - 1)))
+        r6(sqrt(clamp0(tdiv(col("s2") - tdiv(col("s1") * col("s1"), nf), nf - 1))))
           .as("std_v"),
         col("min_v"), col("max_v"),
         r6(col("q25_0")).as("q25"),
@@ -843,11 +857,13 @@ object Features {
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) u_s1,
              CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) u_s2
            FROM base GROUP BY user_id),
+         puv AS (
+           SELECT *, (u_s2 - u_s1 * u_s1 / u_n) / (u_n - 1) AS u_var FROM pu),
          pu2 AS (
            SELECT user_id, u_n, u_s1 / u_n AS u_avg,
-             CASE WHEN u_n > 1 THEN sqrt((u_s2 - u_s1 * u_s1 / u_n) / (u_n - 1))
+             CASE WHEN u_n > 1 THEN sqrt(CASE WHEN u_var < 0 THEN CAST(0 AS DOUBLE) ELSE u_var END)
                   ELSE 0 END AS u_std
-           FROM pu),
+           FROM puv),
          pt AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) type_freq
            FROM base GROUP BY 1, 2),
          j AS (
@@ -936,30 +952,41 @@ object Features {
               MIN($c) min_v, MAX($c) max_v,
               quantile_cont($c, 0.25) q25r, quantile_cont($c, 0.5) medr, quantile_cont($c, 0.75) q75r
             FROM $t),
+          mm AS (
+            -- variance clamped at 0 (constant column: decimal-exact sums
+            -- cast to double can leave a fractionally negative variance,
+            -- and DuckDB's sqrt raises where Spark yields NaN); CASE
+            -- preserves NULL exactly like the Spark side's clamp0
+            SELECT *,
+              CASE WHEN s2 / n_filled - (s1 / n_filled) * (s1 / n_filled) < 0
+                THEN CAST(0 AS DOUBLE)
+                ELSE s2 / n_filled - (s1 / n_filled) * (s1 / n_filled) END AS vp,
+              CASE WHEN (s2 - s1 * s1 / n_filled) / (n_filled - 1) < 0
+                THEN CAST(0 AS DOUBLE)
+                ELSE (s2 - s1 * s1 / n_filled) / (n_filled - 1) END AS sv
+            FROM m),
           o AS (
             SELECT CAST(SUM(CASE WHEN ABS($c - s1 / n_filled) >
-                3 * sqrt(s2 / n_filled - (s1 / n_filled) * (s1 / n_filled))
+                3 * sqrt(vp)
               THEN 1 ELSE 0 END) AS BIGINT) outlier_count
-            FROM $t, m)
+            FROM $t, mm)
           SELECT '$f' AS feature, n_rows, n_filled,
             FLOOR((s1 / n_filled) * 1000000 + 0.5) / 1000000 AS mean_v,
-            FLOOR(sqrt((s2 - s1 * s1 / n_filled) / (n_filled - 1)) * 1000000 + 0.5) / 1000000 AS std_v,
+            FLOOR(sqrt(sv) * 1000000 + 0.5) / 1000000 AS std_v,
             min_v, max_v,
             FLOOR(q25r * 1000000 + 0.5) / 1000000 AS q25,
             FLOOR(medr * 1000000 + 0.5) / 1000000 AS median_v,
             FLOOR(q75r * 1000000 + 0.5) / 1000000 AS q75,
             FLOOR((s3 / n_filled - 3 * (s1 / n_filled) * (s2 / n_filled)
                 + 2 * (s1 / n_filled) * (s1 / n_filled) * (s1 / n_filled))
-              / (sqrt(s2 / n_filled - (s1 / n_filled) * (s1 / n_filled))
-                * (s2 / n_filled - (s1 / n_filled) * (s1 / n_filled))) * 1000000 + 0.5) / 1000000 AS skewness,
+              / (sqrt(vp) * vp) * 1000000 + 0.5) / 1000000 AS skewness,
             FLOOR(((s4 / n_filled - 4 * (s1 / n_filled) * (s3 / n_filled)
                 + 6 * (s1 / n_filled) * (s1 / n_filled) * (s2 / n_filled)
                 - 3 * (s1 / n_filled) * (s1 / n_filled) * (s1 / n_filled) * (s1 / n_filled))
-              / ((s2 / n_filled - (s1 / n_filled) * (s1 / n_filled))
-                * (s2 / n_filled - (s1 / n_filled) * (s1 / n_filled))) - 3) * 1000000 + 0.5) / 1000000 AS kurtosis,
+              / (vp * vp) - 3) * 1000000 + 0.5) / 1000000 AS kurtosis,
             outlier_count,
             FLOOR((CAST(outlier_count AS DOUBLE) / n_filled) * 1000000 + 0.5) / 1000000 AS outlier_rate
-          FROM m, o)"""
+          FROM mm, o)"""
     }.mkString("", " UNION ALL ", " ORDER BY feature"),
     "q_feature_stats_cat" -> Seq(
       ("customer.c_mktsegment", "c_mktsegment", "customer"),

@@ -59,8 +59,24 @@ object Inference {
     * marts ([[CrossVal]]). */
   def zOf(value: Column, i: Int): Column = {
     val mean = col(s"s1_$i") / col("n")
-    val std = sqrt(col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n")))
-    (value - mean) / std
+    // variance clamped at 0 (a constant feature's decimal-exact sums cast
+    // to double can leave a fractionally negative variance — Spark's sqrt
+    // is NaN where DuckDB's RAISES), and try_divide so an exactly-zero
+    // std yields NULL exactly like DuckDB's division by zero; on spread
+    // data both are bit-identical to the unguarded formula
+    val varP = sqlVarP(i)
+    val std = sqrt(when(varP < 0, lit(0d)).otherwise(varP))
+    try_divide(value - mean, std)
+  }
+
+  private def sqlVarP(i: Int): Column =
+    col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n"))
+
+  /** SQL twin of [[zOf]] for the oracle strings — same clamped-variance
+    * shape so the double arithmetic matches bit-for-bit. */
+  def zSql(v: String, i: Int): String = {
+    val vp = s"s2_$i/n - (s1_$i/n)*(s1_$i/n)"
+    s"($v - s1_$i/n) / sqrt(CASE WHEN $vp < 0 THEN CAST(0 AS DOUBLE) ELSE $vp END)"
   }
 
   /** zOf of the raw feature column f_i itself. */
@@ -197,8 +213,16 @@ object Inference {
     val slopeDen = n * col("sxx") - col("sx") * col("sx")
     val joined = ent.join(dow, "o_custkey")
       .withColumn("amount_mean", col("s1") / n)
+      // sample variance clamped at 0 (constant spend: fractionally
+      // negative under decimal->double; DuckDB's sqrt would raise)
+      // try_divide: the hoisted column evaluates for EVERY row (the
+      // n>1 guard below no longer short-circuits it), and a single-order
+      // customer's n-1 = 0 divisor THROWS under ANSI; NULL here matches
+      // DuckDB's x/0 and is masked by the guard anyway
+      .withColumn("svar",
+        try_divide(col("s2") - col("s1") * col("s1") / n, n - 1d))
       .withColumn("amount_std",
-        when(n > 1d, sqrt((col("s2") - col("s1") * col("s1") / n) / (n - 1d))))
+        when(n > 1d, sqrt(when(col("svar") < 0, lit(0d)).otherwise(col("svar")))))
       .withColumn("amount_trend",
         when(slopeDen > 0d, -(n * col("sxy") - col("sx") * col("s1")) / slopeDen)
           .otherwise(lit(0d)))
@@ -248,7 +272,7 @@ object Inference {
     * q_ensemble_score selects the scored frame from it;
     * q_calibration_bins rolls the same chain up to reliability bins. */
   private val ensCtes: String =
-    """raw AS (
+    s"""raw AS (
            SELECT o_orderkey,
              CAST(o_totalprice AS DOUBLE) AS f1,
              CAST(substr(o_orderpriority, 1, 1) AS DOUBLE) AS f2,
@@ -263,9 +287,9 @@ object Inference {
              CAST(SUM(CAST(f3*f3 AS DECIMAL(30,8))) AS DOUBLE) s2_3
            FROM raw),
          z AS (SELECT o_orderkey,
-             (f1 - s1_1/n) / sqrt(s2_1/n - (s1_1/n)*(s1_1/n)) AS z1,
-             (f2 - s1_2/n) / sqrt(s2_2/n - (s1_2/n)*(s1_2/n)) AS z2,
-             (f3 - s1_3/n) / sqrt(s2_3/n - (s1_3/n)*(s1_3/n)) AS z3
+             ${zSql("f1", 1)} AS z1,
+             ${zSql("f2", 2)} AS z2,
+             ${zSql("f3", 3)} AS z3
            FROM raw CROSS JOIN m),
          p AS (SELECT o_orderkey, z1,
              1.0/(1.0 + exp(-(0.8*z1 + 0.4*z2 - 0.2*z3))) AS p_xgb,
@@ -337,7 +361,9 @@ object Inference {
          j AS (SELECT ent.*, dowp.top_dow_n, dowp.dow_total,
              s1 / n_orders AS amount_mean,
              CASE WHEN n_orders > 1
-               THEN sqrt((s2 - s1*s1/n_orders) / (n_orders - 1)) END AS amount_std,
+               THEN sqrt(CASE WHEN (s2 - s1*s1/n_orders) / (n_orders - 1) < 0
+                 THEN CAST(0 AS DOUBLE)
+                 ELSE (s2 - s1*s1/n_orders) / (n_orders - 1) END) END AS amount_std,
              CASE WHEN n_orders*sxx - sx*sx > 0
                THEN -(n_orders*sxy - sx*s1) / (n_orders*sxx - sx*sx)
                ELSE 0.0 END AS amount_trend,

@@ -507,8 +507,13 @@ object Monitoring {
       // must drop out IDENTICALLY in both engines — Spark's x/0 yields
       // NULL while DuckDB's IEEE division yields ±inf (a phantom
       // 'critical'), so the guard is explicit on both sides
+      // ... and a constant group's variance, computed from decimal-exact
+      // sums cast to double, can be fractionally NEGATIVE — Spark's sqrt
+      // is NaN where DuckDB's raises, so the clamp too is on both sides
+      .withColumn("svar", try_divide(
+        col("s2") - col("s1") * col("s1") / col("n"), col("n") - 1))
       .withColumn("sd", when(col("n") > 1,
-        sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))))
+        sqrt(when(col("svar") < 0, lit(0d)).otherwise(col("svar")))))
     val zAlerts = events.join(broadcast(stats), col("event_type") === col("et"))
       .withColumn("az", when(col("sd") > 0,
         abs(r4((col("value") - col("mean")) / col("sd")))))
@@ -842,8 +847,9 @@ object Monitoring {
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
              CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
            FROM events GROUP BY event_type),
+         sv AS (SELECT *, (s2 - s1*s1/n)/(n-1) AS svar FROM st),
          sd AS (SELECT *, CASE WHEN n > 1
-                  THEN sqrt((s2 - s1*s1/n)/(n-1)) END AS sdev FROM st),
+                  THEN sqrt(CASE WHEN svar < 0 THEN CAST(0 AS DOUBLE) ELSE svar END) END AS sdev FROM sv),
          za AS (
            SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
              'anomaly_zscore' AS source,

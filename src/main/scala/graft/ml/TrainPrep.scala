@@ -130,10 +130,12 @@ object TrainPrep {
     // frame, so the window/subtotal branches (and the bucketed branch's
     // boundary sketch) reuse the RDD instead of re-running the event
     // scan once per consumer
-    val cum = graft.functions.PrefixSum.cumulative(
-      ev.groupBy(col("value")).agg(count(lit(1)).as("c"))
-        .localCheckpoint(false), "value", "c")
-    val n = ev.agg(count(lit(1)).as("n"))
+    val dist = ev.groupBy(col("value")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val cum = graft.functions.PrefixSum.cumulative(dist, "value", "c")
+    // total row count off the pinned NDV-scale frame — NOT another full
+    // event scan (the same cheap form Vocab.bitsPerTokenBuckets uses)
+    val n = dist.agg(sum(col("c")).as("n"))
     val ks = (1 until bins).map(lit(_))
     val edges = cum.crossJoin(broadcast(n))
       .select(col("value"), col("cum"), col("n"),
@@ -203,9 +205,16 @@ object TrainPrep {
         corrFeats.indices.map(i => recomb(s"ss_$i")) ++
         (for { i <- corrFeats.indices; j <- corrFeats.indices if i < j }
           yield recomb(s"sp_${i}_$j")): _*)
+    // each n²·Var factor clamped at 0 (a constant column can leave it
+    // fractionally negative in doubles — DuckDB's sqrt would raise where
+    // Spark yields NaN), and try_divide so a degenerate zero denominator
+    // is NULL on both engines; bit-identical whenever both factors > 0
+    def vfac(i: Int): String =
+      s"(CASE WHEN n * ss_$i - s_$i * s_$i < 0 THEN CAST(0 AS DOUBLE) " +
+        s"ELSE n * ss_$i - s_$i * s_$i END)"
     def r(i: Int, j: Int): Column = expr(
-      s"(n * sp_${i}_$j - s_$i * s_$j) / " +
-        s"sqrt((n * ss_$i - s_$i * s_$i) * (n * ss_$j - s_$j * s_$j))")
+      s"try_divide(n * sp_${i}_$j - s_$i * s_$j, " +
+        s"sqrt(${vfac(i)} * ${vfac(j)}))")
     val idx = for { i <- corrFeats.indices; j <- corrFeats.indices if i < j } yield (i, j)
     // Two-step unpivot: materialize each r as a named scalar COLUMN first,
     // then explode structs that reference only those attributes. Inlining
@@ -292,10 +301,14 @@ object TrainPrep {
           hiLoSql(s"sp_${i}_$j", tSql(i, j))).flatten
       def rc(nm: String): String =
         s"(CAST(${nm}_hi AS DOUBLE) + CAST(${nm}_lo AS DOUBLE) / $S)"
+      // same clamped-factor shape as the Spark side's vfac
+      def vfacSql(i: Int): String = {
+        val f = s"n * ${rc(s"ss_$i")} - ${rc(s"s_$i")} * ${rc(s"s_$i")}"
+        s"(CASE WHEN $f < 0 THEN CAST(0 AS DOUBLE) ELSE $f END)"
+      }
       def rSql(i: Int, j: Int): String =
         s"(n * ${rc(s"sp_${i}_$j")} - ${rc(s"s_$i")} * ${rc(s"s_$j")}) / " +
-          s"sqrt((n * ${rc(s"ss_$i")} - ${rc(s"s_$i")} * ${rc(s"s_$i")}) * " +
-          s"(n * ${rc(s"ss_$j")} - ${rc(s"s_$j")} * ${rc(s"s_$j")}))"
+          s"sqrt(${vfacSql(i)} * ${vfacSql(j)})"
       val pairRows = (for { i <- fs.indices; j <- fs.indices if i < j } yield
         s"SELECT '${fs(i)}' AS feature_a, '${fs(j)}' AS feature_b, ${sqlR(rSql(i, j), 6)} AS pearson_r FROM m")
         .mkString(" UNION ALL ")

@@ -98,12 +98,24 @@ object Analytics {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
         sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("s2"))
       .withColumn("mean", col("s1") / col("n"))
-      .withColumn("sd", sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1)))
+      // sample variance clamped at 0 (a constant group's decimal-exact
+      // sums cast to double can leave a fractionally negative variance;
+      // Spark's sqrt yields NaN where DuckDB's RAISES), and a group with
+      // n<=1 or zero spread is scored NULL / not flagged — the same
+      // degenerate-cell contract as [[anomalySeasonal]], identical CASEs
+      // on both engines
+      .withColumn("svar", try_divide(
+        col("s2") - col("s1") * col("s1") / col("n"), col("n") - 1))
+      .withColumn("sd", when(col("n") > 1,
+        sqrt(when(col("svar") < 0, lit(0d)).otherwise(col("svar")))))
     events.join(broadcast(stats), col("event_type") === col("et"))
       .select(
         col("event_id"), col("event_type"), col("value"),
-        r4((col("value") - col("mean")) / col("sd")).as("zscore"),
-        (abs(r4((col("value") - col("mean")) / col("sd"))) > 2.0).as("is_outlier"))
+        when(col("sd") > 0d, r4((col("value") - col("mean")) / col("sd")))
+          .as("zscore"),
+        when(col("sd") > 0d,
+          abs(r4((col("value") - col("mean")) / col("sd"))) > 2.0)
+          .otherwise(lit(false)).as("is_outlier"))
       .orderBy("event_id")
   }
 
@@ -122,9 +134,11 @@ object Analytics {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
         sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("s2"))
       .withColumn("mean", col("s1") / col("n"))
+      .withColumn("svar", try_divide(
+        col("s2") - col("s1") * col("s1") / col("n"), col("n") - 1))
       .withColumn("sd",
         when(col("n") > 1,
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))))
+          sqrt(when(col("svar") < 0, lit(0d)).otherwise(col("svar")))))
     base.join(broadcast(stats), col("event_type") === col("et") && col("dow") === col("d"))
       .select(
         col("event_id"), col("event_type"), col("dow"), col("value"),
@@ -434,9 +448,10 @@ object Analytics {
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
              CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
            FROM base GROUP BY 1, 2),
+         sv AS (SELECT *, (s2 - s1 * s1 / n) / (n - 1) AS svar FROM st),
          sd AS (SELECT et, d, s1 / n AS mean,
-             CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
-           FROM st)
+             CASE WHEN n > 1 THEN sqrt(CASE WHEN svar < 0 THEN CAST(0 AS DOUBLE) ELSE svar END) END AS sd
+           FROM sv)
          SELECT event_id, event_type, dow, value,
            CASE WHEN sd > 0 THEN FLOOR(((value - mean) / sd) * 10000 + 0.5) / 10000 END AS seasonal_z,
            CASE WHEN sd > 0
@@ -541,11 +556,16 @@ object Analytics {
              CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
              CAST(SUM(CAST(value * value AS DECIMAL(30,8))) AS DOUBLE) AS s2
            FROM events GROUP BY event_type),
+         sv AS (SELECT *, (s2 - s1 * s1 / n) / (n - 1) AS svar FROM st),
+         sd AS (SELECT et, s1 / n AS mean,
+             CASE WHEN n > 1 THEN sqrt(CASE WHEN svar < 0 THEN CAST(0 AS DOUBLE) ELSE svar END) END AS sd
+           FROM sv),
          z AS (
-           SELECT event_id, event_type, value,
-             FLOOR(((value - s1 / n) / sqrt((s2 - s1 * s1 / n) / (n - 1))) * 10000 + 0.5) / 10000 AS zscore
-           FROM events JOIN st ON event_type = et)
-         SELECT event_id, event_type, value, zscore, abs(zscore) > 2.0 AS is_outlier
+           SELECT event_id, event_type, value, sd,
+             CASE WHEN sd > 0 THEN FLOOR(((value - mean) / sd) * 10000 + 0.5) / 10000 END AS zscore
+           FROM events JOIN sd ON event_type = et)
+         SELECT event_id, event_type, value, zscore,
+           CASE WHEN sd > 0 THEN abs(zscore) > 2.0 ELSE FALSE END AS is_outlier
          FROM z ORDER BY event_id""",
     "q_freshness" ->
       """WITH ref AS (SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS ref_s FROM events),

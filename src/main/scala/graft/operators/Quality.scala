@@ -114,7 +114,12 @@ object Quality {
           sum((col(c) * col(c)).cast("decimal(38,8)")).cast("double").as(s"s2_$c")))
     val stats = df.agg(aggs.head, aggs.tail: _*)
     def mean(c: String) = col(s"s1_$c") / col(s"nn_$c")
-    def pstd(c: String) = sqrt(col(s"s2_$c") / col(s"nn_$c") - mean(c) * mean(c))
+    // population variance clamped at 0: decimal-exact sums cast to double
+    // can leave a CONSTANT column's variance fractionally negative, where
+    // Spark's sqrt is NaN but the oracle's DuckDB sqrt raises; identical
+    // CASE on both sides, bit-identical whenever variance >= 0
+    def pvar(c: String) = col(s"s2_$c") / col(s"nn_$c") - mean(c) * mean(c)
+    def pstd(c: String) = sqrt(when(pvar(c) < 0, lit(0d)).otherwise(pvar(c)))
     val carried = (max(col("n_rows")).as("n_rows") +:
       allCols.map(c => max(col(s"nn_$c")).as(s"nn_$c"))) ++
       categoricalCols.map(c => max(col(s"nd_$c")).as(s"nd_$c"))
@@ -205,9 +210,11 @@ object Quality {
       val sCols = nums.map(c =>
         s"CAST(SUM(CAST($c AS DECIMAL(18,4))) AS DOUBLE) s1_$c, " +
           s"CAST(SUM(CAST($c * $c AS DECIMAL(38,8))) AS DOUBLE) s2_$c").mkString(", ")
+      def pvar(c: String) =
+        s"s2_$c / nn_$c - (s1_$c / nn_$c) * (s1_$c / nn_$c)"
       val okCols = nums.map(c =>
         s"CAST(SUM(CASE WHEN ABS($c - s1_$c / nn_$c) <= " +
-          s"3 * sqrt(s2_$c / nn_$c - (s1_$c / nn_$c) * (s1_$c / nn_$c)) " +
+          s"3 * sqrt(CASE WHEN ${pvar(c)} < 0 THEN CAST(0 AS DOUBLE) ELSE ${pvar(c)} END) " +
           s"THEN 1 ELSE 0 END) AS BIGINT) ok_$c").mkString(", ")
       val comp = s"(${all.map(c => s"nn_$c / n_rows").mkString(" + ")}) / ${all.size}"
       val uniq = s"(${cats.map(c => s"LEAST(nd_$c / n_rows, 1.0)").mkString(" + ")}) / ${cats.size}"

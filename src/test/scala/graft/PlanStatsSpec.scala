@@ -40,4 +40,30 @@ class PlanStatsSpec extends AnyFunSuite {
     PlanStats.clear()
     assert(PlanStats.rowCount(Tables.embeddings(spark, sf)) == expected)
   }
+
+  test("same-typed reads of DIFFERENT directories do not collide") {
+    // Canonicalization erases column names and HadoopFsRelation.toString
+    // omits the path, so sf0.001 and sf0.01 embeddings canonicalize to the
+    // SAME plan string — the key must still tell them apart via the file
+    // location, or the second probe silently returns the first's count.
+    PlanStats.clear()
+    // orders, not embeddings: the doc tables are generated at the SAME
+    // row count for sf0.001 and sf0.01, which would mask a collision
+    val small = Tables.orders(spark, "/root/testdata/sf0.001")
+    val big = Tables.orders(spark, "/root/testdata/sf0.01")
+    val nSmall = PlanStats.rowCount(small)
+    val nBig = PlanStats.rowCount(big)
+    assert(nSmall == small.count() && nBig == big.count())
+    assert(nSmall != nBig, "different datasets must not share a cache entry")
+  }
+
+  test("frames built from in-memory data are counted correctly, uncached") {
+    // A LocalRelation's rows are invisible to the plan string: two
+    // same-schema literal frames with different data must each count
+    // their own rows (the device declines to cache rather than collide).
+    PlanStats.clear()
+    import spark.implicits._
+    assert(PlanStats.rowCount(Seq(1, 2, 3).toDF("v")) == 3L)
+    assert(PlanStats.rowCount(Seq(4, 5).toDF("v")) == 2L)
+  }
 }
