@@ -24,6 +24,46 @@ class EdgeCasesSpec extends AnyFunSuite {
   private def oneDoc = Tables.documents(spark, sf).limit(1)
   private def emptyEmb = Tables.embeddings(spark, sf).limit(0)
 
+  test("variance-based operators are well-defined on CONSTANT columns") {
+    // A constant column's decimal-exact sums cast to double can leave the
+    // variance fractionally negative OR positive (±ε residue); the
+    // negative side used to make Spark's sqrt NaN where DuckDB's RAISES.
+    // Contract on constant input: no throw, no NaN anywhere — residue
+    // SIGN decides between NULL (clamped to 0, try_divide) and a huge
+    // finite z (tiny positive sd), both deterministic and both computed
+    // identically by the oracle.
+    val constEvents = Tables.events(spark, sf).withColumn("value", lit(0.1))
+    val az = operators.Analytics.anomalyZscore(constEvents)
+    assert(az.count() > 0)
+    assert(az.filter(isnan(col("zscore"))).count() == 0)
+    assert(operators.Analytics.anomalySeasonal(constEvents)
+      .filter(isnan(col("seasonal_z"))).count() == 0)
+    // alertSummary: constant values -> no z-alerts survive, frame is defined
+    assert(ml.Monitoring.alertSummary(constEvents).count() >= 0)
+    // per-user std of a constant spend: the fp residue of the moment
+    // formula can be ±ε — negative is clamped to 0, positive stays a
+    // ~1e-9 sqrt; the contract is no NaN/NULL and residue-scale only
+    val en = ml.Features.enrichTransactions(constEvents)
+    assert(en.filter(col("u_std").isNull || isnan(col("u_std")) ||
+      abs(col("u_std")) > 1e-6).count() == 0)
+    // featureStats: constant feature profiles with std_v = 0, no NaN
+    val fs = ml.Features.featureStats(Seq(
+      "const.v" -> constEvents.select(col("value").as("v"))))
+    val row = fs.collect().head
+    assert(row.getAs[Double]("std_v") == 0d)
+    assert(!row.getAs[Double]("mean_v").isNaN)
+    // ensemble scaler: constant feature -> z NULL via try_divide, not NaN
+    val constOrders = Tables.orders(spark, sf).withColumn("o_totalprice", lit(7.0))
+    assert(ml.Inference.ensembleScore(constOrders).count() > 0)
+    assert(ml.Inference.aggFeatureStore(constOrders).count() > 0)
+    // Pearson over a constant feature: NULL r (clamped 0/0 via
+    // try_divide) or a finite residue ratio — never NaN, never a throw
+    val constLineitem = Tables.lineitem(spark, sf).withColumn("l_discount", lit(0.05))
+    val corr = ml.TrainPrep.featureCorr(constLineitem)
+    assert(corr.count() == 6)
+    assert(corr.filter(isnan(col("pearson_r"))).count() == 0)
+  }
+
   test("dedup family returns empty on an empty corpus") {
     assert(Dedup.exact(emptyDocs).count() == 0)
     assert(Dedup.minhashLsh(emptyDocs).count() == 0)
