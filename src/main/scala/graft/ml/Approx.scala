@@ -40,13 +40,15 @@ object Approx {
     *
     * Everything non-scan is a broadcast of 1-row artifacts: two full
     * scans total (sketch+NDV aggregate, rank recount) plus the
-    * percentile device's distinct shuffle. The sketch row is EAGERLY
-    * localCheckpoint'ed: it feeds both the rank recount (broadcast) and
-    * the final row, and without the pin the full-scan aggregate would
-    * run twice — worse, two RACING materializations on a real cluster
-    * could hold different approx_percentile values, so the rank check
-    * would test a different ap50 than the one the profile reported
-    * (the same reasoning as the prefix-sum boundary pin). */
+    * percentile device's distinct shuffle. The sketch row feeds BOTH the
+    * rank recount (broadcast) and the final row; the two embeddings are
+    * identical subtrees, so Catalyst's ReuseExchange computes the
+    * aggregate once and broadcasts it twice within the one action — an
+    * eager localCheckpoint pin here was MEASURED 6× slower (it forces a
+    * separate full materialization of the expand-heavy countDistinct
+    * aggregate instead of the in-plan reuse; 0.75 s → 4.4 s at sf0.1),
+    * and single-materialization reuse also means there is no racing-copy
+    * divergence for the sketch values. */
   def approxProfile(events: DataFrame): DataFrame = {
     val sk = events.agg(
       // rsd 0.02 for BOTH sketches so the 6% (3σ) bound below is a real
@@ -58,7 +60,6 @@ object Approx {
       countDistinct(col("value")).as("exact_values"),
       expr("approx_percentile(value, 0.5, 10000)").as("ap50"),
       expr("approx_percentile(value, 0.9, 10000)").as("ap90"))
-      .localCheckpoint()
     val p50 = PrefixSum.exactPercentiles(
         events.select("value"), "value", Nil, Seq("p50_raw" -> 0.5))
       .select((floor(col("p50_raw") * 1e6 + 0.5) / 1e6).as("exact_p50"))

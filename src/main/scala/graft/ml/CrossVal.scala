@@ -103,7 +103,7 @@ object CrossVal {
       sum(col("d1_3")).as("g1_3"), sum(col("d2_3")).as("g2_3"))
     // TRAIN moments per fold: global minus own fold, all in decimals —
     // exact, so "fit on the other k-1 folds" costs zero extra passes
-    val train = perFold.crossJoin(broadcast(glob)).select(
+    val train = Inference.withScaler(perFold.crossJoin(broadcast(glob)).select(
       col("fold"),
       (col("gn") - col("fn")).cast("double").as("n"),
       (col("g1_1") - col("d1_1")).cast("double").as("s1_1"),
@@ -111,7 +111,7 @@ object CrossVal {
       (col("g1_2") - col("d1_2")).cast("double").as("s1_2"),
       (col("g2_2") - col("d2_2")).cast("double").as("s2_2"),
       (col("g1_3") - col("d1_3")).cast("double").as("s1_3"),
-      (col("g2_3") - col("d2_3")).cast("double").as("s2_3"))
+      (col("g2_3") - col("d2_3")).cast("double").as("s2_3")))
     def z(i: Int): Column = Inference.zMoment(i)
     val scored = feats.join(broadcast(train), "fold")
       .withColumn("p_ens",

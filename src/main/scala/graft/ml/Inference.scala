@@ -57,26 +57,36 @@ object Inference {
     * scaler formula (load-bearing for oracle bit-parity) every consumer
     * shares: [[scoreWith]], the streaming twin, and the CV/robustness
     * marts ([[CrossVal]]). */
-  def zOf(value: Column, i: Int): Column = {
-    val mean = col(s"s1_$i") / col("n")
-    // variance clamped at 0 (a constant feature's decimal-exact sums cast
-    // to double can leave a fractionally negative variance — Spark's sqrt
-    // is NaN where DuckDB's RAISES), and try_divide so an exactly-zero
-    // std yields NULL exactly like DuckDB's division by zero; on spread
-    // data both are bit-identical to the unguarded formula
-    val varP = sqlVarP(i)
-    val std = sqrt(when(varP < 0, lit(0d)).otherwise(varP))
-    try_divide(value - mean, std)
-  }
+  def zOf(value: Column, i: Int): Column =
+    // mean_i / std_i are precomputed ONCE per (broadcast, 1-or-k-row)
+    // moments frame by [[withScaler]] — the per-data-row work is one
+    // subtract + one try_divide (NULL at an exactly-zero std, exactly
+    // DuckDB's division-by-zero), not five divisions and a sqrt. This
+    // scaler is the hot expression of the CV/robustness marts.
+    try_divide(value - col(s"mean_$i"), col(s"std_$i"))
 
-  private def sqlVarP(i: Int): Column =
-    col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n"))
+  /** Append the derived scaler columns (`mean_i`, `std_i`) to a moments
+    * frame carrying `n`, `s1_i`, `s2_i`. The variance is clamped at 0
+    * with greatest: a CONSTANT feature's decimal-exact sums cast to
+    * double can leave it fractionally negative, where Spark's sqrt
+    * yields NaN but DuckDB's RAISES (the oracle run would crash). Both
+    * engines' GREATEST ignore the impossible-NULL side identically, and
+    * on spread data the arithmetic is bit-identical to the unguarded
+    * formula the oracle twins inline per row ([[zSql]]). */
+  def withScaler(moments: DataFrame): DataFrame = {
+    def varP(i: Int): Column =
+      col(s"s2_$i") / col("n") - (col(s"s1_$i") / col("n")) * (col(s"s1_$i") / col("n"))
+    (1 to 3).foldLeft(moments) { (m, i) =>
+      m.withColumn(s"mean_$i", col(s"s1_$i") / col("n"))
+        .withColumn(s"std_$i", sqrt(greatest(varP(i), lit(0d))))
+    }
+  }
 
   /** SQL twin of [[zOf]] for the oracle strings — same clamped-variance
     * shape so the double arithmetic matches bit-for-bit. */
   def zSql(v: String, i: Int): String = {
     val vp = s"s2_$i/n - (s1_$i/n)*(s1_$i/n)"
-    s"($v - s1_$i/n) / sqrt(CASE WHEN $vp < 0 THEN CAST(0 AS DOUBLE) ELSE $vp END)"
+    s"($v - s1_$i/n) / sqrt(GREATEST($vp, CAST(0 AS DOUBLE)))"
   }
 
   /** zOf of the raw feature column f_i itself. */
@@ -107,14 +117,14 @@ object Inference {
   /** Fit the global scaler: one row of exact decimal moments (population
     * std, ddof=0, as sklearn's StandardScaler). This is the "model
     * artifact" a serving deployment broadcasts. */
-  def fitMoments(orders: DataFrame): DataFrame = features(orders).agg(
+  def fitMoments(orders: DataFrame): DataFrame = withScaler(features(orders).agg(
     count(lit(1)).as("n"),
     sum(col("f1").cast("decimal(18,4)")).cast("double").as("s1_1"),
     sum((col("f1") * col("f1")).cast("decimal(30,8)")).cast("double").as("s2_1"),
     sum(col("f2").cast("decimal(18,4)")).cast("double").as("s1_2"),
     sum((col("f2") * col("f2")).cast("decimal(30,8)")).cast("double").as("s2_2"),
     sum(col("f3").cast("decimal(18,4)")).cast("double").as("s1_3"),
-    sum((col("f3") * col("f3")).cast("decimal(30,8)")).cast("double").as("s2_3"))
+    sum((col("f3") * col("f3")).cast("decimal(30,8)")).cast("double").as("s2_3")))
 
   /** Row-local ensemble scoring of a feature frame against a broadcast
     * one-row scaler — stateless, so it runs identically over a batch
