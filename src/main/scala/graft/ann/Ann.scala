@@ -21,6 +21,10 @@ import graft.functions.Fns._
 class TopKNeighbors(k: Int)
   extends Aggregator[(Long, Long, Double), mutable.PriorityQueue[(Double, Long)], Seq[(Long, Double)]] {
 
+  // fail fast at construction: k=0 would otherwise surface as a
+  // NoSuchElementException on b.head deep inside an executor task
+  require(k > 0, s"TopKNeighbors requires k > 0 (got $k)")
+
   // dequeue must evict the WORST entry: lower cosine first, larger id on ties
   private def worstFirst: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
     def compare(a: (Double, Long), b: (Double, Long)): Int = {
@@ -400,14 +404,16 @@ object Ann {
     * touching the batch. */
   def lshIncrement(newVecs: DataFrame, allVecs: DataFrame, storedBands: DataFrame,
                    threshold: Double = 0.35, bucketLimit: Int = 100,
-                   bandBits: Int = 4): DataFrame = {
+                   nBits: Int = 16, bandBits: Int = 4): DataFrame = {
     val wB = Window.partitionBy(col("band_id"), col("band_val"))
     // cap applies to MERGED bucket sizes (store ∪ batch) so the result
     // equals the full-recompute restriction — the minhashIncrement rule.
-    // bandBits must match the width the stored bands were built with (a
-    // real store versions this in its metadata).
+    // nBits AND bandBits must match the widths the stored bands were
+    // built with (a real store versions both in its metadata) — without
+    // the nBits passthrough a store built on adaptiveLshParams' wide
+    // rung (nBits = 2·bandBits > 16) could never be incremented.
     val all = storedBands.withColumn("is_new", lit(false))
-      .unionByName(lshBandStore(newVecs, bandBits = bandBits)
+      .unionByName(lshBandStore(newVecs, nBits = nBits, bandBits = bandBits)
         .withColumn("is_new", lit(true)))
       .withColumn("bucket_n", count(lit(1)).over(wB))
       .filter(col("bucket_n") <= bucketLimit)
@@ -467,7 +473,12 @@ object Ann {
     val sums = embeddings
       .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy(col("label"), col("dim"))
-      .agg(sum(expr(s"cast(floor(cast(x as double) * $S) as bigint)")).as("sx"),
+      // DECIMAL(38,0) accumulator: the per-row scaled term is up to
+      // ~2^40, so an int64 sum overflows past ~2^23 rows per (label,dim)
+      // — aborting under ANSI, silently wrapping without it, and either
+      // way diverging from DuckDB's HUGEINT sum. Decimal sums are exact
+      // to 38 digits (~10^38 — unreachable) at identical cost shape.
+      .agg(sum(expr(s"cast(cast(floor(cast(x as double) * $S) as bigint) as decimal(38,0))")).as("sx"),
         count(lit(1)).as("n"))
       .withColumn("m", col("sx").cast("double") / expr(S) / col("n"))
     val norms = sums.groupBy(col("label"))
@@ -513,8 +524,18 @@ object Ann {
       .orderBy(md5(col("centroid_id").cast("string")), col("centroid_id"))
       .limit(kCoarse)
       .select(col("centroid_id").as("coarse_id"), col("ce").as("ge"), col("cnrm").as("gnrm"))
+    // Self-preference tie key: a coarse centroid must land in its OWN
+    // group. Two near-identical coarse centroids can both hit a rounded
+    // gcos of 1.0, and the bare coarse_id-asc tie-break would then hand
+    // the higher-id one's self-assignment to its twin, leaving a coarse
+    // group with ZERO fine centroids — and the final equi-join would
+    // silently DROP every vector that ranks that group first (an r6 ulp
+    // is enough). With the self key, every coarse group contains at
+    // least its own centroid, so the one-row-per-vector contract holds
+    // on any input. Non-coarse centroids sort identically to before.
     val wc = Window.partitionBy(col("centroid_id"))
-      .orderBy(col("gcos").desc, col("coarse_id"))
+      .orderBy(col("gcos").desc,
+        (col("coarse_id") === col("centroid_id")).desc, col("coarse_id"))
     val cassign = cents.crossJoin(broadcast(coarse))
       .withColumn("gcos", r6(dot("ce", "ge") / (col("cnrm") * col("gnrm"))))
       .withColumn("rn", row_number().over(wc)).filter(col("rn") === 1)
@@ -679,7 +700,7 @@ object Ann {
       // arrive as the new increment, mirroring q_dedup_incremental
       val emb = loadEmb(s, d)
       val tagged = emb.withColumn("dg",
-        expr("instr('0123456789abcdef', substr(md5(cast(vec_id as string)), 1, 1)) - 1"))
+        graft.functions.Fns.hexDigit("vec_id", 1))
       val fresh = tagged.filter(col("dg") < 2).drop("dg")
       val existing = tagged.filter(col("dg") >= 2).drop("dg")
       // the increment must band with the same width the full corpus
@@ -960,7 +981,8 @@ object Ann {
              FLOOR((${dotSql("ce", "ge")} / (cnrm * gnrm)) * 1000000 + 0.5) / 1000000 AS gcos
            FROM cents, coarse),
          ca AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER
-             (PARTITION BY centroid_id ORDER BY gcos DESC, coarse_id) AS rn FROM cs)
+             (PARTITION BY centroid_id
+              ORDER BY gcos DESC, (coarse_id = centroid_id) DESC, coarse_id) AS rn FROM cs)
            WHERE rn = 1),
          vs AS (SELECT vec_id, embedding, nrm, coarse_id,
              FLOOR((${dotSql("embedding", "ge")} / (nrm * gnrm)) * 1000000 + 0.5) / 1000000 AS gcos

@@ -268,16 +268,35 @@ object Dedup {
             .select(col("src").as("id"), col("label")))
         .groupBy(col("id")).agg(min(col("label")).as("label"))
 
+    // pointer-jumping shortcut: label := min(label, label-of-label).
+    // Neighbor steps alone move the min ONE hop per application, so a
+    // D-hop chain (template/boilerplate corpora routinely chain hundreds
+    // of pairwise near-dups) needed D rounds and silently exited the
+    // iteration cap with non-minimal labels. The shortcut halves the
+    // remaining distance each round — convergence in O(log D) rounds,
+    // so the cap below is a never-hit safety, not a truncation. The
+    // label side may be label-skewed (every member of a giant cluster
+    // points at one id); labels is node-sized and both sides of the
+    // self-join are the same frame, so AQE's skew split handles it.
+    def shortcut(l: DataFrame): DataFrame = {
+      val par = l.select(col("id").as("pid"), col("label").as("plabel"))
+      l.join(par, col("label") === col("pid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("plabel"), col("label"))).as("label"))
+    }
+
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // TWO propagation rounds per materialization: halves the driver
-      // round-trips and convergence checks (labels are monotone, so an
-      // unchanged sum after a double step still proves the fixpoint).
+      // TWO propagation rounds + one shortcut per materialization: halves
+      // the driver round-trips and convergence checks (labels are
+      // monotone, so an unchanged sum after a combined step still proves
+      // the fixpoint — and a step-fixpoint labeling IS the transitive
+      // closure, the shortcut only accelerates reaching it).
       // Lazy checkpoint every round: truncation materializes inside the
       // same job as the convergence sum (no separate eager pass) and keeps
       // every round's plan flat.
-      val doubled = step(step(labels))
+      val doubled = shortcut(step(step(labels)))
       val updated = doubled.localCheckpoint(false)
       val newSum = updated.agg(coalesce(sum(col("label")), lit(0L)))
         .first().getLong(0)
@@ -287,6 +306,12 @@ object Dedup {
       labels = updated
       iter += 1
     }
+    // Loud failure instead of silently wrong (non-minimal) labels: the
+    // oracle computes the FULL closure, so an un-converged return could
+    // never hash-match anyway — and downstream survivors would keep
+    // multiple 'keep' rows per true cluster.
+    require(converged,
+      s"propagate: not converged after $maxIters double-step+shortcut rounds")
     // Materialize the (small) final labeling via an eager localCheckpoint,
     // then drop every cached frame: nothing this operator persisted leaks
     // into the caller's session (checkpoint blocks are context-cleaned
@@ -304,7 +329,8 @@ object Dedup {
     * the absolute error. Signature agreement is 8 column equality checks
     * on the already-aggregated signature frame; the exact side restricts
     * the [[ngramJaccard]] pair stream to the candidates. */
-  def minhashAccuracy(documents: DataFrame, bucketLimit: Int = 100): DataFrame = {
+  def minhashAccuracy(documents: DataFrame, bucketLimit: Int = 100,
+                      dfLimit: Int = 100): DataFrame = {
     val sig = signatures(documents)
     // The candidate frame feeds TWO consumers (the final estimate join and
     // the candidate-doc semi-join below); without truncation each consumer
@@ -333,7 +359,10 @@ object Dedup {
     val wS = Window.partitionBy(col("sh"))
     val shp = sh
       .withColumn("df", count(lit(1)).over(wS))
-      .filter(col("df") <= 100)
+      // the SAME df cap as ngramJaccard's dfLimit default — a parameter,
+      // not a re-typed literal, so tuning one cannot silently skew the
+      // est-vs-exact calibration this mart exists to measure
+      .filter(col("df") <= dfLimit)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select("doc_id", "sh")
     val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
@@ -455,7 +484,7 @@ object Dedup {
       // deterministic batch split: docs with md5 digit < 2 (~1/8) arrive
       // as the new increment; the rest are the already-deduped corpus
       val docs = Tables.documents(s, d).withColumn("d",
-        expr("instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1"))
+        graft.functions.Fns.hexDigit("doc_id", 1))
       val existing = docs.filter(col("d") >= 2).drop("d")
       val fresh = docs.filter(col("d") < 2).drop("d")
       minhashIncrement(fresh, bandStore(existing))

@@ -64,6 +64,33 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(corr.filter(isnan(col("pearson_r"))).count() == 0)
   }
 
+  test("label propagation closes a LONG chain exactly (pointer jumping)") {
+    // A 400-hop chain of pairwise near-dups: one-hop-per-round
+    // propagation would need ~200 double-step rounds and used to exit
+    // the 20-round cap SILENTLY with non-minimal labels; the shortcut
+    // (label-of-label) converges in O(log n) rounds, and the cap is now
+    // a loud require, never a truncation.
+    import spark.implicits._
+    val n = 400
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1))
+      .toDF("doc_a", "doc_b")
+    val labels = Dedup.propagate(pairs)
+    assert(labels.count() == n)
+    assert(labels.filter(col("label") =!= 0L).count() == 0,
+      "every chained doc must reach the chain-minimum label")
+  }
+
+  test("hierAssign emits one row per vector under total cosine ties") {
+    // All-identical embeddings: every coarse/fine cosine rounds to 1.0,
+    // the worst tie storm. The self-preference tie key guarantees every
+    // coarse group keeps its own centroid, so the final equi-join can
+    // never drop a vector.
+    val emb0 = Tables.embeddings(spark, sf).select(col("embedding")).limit(1)
+    val same = Tables.embeddings(spark, sf).select(col("vec_id")).limit(64)
+      .crossJoin(broadcast(emb0))
+    assert(Ann.hierAssign(same).count() == 64)
+  }
+
   test("dedup family returns empty on an empty corpus") {
     assert(Dedup.exact(emptyDocs).count() == 0)
     assert(Dedup.minhashLsh(emptyDocs).count() == 0)
