@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.OutputMode
 
@@ -61,13 +61,18 @@ object DocStream {
     * micro-batch lands. Pure Append mode — the only state Spark keeps is
     * the file-source log. Candidate DEDUP (one row per pair) happens
     * downstream exactly as in the batch incremental path; at ingest time
-    * you want the raw hits immediately. */
+    * you want the raw hits immediately.
+    *
+    * `newDocFilter` optionally restricts the streamed side (the test
+    * harness passes the md5-digit split that mirrors
+    * q_dedup_incremental); by default EVERY streamed document is
+    * matched — a production ingest points this at its landing directory
+    * and must not silently lose documents to a baked-in test split. */
   def bandMatches(spark: SparkSession, dir: String, storedBands: DataFrame,
+                  newDocFilter: Option[Column] = None,
                   queryName: String = "stream_bandmatch"): DataFrame = {
-    val newDocs = readDocuments(spark, dir)
-      .withColumn("d", expr(
-        "instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1"))
-      .filter(col("d") < 2).drop("d")
+    val base = readDocuments(spark, dir)
+    val newDocs = newDocFilter.map(base.filter).getOrElse(base)
     val hits = bandsRowLocal(newDocs).as("n")
       .join(storedBands.withColumnRenamed("doc_id", "corpus_doc")
         .withColumnRenamed("bh", "cbh").withColumnRenamed("band_idx", "cband"),

@@ -109,18 +109,53 @@ object EventStream {
   /** Streaming exact dedup on event_id with a watermark bounding the
     * dedup state — the streaming twin of Dedup.exact (late duplicates
     * beyond the watermark age out of state instead of growing it
-    * forever). */
+    * forever). The event-time column MUST be part of the dedup key:
+    * StreamingDeduplicateExec only evicts state whose event-time falls
+    * behind the watermark when that column is in the subset —
+    * dropDuplicates("event_id") alone would keep one state row per
+    * distinct event_id FOREVER (unbounded on a real landing stream). A
+    * true duplicate delivery carries the same event time, so keying on
+    * (event_id, ts) dedups identically while making eviction work. */
   def dedupedEvents(spark: SparkSession, dir: String,
                     queryName: String = "stream_dedup"): DataFrame = {
     val q = readEvents(spark, dir)
       .withWatermark("ts", "1 hour")
-      .dropDuplicates("event_id")
+      .dropDuplicates("event_id", "ts")
       .select(col("event_id"), col("user_id"), col("event_type"))
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()
     spark.table(queryName)
+  }
+
+  private def closeSession(userId: Long, s: SessState): SessionOut =
+    SessionOut(s"$userId-${s.seq}", userId, s.seq, s.n,
+      s.start, s.last, s.last - s.start, s.types.size.toLong)
+
+  /** The ONE session fold both sessionizers share (sort the micro-batch
+    * slice, close every gap-terminated session, carry the open head):
+    * returns the new open state and the closed sessions in emit order.
+    * A single definition so a tie-break or gap-logic fix can never
+    * apply to one twin and not the other. */
+  private def foldSessions(userId: Long, rows: Iterator[SessEvent],
+                           st0: Option[SessState], gapS: Long)
+      : (Option[SessState], List[SessionOut]) = {
+    val sorted = rows.toSeq.sortBy(e => (e.tsS, e.eventId))
+    var st = st0
+    var out = List.empty[SessionOut]
+    sorted.foreach { e =>
+      st match {
+        case None =>
+          st = Some(SessState(1L, e.tsS, e.tsS, 1L, Set(e.eventType)))
+        case Some(s) if e.tsS - s.last > gapS =>
+          out ::= closeSession(userId, s)
+          st = Some(SessState(s.seq + 1, e.tsS, e.tsS, 1L, Set(e.eventType)))
+        case Some(s) =>
+          st = Some(s.copy(last = e.tsS, n = s.n + 1, types = s.types + e.eventType))
+      }
+    }
+    (st, out.reverse)
   }
 
   /** Streaming sessionizer via flatMapGroupsWithState — the custom-state
@@ -136,23 +171,9 @@ object EventStream {
     import spark.implicits._
     val fn = (userId: Long, rows: Iterator[SessEvent],
               state: GroupState[SessState]) => {
-      val sorted = rows.toSeq.sortBy(e => (e.tsS, e.eventId))
-      var st = state.getOption
-      var out = List.empty[SessionOut]
-      sorted.foreach { e =>
-        st match {
-          case None =>
-            st = Some(SessState(1L, e.tsS, e.tsS, 1L, Set(e.eventType)))
-          case Some(s) if e.tsS - s.last > 1800L =>
-            out ::= SessionOut(s"$userId-${s.seq}", userId, s.seq, s.n,
-              s.start, s.last, s.last - s.start, s.types.size.toLong)
-            st = Some(SessState(s.seq + 1, e.tsS, e.tsS, 1L, Set(e.eventType)))
-          case Some(s) =>
-            st = Some(s.copy(last = e.tsS, n = s.n + 1, types = s.types + e.eventType))
-        }
-      }
+      val (st, out) = foldSessions(userId, rows, state.getOption, 1800L)
       st.foreach(state.update)
-      out.reverse.iterator
+      out.iterator
     }
     val sessions = readEvents(spark, dir)
       .select(col("user_id").cast("long").as("userId"),
@@ -175,46 +196,40 @@ object EventStream {
     * state is bounded (every session leaves state ≤ gap after its last
     * event, in event time) and the stream's output converges to the
     * FULL batch sessionize, not just its gap-closed prefix. Input must
-    * carry the event-time watermark; this wires it from tsS. */
+    * carry the event-time watermark; this wires it from tsS.
+    *
+    * ORDERING CONTRACT: with EventTimeTimeout, Spark silently DROPS
+    * input rows older than the watermark. `watermarkDelayS` is the
+    * cross-micro-batch disorder the stream tolerates before an event is
+    * lost (and its session under-counted vs batch): the 0 s default
+    * matches the single-batch test harness where batch equivalence is
+    * asserted; a real deployment sets it to its source's observed
+    * disorder bound (each open session then lingers in state at most
+    * gap + delay past its last event). */
   def sessionizedTimeoutStream(events: org.apache.spark.sql.Dataset[SessEvent],
-                               gapS: Long = 1800L)
+                               gapS: Long = 1800L,
+                               watermarkDelayS: Long = 0L)
       : org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    def close(userId: Long, s: SessState): SessionOut =
-      SessionOut(s"$userId-${s.seq}", userId, s.seq, s.n,
-        s.start, s.last, s.last - s.start, s.types.size.toLong)
     val fn = (userId: Long, rows: Iterator[SessEvent],
               state: GroupState[SessState]) => {
       if (state.hasTimedOut) {
         // watermark passed last + gap: no event can extend this session
         val s = state.get
         state.remove()
-        Iterator.single(close(userId, s))
+        Iterator.single(closeSession(userId, s))
       } else {
-        val sorted = rows.toSeq.sortBy(e => (e.tsS, e.eventId))
-        var st = state.getOption
-        var out = List.empty[SessionOut]
-        sorted.foreach { e =>
-          st match {
-            case None =>
-              st = Some(SessState(1L, e.tsS, e.tsS, 1L, Set(e.eventType)))
-            case Some(s) if e.tsS - s.last > gapS =>
-              out ::= close(userId, s)
-              st = Some(SessState(s.seq + 1, e.tsS, e.tsS, 1L, Set(e.eventType)))
-            case Some(s) =>
-              st = Some(s.copy(last = e.tsS, n = s.n + 1, types = s.types + e.eventType))
-          }
-        }
+        val (st, out) = foldSessions(userId, rows, state.getOption, gapS)
         st.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp((s.last + gapS) * 1000L)
         }
-        out.reverse.iterator
+        out.iterator
       }
     }
     events
       .withColumn("ts", timestamp_seconds(col("tsS")))
-      .withWatermark("ts", "0 seconds")
+      .withWatermark("ts", s"$watermarkDelayS seconds")
       .as[SessEvent]
       .groupByKey(_.userId)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
@@ -269,8 +284,14 @@ object EventStream {
       var out = List.empty[Scd2Closed]
       sorted.foreach { e =>
         st match {
-          case Some(o) if e.tsUs < o.fromUs =>
-            // cross-batch straggler: dead-letter, state untouched
+          // cross-batch straggler = anything that sorts BEFORE the open
+          // head under the batch order (tsUs, eventId) — the eventId
+          // tie-break included: an equal-timestamp event with a smaller
+          // id would, in the batch builder, PRECEDE the head, so applying
+          // it as a successor here would silently renumber the chain.
+          // Dead-letter it, state untouched.
+          case Some(o) if e.tsUs < o.fromUs ||
+              (e.tsUs == o.fromUs && e.eventId < o.eventId) =>
             out ::= Scd2Closed(userId, e.eventId, e.eventType, e.value,
               -1L, e.tsUs / 1000000L, e.tsUs, o.fromUs / 1000000L)
           case _ =>

@@ -5,34 +5,42 @@ import scala.jdk.CollectionConverters._
 
 /** Scratch staging for the file-stream sources: the test layout exposes
   * each table as `<dir>/<table>.parquet`, which may be a single parquet
-  * FILE (driver testdata) or a parquet DIRECTORY of part files (any
-  * Spark-written table), possibly partitioned into `key=value`
-  * subdirectories. The file-stream source needs a directory of data
-  * files and does NOT recurse into a symlinked subdirectory, so each
-  * data file is staged as its own top-level symlink (a partitioned
-  * table flattens — fine for the streaming twins, which never prune on
-  * the partition column). The scratch dir is per-call and cleaned at
-  * JVM exit (deleteOnExit runs in reverse registration order — dir
-  * first, links after, so the links inside delete before the dir). A
-  * real deployment points the stream straight at its landing directory
-  * and never takes this path. */
+  * FILE (driver testdata) or a flat parquet DIRECTORY of part files
+  * (any Spark-written unpartitioned table). The file-stream source
+  * needs a directory of data files and does NOT recurse into a
+  * symlinked subdirectory, so each data file is staged as its own
+  * top-level symlink. A `partitionBy` layout is REFUSED, not flattened:
+  * the partition column's values live only in the `key=value` directory
+  * names, so flattening would stream every row with that column NULL —
+  * batch-correct, stream-silently-wrong. The scratch dir is per-call
+  * and cleaned at JVM exit (deleteOnExit runs in reverse registration
+  * order — dir first, links after, so the links inside delete before
+  * the dir). A real deployment points the stream straight at its
+  * landing directory and never takes this path. */
 object Staging {
 
   /** Returns the scratch directory to hand to `readStream.parquet`.
     * Fails loudly when the source yields ZERO data files (e.g. an
     * interrupted write that left only _SUCCESS) — a file stream over an
-    * empty scratch dir would silently answer 0 rows to every query. */
+    * empty scratch dir would silently answer 0 rows to every query —
+    * and when the source is a `key=value` partitioned layout (see
+    * object doc: flattening would NULL the partition column). */
   def stageParquet(dir: String, table: String, scratchPrefix: String): String = {
     val streamDir = Files.createTempDirectory(scratchPrefix)
     streamDir.toFile.deleteOnExit()
     val src = Paths.get(s"$dir/$table.parquet")
     val dataFiles: List[Path] =
       if (Files.isDirectory(src)) {
-        val s = Files.walk(src)
-        try s.iterator().asScala.toList
-          .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-        finally s.close()
+        val s = Files.list(src)
+        val entries = try s.iterator().asScala.toList finally s.close()
+        val partDirs = entries.filter(p =>
+          Files.isDirectory(p) && p.getFileName.toString.contains("="))
+        require(partDirs.isEmpty,
+          s"stageParquet: $src is a partitionBy layout (${partDirs.head.getFileName} …) — " +
+            "flat-staging would stream the partition column as NULL; " +
+            "point the stream at an unpartitioned landing copy instead")
+        entries.filter(p => Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
       } else List(src)
     require(dataFiles.nonEmpty,
       s"stageParquet: no .parquet data files under $src — " +

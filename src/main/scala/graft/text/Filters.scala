@@ -28,10 +28,11 @@ import graft.functions.Fns._
 object Filters {
 
   /** First hex digit of md5(doc_id) as an int in 0..15 — deterministic
-    * noise shared with the oracle SQL (same device as
+    * noise shared with the oracle SQL (the single shared definition,
+    * [[graft.functions.Fns.hexDigit]], same device as
     * [[graft.ml.Monitoring]]). */
   private def hexNoise(idCol: String) =
-    expr(s"instr('0123456789abcdef', substr(md5(cast($idCol as string)), 1, 1)) - 1")
+    graft.functions.Fns.hexDigit(idCol, 1)
 
   /** Per-document repetition metrics over word n-grams (n = 1, 2, 3):
     * duplicate-gram fraction (share of grams that are repeats of an

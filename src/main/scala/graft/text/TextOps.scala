@@ -47,17 +47,22 @@ object TextOps {
 
   /** Adds the quality signal + score + tier columns to a withWords frame.
     * Pure column expressions. */
+  // try_divide throughout: an EMPTY document (text = '', zero words) has
+  // length/word-count divisors of 0 — ANSI `/` would abort the whole
+  // query where the DuckDB oracle yields NULL for that row; try_divide
+  // IS DuckDB's division-by-zero semantics and is bit-identical on every
+  // non-empty doc. Empty docs are in-contract (lengthHistogram bins them).
   private[graft] def withQualitySignals(d0: DataFrame): DataFrame =
     d0.withColumn("n_chars_raw", length(col("text")))
       .withColumn("n_words", size(col("words")))
       .withColumn("avg_word_len",
-        r4((length(col("norm")) - (col("n_words") - 1)) / col("n_words")))
+        r4(try_divide(length(col("norm")) - (col("n_words") - 1), col("n_words"))))
       .withColumn("punct_ratio",
-        r4((length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", ""))) / length(col("text"))))
+        r4(try_divide(length(col("text")) - length(regexp_replace(col("text"), "[.,!?;:]", "")), length(col("text")))))
       .withColumn("stop_ratio",
-        r4(expr(s"size(filter(words, w -> w IN ${inList(stop("en"))}))") / col("n_words")))
+        r4(try_divide(expr(s"size(filter(words, w -> w IN ${inList(stop("en"))}))"), col("n_words"))))
       .withColumn("digit_ratio",
-        r4((length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))) / length(col("text"))))
+        r4(try_divide(length(col("text")) - length(regexp_replace(col("text"), "[0-9]", "")), length(col("text")))))
       .withColumn("quality_score", r4(
         lit(0.4) * col("stop_ratio") +
           lit(0.3) * (lit(1.0) - col("punct_ratio")) +

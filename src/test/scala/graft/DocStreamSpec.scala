@@ -36,7 +36,8 @@ class DocStreamSpec extends AnyFunSuite {
     val docs = Tables.documents(spark, sf)
     val (existing, fresh) = split(docs)
     val store = Dedup.bandStore(existing)
-    val streamed = DocStream.bandMatches(spark, sf, store)
+    val streamed = DocStream.bandMatches(spark, sf, store,
+      newDocFilter = Some(graft.functions.Fns.hexDigit("doc_id", 1) < 2))
       .select("new_doc", "corpus_doc", "band_idx").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     val batch = Dedup.bandStore(fresh).as("n")
