@@ -366,6 +366,81 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** The two sides of the stream-stream attribution join: purchases and
+    * non-purchase touches, each read as its OWN stream with its own
+    * watermark (stream-stream joins require a watermark on both inputs —
+    * that, plus the time-interval join condition, is what lets Spark
+    * evict matched-out state instead of buffering both streams forever). */
+  private def purchaseTouchStreams(spark: SparkSession, dir: String,
+                                   watermark: String) = {
+    val purchases = readEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    val touches = readEvents(spark, dir)
+      .filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts").as("t_ts"))
+      .withWatermark("t_ts", watermark)
+    (purchases, touches)
+  }
+
+  /** Stream-stream INTERVAL JOIN — the streaming twin of the
+    * [[graft.operators.Analytics.attribution]] pair stream: every
+    * purchase joined to every touch by the same user in the preceding
+    * `lookback`. Inner joins emit each match the moment both sides have
+    * arrived (no watermark wait), so a finite stream yields exactly the
+    * batch join; the watermarks + the two-sided time bound are what cap
+    * the buffered state on an INFINITE stream — each side holds at most
+    * `lookback + watermark` of history per user, evicted as the global
+    * watermark advances, regardless of stream length. */
+  def touchPurchaseJoin(spark: SparkSession, dir: String,
+                        queryName: String = "stream_ssjoin",
+                        lookback: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    val (purchases, touches) = purchaseTouchStreams(spark, dir, watermark)
+    val joined = purchases.join(touches,
+        col("p_user") === col("t_user") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("purchase_id"), col("touch_id"), col("touch_type"),
+        epochS(col("p_ts")).as("p_ts_s"), epochS(col("t_ts")).as("t_ts_s"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
+  /** LEFT-OUTER stream-stream interval join — same pair stream, but a
+    * purchase with NO touch in its lookback window still emits (null
+    * touch columns): the "direct purchase" rows the attribution mart
+    * labels `direct`. Unlike the inner join, the null rows can only be
+    * declared once the touch-side watermark has passed the purchase's
+    * whole lookback window — so on a finite stream the LAST `watermark`
+    * of purchases stays buffered (correctly: a matching touch could
+    * still arrive) and never emits a null row. Specs compare against
+    * batch on the provably-flushed region only. */
+  def touchPurchaseJoinOuter(spark: SparkSession, dir: String,
+                             queryName: String = "stream_ssjoin_outer",
+                             lookback: String = "1 hour",
+                             watermark: String = "2 hours"): DataFrame = {
+    val (purchases, touches) = purchaseTouchStreams(spark, dir, watermark)
+    val joined = purchases.join(touches,
+        col("p_user") === col("t_user") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
+        "left_outer")
+      .select(col("purchase_id"), col("touch_id"), col("touch_type"),
+        epochS(col("p_ts")).as("p_ts_s"), epochS(col("t_ts")).as("t_ts_s"))
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Custom keyed state via mapGroupsWithState: running event count per
     * user (the minimal production shape for per-entity state machines —
     * session trackers, fraud counters, CDC merge). */

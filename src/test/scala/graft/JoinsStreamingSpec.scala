@@ -114,6 +114,58 @@ class JoinsStreamingSpec extends AnyFunSuite {
     assert(!rows.exists(_.getAs[Long]("user_id") == 9L))
   }
 
+  /** Batch twin of the stream-stream pair stream: purchases × preceding
+    * touches within 1h, same projection as EventStream.touchPurchaseJoin. */
+  private def batchIntervalJoin(joinType: String) = {
+    val e = Tables.events(spark, sf)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    val t = e.filter(col("event_type") =!= "purchase")
+      .select(col("user_id").as("t_user"), col("event_id").as("touch_id"),
+        col("event_type").as("touch_type"), col("ts").as("t_ts"))
+    p.join(t,
+        col("p_user") === col("t_user") && col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"),
+        joinType)
+      .select(col("purchase_id"), col("touch_id"), col("touch_type"),
+        unix_timestamp(col("p_ts")).as("p_ts_s"),
+        unix_timestamp(col("t_ts")).as("t_ts_s"))
+  }
+
+  test("stream-stream interval join equals the batch interval join") {
+    val stream = EventStream.touchPurchaseJoin(spark, sf)
+    val batch = batchIntervalJoin("inner")
+    assert(batch.count() > 0, "test corpus must yield interval-join pairs")
+    assert(stream.exceptAll(batch).count() == 0)
+    assert(batch.exceptAll(stream).count() == 0)
+  }
+
+  test("left-outer stream-stream join: matches in full, direct purchases once flushed") {
+    val outer = EventStream.touchPurchaseJoinOuter(spark, sf)
+    // matched rows emit immediately — they must be EXACTLY the inner join
+    val matched = outer.filter(col("touch_id").isNotNull)
+    val batchInner = batchIntervalJoin("inner")
+    assert(matched.exceptAll(batchInner).count() == 0)
+    assert(batchInner.exceptAll(matched).count() == 0)
+    // null rows emit only after the watermark clears the purchase's whole
+    // lookback window: every emitted null row must be a true direct
+    // purchase, and every direct purchase older than
+    // maxTs - (watermark + lookback) must have been flushed
+    val nullRows = outer.filter(col("touch_id").isNull).select("purchase_id")
+    val direct = batchIntervalJoin("left_outer")
+      .filter(col("touch_id").isNull).select("purchase_id", "p_ts_s")
+    assert(nullRows.exceptAll(direct.select("purchase_id")).count() == 0,
+      "a null row emitted for a purchase that HAS a touch in window")
+    val maxS = Tables.events(spark, sf)
+      .agg(max(unix_timestamp(col("ts")))).first().getLong(0)
+    val flushed = direct.filter(col("p_ts_s") < maxS - (2L + 1L) * 3600L - 1L)
+      .select("purchase_id")
+    assert(flushed.count() > 0, "test corpus must have flushable direct purchases")
+    assert(flushed.exceptAll(nullRows).count() == 0,
+      "a provably-flushable direct purchase was never emitted")
+  }
+
   test("rollup includes per-nation, per-region and grand-total levels") {
     val r = Joins.rollupRevenue(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf))
