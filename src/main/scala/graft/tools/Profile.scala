@@ -150,6 +150,12 @@ object Profile {
         t(s"stream_perfmon_$round") {
           graft.streaming.EventStream.performanceMonitor(spark, sfDir, s"ppm$round").count()
         }
+        t(s"stream_ssjoin_$round") {
+          graft.streaming.EventStream.touchPurchaseJoin(spark, sfDir, s"pj$round").count()
+        }
+        t(s"stream_ssjoin_outer_$round") {
+          graft.streaming.EventStream.touchPurchaseJoinOuter(spark, sfDir, s"pjo$round").count()
+        }
       }
     }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
