@@ -222,20 +222,21 @@ object Vocab {
     * comparison in both engines. Docs under 2 words have no bigrams and
     * drop out, mirroring [[bigramLm]]. */
   def pplFilter(documents: DataFrame): DataFrame = {
-    val scored = bigramLm(documents)
-    // The (score, count) distinct frame is DOC-scale (≤ one row per
-    // document) but its lineage is the full bigram-LM scoring pass; the
-    // prefix-sum device reads it twice (NDV probe + cumulative window)
-    // and the total once more. One LAZY localCheckpoint pins it — the
-    // device's probe job materializes it, so the LM scoring runs once
-    // for the edge computation instead of three times (the same
-    // per-round pinning trick the dedup cluster propagation uses) and
-    // the pin itself costs no dedicated pass. The final per-doc
-    // bucketing below still scans `scored` directly (row-parallel, no
-    // benefit from the checkpoint).
+    // The scored frame is DOC-scale (one row per doc) but its lineage is
+    // the full bigram-LM pass — four shuffles over the exploded bigram
+    // stream. It feeds TWO consumers: the tertile-edge computation (via
+    // dist, which the prefix-sum device reads twice — NDV probe +
+    // cumulative window — plus the total once more) and the final per-doc
+    // bucketing. One LAZY localCheckpoint here pins the SCORED frame, so
+    // the LM pass runs exactly once for the whole query (pinning only
+    // `dist`, as this used to, still re-ran the LM pass for the final
+    // bucketing scan). The device's eager probe job materializes the pin;
+    // everything downstream — dist, edges, bucketing — re-reads the
+    // cached doc-scale leaf. Same persistence footprint as pinning dist
+    // (distinct rounded scores are ~doc-count anyway).
+    val scored = bigramLm(documents).localCheckpoint(false)
     val dist = scored.groupBy(col("bits_per_token").as("v"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
     val cum = graft.functions.PrefixSum.cumulative(dist, "v", "c")
     val n = dist.agg(sum(col("c")).as("n"))
     val edges = cum.crossJoin(broadcast(n))
