@@ -395,18 +395,29 @@ object EventStream {
     * the buffered state on an INFINITE stream — each side holds at most
     * `lookback + watermark` of history per user, evicted as the global
     * watermark advances, regardless of stream length. */
+  /** The un-sunk streaming join frame both drivers below run — exposed
+    * so callers (and the plan-shape spec) can attach their own sink or
+    * inspect the state operators the plan produces. */
+  def touchPurchaseJoined(spark: SparkSession, dir: String,
+                          lookback: String = "1 hour",
+                          watermark: String = "2 hours",
+                          joinType: String = "inner"): DataFrame = {
+    val (purchases, touches) = purchaseTouchStreams(spark, dir, watermark)
+    purchases.join(touches,
+        col("p_user") === col("t_user") &&
+          col("t_ts") < col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
+        joinType)
+      .select(col("purchase_id"), col("touch_id"), col("touch_type"),
+        epochS(col("p_ts")).as("p_ts_s"), epochS(col("t_ts")).as("t_ts_s"))
+  }
+
   def touchPurchaseJoin(spark: SparkSession, dir: String,
                         queryName: String = "stream_ssjoin",
                         lookback: String = "1 hour",
                         watermark: String = "2 hours"): DataFrame = {
-    val (purchases, touches) = purchaseTouchStreams(spark, dir, watermark)
-    val joined = purchases.join(touches,
-        col("p_user") === col("t_user") &&
-          col("t_ts") < col("p_ts") &&
-          col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"))
-      .select(col("purchase_id"), col("touch_id"), col("touch_type"),
-        epochS(col("p_ts")).as("p_ts_s"), epochS(col("t_ts")).as("t_ts_s"))
-    val q = joined.writeStream.outputMode(OutputMode.Append())
+    val q = touchPurchaseJoined(spark, dir, lookback, watermark)
+      .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()
@@ -426,15 +437,8 @@ object EventStream {
                              queryName: String = "stream_ssjoin_outer",
                              lookback: String = "1 hour",
                              watermark: String = "2 hours"): DataFrame = {
-    val (purchases, touches) = purchaseTouchStreams(spark, dir, watermark)
-    val joined = purchases.join(touches,
-        col("p_user") === col("t_user") &&
-          col("t_ts") < col("p_ts") &&
-          col("t_ts") >= col("p_ts") - expr(s"INTERVAL $lookback"),
-        "left_outer")
-      .select(col("purchase_id"), col("touch_id"), col("touch_type"),
-        epochS(col("p_ts")).as("p_ts_s"), epochS(col("t_ts")).as("t_ts_s"))
-    val q = joined.writeStream.outputMode(OutputMode.Append())
+    val q = touchPurchaseJoined(spark, dir, lookback, watermark, "left_outer")
+      .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()

@@ -166,6 +166,28 @@ class JoinsStreamingSpec extends AnyFunSuite {
       "a provably-flushable direct purchase was never emitted")
   }
 
+  test("stream-stream join plans as a symmetric hash join with bounded, evicted state") {
+    val q = EventStream.touchPurchaseJoined(spark, sf)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_shape").start()
+    q.processAllAvailable()
+    val progress = q.recentProgress.filter(_.stateOperators.nonEmpty)
+    q.stop()
+    assert(progress.nonEmpty, "no progress with state operators recorded")
+    val ops = progress.flatMap(_.stateOperators)
+    // the plan must run the streaming symmetric hash join — not fall back
+    // to a batch join shape that would buffer both streams unbounded
+    assert(ops.exists(_.operatorName.toLowerCase.contains("symmetrichashjoin")),
+      s"expected symmetricHashJoin state operator, got: ${ops.map(_.operatorName).distinct.mkString(", ")}")
+    // watermark-driven eviction must actually remove buffered rows on a
+    // finite month-long stream (state ≤ lookback+watermark of history)
+    val last = progress.last.stateOperators
+      .find(_.operatorName.toLowerCase.contains("symmetrichashjoin")).get
+    val totalInput = Tables.events(spark, sf).count()
+    assert(last.numRowsTotal < totalInput,
+      s"join state (${last.numRowsTotal}) should be below total input ($totalInput) after eviction")
+  }
+
   test("rollup includes per-nation, per-region and grand-total levels") {
     val r = Joins.rollupRevenue(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf))
