@@ -367,18 +367,22 @@ object EventStream {
   }
 
   /** The two sides of the stream-stream attribution join: purchases and
-    * non-purchase touches, each read as its OWN stream with its own
-    * watermark (stream-stream joins require a watermark on both inputs —
-    * that, plus the time-interval join condition, is what lets Spark
-    * evict matched-out state instead of buffering both streams forever). */
+    * non-purchase touches, filtered branches of ONE file-stream source (a
+    * stream self-join — a second readEvents would stage the table twice
+    * and double the per-batch file listing for no semantic difference).
+    * Each branch carries its own watermark: stream-stream joins require a
+    * watermark on both inputs — that, plus the time-interval join
+    * condition, is what lets Spark evict matched-out state instead of
+    * buffering both streams forever. */
   private def purchaseTouchStreams(spark: SparkSession, dir: String,
                                    watermark: String) = {
-    val purchases = readEvents(spark, dir)
+    val events = readEvents(spark, dir)
+    val purchases = events
       .filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
       .withWatermark("p_ts", watermark)
-    val touches = readEvents(spark, dir)
+    val touches = events
       .filter(col("event_type") =!= "purchase")
       .select(col("user_id").as("t_user"), col("event_id").as("touch_id"),
         col("event_type").as("touch_type"), col("ts").as("t_ts"))
@@ -386,18 +390,18 @@ object EventStream {
     (purchases, touches)
   }
 
-  /** Stream-stream INTERVAL JOIN — the streaming twin of the
+  /** Stream-stream INTERVAL JOIN, un-sunk — the streaming twin of the
     * [[graft.operators.Analytics.attribution]] pair stream: every
     * purchase joined to every touch by the same user in the preceding
-    * `lookback`. Inner joins emit each match the moment both sides have
-    * arrived (no watermark wait), so a finite stream yields exactly the
-    * batch join; the watermarks + the two-sided time bound are what cap
-    * the buffered state on an INFINITE stream — each side holds at most
+    * `lookback`. Inner matches emit the moment both sides have arrived
+    * (no watermark wait), so a finite stream yields exactly the batch
+    * join; the watermarks + the two-sided time bound are what cap the
+    * buffered state on an INFINITE stream — each side holds at most
     * `lookback + watermark` of history per user, evicted as the global
-    * watermark advances, regardless of stream length. */
-  /** The un-sunk streaming join frame both drivers below run — exposed
-    * so callers (and the plan-shape spec) can attach their own sink or
-    * inspect the state operators the plan produces. */
+    * watermark advances, regardless of stream length. Returned before
+    * any sink so callers can attach their own and specs can inspect the
+    * state operators the plan produces; [[touchPurchaseJoin]] /
+    * [[touchPurchaseJoinOuter]] drive it through the memory sink. */
   def touchPurchaseJoined(spark: SparkSession, dir: String,
                           lookback: String = "1 hour",
                           watermark: String = "2 hours",
@@ -412,6 +416,8 @@ object EventStream {
         epochS(col("p_ts")).as("p_ts_s"), epochS(col("t_ts")).as("t_ts_s"))
   }
 
+  /** [[touchPurchaseJoined]] (inner) drained through the memory sink —
+    * returns the complete match table of the finite stream. */
   def touchPurchaseJoin(spark: SparkSession, dir: String,
                         queryName: String = "stream_ssjoin",
                         lookback: String = "1 hour",

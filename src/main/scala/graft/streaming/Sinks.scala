@@ -44,7 +44,11 @@ object Sinks {
       .foreachBatch(writeBatch(target) _)
       .option("checkpointLocation", checkpoint)
       .start()
-    q.processAllAvailable()
-    q.stop()
+    // stop in finally: a failed micro-batch would otherwise leave the
+    // query registered and holding the checkpoint dir, so a caller's
+    // retry with the same checkpoint dies on a concurrent-update error
+    // instead of resuming from the commit log
+    try q.processAllAvailable()
+    finally q.stop()
   }
 }

@@ -157,8 +157,14 @@ class JoinsStreamingSpec extends AnyFunSuite {
       .filter(col("touch_id").isNull).select("purchase_id", "p_ts_s")
     assert(nullRows.exceptAll(direct.select("purchase_id")).count() == 0,
       "a null row emitted for a purchase that HAS a touch in window")
+    // the query's GLOBAL watermark is min over the two per-stream
+    // watermarks = min(max purchase ts, max touch ts) - 2h, NOT the
+    // overall corpus max — a corpus whose last hours are all one type
+    // stalls the global watermark at the other type's max
     val maxS = Tables.events(spark, sf)
-      .agg(max(unix_timestamp(col("ts")))).first().getLong(0)
+      .groupBy(col("event_type") === "purchase")
+      .agg(max(unix_timestamp(col("ts"))).as("mx"))
+      .agg(min(col("mx"))).first().getLong(0)
     val flushed = direct.filter(col("p_ts_s") < maxS - (2L + 1L) * 3600L - 1L)
       .select("purchase_id")
     assert(flushed.count() > 0, "test corpus must have flushable direct purchases")

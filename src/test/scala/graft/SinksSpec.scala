@@ -8,11 +8,26 @@ import graft.streaming.Sinks
 class SinksSpec extends AnyFunSuite {
   import TestSession._
 
+  /** Recursive delete — deleteOnExit can't remove the non-empty parquet/
+    * checkpoint trees Spark creates under the scratch dirs. */
+  private def rmTree(root: String): Unit = {
+    import java.nio.file.{Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(root)
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[Path]())
+        .iterator().asScala.foreach(Files.deleteIfExists(_))
+      finally s.close()
+    }
+  }
+
   test("exactly-once parquet sink: complete, idempotent under replay, restart-safe") {
     val target = Files.createTempDirectory("graft-sink-t").toString
     val checkpoint = Files.createTempDirectory("graft-sink-c").toString
     val projected = (d: org.apache.spark.sql.DataFrame) =>
       d.select(col("event_id"), col("user_id"), col("event_type"))
+    try {
     // stage the source ONCE: the checkpoint's file-source offsets record
     // absolute paths, so the restart in step 3 must read the SAME
     // directory (readEvents stages a fresh scratch dir per call, which
@@ -48,5 +63,9 @@ class SinksSpec extends AnyFunSuite {
     Sinks.exactlyOnceParquet(source(), target, checkpoint)
     assert(spark.read.parquet(target).count() == batch.count(),
       "restart over a committed checkpoint must be a no-op")
+    } finally {
+      rmTree(target)
+      rmTree(checkpoint)
+    }
   }
 }
