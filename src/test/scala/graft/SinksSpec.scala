@@ -23,47 +23,50 @@ class SinksSpec extends AnyFunSuite {
   }
 
   test("exactly-once parquet sink: complete, idempotent under replay, restart-safe") {
+    val srcDir = Files.createTempDirectory("graft-sink-src").toString
     val target = Files.createTempDirectory("graft-sink-t").toString
     val checkpoint = Files.createTempDirectory("graft-sink-c").toString
-    val projected = (d: org.apache.spark.sql.DataFrame) =>
-      d.select(col("event_id"), col("user_id"), col("event_type"))
     try {
-    // stage the source ONCE: the checkpoint's file-source offsets record
-    // absolute paths, so the restart in step 3 must read the SAME
-    // directory (readEvents stages a fresh scratch dir per call, which
-    // would make every file look new to a reused checkpoint)
-    val staged = graft.streaming.Staging.stageParquet(sf, "events", "graft-sink-src")
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    def source() = projected(Tables.normalizeEventTs(
-      spark.readStream.schema(schema).parquet(staged)))
+      // a 4-part landing copy + maxFilesPerTrigger=1 forces MULTIPLE
+      // micro-batches, so the replay below exercises "one batch of
+      // several is redelivered", not the degenerate single-batch case
+      val batch = Tables.events(spark, sf)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+      batch.repartition(4).write.mode("overwrite").parquet(srcDir)
+      val landed = spark.read.parquet(srcDir)
+      def source() = spark.readStream.schema(landed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
 
-    // 1) drain the finite stream — every source row lands exactly once
-    Sinks.exactlyOnceParquet(source(), target, checkpoint)
-    val written = spark.read.parquet(target)
-    val batch = projected(Tables.events(spark, sf))
-    assert(written.count() == batch.count())
-    assert(written.drop("batch_id").exceptAll(batch).count() == 0)
-    assert(batch.exceptAll(written.drop("batch_id")).count() == 0)
+      // 1) drain the finite stream — every source row lands exactly once
+      Sinks.exactlyOnceParquet(source(), target, checkpoint)
+      val written = spark.read.parquet(target)
+      assert(written.count() == batch.count())
+      assert(written.drop("batch_id").exceptAll(batch).count() == 0)
+      assert(batch.exceptAll(written.drop("batch_id")).count() == 0)
+      // partition-directory columns read back with inferred (int) type
+      val batchIds = written.select(col("batch_id").cast("long")).distinct()
+        .collect().map(_.getLong(0)).sorted
+      assert(batchIds.length >= 2,
+        s"rate-limited 4-file source must produce several batches, got ${batchIds.mkString(",")}")
 
-    // 2) at-least-once replay: re-deliver an already-written batch with
-    // the SAME batchId — the dynamic partition overwrite must replace,
-    // not append, leaving the target byte-equal in row content
-    // partition-directory columns read back with inferred (int) type
-    val batchIds = written.select(col("batch_id").cast("long")).distinct()
-      .collect().map(_.getLong(0)).sorted
-    val replayId = batchIds.head
-    val replayRows = written.filter(col("batch_id") === replayId).drop("batch_id")
-    Sinks.writeBatch(target)(replayRows, replayId)
-    val after = spark.read.parquet(target)
-    assert(after.count() == batch.count(), "replay must not duplicate rows")
-    assert(after.drop("batch_id").exceptAll(batch).count() == 0)
+      // 2) at-least-once replay: re-deliver ONE already-written batch with
+      // the SAME batchId — the dynamic partition overwrite must replace
+      // exactly that partition, leaving the target row-equal overall
+      val replayId = batchIds(batchIds.length / 2)
+      val replayRows = written
+        .filter(col("batch_id") === replayId).drop("batch_id")
+      Sinks.writeBatch(target)(replayRows, replayId)
+      val after = spark.read.parquet(target)
+      assert(after.count() == batch.count(), "replay must not duplicate rows")
+      assert(after.drop("batch_id").exceptAll(batch).count() == 0)
 
-    // 3) restart with the same checkpoint + fully-consumed source: the
-    // commit log must skip every batch, writing nothing new
-    Sinks.exactlyOnceParquet(source(), target, checkpoint)
-    assert(spark.read.parquet(target).count() == batch.count(),
-      "restart over a committed checkpoint must be a no-op")
+      // 3) restart with the same checkpoint + fully-consumed source: the
+      // commit log must skip every batch, writing nothing new
+      Sinks.exactlyOnceParquet(source(), target, checkpoint)
+      assert(spark.read.parquet(target).count() == batch.count(),
+        "restart over a committed checkpoint must be a no-op")
     } finally {
+      rmTree(srcDir)
       rmTree(target)
       rmTree(checkpoint)
     }
