@@ -37,18 +37,30 @@ object Sinks {
     * output semantics: at-least-once delivery + an idempotent
     * per-batchId dynamic-partition overwrite. `checkpoint` carries the
     * commit log — restarting with the same checkpoint and source skips
-    * already-committed batches entirely. */
+    * already-committed batches entirely.
+    *
+    * `availableNow = true` runs under `Trigger.AvailableNow()` — the
+    * production backfill shape: process everything currently in the
+    * source (respecting source rate limits like `maxFilesPerTrigger`,
+    * so a 100 TB landing zone drains in bounded batches) and terminate.
+    * The default drives the test-harness path (`processAllAvailable`),
+    * which blocks until the source is drained but keeps the query
+    * running until stopped. */
   def exactlyOnceParquet(stream: DataFrame, target: String,
-                         checkpoint: String): Unit = {
-    val q = stream.writeStream
+                         checkpoint: String,
+                         availableNow: Boolean = false): Unit = {
+    val writer = stream.writeStream
       .foreachBatch(writeBatch(target) _)
       .option("checkpointLocation", checkpoint)
-      .start()
+    val q = (if (availableNow)
+      writer.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    else writer).start()
     // stop in finally: a failed micro-batch would otherwise leave the
     // query registered and holding the checkpoint dir, so a caller's
     // retry with the same checkpoint dies on a concurrent-update error
     // instead of resuming from the commit log
-    try q.processAllAvailable()
-    finally q.stop()
+    try {
+      if (availableNow) q.awaitTermination() else q.processAllAvailable()
+    } finally q.stop()
   }
 }

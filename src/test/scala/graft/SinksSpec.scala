@@ -37,8 +37,10 @@ class SinksSpec extends AnyFunSuite {
       def source() = spark.readStream.schema(landed.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
 
-      // 1) drain the finite stream — every source row lands exactly once
-      Sinks.exactlyOnceParquet(source(), target, checkpoint)
+      // 1) drain the finite stream under the production backfill trigger
+      // (AvailableNow + the source rate limit) — every row lands exactly
+      // once, in several bounded batches
+      Sinks.exactlyOnceParquet(source(), target, checkpoint, availableNow = true)
       val written = spark.read.parquet(target)
       assert(written.count() == batch.count())
       assert(written.drop("batch_id").exceptAll(batch).count() == 0)
@@ -61,7 +63,8 @@ class SinksSpec extends AnyFunSuite {
       assert(after.drop("batch_id").exceptAll(batch).count() == 0)
 
       // 3) restart with the same checkpoint + fully-consumed source: the
-      // commit log must skip every batch, writing nothing new
+      // commit log must skip every batch, writing nothing new (harness
+      // trigger this time, so both trigger paths are exercised)
       Sinks.exactlyOnceParquet(source(), target, checkpoint)
       assert(spark.read.parquet(target).count() == batch.count(),
         "restart over a committed checkpoint must be a no-op")
