@@ -58,12 +58,19 @@ object Tables {
     * `spark.sql.legacy.parquet.nanosAsLong=true` at session build (the
     * entry points do) so the read lands on the Long branch of
     * [[normalizeEventTs]] instead of Spark refusing the file. */
-  def events(s: SparkSession, d: String): DataFrame = {
+  /** The one shared UTC-contract assertion — the batch loader and the
+    * streaming readers enforce the SAME check through this helper, so
+    * the contract can never drift between the two paths. */
+  def requireUtcSession(s: SparkSession): Unit = {
     val tz = s.conf.get("spark.sql.session.timeZone")
     if (tz != "UTC") throw new IllegalStateException(
       s"graft requires spark.sql.session.timeZone=UTC (found '$tz'): " +
         "timestamp semantics and oracle parity are defined under UTC. " +
         "Pin it at SparkSession build; graft will not overwrite a host's zone.")
+  }
+
+  def events(s: SparkSession, d: String): DataFrame = {
+    requireUtcSession(s)
     normalizeEventTs(load(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")

@@ -60,9 +60,17 @@ object PlanStats {
       case _ => None // LocalRelation etc.: data not visible in the plan string
     }
     if (leafIds.exists(_.isEmpty)) None
-    else Some(plan.canonicalized.toString +
-      "|" + plan.output.map(_.name).mkString(",") +
-      "|" + leafIds.flatten.mkString(";"))
+    else {
+      // toJSON, not toString: the tree STRING truncates each node at
+      // spark.sql.debug.maxToStringFields fields ("... N more fields"),
+      // so two wide plans differing only past the cutoff would collide
+      // and return each other's cached counts. The JSON form serializes
+      // every field; a node that can't serialize falls back to uncached
+      // (correct, just not memoized).
+      scala.util.Try(plan.canonicalized.toJSON).toOption.map(js =>
+        js + "|" + plan.output.map(_.name).mkString(",") +
+          "|" + leafIds.flatten.mkString(";"))
+    }
   }
 
   /** `df.count()`, memoized by canonical plan + concrete leaf identity. */

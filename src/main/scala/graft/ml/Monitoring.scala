@@ -504,9 +504,10 @@ object Monitoring {
         sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("s2"))
       .withColumn("mean", col("s1") / col("n"))
       // degenerate groups (single event: n-1 = 0; constant value: sd = 0)
-      // must drop out IDENTICALLY in both engines — Spark's x/0 yields
-      // NULL while DuckDB's IEEE division yields ±inf (a phantom
-      // 'critical'), so the guard is explicit on both sides
+      // must drop out IDENTICALLY in both engines — both Spark's
+      // try_divide and DuckDB's `/` yield NULL on x/0, and the explicit
+      // n>1 / sd>0 guards keep that parity independent of either
+      // engine's division semantics
       // ... and a constant group's variance, computed from decimal-exact
       // sums cast to double, can be fractionally NEGATIVE — Spark's sqrt
       // is NaN where DuckDB's raises, so the clamp too is on both sides

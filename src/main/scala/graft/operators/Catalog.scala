@@ -115,9 +115,10 @@ object Catalog {
       col("l_orderkey") === col("o_orderkey")),
     // Aggregated composites for the daily-grain facts. Measures stay
     // DECIMAL(18,4) (exact, order-independent sums) so the downstream
-    // sweep's decSum and the DuckDB oracle agree bit-for-bit; counts are
-    // cast to double because generateFact's row_hash formats measures
-    // with %.2f. One partial-aggregated shuffle each at any scale.
+    // sweep's decSum and the DuckDB oracle agree bit-for-bit; counts keep
+    // their natural integer type — generateFact casts every measure to
+    // double at hash time, so no source-level cast is needed for the
+    // %.2f row hash. One partial-aggregated shuffle each at any scale.
     "daily_sales" -> Tables.lineitem(spark, dir)
       .groupBy(to_date(col("l_shipdate")).as("sale_date"))
       .agg(
@@ -128,7 +129,7 @@ object Catalog {
     "user_daily_events" -> Tables.events(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("activity_date"))
       .agg(
-        count(lit(1)).cast("double").as("n_events"),
+        count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,4)"))
           .cast("decimal(18,4)").as("daily_value")),
     "order_dates" -> Tables.orders(spark, dir)

@@ -81,8 +81,8 @@ object DocStream {
         col("band_idx"), col("bh"))
     val q = hits.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 }

@@ -56,10 +56,7 @@ object EventStream {
     // (It only matters if the generator reverts events.ts to
     // TIMESTAMP(NANOS), in which case the batch loader fails loudly
     // first with the same remedy.)
-    val tz = spark.conf.get("spark.sql.session.timeZone")
-    if (tz != "UTC") throw new IllegalStateException(
-      s"graft streaming requires spark.sql.session.timeZone=UTC (found '$tz'); " +
-        "pin it at SparkSession build.")
+    Tables.requireUtcSession(spark)
     val streamDir = Staging.stageParquet(dir, "events", "graft-stream")
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     Tables.normalizeEventTs(
@@ -81,8 +78,8 @@ object EventStream {
     // (Complete mode ignores watermarks and retains every window forever).
     val q = agg.writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 
@@ -101,8 +98,8 @@ object EventStream {
         col("event_type"), col("n_events"), col("sum_value"))
     val q = agg.writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 
@@ -124,8 +121,8 @@ object EventStream {
       .select(col("event_id"), col("user_id"), col("event_type"))
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 
@@ -185,8 +182,8 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
     val q = sessions.toDF().writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 
@@ -253,8 +250,8 @@ object EventStream {
     val q = graft.ml.Monitoring.windowedPerf(scored)
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 
@@ -329,8 +326,8 @@ object EventStream {
       .as[Scd2Event])
     val q = closed.toDF().writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     // finish with the batch builder's derived columns (same expressions)
     spark.table(queryName)
       .select(
@@ -361,8 +358,8 @@ object EventStream {
       .windowedDrift(readEvents(spark, dir).withWatermark("ts", "2 hours"), ref)
       .writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 
@@ -425,8 +422,8 @@ object EventStream {
     val q = touchPurchaseJoined(spark, dir, lookback, watermark)
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 
@@ -446,8 +443,8 @@ object EventStream {
     val q = touchPurchaseJoined(spark, dir, lookback, watermark, "left_outer")
       .writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 
@@ -471,8 +468,8 @@ object EventStream {
       .toDF("user_id", "n_events")
     val q = counts.writeStream.outputMode(OutputMode.Update())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
       .groupBy("user_id").agg(max("n_events").as("n_events"))
   }

@@ -34,8 +34,8 @@ object InferStream {
     val scored = Inference.scoreWith(Inference.features(readOrders(spark, dir)), moments)
     val q = scored.writeStream.outputMode(OutputMode.Append())
       .format("memory").queryName(queryName).start()
-    q.processAllAvailable()
-    q.stop()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(queryName)
   }
 }

@@ -39,6 +39,19 @@ object Staging {
           s"stageParquet: $src is a partitionBy layout (${partDirs.head.getFileName} …) — " +
             "flat-staging would stream the partition column as NULL; " +
             "point the stream at an unpartitioned landing copy instead")
+        // nested NON-partition dirs are refused too: staging only the
+        // top level would silently stream fewer rows than the batch read
+        // (which recurses) — the failure mode this object exists to avoid.
+        // Hidden/metadata dirs (_spark_metadata, .tmp…) are exempt: Spark
+        // readers skip them, so dropping them loses no rows.
+        val nestedDirs = entries.filter(p => Files.isDirectory(p) && {
+          val n = p.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        })
+        require(nestedDirs.isEmpty,
+          s"stageParquet: $src contains nested director${if (nestedDirs.size == 1) "y" else "ies"} " +
+            s"(${nestedDirs.head.getFileName} …) whose files flat staging would drop; " +
+            "flatten the layout or point the stream at the nested directory directly")
         entries.filter(p => Files.isRegularFile(p) &&
           p.getFileName.toString.endsWith(".parquet"))
       } else List(src)
