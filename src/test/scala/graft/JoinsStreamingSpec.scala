@@ -194,6 +194,23 @@ class JoinsStreamingSpec extends AnyFunSuite {
       s"join state (${last.numRowsTotal}) should be below total input ($totalInput) after eviction")
   }
 
+  test("stream-stream join output is shuffle-partition-count invariant") {
+    // state-store count follows shuffle partitions, so a result that
+    // depends on partition count is exactly the distributed-correctness
+    // bug class the batch partition-invariance sweep locks out
+    val s7 = spark.newSession()
+    s7.conf.set("spark.sql.shuffle.partitions", "7")
+    val base = EventStream.touchPurchaseJoin(spark, sf, "ssjoin_pbase")
+    val alt = EventStream.touchPurchaseJoin(s7, sf, "ssjoin_p7")
+    // collect-and-sort: frames from different sessions can't be combined
+    // in one plan (tiny result set — the pair table of sf0.001)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val (b, a) = (rows(base), rows(alt))
+    assert(b.nonEmpty)
+    assert(b == a, s"partition-count-dependent join output: ${b.size} vs ${a.size} rows")
+  }
+
   test("rollup includes per-nation, per-region and grand-total levels") {
     val r = Joins.rollupRevenue(Tables.lineitem(spark, sf), Tables.orders(spark, sf),
       Tables.customer(spark, sf), Tables.nation(spark, sf), Tables.region(spark, sf))
