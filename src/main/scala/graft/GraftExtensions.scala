@@ -24,6 +24,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotScaled].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotScaled(exprs(0), exprs(1))))
+        DotScaled.fromArgs(exprs)))
   }
 }

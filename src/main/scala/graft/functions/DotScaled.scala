@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Exact scaled-integer dot product of two float-array columns.
   *
@@ -22,9 +22,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * this runs at memory speed.
   */
 case class DotScaled(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with ExpectsInputTypes {
 
   override def dataType: DataType = LongType
+
+  // analysis-time type check: without it, array<double> inputs pass
+  // analysis and codegen reads 4-byte float slots out of 8-byte double
+  // storage — plausible-looking but wrong products, silently
+  // (return type inferred: AbstractDataType is not public in Spark 4)
+  override def inputTypes = Seq(ArrayType(FloatType), ArrayType(FloatType))
 
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
@@ -41,16 +47,25 @@ case class DotScaled(left: Expression, right: Expression)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, not fixed names: two graft_dot calls compiled into one
+      // whole-stage-codegen method would otherwise declare the same Java
+      // locals twice and Janino would reject the stage (falling back to
+      // the interpreted path this expression exists to avoid)
+      val n = ctx.freshName("dotN")
+      val s = ctx.freshName("dotS")
+      val i = ctx.freshName("dotI")
+      val p = ctx.freshName("dotP")
       s"""
-         |int graft_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long graft_s = 0L;
-         |for (int graft_i = 0; graft_i < graft_n; graft_i++) {
-         |  double graft_p = ((double) $a.getFloat(graft_i)) * ((double) $b.getFloat(graft_i));
-         |  graft_s += (long) java.lang.Math.floor(graft_p * ${DotScaled.Scale}D);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
+         |  $s += (long) java.lang.Math.floor($p * ${DotScaled.Scale}D);
          |}
-         |${ev.value} = graft_s;
-       """.stripMargin)
+         |${ev.value} = $s;
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
@@ -61,9 +76,18 @@ object DotScaled {
   /** 2^40 — scale factor for the fixed-point terms. */
   val Scale: Double = 1099511627776.0
 
+  /** Arity-checked constructor shared by both registration paths, so a
+    * wrong argument count fails with the signature in the message
+    * instead of a raw IndexOutOfBoundsException. */
+  def fromArgs(exprs: Seq[Expression]): DotScaled = {
+    require(exprs.length == 2,
+      s"graft_dot(array<float>, array<float>) takes exactly 2 arguments, got ${exprs.length}")
+    DotScaled(exprs(0), exprs(1))
+  }
+
   /** Register `graft_dot(arr, arr) -> bigint` in the session's function
     * registry so it is usable from `expr(...)` and SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotScaled(exprs(0), exprs(1)), "built-in")
+      "graft_dot", exprs => fromArgs(exprs), "built-in")
 }

@@ -21,21 +21,39 @@ object Fns {
     sum(c.cast("decimal(18,4)")).cast("double")
 
   /** Deterministic mean: exact decimal sum over count (both engines divide
-    * the same two numbers). */
-  def decAvg(c: Column): Column =
-    (sum(c.cast("decimal(18,4)")).cast("double") / count(c)).as("avg")
+    * the same two numbers). Numerator and denominator see the SAME cast
+    * expression, so a value the decimal cast nulls (overflow in non-ANSI
+    * mode) drops out of both instead of skewing the mean; the caller
+    * names the column, like [[decSum]]. */
+  def decAvg(c: Column): Column = {
+    val d = c.cast("decimal(18,4)")
+    sum(d).cast("double") / count(d)
+  }
+
+  /** NULL placeholder inside hashed key strings — dbt_utils'
+    * generate_surrogate_key device: concat_ws SKIPS a NULL argument
+    * (losing its position, so (x, NULL) and (NULL, x) would collide),
+    * and the oracle fragments' `||` concat NULL-propagates; coalescing
+    * each column to a fixed placeholder keeps every position occupied.
+    * No driver table has NULLs in hashed columns today (quality rules
+    * filter them), so this changes nothing observable — an oracle
+    * fragment hashing a genuinely nullable column must COALESCE to the
+    * same placeholder. */
+  private val HashNull = "_graft_null_"
 
   /** Surrogate key as in dbt_utils.generate_surrogate_key: md5 of the
-    * '||'-joined string forms of the business keys.
+    * '||'-joined string forms of the business keys, NULLs coalesced to
+    * the positional placeholder.
     * Ref: /root/reference/macros/scd_type2_macro.sql:28 */
   def surrogateKey(cols: Column*): Column =
-    md5(concat_ws("||", cols.map(_.cast("string")): _*))
+    md5(concat_ws("||", cols.map(c => coalesce(c.cast("string"), lit(HashNull))): _*))
 
   /** Row-content hash for change detection (CDC). Doubles must be
     * pre-formatted with [[fmt2]]/[[fmt4]] by the caller for cross-engine
-    * stable string forms. Ref: scd_type2_macro.sql change_hash. */
+    * stable string forms; NULLs keep their position via the placeholder.
+    * Ref: scd_type2_macro.sql change_hash. */
   def rowHash(cols: Column*): Column =
-    md5(concat_ws("|", cols.map(_.cast("string")): _*))
+    md5(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit(HashNull))): _*))
 
   /** printf-style fixed-point formatting — identical in JVM and DuckDB for
     * the same binary double (both round the exact binary value). */

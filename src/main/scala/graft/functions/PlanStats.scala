@@ -49,14 +49,22 @@ object PlanStats {
     * identity (then the caller counts without caching). */
   private def key(df: DataFrame): Option[String] = {
     val plan = df.queryExecution.analyzed
+    // RDD ids restart with every SparkContext, so a checkpoint leaf's id
+    // is only unique WITHIN one application — prefix it with the app id
+    // or a restarted context could hit a stale count cached by the
+    // previous one (the cache itself is JVM-global).
+    val appId = df.sparkSession.sparkContext.applicationId
     val leafIds = plan.collectLeaves().map {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
           Some("fs:" + fs.location.rootPaths.mkString(","))
         case _ => None // non-file DSv1 relation: no stable printable identity
       }
-      case rdd: LogicalRDD => Some("rdd:" + rdd.rdd.id) // checkpointed lineage
-      case v2: DataSourceV2Relation => Some("v2:" + v2.name)
+      case rdd: LogicalRDD => Some(s"rdd:$appId:${rdd.rdd.id}") // checkpointed lineage
+      // v2 relations are NOT cached: snapshot/version/time-travel options
+      // live outside both the name and the canonicalized JSON, so two
+      // reads of the same table at different versions would share a key
+      case _: DataSourceV2Relation => None
       case _ => None // LocalRelation etc.: data not visible in the plan string
     }
     if (leafIds.exists(_.isEmpty)) None
@@ -66,10 +74,16 @@ object PlanStats {
       // so two wide plans differing only past the cutoff would collide
       // and return each other's cached counts. The JSON form serializes
       // every field; a node that can't serialize falls back to uncached
-      // (correct, just not memoized).
-      scala.util.Try(plan.canonicalized.toJSON).toOption.map(js =>
-        js + "|" + plan.output.map(_.name).mkString(",") +
-          "|" + leafIds.flatten.mkString(";"))
+      // (correct, just not memoized). The composed key is digested to a
+      // constant size so the map never pins multi-hundred-KB plan
+      // strings for the life of the JVM (sha-256: collision probability
+      // is negligible against 256 retained entries).
+      scala.util.Try(plan.canonicalized.toJSON).toOption.map { js =>
+        val full = js + "|" + plan.output.map(_.name).mkString(",") +
+          "|" + leafIds.flatten.mkString(";")
+        java.security.MessageDigest.getInstance("SHA-256")
+          .digest(full.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
     }
   }
 

@@ -74,6 +74,11 @@ object PrefixSum {
     // frame — no sketch work), so the fallback side never pays for
     // boundary estimation at all; the approx_percentile pass below runs
     // only once the bucketed path is already decided.
+    // the output column must not silently REPLACE a caller's: withColumn
+    // overwrites same-named columns without warning, which would corrupt
+    // the caller's data instead of erroring
+    require(!frame.columns.contains("cum"),
+      "PrefixSum.cumulative adds a column named 'cum'; the input frame already has one — rename it first")
     val ndvAgg = count(lit(1)).as("pfx_ndv")
     val maxNdv =
       (if (groupCols.isEmpty) frame.agg(ndvAgg)
@@ -233,35 +238,41 @@ object PrefixSum {
             groupCols.map(g => col(g) <=> col(s"pct_j_$g")).reduce(_ && _))
           .drop(groupCols.map(g => s"pct_j_$g"): _*)
       }
+    // working columns are pct_-prefixed like everything else in this
+    // device: an unprefixed withColumn("lo"/"r"/…) would silently
+    // REPLACE a caller's same-named group column and group on rank
+    // indices instead of erroring
     val specs = percentiles.zipWithIndex.map { case ((_, p), i) =>
       struct(lit(i).as("ei"), lit(p).as("p"))
     }
     val placed = runs
-      .withColumn("pp", explode(array(specs: _*)))
-      .withColumn("r", col("pp.p") * (col("pct_n") - 1).cast("double"))
-      .withColumn("lo", floor(col("r")))
-      .withColumn("hi", ceil(col("r")))
-      .filter(col("lo").between(col("pct_start"), col("pct_end")) ||
-              col("hi").between(col("pct_start"), col("pct_end")))
-      .groupBy((groupCols.map(col) :+ col("pp.ei").as("ei")): _*)
+      .withColumn("pct_pp", explode(array(specs: _*)))
+      .withColumn("pct_r", col("pct_pp.p") * (col("pct_n") - 1).cast("double"))
+      .withColumn("pct_lo", floor(col("pct_r")))
+      .withColumn("pct_hi", ceil(col("pct_r")))
+      .filter(col("pct_lo").between(col("pct_start"), col("pct_end")) ||
+              col("pct_hi").between(col("pct_start"), col("pct_end")))
+      .groupBy((groupCols.map(col) :+ col("pct_pp.ei").as("pct_ei")): _*)
       .agg(
-        max(when(col("lo").between(col("pct_start"), col("pct_end")),
-          col(valueCol))).as("v_lo"),
-        max(when(col("hi").between(col("pct_start"), col("pct_end")),
-          col(valueCol))).as("v_hi"),
-        max(col("r")).as("r"), max(col("lo")).as("lo"), max(col("hi")).as("hi"),
+        max(when(col("pct_lo").between(col("pct_start"), col("pct_end")),
+          col(valueCol))).as("pct_vlo"),
+        max(when(col("pct_hi").between(col("pct_start"), col("pct_end")),
+          col(valueCol))).as("pct_vhi"),
+        max(col("pct_r")).as("pct_r"), max(col("pct_lo")).as("pct_lo"),
+        max(col("pct_hi")).as("pct_hi"),
         max(col("pct_n")).as("pct_n"))
       // Equal-endpoint short-circuit, as Percentile.getPercentile does:
       // when both rank endpoints fall in the same duplicated-value run,
       // return the value itself — the reconstruction (hi−r)·v + (r−lo)·v
       // is 1 ulp off for non-dyadic p, which an r6 half-boundary turns
       // into an oracle hash drift.
-      .withColumn("q",
-        when(col("lo") === col("hi") || col("v_lo") === col("v_hi"), col("v_lo"))
-          .otherwise((col("hi") - col("r")) * col("v_lo") +
-                     (col("r") - col("lo")) * col("v_hi")))
+      .withColumn("pct_q",
+        when(col("pct_lo") === col("pct_hi") || col("pct_vlo") === col("pct_vhi"),
+          col("pct_vlo"))
+          .otherwise((col("pct_hi") - col("pct_r")) * col("pct_vlo") +
+                     (col("pct_r") - col("pct_lo")) * col("pct_vhi")))
     val pivots = percentiles.zipWithIndex.map { case ((label, _), i) =>
-      max(when(col("ei") === i, col("q"))).as(label)
+      max(when(col("pct_ei") === i, col("pct_q"))).as(label)
     } :+ max(col("pct_n")).as("pct_n")
     if (groupCols.isEmpty) placed.agg(pivots.head, pivots.tail: _*)
     else placed.groupBy(groupCols.map(col): _*).agg(pivots.head, pivots.tail: _*)

@@ -41,7 +41,7 @@ object Scd2 {
         col("effective_to_s"),
         col("effective_to_s").isNull.as("is_current"),
         when(col("version") === 1, "NEW").otherwise("UPDATED").as("change_reason"),
-        md5(concat_ws("|", col("event_type"), fmt2(col("value"))).cast("binary")).as("change_hash"))
+        rowHash(col("event_type"), fmt2(col("value"))).as("change_hash"))
       .orderBy("user_id", "version")
   }
 
@@ -125,8 +125,7 @@ object Scd2 {
       col("user_id").as("h_user"), col("version"), col("attr_type"),
       col("attr_value"), col("effective_from_s"), col("effective_to_s"))
     val probes = events
-      .withColumn("d", expr(
-        "instr('0123456789abcdef', substr(md5(cast(event_id as string)), 1, 1)) - 1"))
+      .withColumn("d", hexDigit("event_id", 1))
       .filter(col("d") < 4)
       .select(col("event_id"), col("user_id"), (epochS(col("ts")) - lagS).as("asof_s"))
     probes.join(hist,

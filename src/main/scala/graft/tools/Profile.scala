@@ -58,8 +58,7 @@ object Profile {
         t(s"embed_lsh_$round") { graft.ann.Ann.lshNearDup(emb).count() }
         t(s"embed_survivors_$round") { graft.ann.Ann.embedSurvivors(emb).count() }
         t(s"embed_incr_$round") {
-          val tagged = emb.withColumn("dg",
-            expr("instr('0123456789abcdef', substr(md5(cast(vec_id as string)), 1, 1)) - 1"))
+          val tagged = emb.withColumn("dg", graft.functions.Fns.hexDigit("vec_id", 1))
           val bb = graft.ann.Ann.adaptiveBandBits(emb.count())
           graft.ann.Ann.lshIncrement(tagged.filter(col("dg") < 2).drop("dg"), emb,
             graft.ann.Ann.lshBandStore(tagged.filter(col("dg") >= 2).drop("dg"), bandBits = bb),

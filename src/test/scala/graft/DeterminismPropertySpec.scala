@@ -257,4 +257,43 @@ class DeterminismPropertySpec extends AnyFunSuite {
       .select(Fns.surrogateKey(col("o_orderkey")).as("k"))
     assert(sk.distinct().count() == sk.count())
   }
+
+  test("two graft_dot calls compile into one codegen stage with distinct results") {
+    DotScaled.register(spark)
+    // fixed names in doGenCode would declare duplicate Java locals here
+    // and Janino would silently fall back to the interpreted path
+    val r = spark.sql(
+      """SELECT graft_dot(a, b) AS d1, graft_dot(a, c) AS d2 FROM (SELECT
+        |array(cast(1.0 as float), cast(2.0 as float)) a,
+        |array(cast(3.0 as float), cast(4.0 as float)) b,
+        |array(cast(5.0 as float), cast(6.0 as float)) c)""".stripMargin)
+      .collect()(0)
+    assert(r.getLong(0) == (math.floor(3.0 * DotScaled.Scale) +
+      math.floor(8.0 * DotScaled.Scale)).toLong)
+    assert(r.getLong(1) == (math.floor(5.0 * DotScaled.Scale) +
+      math.floor(12.0 * DotScaled.Scale)).toLong)
+  }
+
+  test("graft_dot rejects non-float arrays and wrong arity at analysis time") {
+    DotScaled.register(spark)
+    val doubles = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0d), array(2.0d))").collect()
+    }
+    assert(doubles.getMessage.toLowerCase.contains("type"),
+      s"expected a type error, got: ${doubles.getMessage}")
+    val arity = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(cast(1.0 as float)))").collect()
+    }
+    assert(arity.getMessage.contains("2 arguments"),
+      s"expected the arity message, got: ${arity.getMessage}")
+  }
+
+  test("surrogate keys keep NULL positions distinct (dbt placeholder device)") {
+    import spark.implicits._
+    val df = Seq(("x", null: String), (null: String, "x"))
+      .toDF("a", "b")
+      .select(Fns.surrogateKey(col("a"), col("b")).as("k"))
+    val ks = df.collect().map(_.getString(0))
+    assert(ks(0) != ks(1), "NULL lost its position: (x,NULL) and (NULL,x) collided")
+  }
 }
