@@ -56,9 +56,18 @@ object Fns {
     md5(concat_ws("|", cols.map(c => coalesce(c.cast("string"), lit(HashNull))): _*))
 
   /** printf-style fixed-point formatting — identical in JVM and DuckDB for
-    * the same binary double (both round the exact binary value). */
-  def fmt2(c: Column): Column = format_string("%.2f", c)
-  def fmt4(c: Column): Column = format_string("%.4f", c)
+    * the same binary double (both round the exact binary value).
+    * NULL-PROPAGATING: Java's Formatter prints the string "null" for a
+    * null %f argument while DuckDB's printf NULL-propagates — without the
+    * guard, a NULL measure inside [[rowHash]] would hash as 'null'
+    * (bypassing the positional placeholder) on the Spark side only.
+    * With it, a NULL reaches rowHash as NULL and coalesces to the
+    * placeholder; an oracle fragment hashing a nullable formatted
+    * measure must COALESCE(printf(...), '_graft_null_') to match. */
+  def fmt2(c: Column): Column =
+    when(c.isNotNull, format_string("%.2f", c))
+  def fmt4(c: Column): Column =
+    when(c.isNotNull, format_string("%.4f", c))
 
   /** Cross-engine-stable rounding: floor(x*10^k + 0.5)/10^k uses only IEEE
     * mul/add/floor/div, so identical inputs give bit-identical outputs in

@@ -91,31 +91,40 @@ object Analytics {
     * (README "Anomaly Detection: Statistical outlier identification").
     * Mean/variance derived from exact decimal sums so the flags are
     * deterministic under any partitioning. */
-  def anomalyZscore(events: DataFrame): DataFrame = {
-    val stats = events.groupBy(col("event_type").as("et"))
+  /** The ONE exact-decimal moment/sd frame both anomaly marts score
+    * against: count/s1/s2 per group, sample variance via try_divide
+    * (NULL for n<=1 in both engines), clamped at 0 before sqrt (a
+    * constant group's decimal-exact sums cast to double can leave a
+    * fractionally negative variance; Spark's sqrt yields NaN where
+    * DuckDB's RAISES). A single definition so a fix to the
+    * degenerate-cell contract can never reach one mart and not the
+    * other. */
+  private def momentStats(events: DataFrame, keys: Seq[(String, Column)]): DataFrame =
+    events.groupBy(keys.map { case (n, c) => c.as(n) }: _*)
       .agg(
         count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
         sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("s2"))
       .withColumn("mean", col("s1") / col("n"))
-      // sample variance clamped at 0 (a constant group's decimal-exact
-      // sums cast to double can leave a fractionally negative variance;
-      // Spark's sqrt yields NaN where DuckDB's RAISES), and a group with
-      // n<=1 or zero spread is scored NULL / not flagged — the same
-      // degenerate-cell contract as [[anomalySeasonal]], identical CASEs
-      // on both engines
       .withColumn("svar", try_divide(
         col("s2") - col("s1") * col("s1") / col("n"), col("n") - 1))
       .withColumn("sd", when(col("n") > 1,
         sqrt(when(col("svar") < 0, lit(0d)).otherwise(col("svar")))))
+
+  /** The shared scored projection: z (NULL when the cell is degenerate)
+    * and the |z|>2 flag, identical CASEs on both engines. */
+  private def zScored(zName: String): Seq[Column] = Seq(
+    when(col("sd") > 0d, r4((col("value") - col("mean")) / col("sd")))
+      .as(zName),
+    when(col("sd") > 0d,
+      abs(r4((col("value") - col("mean")) / col("sd"))) > 2.0)
+      .otherwise(lit(false)).as("is_outlier"))
+
+  def anomalyZscore(events: DataFrame): DataFrame = {
+    val stats = momentStats(events, Seq("et" -> col("event_type")))
     events.join(broadcast(stats), col("event_type") === col("et"))
-      .select(
-        col("event_id"), col("event_type"), col("value"),
-        when(col("sd") > 0d, r4((col("value") - col("mean")) / col("sd")))
-          .as("zscore"),
-        when(col("sd") > 0d,
-          abs(r4((col("value") - col("mean")) / col("sd"))) > 2.0)
-          .otherwise(lit(false)).as("is_outlier"))
+      .select(Seq(col("event_id"), col("event_type"), col("value")) ++
+        zScored("zscore"): _*)
       .orderBy("event_id")
   }
 
@@ -128,25 +137,11 @@ object Analytics {
     * and not flagged (the CASE both engines share). */
   def anomalySeasonal(events: DataFrame): DataFrame = {
     val base = events.withColumn("dow", expr("weekday(ts)").cast("int"))
-    val stats = base.groupBy(col("event_type").as("et"), col("dow").as("d"))
-      .agg(
-        count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,4)")).cast("double").as("s1"),
-        sum((col("value") * col("value")).cast("decimal(30,8)")).cast("double").as("s2"))
-      .withColumn("mean", col("s1") / col("n"))
-      .withColumn("svar", try_divide(
-        col("s2") - col("s1") * col("s1") / col("n"), col("n") - 1))
-      .withColumn("sd",
-        when(col("n") > 1,
-          sqrt(when(col("svar") < 0, lit(0d)).otherwise(col("svar")))))
+    val stats = momentStats(base,
+      Seq("et" -> col("event_type"), "d" -> col("dow")))
     base.join(broadcast(stats), col("event_type") === col("et") && col("dow") === col("d"))
-      .select(
-        col("event_id"), col("event_type"), col("dow"), col("value"),
-        when(col("sd") > 0d, r4((col("value") - col("mean")) / col("sd")))
-          .as("seasonal_z"),
-        when(col("sd") > 0d,
-          abs(r4((col("value") - col("mean")) / col("sd"))) > 2.0)
-          .otherwise(lit(false)).as("is_outlier"))
+      .select(Seq(col("event_id"), col("event_type"), col("dow"), col("value")) ++
+        zScored("seasonal_z"): _*)
       .orderBy("event_id")
   }
 
@@ -179,10 +174,17 @@ object Analytics {
     * the fact, and the fill-forward window partitions by cohort — state
     * bounded by the spine, never the fact. */
   def gapFill(orders: DataFrame): DataFrame = {
+    // group on the DATE, not the raw timestamp: o_orderdate is a
+    // timestamp column (midnight-valued in the test data), and a
+    // non-midnight order would otherwise key a row the midnight-stepped
+    // spine can never join — silently dropping that day's revenue
     val daily = orders
-      .groupBy(col("o_orderpriority").as("cohort"), col("o_orderdate").as("day"))
+      .groupBy(col("o_orderpriority").as("cohort"),
+        to_date(col("o_orderdate")).as("day"))
       .agg(count(lit(1)).as("n_orders"), r2(decSum(col("o_totalprice"))).as("revenue"))
-    val bounds = orders.agg(min(col("o_orderdate")).as("mn"), max(col("o_orderdate")).as("mx"))
+    val bounds = orders.agg(
+      min(to_date(col("o_orderdate"))).as("mn"),
+      max(to_date(col("o_orderdate"))).as("mx"))
     val spine = daily.select("cohort").distinct()
       .crossJoin(broadcast(bounds))
       .select(col("cohort"), explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
@@ -321,9 +323,13 @@ object Analytics {
     * the observed [min, max] (one broadcast row); the grid is 24×10
     * cells regardless of event count, counts partial-aggregate. */
   def eventHeatmap(events: DataFrame, bins: Int = 10): DataFrame = {
-    val mm = events.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    // NULL values are EXCLUDED, not binned: floor(NULL/width) is NULL
+    // and least() skips NULLs in both engines, so an unknown-value event
+    // would otherwise land silently in the TOP decile (bins-1)
+    val valued = events.filter(col("value").isNotNull)
+    val mm = valued.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
     val wAll = Window.partitionBy(lit(1))
-    events.select(col("ts"), col("value"))
+    valued.select(col("ts"), col("value"))
       .crossJoin(broadcast(mm))
       .select(hour(col("ts")).cast("int").as("hour_of_day"),
         least(lit(bins - 1), floor((col("value") - col("vmin")) /
@@ -405,10 +411,11 @@ object Analytics {
            ${sqlR("CUME_DIST() OVER (PARTITION BY n_name ORDER BY revenue)", 6)} AS cume_dist
          FROM j ORDER BY c_custkey""",
     "q_event_heatmap" ->
-      s"""WITH mm AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+      s"""WITH v AS (SELECT * FROM events WHERE value IS NOT NULL),
+         mm AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM v),
          b AS (SELECT CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
              CAST(LEAST(9, FLOOR((value - vmin) / ((vmax - vmin) / 10))) AS INT) AS value_bin
-           FROM events, mm),
+           FROM v, mm),
          g AS (SELECT hour_of_day, value_bin, CAST(COUNT(*) AS BIGINT) AS n_events
            FROM b GROUP BY 1, 2)
          SELECT hour_of_day, value_bin, n_events,
@@ -496,7 +503,7 @@ object Analytics {
          FROM act JOIN sz USING (cohort_week)
          ORDER BY cohort_week, week_offset""",
     "q_gap_fill" ->
-      """WITH daily AS (SELECT o_orderpriority AS cohort, o_orderdate AS day,
+      """WITH daily AS (SELECT o_orderpriority AS cohort, CAST(o_orderdate AS DATE) AS day,
              CAST(COUNT(*) AS BIGINT) AS n_orders,
              FLOOR(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) * 100 + 0.5) / 100 AS revenue
            FROM orders GROUP BY 1, 2),

@@ -65,8 +65,11 @@ object Catalog {
         config = FactConfig(
           name = name,
           businessKeys = strs(m, "business_keys"),
+          // Seq, not Map: 5+ entries in a Scala Map iterate in hash
+          // order, which would silently reorder the generated fact's FK
+          // columns the moment a fifth dimension_reference is declared
           dimensionKeys = maps(m, "dimension_references")
-            .map(d => str(d, "column") -> str(d, "name")).toMap,
+            .map(d => str(d, "column") -> str(d, "name")),
           measures = maps(m, "measures").map(mm =>
             MeasureSpec(str(mm, "column"), str(mm, "name"),
               Option(mm.get("cast")).map(_.asInstanceOf[String]))),
@@ -87,9 +90,14 @@ object Catalog {
     ParsedCatalog(facts, dims)
   }
 
-  /** The library's bundled catalog, parsed once. */
+  /** The library's bundled catalog, parsed once. Fails with the resource
+    * name if a repackaged/shaded jar dropped it — Source.fromInputStream
+    * on the null stream would otherwise NPE with no file named. */
   lazy val default: ParsedCatalog = {
     val in = getClass.getResourceAsStream("/graft_catalog.yml")
+    require(in != null,
+      "graft_catalog.yml not found on the classpath — the bundled catalog " +
+        "resource was dropped (shaded/repackaged jar?)")
     try parse(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
     finally in.close()
   }
@@ -119,19 +127,21 @@ object Catalog {
     // their natural integer type — generateFact casts every measure to
     // double at hash time, so no source-level cast is needed for the
     // %.2f row hash. One partial-aggregated shuffle each at any scale.
+    // the per-day sums keep Spark's natural widened sum type
+    // (decimal(28,4)) — narrowing back to (18,4) would silently NULL on
+    // overflow in non-ANSI mode at the 100 TB daily volumes these
+    // composites exist for, turning the reconciliation audit's measure
+    // into a self-inflicted mismatch
     "daily_sales" -> Tables.lineitem(spark, dir)
       .groupBy(to_date(col("l_shipdate")).as("sale_date"))
       .agg(
-        sum(col("l_quantity").cast("decimal(18,4)"))
-          .cast("decimal(18,4)").as("daily_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,4)"))
-          .cast("decimal(18,4)").as("daily_revenue")),
+        sum(col("l_quantity").cast("decimal(18,4)")).as("daily_qty"),
+        sum(col("l_extendedprice").cast("decimal(18,4)")).as("daily_revenue")),
     "user_daily_events" -> Tables.events(spark, dir)
       .groupBy(col("user_id"), to_date(col("ts")).as("activity_date"))
       .agg(
         count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,4)"))
-          .cast("decimal(18,4)").as("daily_value")),
+        sum(col("value").cast("decimal(18,4)")).as("daily_value")),
     "order_dates" -> Tables.orders(spark, dir)
       .select(to_date(col("o_orderdate")).as("order_date")).distinct(),
     "nation_region" -> Tables.nation(spark, dir).join(

@@ -20,7 +20,7 @@ case class DerivedSpec(name: String, sqlExpr: String)
 case class FactConfig(
     name: String,
     businessKeys: Seq[String],
-    dimensionKeys: Map[String, String], // source column -> fk name
+    dimensionKeys: Seq[(String, String)], // source column -> fk name, declaration-ordered
     measures: Seq[MeasureSpec],
     derived: Seq[DerivedSpec] = Nil,
     qualityRules: Seq[String] = Nil, // SQL predicates that must hold
@@ -47,7 +47,7 @@ object ConfigFacts {
 
   def generateFact(source: DataFrame, cfg: FactConfig): DataFrame = {
     val keyCols = cfg.businessKeys.map(col)
-    val fkCols = cfg.dimensionKeys.map { case (src, fk) => expr(src).as(fk) }.toSeq
+    val fkCols = cfg.dimensionKeys.map { case (src, fk) => expr(src).as(fk) }
     val measureCols = cfg.measures.map { m =>
       val c = col(m.column)
       m.castTo.fold(c)(t => c.cast(t)).as(m.name)
@@ -89,7 +89,7 @@ object ConfigFacts {
   val salesFactConfig: FactConfig = FactConfig(
     name = "fact_sales",
     businessKeys = Seq("l_orderkey", "l_linenumber"),
-    dimensionKeys = Map(
+    dimensionKeys = Seq(
       "o_custkey" -> "customer_key",
       "l_partkey" -> "part_key",
       "l_suppkey" -> "supplier_key",
@@ -116,7 +116,7 @@ object ConfigFacts {
   val ordersFactConfig: FactConfig = FactConfig(
     name = "fact_orders",
     businessKeys = Seq("o_orderkey"),
-    dimensionKeys = Map(
+    dimensionKeys = Seq(
       "o_custkey" -> "customer_key",
       "to_date(o_orderdate)" -> "date_key"),
     measures = Seq(MeasureSpec("o_totalprice", "total_price")),
@@ -128,7 +128,7 @@ object ConfigFacts {
   val eventsFactConfig: FactConfig = FactConfig(
     name = "fact_events",
     businessKeys = Seq("event_id"),
-    dimensionKeys = Map(
+    dimensionKeys = Seq(
       "user_id" -> "user_key",
       "to_date(ts)" -> "date_key"),
     measures = Seq(MeasureSpec("value", "amount")),

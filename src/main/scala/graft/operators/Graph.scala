@@ -65,6 +65,10 @@ object Graph {
     var ranks = nodes.crossJoin(nB)
       .select(col("nid"), (lit(1d) / col("nn")).as("p"))
       .localCheckpoint(false)
+    // every iteration's checkpointed frame is tracked for unpersist —
+    // dropping only the final one would leak the five intermediate
+    // node-sized cached RDDs per call into executor storage
+    val checkpointed = scala.collection.mutable.ArrayBuffer(ranks)
     for (_ <- 1 to iterations) {
       ranks = edges.join(ranks, col("src") === col("nid"))
         .groupBy(col("dst"))
@@ -73,6 +77,7 @@ object Graph {
         .select(col("dst").as("nid"),
           ((lit(1d) - damping) / col("nn") + lit(damping) * col("mass")).as("p"))
         .localCheckpoint(false)
+      checkpointed += ranks
     }
     val result = ranks.crossJoin(nB)
       .select(
@@ -81,7 +86,7 @@ object Graph {
         r6(col("p") * col("nn")).as("rank_scaled"))
       .orderBy("node_type", "entity_key")
       .localCheckpoint()
-    ranks.unpersist()
+    checkpointed.foreach(_.unpersist())
     edges.unpersist()
     result
   }

@@ -18,12 +18,12 @@ object Sampling {
 
   /** 0..99 bucket from the first 4 hex digits of md5(key) — identical
     * arithmetic is expressible in any SQL engine. `key` is a column name
-    * resolvable in the frame. */
-  def hashBucket(key: String): Column = {
-    def hv(i: Int) =
-      s"(instr('0123456789abcdef', substr(md5(CAST(CAST($key AS STRING) AS BINARY)), $i, 1)) - 1)"
-    expr(s"pmod(${hv(1)} * 4096 + ${hv(2)} * 256 + ${hv(3)} * 16 + ${hv(4)}, 100)")
-  }
+    * resolvable in the frame. Built on [[graft.functions.Fns.hexDigit]]
+    * (the single shared digit source) so the sampling device can never
+    * drift from the marts' deterministic-noise arithmetic. */
+  def hashBucket(key: String): Column =
+    pmod(hexDigit(key, 1) * 4096 + hexDigit(key, 2) * 256 +
+      hexDigit(key, 3) * 16 + hexDigit(key, 4), lit(100))
 
   /** SQL twin of [[hashBucket]] for the oracle. */
   def hashBucketSql(key: String): String = {

@@ -30,7 +30,11 @@ object Scd2 {
       .withColumn("effective_from_s", epochS(col("ts")))
       .withColumn("effective_to_s", epochS(lead(col("ts"), 1).over(w)))
       .select(
-        surrogateKey(col("user_id"), col("effective_from_s")).as("scd_key"),
+        // keyed on the MICROSECOND effective-from: two changes for one
+        // user inside the same epoch second are distinct versions and
+        // must get distinct surrogate keys — the floor-second form
+        // collided on them (one such pair exists in the sf0.1 data)
+        surrogateKey(col("user_id"), unix_micros(col("ts"))).as("scd_key"),
         col("user_id"),
         col("event_id").as("source_event_id"),
         col("event_type").as("attr_type"),
@@ -154,7 +158,7 @@ object Scd2 {
            CAST(FLOOR(epoch(LEAD(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS effective_to_s
          FROM events)
        SELECT
-         md5(CAST(user_id AS VARCHAR) || '||' || CAST(effective_from_s AS VARCHAR)) AS scd_key,
+         md5(CAST(user_id AS VARCHAR) || '||' || CAST(epoch_us(ts) AS VARCHAR)) AS scd_key,
          user_id, event_id AS source_event_id,
          event_type AS attr_type, value AS attr_value, version,
          effective_from_s, epoch_us(ts) AS effective_from_us, effective_to_s,

@@ -328,10 +328,11 @@ object EventStream {
       .format("memory").queryName(queryName).start()
     try q.processAllAvailable()
     finally q.stop()
-    // finish with the batch builder's derived columns (same expressions)
+    // finish with the batch builder's derived columns (same expressions:
+    // µs-keyed scd_key and the shared rowHash, exactly as Scd2.build)
     spark.table(queryName)
       .select(
-        surrogateKey(col("user_id"), col("effective_from_s")).as("scd_key"),
+        surrogateKey(col("user_id"), col("effective_from_us")).as("scd_key"),
         col("user_id"), col("source_event_id"), col("attr_type"),
         col("attr_value"), col("version"),
         col("effective_from_s"), col("effective_from_us"), col("effective_to_s"),
@@ -339,8 +340,7 @@ object EventStream {
         when(col("version") === -1, "LATE_DEAD_LETTER")
           .when(col("version") === 1, "NEW")
           .otherwise("UPDATED").as("change_reason"),
-        md5(concat_ws("|", col("attr_type"), fmt2(col("attr_value")))
-          .cast("binary")).as("change_hash"))
+        rowHash(col("attr_type"), fmt2(col("attr_value"))).as("change_hash"))
   }
 
   /** Streaming drift monitor — the readStream twin of the reference's
