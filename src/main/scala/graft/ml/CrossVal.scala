@@ -52,29 +52,14 @@ object CrossVal {
   val DefaultDropThreshold: Double = 0.05
 
   private def safeDiv(num: Column, den: Column): Column =
-    when(den > 0d, num / den).otherwise(lit(0d))
+    ConfusionMetrics.safeDiv(num, den)
 
   /** Weighted (accuracy, precision, recall, F1) from confusion counts —
-    * sklearn's `average='weighted'` over the two classes, the shape
-    * `_calculate_metrics` reports. */
+    * the shared [[ConfusionMetrics]] device (sklearn's
+    * `average='weighted'`, the shape `_calculate_metrics` reports). */
   private def weightedMetrics(tp0: Column, fp0: Column, tn0: Column, fn0: Column)
-      : (Column, Column, Column, Column) = {
-    val (tp, fp, tn, fn) =
-      (tp0.cast("double"), fp0.cast("double"), tn0.cast("double"), fn0.cast("double"))
-    val n = tp + fp + tn + fn
-    val nPos = tp + fn
-    val nNeg = tn + fp
-    val pPos = safeDiv(tp, tp + fp)
-    val pNeg = safeDiv(tn, tn + fn)
-    val rPos = safeDiv(tp, nPos)
-    val rNeg = safeDiv(tn, nNeg)
-    val f1Pos = safeDiv(lit(2d) * pPos * rPos, pPos + rPos)
-    val f1Neg = safeDiv(lit(2d) * pNeg * rNeg, pNeg + rNeg)
-    ((tp + tn) / n,
-      (nPos * pPos + nNeg * pNeg) / n,
-      (nPos * rPos + nNeg * rNeg) / n,
-      (nPos * f1Pos + nNeg * f1Neg) / n)
-  }
+      : (Column, Column, Column, Column) =
+    ConfusionMetrics.weighted(tp0, fp0, tn0, fn0)
 
   /** 5-fold CV of the mock ensemble over orders. Fold = md5 digit of the
     * order key mod `folds`; each fold is scored with the scaler fitted

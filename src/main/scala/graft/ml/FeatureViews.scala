@@ -57,7 +57,11 @@ object FeatureViews {
 
   /** Resolve the registered view and walk its logical plan. */
   def lineageOf(dfName: String, df: DataFrame): Lineage = {
-    val plan = df.queryExecution.optimizedPlan
+    // the ANALYZED plan, not the optimized one: the optimizer rewrites
+    // Distinct into Aggregate (and can eliminate Sorts), so lineage
+    // walked post-optimization misreports the user-visible
+    // transformation kinds this registry documents
+    val plan = df.queryExecution.analyzed
     val sources = plan.collect {
       case l: LogicalRelation => l.relation match {
         case fs: HadoopFsRelation =>

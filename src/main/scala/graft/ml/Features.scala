@@ -356,7 +356,12 @@ object Features {
   /** PSI (population stability index) between the first and second half of
     * the event stream over 10 equi-width bins (_calculate_psi). Two
     * aggregate passes, nothing collected: bin counts are the only state. */
-  def psiDrift(events: DataFrame): DataFrame = {
+  def psiDrift(events0: DataFrame): DataFrame = {
+    // NULL values are excluded up front (the quantileBins device's rule):
+    // a NULL bins to NULL, and the NULL-bin group would enter Spark's
+    // totals while the oracle's spine join drops it — every bin
+    // proportion would silently diverge the day values go nullable
+    val events = events0.filter(col("value").isNotNull)
     val bounds = events.agg(
       min(col("value")).as("mn"), max(col("value")).as("mx"),
       floor(max(col("event_id")) / 2d).cast("long").as("mid"))
@@ -378,7 +383,11 @@ object Features {
       .withColumn("p_cur", greatest(col("n_cur") / col("t_cur"), lit(eps)))
       .withColumn("psi_term", (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")))
     terms
-      .withColumn("psi_total", sum(col("psi_term")).over(Window.partitionBy(lit(1))))
+      // decimal-routed like driftSweep/driftHistory's identical PSI sum:
+      // a raw double window sum reassociates with partition order
+      .withColumn("psi_total",
+        sum(col("psi_term").cast("decimal(20,12)"))
+          .over(Window.partitionBy(lit(1))).cast("double"))
       .select(col("bin"), r6(col("p_ref")).as("ref_pct"), r6(col("p_cur")).as("cur_pct"),
         r6(col("psi_term")).as("psi_term"), r6(col("psi_total")).as("psi_total"))
       .orderBy("bin")
@@ -397,7 +406,11 @@ object Features {
     * CDF difference is constant across them, so present bins realize the
     * max. */
   def ksDrift(events: DataFrame, nBins: Int = 1000): DataFrame = {
+    // value IS NOT NULL for the same engine-NULL-ordering reason as
+    // [[quantileBins]]: a NULL bin sorts FIRST under Spark's cumulative
+    // window but LAST under DuckDB's, shifting every CDF point
     val sample = events.filter(col("event_type").isin("purchase", "click"))
+      .filter(col("value").isNotNull)
       .withColumn("is_a", (col("event_type") === "purchase").cast("long"))
     val bounds = sample.agg(
       min(col("value")).as("mn"), max(col("value")).as("mx"),
@@ -637,7 +650,11 @@ object Features {
       val vdf = dfc.select(col(dfc.columns.head).cast("string").as("v"))
       val counts = vdf.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
       val total = vdf.agg(count(lit(1)).as("n_rows"))
-      val w = Window.orderBy(col("cnt").desc, col("v"))
+      // explicit NULLS LAST on the tie-break: Spark's default ASC is
+      // NULLS FIRST where DuckDB's ROW_NUMBER is NULLS LAST — a NULL
+      // category tying another value's count would otherwise rank
+      // differently per engine
+      val w = Window.orderBy(col("cnt").desc, col("v").asc_nulls_last)
       val p = col("cnt").cast("double") / col("n_rows")
       counts.withColumn("rn", row_number().over(w))
         .crossJoin(broadcast(total))
@@ -891,11 +908,12 @@ object Features {
            FLOOR(COALESCE(CAST(ts_s - prev_s AS DOUBLE) / 3600.0, 24.0) * 1000000 + 0.5) / 1000000 < 1 AS velocity_flag
          FROM j ORDER BY event_id""",
     "q_psi_drift" ->
-      """WITH b AS (SELECT MIN(value) mn, MAX(value) mx, CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) mid FROM events),
+      """WITH e AS (SELECT * FROM events WHERE value IS NOT NULL),
+         b AS (SELECT MIN(value) mn, MAX(value) mx, CAST(FLOOR(MAX(event_id) / 2.0) AS BIGINT) mid FROM e),
          binned AS (
            SELECT CAST(LEAST(FLOOR((value - mn) / ((mx - mn) / 10)), 9) AS INT) AS bin,
              CASE WHEN event_id <= mid THEN 1 ELSE 0 END AS is_ref
-           FROM events, b),
+           FROM e, b),
          counts AS (
            SELECT bin, CAST(SUM(is_ref) AS DOUBLE) n_ref, CAST(SUM(1 - is_ref) AS DOUBLE) n_cur
            FROM binned GROUP BY bin),
@@ -916,12 +934,12 @@ object Features {
            FLOOR(p_ref * 1000000 + 0.5) / 1000000 AS ref_pct,
            FLOOR(p_cur * 1000000 + 0.5) / 1000000 AS cur_pct,
            FLOOR(psi_term * 1000000 + 0.5) / 1000000 AS psi_term,
-           FLOOR(SUM(psi_term) OVER () * 1000000 + 0.5) / 1000000 AS psi_total
+           FLOOR(CAST(SUM(CAST(psi_term AS DECIMAL(20,12))) OVER () AS DOUBLE) * 1000000 + 0.5) / 1000000 AS psi_total
          FROM pt ORDER BY bin""",
     "q_ks_drift" ->
       """WITH s AS (
            SELECT value, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
-           FROM events WHERE event_type IN ('purchase', 'click')),
+           FROM events WHERE event_type IN ('purchase', 'click') AND value IS NOT NULL),
          b AS (SELECT MIN(value) mn, MAX(value) mx,
            CAST(SUM(is_a) AS BIGINT) na, CAST(SUM(1 - is_a) AS BIGINT) nb FROM s),
          counts AS (

@@ -99,15 +99,9 @@ object Inference {
     Map("xgb" -> px, "rf" -> pr, "nn" -> pn, "ens" -> (px + pr + pn) / lit(3d))
   }
 
-  /** Ensemble batch scoring over orders. Features per order:
-    * f1 = o_totalprice, f2 = priority rank (1-5), f3 = weekday(0-6).
-    * Each is standardized with the population scaler the reference's
-    * MockScaler stands in for (exact decimal moment sums). Model twins:
-    * a boosted-margin logistic, a 3-stump vote share, and a tiny fixed
-    * 2-unit MLP. Equal-weight ensemble, pred at 0.5, confidence
-    * = 2|p-0.5|, agreement = all three models vote with the ensemble. */
   /** The three raw model features per order — shared by the batch path
-    * and the streaming serving twin ([[graft.streaming.InferStream]]). */
+    * and the streaming serving twin ([[graft.streaming.InferStream]]):
+    * f1 = o_totalprice, f2 = priority rank (1-5), f3 = weekday(0-6). */
   def features(orders: DataFrame): DataFrame = orders.select(
     col("o_orderkey"),
     col("o_totalprice").cast("double").as("f1"),
@@ -153,6 +147,12 @@ object Inference {
           (col("p_nn") > 0.5d) === (col("p_ens") > 0.5d)).as("models_agree"))
   }
 
+  /** Ensemble batch scoring over orders: [[features]] standardized with
+    * the population scaler the reference's MockScaler stands in for
+    * (exact decimal moment sums). Model twins: a boosted-margin
+    * logistic, a 3-stump vote share, and a tiny fixed 2-unit MLP.
+    * Equal-weight ensemble, pred at 0.5, confidence = 2|p-0.5|,
+    * agreement = all three models vote with the ensemble. */
   def ensembleScore(orders: DataFrame): DataFrame =
     scoreWith(features(orders), fitMoments(orders)).orderBy("o_orderkey")
 

@@ -97,26 +97,11 @@ object Monitoring {
       cnt(ref = false, t = false, p = false, "ctn"), cnt(ref = false, t = true, p = false, "cfn"))
 
     // (accuracy, weighted precision, weighted recall, weighted f1) from
-    // four counter columns — arithmetic structured identically to the
-    // oracle SQL so the doubles match bit-for-bit.
-    def metrics(p: String): (Column, Column, Column, Column) = {
-      val (tp, fp, tn, fn) = (col(p + "tp").cast("double"), col(p + "fp").cast("double"),
-        col(p + "tn").cast("double"), col(p + "fn").cast("double"))
-      val n = tp + fp + tn + fn
-      val nPos = tp + fn
-      val nNeg = tn + fp
-      def safe(num: Column, den: Column) = when(den > 0d, num / den).otherwise(lit(0d))
-      val pPos = safe(tp, tp + fp)
-      val pNeg = safe(tn, tn + fn)
-      val rPos = safe(tp, nPos)
-      val rNeg = safe(tn, nNeg)
-      val fPos = safe(lit(2d) * pPos * rPos, pPos + rPos)
-      val fNeg = safe(lit(2d) * pNeg * rNeg, pNeg + rNeg)
-      ((tp + tn) / n,
-        (nPos * pPos + nNeg * pNeg) / n,
-        (nPos * rPos + nNeg * rNeg) / n,
-        (nPos * fPos + nNeg * fNeg) / n)
-    }
+    // four counter columns — the shared ConfusionMetrics device, whose
+    // arithmetic the oracle SQL mirrors bit-for-bit.
+    def metrics(p: String): (Column, Column, Column, Column) =
+      ConfusionMetrics.weighted(col(p + "tp"), col(p + "fp"),
+        col(p + "tn"), col(p + "fn"))
     val (bAcc, bPrec, bRec, bF1) = metrics("b")
     val (cAcc, cPrec, cRec, cF1) = metrics("c")
     def metricRow(name: String, b: Column, c: Column) =
@@ -393,21 +378,12 @@ object Monitoring {
       cnt(f, t = false, p = false, s"${m}_tn"), cnt(f, t = true, p = false, s"${m}_fn")) }
     val g = scored.agg(aggs.head, aggs.tail: _*)
     // per-model (accuracy, weighted precision, weighted recall) — the
-    // same arithmetic shape as modelPerf, so the oracle matches bitwise
+    // shared ConfusionMetrics device (F1 unused here), so the oracle
+    // matches bitwise and can never drift from modelPerf's arithmetic
     def metrics(m: String): (Column, Column, Column) = {
-      val (tp, fp, tn, fn) = (col(s"${m}_tp").cast("double"), col(s"${m}_fp").cast("double"),
-        col(s"${m}_tn").cast("double"), col(s"${m}_fn").cast("double"))
-      val n = tp + fp + tn + fn
-      val nPos = tp + fn
-      val nNeg = tn + fp
-      def safe(num: Column, den: Column) = when(den > 0d, num / den).otherwise(lit(0d))
-      val pPos = safe(tp, tp + fp)
-      val pNeg = safe(tn, tn + fn)
-      val rPos = safe(tp, nPos)
-      val rNeg = safe(tn, nNeg)
-      ((tp + tn) / n,
-        (nPos * pPos + nNeg * pNeg) / n,
-        (nPos * rPos + nNeg * rNeg) / n)
+      val (acc, prec, rec, _) = ConfusionMetrics.weighted(
+        col(s"${m}_tp"), col(s"${m}_fp"), col(s"${m}_tn"), col(s"${m}_fn"))
+      (acc, prec, rec)
     }
     val ms = models.map { case (m, _) => metrics(m) }
     // np.var (population): mean of squares minus square of mean,
@@ -466,9 +442,13 @@ object Monitoring {
         sum(col("importance").cast("decimal(18,12)")).cast("double").as("si"),
         sum((col("importance") * col("importance")).cast("decimal(20,14)"))
           .cast("double").as("sii"))
-      .withColumn("mean_importance0", col("si") / nModels)
+      // divide by the REALIZED per-feature model count, not the nModels
+      // parameter: on filtered input some hash-bag residues can be
+      // empty, and a literal divisor would silently shrink the mean/std
+      // while the n_models column reports the true count
+      .withColumn("mean_importance0", col("si") / col("n_models"))
       .withColumn("std_importance0",
-        sqrt(greatest(col("sii") / nModels - col("mean_importance0") * col("mean_importance0"),
+        sqrt(greatest(col("sii") / col("n_models") - col("mean_importance0") * col("mean_importance0"),
           lit(0d))))
       .select(
         col("feature"), col("n_models"),
@@ -829,8 +809,8 @@ object Monitoring {
              CAST(SUM(CAST(importance * importance AS DECIMAL(20,14))) AS DOUBLE) AS sii
            FROM imp GROUP BY feature),
          m AS (
-           SELECT feature, n_models, si / 3 AS mean0,
-             sqrt(GREATEST(sii / 3 - (si / 3) * (si / 3), 0)) AS std0
+           SELECT feature, n_models, si / n_models AS mean0,
+             sqrt(GREATEST(sii / n_models - (si / n_models) * (si / n_models), 0)) AS std0
            FROM cons),
          o AS (
            SELECT feature, n_models,

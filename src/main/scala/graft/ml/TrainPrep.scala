@@ -39,15 +39,15 @@ object TrainPrep {
           count(lit(1)).over(wC)))
       .withColumn("target",
         (col("o_totalprice") > col("cust_avg") * 1.5d).cast("int"))
-      .filter(expr(
-        "instr('0123456789abcdef', substr(md5(cast(o_orderkey as string)), 1, 1)) - 1 < 4"))
+      .filter(hexDigit("o_orderkey", 1) < 4)
       .select(
         col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
         r6(col("cust_avg")).as("cust_avg"), col("target"),
         (col("o_totalprice") * col("o_totalprice")).as("tp_squared"),
         r6(log1p(col("o_totalprice"))).as("tp_log"),
         r6(sqrt(col("o_totalprice"))).as("tp_sqrt"),
-        hour(col("o_orderdate")).cast("int").as("order_hour"),
+        // no hour feature: o_orderdate is date-grained (hour() is the
+        // constant 0 — a dead column for any trainer)
         expr("weekday(o_orderdate)").cast("int").as("day_of_week"),
         (expr("weekday(o_orderdate)") >= 5).as("is_weekend"))
       .orderBy("o_orderkey")
@@ -61,8 +61,7 @@ object TrainPrep {
     * collapses to the column itself. */
   def imputePlan(events: DataFrame): DataFrame = {
     val gated = events
-      .withColumn("d", expr(
-        "instr('0123456789abcdef', substr(md5(cast(event_id as string)), 1, 1)) - 1"))
+      .withColumn("d", hexDigit("event_id", 1))
       .withColumn("value_n", when(col("d") === 0, lit(null)).otherwise(col("value")))
       .withColumn("type_n", when(col("d") === 1, lit(null)).otherwise(col("event_type")))
     // Median via the distributed exact-percentile device, not the
@@ -256,7 +255,6 @@ object TrainPrep {
            o_totalprice * o_totalprice AS tp_squared,
            ${sqlR("ln(1 + o_totalprice)", 6)} AS tp_log,
            ${sqlR("sqrt(o_totalprice)", 6)} AS tp_sqrt,
-           CAST(EXTRACT(hour FROM o_orderdate) AS INT) AS order_hour,
            CAST(isodow(o_orderdate) - 1 AS INT) AS day_of_week,
            isodow(o_orderdate) - 1 >= 5 AS is_weekend
          FROM f ORDER BY o_orderkey""",
