@@ -151,6 +151,67 @@ object TrainPrep {
       .orderBy("event_id")
   }
 
+  /** Leakage-free target encoding of a categorical feature — leave-one-out
+    * plus m-estimate smoothing (Micci-Barreca 2001; the CatBoost ordered-TS
+    * family's batch ancestor): each order's priority class is encoded by
+    * the mean target (o_totalprice) of every OTHER row in its class, so
+    * the encoder never sees the row's own label — the leakage a plain
+    * category-mean join injects and a downstream trainer can't detect.
+    * `te_smooth` shrinks thin classes toward the global prior with weight
+    * `m` (a 1-row class yields exactly the prior).
+    *
+    * Scale shape: ONE partial-aggregated shuffle to class grain (the
+    * encoder table is |classes| rows, broadcast back), then a broadcast
+    * join + row-local arithmetic over the fact — no window over the fact,
+    * no per-row shuffle, so the encoding pass is scan-bound at 100 TB.
+    * Class sums are exact DECIMAL and the own-label subtraction happens
+    * in decimal too, so LOO numerators are exact integers-of-1e-4 and
+    * engine parity is unconditional. */
+  def targetEncode(orders: DataFrame, m: Double = 10.0): DataFrame = {
+    val cat = orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_cat"),
+        sum(col("o_totalprice").cast("decimal(18,4)")).as("sum_cat"))
+    val glob = cat.agg(sum(col("n_cat")).as("n_all"), sum(col("sum_cat")).as("sum_all"))
+    val prior = col("sum_all").cast("double") / col("n_all")
+    // exact decimal: Σ_class(target) - own target, then one double division
+    val looNum = (col("sum_cat") - col("o_totalprice").cast("decimal(18,4)")).cast("double")
+    orders.join(broadcast(cat), "o_orderpriority").crossJoin(broadcast(glob))
+      .select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"), col("n_cat"),
+        r6(prior).as("prior"),
+        r6(when(col("n_cat") > 1, looNum / (col("n_cat") - 1))).as("loo_enc"),
+        r6((looNum + lit(m) * prior) / (col("n_cat") - 1 + lit(m))).as("te_smooth"))
+      .orderBy("o_orderkey")
+  }
+
+  /** Temporal train/test split with an embargo gap — the purged split of
+    * time-series cross-validation (Lopez de Prado 2018, ch. 7): the cut
+    * sits at `trainFrac` of the [min_ts, max_ts] span, test starts
+    * `embargoHours` after it, and rows inside the gap are quarantined as
+    * 'embargo' so a label horizon reaching across the cut can't leak
+    * future into train. The third split device beside the hash split
+    * (q_train_eval_split) and the group split (q_group_split) — this one
+    * guards TEMPORAL leakage, which neither of those sees.
+    *
+    * Scale shape: one tiny min/max aggregate broadcast back; assignment
+    * is row-local (the fact is never shuffled), and all boundary
+    * arithmetic is integer epoch seconds, so the cut is bit-identical in
+    * any engine and under any partitioning. */
+  def timeSplitEmbargo(events: DataFrame, trainFrac: Double = 0.7,
+                       embargoHours: Int = 24): DataFrame = {
+    val span = events.agg(
+      min(epochS(col("ts"))).as("mn"), max(epochS(col("ts"))).as("mx"))
+    events.crossJoin(broadcast(span))
+      .withColumn("ts_s", epochS(col("ts")))
+      .withColumn("cut_s",
+        col("mn") + floor(lit(trainFrac) * (col("mx") - col("mn"))).cast("long"))
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        when(col("ts_s") <= col("cut_s"), lit("train"))
+          .when(col("ts_s") >= col("cut_s") + lit(embargoHours * 3600L), lit("test"))
+          .otherwise(lit("embargo")).as("split"))
+      .orderBy("event_id")
+  }
+
   private val corrFeats = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   /** Pearson correlation matrix over the fact's numeric features — the
@@ -237,7 +298,9 @@ object TrainPrep {
     "q_impute" -> ((s, d) => imputePlan(Tables.events(s, d))),
     "q_feature_corr" -> ((s, d) => featureCorr(Tables.lineitem(s, d))),
     "q_class_weights" -> ((s, d) => classWeights(Tables.documents(s, d))),
-    "q_quantile_bins" -> ((s, d) => quantileBins(Tables.events(s, d)))
+    "q_quantile_bins" -> ((s, d) => quantileBins(Tables.events(s, d))),
+    "q_target_encode" -> ((s, d) => targetEncode(Tables.orders(s, d))),
+    "q_time_split_embargo" -> ((s, d) => timeSplitEmbargo(Tables.events(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,6 +387,35 @@ object TrainPrep {
            ${sqlR("CAST(n_total AS DOUBLE) / (k_classes * n_docs)", 6)} AS class_weight,
            ${sqlR("CAST(max_n AS DOUBLE) / n_docs", 6)} AS oversample_factor
          FROM g, k ORDER BY lang""",
+    "q_target_encode" ->
+      s"""WITH cat AS (SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_cat,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS sum_cat
+           FROM orders GROUP BY 1),
+         g AS (SELECT CAST(SUM(n_cat) AS BIGINT) AS n_all, SUM(sum_cat) AS sum_all FROM cat),
+         e AS (SELECT o_orderkey, o.o_orderpriority, o_totalprice, n_cat,
+             CAST(sum_all AS DOUBLE) / n_all AS prior,
+             CAST(sum_cat - CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS loo_num
+           FROM orders o JOIN cat ON o.o_orderpriority = cat.o_orderpriority, g)
+         SELECT o_orderkey, o_orderpriority, o_totalprice, n_cat,
+           ${sqlR("prior", 6)} AS prior,
+           ${sqlR("CASE WHEN n_cat > 1 THEN loo_num / (n_cat - 1) END", 6)} AS loo_enc,
+           ${sqlR("(loo_num + 10.0 * prior) / (n_cat - 1 + 10.0)", 6)} AS te_smooth
+         FROM e ORDER BY o_orderkey""",
+    "q_time_split_embargo" ->
+      s"""WITH s AS (SELECT
+             MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS mn,
+             MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS mx
+           FROM events),
+         b AS (SELECT mn + CAST(FLOOR(CAST(0.7 AS DOUBLE) * (mx - mn)) AS BIGINT) AS cut_s FROM s),
+         e AS (SELECT event_id, user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s, cut_s
+           FROM events, b)
+         SELECT event_id, user_id, ts_s,
+           CASE WHEN ts_s <= cut_s THEN 'train'
+                WHEN ts_s >= cut_s + 86400 THEN 'test'
+                ELSE 'embargo' END AS split
+         FROM e ORDER BY event_id""",
     "q_quantile_bins" -> {
       val binSql = (1 to 9).map(k =>
         s"CASE WHEN value >= e$k THEN 1 ELSE 0 END").mkString(" + ")

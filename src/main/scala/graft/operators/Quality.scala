@@ -139,6 +139,34 @@ object Quality {
       r6(completeness * 0.4 + uniqueness * 0.3 + consistency * 0.3).as("overall_quality"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns (Sweeney 2002) — the
+    * governance check beside the PII scrub ([[graft.text.Filters]]): a row
+    * is k-anonymous when at least k-1 OTHER rows share its full
+    * quasi-identifier combination, so the table's privacy floor is the
+    * smallest anonymity set. Emits one row per QI combination with its
+    * set size, population share, re-identification risk 1/|set|, the
+    * violates-k flag, and the table-wide k_anonymity so the sweep
+    * consumer reads the headline without a second query.
+    *
+    * Scale shape: one partial-aggregated shuffle to QI grain (bounded by
+    * the QI domain product — |nations|·|segments| here, and a release
+    * audit always picks low-cardinality QIs or the report itself is a
+    * disclosure); the rollup row is a broadcast. Nothing else scales with
+    * the table. */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String], k: Int = 5): DataFrame = {
+    val grp = df.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("n_rows"))
+    val tot = grp.agg(sum(col("n_rows")).as("n_total"),
+      min(col("n_rows")).as("k_anonymity"))
+    grp.crossJoin(broadcast(tot))
+      .select(quasiIds.map(col) ++ Seq(
+        col("n_rows"),
+        r6(col("n_rows").cast("double") / col("n_total")).as("share"),
+        r6(lit(1.0) / col("n_rows")).as("reident_risk"),
+        (col("n_rows") < k).as("violates_k"),
+        col("k_anonymity")): _*)
+      .orderBy(quasiIds.map(col): _*)
+  }
+
   /** The default suite over the star schema (mirrors the dbt schema.yml
     * tests the reference generates per model). */
   def defaultSuite: Seq[Expectation] = Seq(
@@ -160,7 +188,9 @@ object Quality {
     "q_feature_quality" -> ((s, d) =>
       featureQuality(Tables.orders(s, d),
         numericCols = Seq("o_orderkey", "o_custkey", "o_totalprice"),
-        categoricalCols = Seq("o_orderstatus", "o_orderpriority")))
+        categoricalCols = Seq("o_orderstatus", "o_orderpriority"))),
+    "q_k_anonymity" -> ((s, d) =>
+      kAnonymity(Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,6 +230,18 @@ object Quality {
          CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT),
          COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) = 0 FROM orders"""
     ).mkString("", " UNION ALL ", " ORDER BY rule_name"),
+    "q_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+           FROM customer GROUP BY 1, 2),
+         t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total,
+             CAST(MIN(n_rows) AS BIGINT) AS k_anonymity FROM g)
+         SELECT c_nationkey, c_mktsegment, n_rows,
+           FLOOR(CAST(n_rows AS DOUBLE) / n_total * 1000000 + 0.5) / 1000000 AS share,
+           FLOOR(CAST(1 AS DOUBLE) / n_rows * 1000000 + 0.5) / 1000000 AS reident_risk,
+           n_rows < 5 AS violates_k,
+           k_anonymity
+         FROM g, t ORDER BY c_nationkey, c_mktsegment""",
     "q_feature_quality" -> {
       val all = Seq("o_orderkey", "o_custkey", "o_orderstatus",
         "o_totalprice", "o_orderdate", "o_orderpriority")

@@ -292,6 +292,41 @@ object Vocab {
       .orderBy("source")
   }
 
+  /** Hashing-trick document features (Weinberger et al. 2009, "Feature
+    * Hashing for Large Scale Multitask Learning" — the Vowpal Wabbit
+    * device): each token is hashed into one of `dims` buckets by two md5
+    * hex digits, and a third digit's parity supplies the ±1 sign whose
+    * signed sum cancels collisions in expectation. The fixed-width
+    * feature space is what makes a 100 TB-corpus vocabulary trainable
+    * without building or broadcasting a vocab table at all — the
+    * complement of the exact top-k vocab ([[bigramVocab]] / q_tfidf).
+    * Emitted long-form (doc_id, bucket) — the sparse-row layout a trainer
+    * consumes — with raw count, signed count, and in-doc term frequency.
+    *
+    * Scale shape: row-local hashing on the exploded token stream, ONE
+    * partial-aggregated shuffle to (doc, bucket) grain, then the per-doc
+    * token total as a window over that already-bucketed frame (≤ `dims`
+    * rows per doc — bounded state, no second pass over the tokens). */
+  def featureHashing(documents: DataFrame, dims: Int = 64): DataFrame = {
+    val toks = TextPrep.withWords(documents)
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .withColumn("hx", md5(col("word").cast("binary")))
+      .withColumn("bucket", pmod(
+        (expr("instr('0123456789abcdef', substr(hx, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substr(hx, 2, 1))") - 1, lit(dims)))
+      .withColumn("sgn",
+        when((expr("instr('0123456789abcdef', substr(hx, 3, 1))") - 1) % 2 === 0,
+          lit(1L)).otherwise(lit(-1L)))
+    val perDoc = toks.groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"), sum(col("sgn")).as("signed_cnt"))
+    val wD = Window.partitionBy(col("doc_id"))
+    perDoc.withColumn("n_tok", sum(col("cnt")).over(wD))
+      .select(col("doc_id"), col("bucket").cast("int").as("bucket"),
+        col("cnt"), col("signed_cnt"),
+        r6(col("cnt").cast("double") / col("n_tok")).as("tf"))
+      .orderBy("doc_id", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ppl_filter" -> ((s, d) => pplFilter(Tables.documents(s, d))),
     "q_epoch_plan" -> ((s, d) => epochPlan(Tables.documents(s, d))),
@@ -301,13 +336,32 @@ object Vocab {
     "q_unigram_lm" -> ((s, d) => unigramLm(Tables.documents(s, d))),
     "q_bigram_lm" -> ((s, d) => bigramLm(Tables.documents(s, d))),
     "q_mix_plan" -> ((s, d) => mixPlan(Tables.documents(s, d))),
-    "q_mix_take" -> ((s, d) => mixTake(Tables.documents(s, d)))
+    "q_mix_take" -> ((s, d) => mixTake(Tables.documents(s, d))),
+    "q_feature_hashing" -> ((s, d) => featureHashing(Tables.documents(s, d)))
   )
 
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "q_feature_hashing" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),
+         h AS (SELECT doc_id, md5(word) AS hx FROM w),
+         b AS (SELECT doc_id,
+             ((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+               instr('0123456789abcdef', substr(hx, 2, 1)) - 1) % 64 AS bucket,
+             CASE WHEN (instr('0123456789abcdef', substr(hx, 3, 1)) - 1) % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn
+           FROM h),
+         g AS (SELECT doc_id, bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(sgn) AS BIGINT) AS signed_cnt
+           FROM b GROUP BY 1, 2),
+         t AS (SELECT *, CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok FROM g)
+         SELECT doc_id, CAST(bucket AS INT) AS bucket, cnt, signed_cnt,
+           ${sqlR("CAST(cnt AS DOUBLE) / n_tok", 6)} AS tf
+         FROM t ORDER BY doc_id, bucket""",
     "q_tfidf" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),
