@@ -319,6 +319,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(partitionlessWindows(cum).nonEmpty, "expected the single-window fallback form")
   }
 
+  test("target encoder joins the class table by broadcast — the fact side is never shuffle-joined") {
+    val plan = planOf(graft.ml.TrainPrep.targetEncode(Tables.orders(spark, sf)).limit(1))
+    assert(plan.contains("BroadcastHashJoin"), s"class encoder not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"fact shuffled for the encoder join:\n$plan")
+  }
+
+  test("embargo split assigns row-locally: no hash exchange anywhere (only the tiny span aggregate)") {
+    val plan = planOf(graft.ml.TrainPrep.timeSplitEmbargo(Tables.events(spark, sf)).limit(1))
+    assert(!plan.contains("hashpartitioning"),
+      s"embargo split shuffles the fact:\n$plan")
+  }
+
+  test("feature hashing: token aggregation is partial; per-doc totals window the bucketed grain, never globally") {
+    val df = graft.text.Vocab.featureHashing(Tables.documents(spark, sf))
+    val plan = planOf(df.limit(1))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final token aggregation:\n$plan")
+    assert(partitionlessWindows(df).isEmpty,
+      "per-doc total must partition by doc_id, not a global window")
+  }
+
   test("exact percentiles match the Percentile aggregate bit-for-bit on both branches") {
     val ev = Tables.events(spark, sf)
     val expect = ev.groupBy(col("event_type"))
