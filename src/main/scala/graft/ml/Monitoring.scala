@@ -522,7 +522,47 @@ object Monitoring {
       .orderBy("source", "severity")
   }
 
+  /** A/B experiment readout — the two-sample z-test a model-rollout
+    * gate reads (the experimentation twin of [[modelConsistency]]'s
+    * agreement check): users deterministically assigned to variants by
+    * an md5 parity bit (the engine's replay-safe randomizer — every
+    * event of a user lands in the same arm, the correct randomization
+    * unit), metric = event value, Welch z on the variant means with
+    * population variance from exact decimal Σv/Σv² sums. The
+    * significance flag is derived from the ROUNDED z so both engines
+    * flip it identically.
+    *
+    * Scale shape: ONE aggregate pass over the fact with conditional
+    * sums — no join, no shuffle beyond the single-row aggregate; the
+    * readout is O(1) state regardless of table size. */
+  def abTest(events: DataFrame): DataFrame = {
+    def arm(a: String) = when(hexDigit("user_id", 1) % 2 === 0, "A")
+      .otherwise("B") === a
+    def sums(a: String) = Seq(
+      sum(when(arm(a), 1L).otherwise(0L)).as(s"n_$a"),
+      sum(when(arm(a), col("value").cast("decimal(18,4)"))).as(s"s1_$a"),
+      sum(when(arm(a), (col("value") * col("value")).cast("decimal(38,8)"))).as(s"s2_$a"))
+    val aggs = sums("A") ++ sums("B")
+    val g = events.agg(aggs.head, aggs.tail: _*)
+    def mean(a: String) = col(s"s1_$a").cast("double") / col(s"n_$a")
+    // population variance, clamped at 0 (constant-metric degenerate case:
+    // Spark sqrt(-eps) is NaN where DuckDB raises)
+    def pvar(a: String) = {
+      val v = col(s"s2_$a").cast("double") / col(s"n_$a") - mean(a) * mean(a)
+      when(v < 0, lit(0d)).otherwise(v)
+    }
+    val z = (mean("A") - mean("B")) /
+      sqrt(pvar("A") / col("n_A") + pvar("B") / col("n_B"))
+    g.select(
+      col("n_A").as("n_a"), col("n_B").as("n_b"),
+      r6(mean("A")).as("mean_a"), r6(mean("B")).as("mean_b"),
+      r6(mean("B") - mean("A")).as("lift"),
+      r6(z).as("z_score"),
+      (abs(r6(z)) > 1.96d).as("significant"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ab_test" -> ((s, d) => abTest(Tables.events(s, d))),
     "q_model_perf" -> ((s, d) => modelPerf(Tables.events(s, d))),
     "q_drift_history" -> ((s, d) => driftHistory(Tables.lineitem(s, d))),
     "q_business_impact" -> ((s, d) => businessImpact(Tables.orders(s, d))),
@@ -605,6 +645,32 @@ object Monitoring {
          FROM r2 ORDER BY metric"""
 
   val oracles: Map[String, String] = Map(
+    "q_ab_test" -> {
+      def arm(a: String) =
+        s"(CASE WHEN (instr('0123456789abcdef', substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0 THEN 'A' ELSE 'B' END) = '$a'"
+      def mean(a: String) = s"(CAST(s1_$a AS DOUBLE) / n_$a)"
+      def pvar(a: String) = {
+        val v = s"CAST(s2_$a AS DOUBLE) / n_$a - ${mean(a)} * ${mean(a)}"
+        s"(CASE WHEN $v < 0 THEN CAST(0 AS DOUBLE) ELSE $v END)"
+      }
+      val z = s"(${mean("A")} - ${mean("B")}) / " +
+        s"sqrt(${pvar("A")} / n_A + ${pvar("B")} / n_B)"
+      s"""WITH g AS (SELECT
+           CAST(SUM(CASE WHEN ${arm("A")} THEN 1 ELSE 0 END) AS BIGINT) AS n_A,
+           SUM(CASE WHEN ${arm("A")} THEN CAST(value AS DECIMAL(18,4)) END) AS s1_A,
+           SUM(CASE WHEN ${arm("A")} THEN CAST(value * value AS DECIMAL(38,8)) END) AS s2_A,
+           CAST(SUM(CASE WHEN ${arm("B")} THEN 1 ELSE 0 END) AS BIGINT) AS n_B,
+           SUM(CASE WHEN ${arm("B")} THEN CAST(value AS DECIMAL(18,4)) END) AS s1_B,
+           SUM(CASE WHEN ${arm("B")} THEN CAST(value * value AS DECIMAL(38,8)) END) AS s2_B
+         FROM events)
+         SELECT n_A AS n_a, n_B AS n_b,
+           ${graft.functions.Fns.sqlR(mean("A"), 6)} AS mean_a,
+           ${graft.functions.Fns.sqlR(mean("B"), 6)} AS mean_b,
+           ${graft.functions.Fns.sqlR(s"${mean("B")} - ${mean("A")}", 6)} AS lift,
+           ${graft.functions.Fns.sqlR(z, 6)} AS z_score,
+           ABS(${graft.functions.Fns.sqlR(z, 6)}) > 1.96 AS significant
+         FROM g"""
+    },
     "q_model_perf" -> modelPerfSql,
     "q_retrain_decision" -> {
       val driftSql = Features.oracles("q_drift_sweep")

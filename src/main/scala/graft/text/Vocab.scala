@@ -292,6 +292,94 @@ object Vocab {
       .orderBy("source")
   }
 
+  /** Top-k PMI collocations (Church & Hanks 1990): pointwise mutual
+    * information log2(P(w1,w2) / (P(w1)·P(w2))) over the corpus bigram
+    * stream, with a minimum pair-count floor so rare coincidences don't
+    * dominate (the classic PMI failure mode). Raw frequency ranks
+    * boilerplate ([[bigramVocab]]); PMI ranks ASSOCIATION — the pairs
+    * that co-occur far above chance — which is what a phrase/merge-rule
+    * miner actually wants.
+    *
+    * Scale shape: the min-count filter runs ON the bigram aggregate
+    * before any join, so the joins against the unigram table carry only
+    * the surviving pairs (tiny, AQE-broadcastable); the unigram and
+    * bigram counts are each one partial-aggregated shuffle over the
+    * token stream; final top-k is a TakeOrderedAndProject. Ties rank on
+    * the ROUNDED score then (w1, w2), so ordering is reproducible across
+    * engines. */
+  def pmiCollocations(documents: DataFrame, k: Int = 40, minCount: Int = 5): DataFrame = {
+    val words = TextPrep.withWords(documents)
+    val uni = words.select(explode(col("words")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+    val uniTot = uni.agg(sum(col("c")).as("n_uni"))
+    val biTot = words.agg(
+      sum(greatest(size(col("words")) - 1, lit(0)).cast("long")).as("n_bi"))
+    val bi = words.filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(words) - 2), i -> struct(words[i] as w1, words[i+1] as w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val scored = bi
+      .join(uni.select(col("word").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("word").as("w2"), col("c").as("c2")), "w2")
+      .crossJoin(broadcast(uniTot)).crossJoin(broadcast(biTot))
+      .withColumn("pmi", r6(
+        log((col("c12").cast("double") / col("n_bi")) /
+          ((col("c1").cast("double") / col("n_uni")) *
+            (col("c2").cast("double") / col("n_uni")))) / log(lit(2.0))))
+    val wR = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+      .withColumn("rank", row_number().over(wR))
+      .select(col("rank").cast("int").as("rank"), col("w1"), col("w2"),
+        col("c12"), col("c1"), col("c2"), col("pmi"))
+      .orderBy("rank")
+  }
+
+  /** Temperature-scaled source mixing weights — the multilingual/
+    * multi-source sampling scheme of mC4 / XLM-R (Conneau et al. 2019):
+    * p_i(τ) ∝ n_i^τ, swept over τ ∈ {0.25, 0.5, 0.75, 1.0} so the
+    * mixture designer reads the full flattening curve (τ=1 is natural
+    * proportions, τ→0 approaches uniform; [[mixPlan]] is the τ=0.5
+    * point). The powers are COMPOSED FROM sqrt ONLY (n^0.25 =
+    * √√n, n^0.75 = √n·√√n) — IEEE sqrt is correctly rounded in every
+    * engine, unlike pow, so the sweep is bit-reproducible with no
+    * transcendental-parity caveat. Normalizer sums run in DECIMAL so
+    * they are partition-order-independent.
+    *
+    * Scale shape: one aggregation to source grain, one tiny normalizer
+    * row broadcast back, 4 rows out per source. */
+  def mixTemperature(documents: DataFrame): DataFrame = {
+    val g = TextPrep.withWords(documents)
+      .select(col("source"), size(col("words")).cast("long").as("n_tok"))
+      .groupBy("source").agg(sum(col("n_tok")).as("avail_tokens"))
+    val n = col("avail_tokens").cast("double")
+    val pows = Seq(
+      0.25 -> sqrt(sqrt(n)),
+      0.5 -> sqrt(n),
+      0.75 -> (sqrt(n) * sqrt(sqrt(n))),
+      1.0 -> n)
+    val p = pows.foldLeft(g) { case (df, (t, e)) =>
+      df.withColumn(s"p_${(t * 100).toInt}", e) }
+    val zAggs = pows.map { case (t, _) =>
+      sum(col(s"p_${(t * 100).toInt}").cast("decimal(20,12)")).cast("double")
+        .as(s"z_${(t * 100).toInt}") } :+ sum(col("avail_tokens")).as("n_total")
+    val z = p.agg(zAggs.head, zAggs.tail: _*)
+    val rows = pows.map { case (t, _) =>
+      val tag = (t * 100).toInt
+      struct(lit(t).as("tau"),
+        (col(s"p_$tag") / col(s"z_$tag")).as("w0"))
+    }
+    p.crossJoin(broadcast(z))
+      .select(col("source"), col("avail_tokens"), col("n_total"),
+        explode(array(rows: _*)).as("r"))
+      .select(col("source"), col("r.tau").as("tau"), col("avail_tokens"),
+        r6(col("r.w0")).as("weight"),
+        r6(col("r.w0") / (col("avail_tokens").cast("double") / col("n_total")))
+          .as("upsample_factor"))
+      .orderBy("source", "tau")
+  }
+
   /** Hashing-trick document features (Weinberger et al. 2009, "Feature
     * Hashing for Large Scale Multitask Learning" — the Vowpal Wabbit
     * device): each token is hashed into one of `dims` buckets by two md5
@@ -337,13 +425,61 @@ object Vocab {
     "q_bigram_lm" -> ((s, d) => bigramLm(Tables.documents(s, d))),
     "q_mix_plan" -> ((s, d) => mixPlan(Tables.documents(s, d))),
     "q_mix_take" -> ((s, d) => mixTake(Tables.documents(s, d))),
-    "q_feature_hashing" -> ((s, d) => featureHashing(Tables.documents(s, d)))
+    "q_feature_hashing" -> ((s, d) => featureHashing(Tables.documents(s, d))),
+    "q_pmi_collocations" -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
+    "q_mix_temperature" -> ((s, d) => mixTemperature(Tables.documents(s, d)))
   )
 
   private val normSql =
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "q_pmi_collocations" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         uni AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+           FROM (SELECT unnest(words) AS word FROM w) GROUP BY 1),
+         ut AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM uni),
+         bt AS (SELECT CAST(SUM(GREATEST(len(words) - 1, 0)) AS BIGINT) AS n_bi FROM w),
+         ww AS (SELECT * FROM w WHERE len(words) >= 2),
+         b AS (SELECT words[i] AS w1, words[i+1] AS w2
+           FROM ww, UNNEST(generate_series(1, len(words) - 1)) AS t(i)),
+         bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+           FROM b GROUP BY 1, 2 HAVING COUNT(*) >= 5),
+         sc AS (SELECT bc.w1, bc.w2, c12, u1.c AS c1, u2.c AS c2,
+             ${sqlR("ln((CAST(c12 AS DOUBLE) / n_bi) / " +
+                "((CAST(u1.c AS DOUBLE) / n_uni) * (CAST(u2.c AS DOUBLE) / n_uni))) / ln(2.0)", 6)} AS pmi
+           FROM bc JOIN uni u1 ON bc.w1 = u1.word
+                   JOIN uni u2 ON bc.w2 = u2.word, ut, bt),
+         r AS (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, w1, w2) AS rank FROM sc)
+         SELECT CAST(rank AS INT) AS rank, w1, w2, c12, c1, c2, pmi
+         FROM r WHERE rank <= 40 ORDER BY rank""",
+    "q_mix_temperature" -> {
+      val pd = "CAST(avail_tokens AS DOUBLE)"
+      val taus = Seq(
+        "0.25" -> s"sqrt(sqrt($pd))", "0.5" -> s"sqrt($pd)",
+        "0.75" -> s"sqrt($pd) * sqrt(sqrt($pd))", "1.0" -> pd)
+      val pCols = taus.map { case (t, e) =>
+        s"$e AS p_${(t.toDouble * 100).toInt}" }.mkString(", ")
+      val zCols = taus.map { case (t, _) =>
+        val tag = (t.toDouble * 100).toInt
+        s"CAST(SUM(CAST(p_$tag AS DECIMAL(20,12))) AS DOUBLE) AS z_$tag" }.mkString(", ")
+      val arms = taus.map { case (t, _) =>
+        val tag = (t.toDouble * 100).toInt
+        s"""SELECT source, CAST($t AS DOUBLE) AS tau, avail_tokens,
+            p_$tag / z_$tag AS w0, n_total FROM p, z"""
+      }.mkString(" UNION ALL ")
+      s"""WITH n AS (SELECT source, $normSql AS norm FROM documents),
+         w AS (SELECT source, CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tok FROM n),
+         g AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS avail_tokens FROM w GROUP BY 1),
+         p AS (SELECT source, avail_tokens, $pCols FROM g),
+         z AS (SELECT $zCols, CAST(SUM(avail_tokens) AS BIGINT) AS n_total FROM p),
+         e AS ($arms)
+         SELECT source, tau, avail_tokens,
+           ${sqlR("w0", 6)} AS weight,
+           ${sqlR("w0 / (CAST(avail_tokens AS DOUBLE) / n_total)", 6)} AS upsample_factor
+         FROM e ORDER BY source, tau"""
+    },
     "q_feature_hashing" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          w AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS word FROM n),

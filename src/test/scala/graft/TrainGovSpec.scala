@@ -82,6 +82,72 @@ class TrainGovSpec extends AnyFunSuite {
     assert(a.map(_.getAs[Long]("n_rows")).sum == cust.count())
   }
 
+  test("pmiCollocations: floor respected, ranks dense, PMI matches a brute-force recomputation") {
+    val docs = Tables.documents(spark, sf)
+    val r = Vocab.pmiCollocations(docs, k = 40, minCount = 5).collect()
+    assert(r.nonEmpty && r.length <= 40)
+    assert(r.map(_.getAs[Int]("rank")).toSeq == (1 to r.length))
+    assert(r.forall(_.getAs[Long]("c12") >= 5))
+    val pmis = r.map(_.getAs[Double]("pmi"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    // brute-force the corpus counts and re-derive the top row's PMI
+    val words = graft.text.TextPrep.withWords(docs)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.col("words")).as("w"))
+      .collect().map(_.getString(0))
+    val nUni = words.length.toDouble
+    val uni = words.groupBy(identity).view.mapValues(_.length).toMap
+    val top = r.head
+    val (w1, w2) = (top.getAs[String]("w1"), top.getAs[String]("w2"))
+    val expected = math.log((top.getAs[Long]("c12") / bigramTotal(docs)) /
+      ((uni(w1) / nUni) * (uni(w2) / nUni))) / math.log(2.0)
+    assert(math.abs(top.getAs[Double]("pmi") - expected) < 1e-5)
+    assert(top.getAs[Long]("c1") == uni(w1) && top.getAs[Long]("c2") == uni(w2))
+  }
+
+  private def bigramTotal(docs: org.apache.spark.sql.DataFrame): Double =
+    graft.text.TextPrep.withWords(docs)
+      .select(org.apache.spark.sql.functions.greatest(
+        org.apache.spark.sql.functions.size(col("words")) - 1,
+        org.apache.spark.sql.functions.lit(0)).cast("long").as("n"))
+      .collect().map(_.getLong(0)).sum.toDouble
+
+  test("mixTemperature: each tau's weights sum to 1; tau=1 is natural shares; lower tau flattens the mixture") {
+    val byTau = Vocab.mixTemperature(Tables.documents(spark, sf)).collect()
+      .groupBy(_.getAs[Double]("tau"))
+    assert(byTau.keySet == Set(0.25, 0.5, 0.75, 1.0))
+    byTau.foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-3) }
+    val natural = byTau(1.0)
+    assert(natural.forall(r =>
+      math.abs(r.getAs[Double]("upsample_factor") - 1.0) < 1e-3),
+      "tau=1.0 must reproduce natural proportions")
+    // flattening: the largest source's weight is non-increasing in tau
+    val maxW = Seq(0.25, 0.5, 0.75, 1.0).map(t => byTau(t).map(_.getAs[Double]("weight")).max)
+    assert(maxW.zip(maxW.tail).forall { case (a, b) => a <= b + 1e-9 },
+      s"max weight must grow with tau (flattening): $maxW")
+  }
+
+  test("abTest: arms partition the events; means match a brute-force recomputation; lift consistent") {
+    val events = Tables.events(spark, sf)
+    val r = graft.ml.Monitoring.abTest(events).collect().head
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == events.count())
+    val raw = events.select(col("user_id"), col("value")).collect()
+      .map(x => (x.getLong(0), x.getDouble(1)))
+    def armOf(u: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString
+      if (("0123456789abcdef".indexOf(hex(0))) % 2 == 0) "A" else "B"
+    }
+    val a = raw.filter(x => armOf(x._1) == "A").map(_._2)
+    val b = raw.filter(x => armOf(x._1) == "B").map(_._2)
+    assert(math.abs(r.getAs[Double]("mean_a") - a.sum / a.length) < 1e-2)
+    assert(math.abs(r.getAs[Double]("mean_b") - b.sum / b.length) < 1e-2)
+    assert(math.abs(r.getAs[Double]("lift") -
+      (r.getAs[Double]("mean_b") - r.getAs[Double]("mean_a"))) < 2e-6)
+  }
+
   test("featureHashing: bucket counts conserve the token stream; buckets bounded; signed count parity-consistent") {
     val docs = Tables.documents(spark, sf)
     val fh = Vocab.featureHashing(docs, dims = 64).collect()
