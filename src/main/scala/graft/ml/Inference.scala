@@ -271,9 +271,98 @@ object Inference {
       .orderBy("entity_id")
   }
 
+  /** Derived customer features — the tail of the reference's feature
+    * store (_calculate_customer_derived_features,
+    * feature_store_manager.py:244-257) beyond what [[aggFeatureStore]]
+    * already emits: churn_probability (the recency/order-frequency-gated
+    * piecewise formula, clipped to [0,1]), value_tier (qcut quartiles of
+    * customer lifetime value → Bronze/Silver/Gold/Platinum),
+    * engagement_consistency (active weeks over tenure weeks) and
+    * spending_consistency (1 − std/mean of order value). Orders-derived
+    * twins of the reference's signup/last-order anchors: tenure runs
+    * from the first order to the 1998-12-31 cutoff, recency from the
+    * last order — the same conventions the CLV column above pinned.
+    *
+    * Scale shape: ONE aggregation to customer grain (count-distinct of
+    * epoch weeks rides the same shuffle), pinned once; the value-tier
+    * quartile edges come from the exact cumulative-count device
+    * ([[graft.functions.PrefixSum]]) over the CLV-grain distinct frame —
+    * never an |customers|-sized single-reducer percentile buffer — and
+    * the 3-edge row is broadcast back, so tier assignment is row-local.
+    * Boundary CLVs tier by strict `>` against the edge (the boundary
+    * value stays in the lower tier, qcut's right-closed convention),
+    * deterministic under ties in both engines, unlike ntile. Edges are
+    * computed on the r4-ROUNDED CLV so the tier cut and the emitted
+    * customer_lifetime_value column can never disagree. */
+  def customerDerived(orders: DataFrame): DataFrame = {
+    val base = orders.select(
+      col("o_custkey"),
+      col("o_totalprice").cast("double").as("amt"),
+      datediff(to_date(lit("1998-12-31")), col("o_orderdate")).cast("double").as("age_days"),
+      // epoch week by integer day arithmetic (float /7 could flip a
+      // boundary day in one engine's last ulp)
+      expr("datediff(o_orderdate, DATE'1970-01-01') div 7").cast("long").as("wk"))
+    val n = col("n_orders").cast("double")
+    val ent = base.groupBy(col("o_custkey")).agg(
+      count(lit(1)).as("n_orders"),
+      sum(col("amt").cast("decimal(18,4)")).cast("double").as("s1"),
+      sum((col("amt") * col("amt")).cast("decimal(30,8)")).cast("double").as("s2"),
+      min(col("age_days")).as("recency_days"),
+      max(col("age_days")).as("tenure_days"),
+      countDistinct(col("wk")).as("active_weeks"))
+      .withColumn("amount_mean", col("s1") / n)
+      // same clamped-sample-variance device as aggFeatureStore (see the
+      // try_divide note there: n−1 = 0 throws under ANSI without it)
+      .withColumn("svar",
+        try_divide(col("s2") - col("s1") * col("s1") / n, n - 1d))
+      .withColumn("amount_std",
+        when(n > 1d, sqrt(when(col("svar") < 0, lit(0d)).otherwise(col("svar")))))
+      .withColumn("clv",
+        r4(col("s1") / greatest(col("tenure_days") / lit(365.25d), lit(0.1d))))
+      .withColumn("ofreq", n / greatest(col("tenure_days") / lit(30d), lit(1d)))
+      // pinned: the quartile-edge branch (distinct + eager NDV probe)
+      // and the final projection otherwise each re-run the orders scan
+      .localCheckpoint(false)
+    val dist = ent.groupBy(col("clv")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val cum = graft.functions.PrefixSum.cumulative(dist, "clv", "c")
+    val tot = dist.agg(sum(col("c")).as("n"))
+    val ks = (1 to 3).map(lit(_))
+    val edges = cum.crossJoin(broadcast(tot))
+      .select(col("clv"), col("cum"), col("n"), explode(array(ks: _*)).as("k"))
+      .filter(col("cum") >= expr("(k * n + 3) div 4"))
+      .groupBy(col("k")).agg(min(col("clv")).as("e"))
+    val eAggs = (1 to 3).map(k => max(when(col("k") === k, col("e"))).as(s"e$k"))
+    val edgeRow = edges.agg(eAggs.head, eAggs.tail: _*)
+    val churnRaw =
+      when(col("recency_days") > 90d, lit(0.8d) - col("ofreq") * lit(0.1d))
+        .otherwise(lit(0.2d) + (col("recency_days") / lit(365d)) * lit(0.3d))
+    ent.crossJoin(broadcast(edgeRow))
+      .select(
+        col("o_custkey").as("entity_id"),
+        col("n_orders"),
+        col("recency_days").cast("long").as("recency_days"),
+        col("tenure_days").cast("long").as("tenure_days"),
+        col("active_weeks"),
+        col("clv").as("customer_lifetime_value"),
+        r6(col("ofreq")).as("order_frequency"),
+        r6(least(greatest(churnRaw, lit(0d)), lit(1d))).as("churn_probability"),
+        when(col("clv") > col("e3"), "Platinum")
+          .when(col("clv") > col("e2"), "Gold")
+          .when(col("clv") > col("e1"), "Silver")
+          .otherwise("Bronze").as("value_tier"),
+        r6(col("active_weeks").cast("double") /
+          greatest(col("tenure_days") / lit(7d), lit(1d))).as("engagement_consistency"),
+        r6(when(n > 1d,
+          lit(1d) - col("amount_std") / greatest(col("amount_mean"), lit(1d))))
+          .as("spending_consistency"))
+      .orderBy("entity_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ensemble_score" -> ((s, d) => ensembleScore(Tables.orders(s, d))),
     "q_agg_feature_store" -> ((s, d) => aggFeatureStore(Tables.orders(s, d))),
+    "q_customer_derived" -> ((s, d) => customerDerived(Tables.orders(s, d))),
     "q_calibration_bins" -> ((s, d) => calibrationBins(Tables.orders(s, d)))
   )
 
@@ -345,6 +434,54 @@ object Inference {
            ${sqlR("CAST(n_pos AS DOUBLE) / n", 6)} AS observed_rate,
            ${sqlR("abs(mp0 - CAST(n_pos AS DOUBLE) / n)", 6)} AS abs_gap
          FROM agg ORDER BY bin""",
+    "q_customer_derived" ->
+      s"""WITH base AS (
+           SELECT o_custkey,
+             CAST(o_totalprice AS DOUBLE) AS amt,
+             CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS DOUBLE) AS age_days,
+             datediff('day', DATE '1970-01-01', o_orderdate) // 7 AS wk
+           FROM orders),
+         ent AS (SELECT o_custkey,
+             CAST(COUNT(*) AS BIGINT) n_orders,
+             CAST(SUM(CAST(amt AS DECIMAL(18,4))) AS DOUBLE) s1,
+             CAST(SUM(CAST(amt*amt AS DECIMAL(30,8))) AS DOUBLE) s2,
+             MIN(age_days) recency_days,
+             MAX(age_days) tenure_days,
+             CAST(COUNT(DISTINCT wk) AS BIGINT) active_weeks
+           FROM base GROUP BY o_custkey),
+         d AS (SELECT *,
+             s1 / n_orders AS amount_mean,
+             CASE WHEN n_orders > 1
+               THEN sqrt(CASE WHEN (s2 - s1*s1/n_orders) / (n_orders - 1) < 0
+                 THEN CAST(0 AS DOUBLE)
+                 ELSE (s2 - s1*s1/n_orders) / (n_orders - 1) END) END AS amount_std,
+             FLOOR(s1 / GREATEST(tenure_days / 365.25, 0.1) * 10000 + 0.5) / 10000 AS clv,
+             CAST(n_orders AS DOUBLE) / GREATEST(tenure_days / 30.0, 1.0) AS ofreq
+           FROM ent),
+         dist AS (SELECT clv, CAST(COUNT(*) AS BIGINT) c FROM d GROUP BY clv),
+         cum AS (SELECT clv, SUM(c) OVER (ORDER BY clv) cum,
+             (SELECT SUM(c) FROM dist) n
+           FROM dist),
+         ed AS (SELECT k, MIN(clv) e
+           FROM cum, (VALUES (1),(2),(3)) t(k)
+           WHERE cum >= (k * n + 3) // 4 GROUP BY k),
+         er AS (SELECT MAX(CASE WHEN k=1 THEN e END) e1,
+             MAX(CASE WHEN k=2 THEN e END) e2,
+             MAX(CASE WHEN k=3 THEN e END) e3 FROM ed)
+         SELECT o_custkey AS entity_id, n_orders,
+           CAST(recency_days AS BIGINT) AS recency_days,
+           CAST(tenure_days AS BIGINT) AS tenure_days,
+           active_weeks,
+           clv AS customer_lifetime_value,
+           ${sqlR("ofreq", 6)} AS order_frequency,
+           ${sqlR("LEAST(GREATEST(CASE WHEN recency_days > 90 THEN 0.8 - ofreq * 0.1 ELSE 0.2 + (recency_days / 365) * 0.3 END, CAST(0 AS DOUBLE)), CAST(1 AS DOUBLE))", 6)} AS churn_probability,
+           CASE WHEN clv > e3 THEN 'Platinum'
+             WHEN clv > e2 THEN 'Gold'
+             WHEN clv > e1 THEN 'Silver'
+             ELSE 'Bronze' END AS value_tier,
+           ${sqlR("CAST(active_weeks AS DOUBLE) / GREATEST(tenure_days / 7.0, 1.0)", 6)} AS engagement_consistency,
+           ${sqlR("CASE WHEN n_orders > 1 THEN 1 - amount_std / GREATEST(amount_mean, 1.0) END", 6)} AS spending_consistency
+         FROM d CROSS JOIN er ORDER BY entity_id""",
     "q_agg_feature_store" ->
       """WITH base AS (
            SELECT o_custkey,
