@@ -36,7 +36,19 @@ object Catalog {
   /** One catalog dimension entry. */
   case class CatalogDim(source: String, config: DimConfig)
 
-  case class ParsedCatalog(facts: Seq[CatalogFact], dims: Seq[CatalogDim])
+  /** One column's masking rule from the catalog's security section:
+    * classification is 'pii' or 'sensitive' (the reference's
+    * pii_columns / sensitive_columns lists), rule is one of
+    * hash | redact | band (see [[Masking.maskColumn]]). */
+  case class ColumnRule(column: String, rule: String, classification: String)
+
+  /** One table's security policy: optional row-level-security predicate
+    * plus the declared column masking rules. */
+  case class TablePolicy(table: String, rowFilter: Option[String],
+                         rules: Seq[ColumnRule])
+
+  case class ParsedCatalog(facts: Seq[CatalogFact], dims: Seq[CatalogDim],
+                           policies: Seq[TablePolicy])
 
   private type JMap = java.util.Map[String, Object]
 
@@ -87,7 +99,19 @@ object Catalog {
             AttrSpec(str(a, "expr"), str(a, "name"))),
           qualityRules = strs(m, "quality_rules")))
     }
-    ParsedCatalog(facts, dims)
+    val policies = Option(root.get("security"))
+      .map(_.asInstanceOf[JMap])
+      .flatMap(s => Option(s.get("data_classification")))
+      .map(_.asInstanceOf[JMap].asScala.toSeq.map { case (table, v) =>
+        val m = v.asInstanceOf[JMap]
+        def ruleList(k: String, cls: String): Seq[ColumnRule] =
+          maps(m, k).map(r => ColumnRule(str(r, "column"), str(r, "rule"), cls))
+        TablePolicy(table,
+          Option(m.get("row_filter")).map(_.asInstanceOf[String]),
+          ruleList("pii_columns", "pii") ++ ruleList("sensitive_columns", "sensitive"))
+      })
+      .getOrElse(Nil)
+    ParsedCatalog(facts, dims, policies)
   }
 
   /** The library's bundled catalog, parsed once. Fails with the resource

@@ -75,4 +75,50 @@ class Round10Spec extends AnyFunSuite {
       }
     }
   }
+
+  test("masking: policy applied from the catalog file — no raw PII survives, hash preserves joins") {
+    import graft.operators.{Catalog, Masking}
+    val masked = Masking.maskedCustomer(spark, sf)
+    val raw = Tables.customer(spark, sf)
+    // RLS: only the declared filter's rows are visible
+    assert(masked.count() == raw.filter(col("c_acctbal") >= 0).count())
+    // no raw customer name survives masking
+    val leaked = masked.join(raw.select(col("c_name").as("raw_name")).distinct(),
+      col("c_name") === col("raw_name"), "left_semi").count()
+    assert(leaked == 0, s"$leaked raw names leaked through the mask")
+    // hash masking preserves joinability: masked table joins back to an
+    // independently hashed key with full cardinality
+    val rehashed = raw.filter(col("c_acctbal") >= 0)
+      .select(md5(col("c_name").cast("string")).as("h"))
+    assert(masked.join(rehashed, col("c_name") === col("h"), "left_semi").count()
+      == masked.count())
+    // unknown rule and absent column both fail loudly
+    intercept[IllegalArgumentException] {
+      Masking.maskColumn(Catalog.ColumnRule("c_name", "rot13", "pii"))
+    }
+    intercept[IllegalArgumentException] {
+      Masking.maskTable(raw,
+        Catalog.TablePolicy("customer", None,
+          Seq(Catalog.ColumnRule("no_such_col", "hash", "pii"))))
+    }
+  }
+
+  test("masking audit: hash preserves cardinality, redact collapses it, band compresses it") {
+    import graft.operators.Masking
+    val audit = Masking.maskAudit(spark, sf).collect()
+      .map(r => (r.getAs[String]("table_name"), r.getAs[String]("column_name")) -> r).toMap
+    audit.values.foreach { r =>
+      val (rule, d0, d1) = (r.getAs[String]("rule"),
+        r.getAs[Long]("n_distinct_orig"), r.getAs[Long]("n_distinct_masked"))
+      rule match {
+        case "hash" => assert(d1 == d0, s"hash must preserve cardinality: $d0 -> $d1")
+        case "redact" => assert(d1 <= 1, s"redact must collapse cardinality, got $d1")
+        case "band" => assert(d1 < d0, s"band must compress cardinality: $d0 -> $d1")
+      }
+    }
+    assert(audit.keySet == Set(
+      ("customer", "c_name"), ("customer", "c_acctbal"),
+      ("supplier", "s_name"), ("supplier", "s_acctbal"),
+      ("events", "user_id")))
+  }
 }
