@@ -543,7 +543,11 @@ object Monitoring {
       sum(when(arm(a), col("value").cast("decimal(18,4)"))).as(s"s1_$a"),
       sum(when(arm(a), (col("value") * col("value")).cast("decimal(38,8)"))).as(s"s2_$a"))
     val aggs = sums("A") ++ sums("B")
-    val g = events.agg(aggs.head, aggs.tail: _*)
+    // NULL metric rows are out of the experiment entirely: counting them
+    // in n while the decimal sums skip them would silently skew the
+    // mean/variance the day `value` goes nullable (same hardening as
+    // psiDrift/ksDrift)
+    val g = events.filter(col("value").isNotNull).agg(aggs.head, aggs.tail: _*)
     def mean(a: String) = col(s"s1_$a").cast("double") / col(s"n_$a")
     // population variance, clamped at 0 (constant-metric degenerate case:
     // Spark sqrt(-eps) is NaN where DuckDB raises)
@@ -662,7 +666,7 @@ object Monitoring {
            CAST(SUM(CASE WHEN ${arm("B")} THEN 1 ELSE 0 END) AS BIGINT) AS n_B,
            SUM(CASE WHEN ${arm("B")} THEN CAST(value AS DECIMAL(18,4)) END) AS s1_B,
            SUM(CASE WHEN ${arm("B")} THEN CAST(value * value AS DECIMAL(38,8)) END) AS s2_B
-         FROM events)
+         FROM events WHERE value IS NOT NULL)
          SELECT n_A AS n_a, n_B AS n_b,
            ${graft.functions.Fns.sqlR(mean("A"), 6)} AS mean_a,
            ${graft.functions.Fns.sqlR(mean("B"), 6)} AS mean_b,

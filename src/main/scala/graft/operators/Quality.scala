@@ -164,7 +164,11 @@ object Quality {
         r6(lit(1.0) / col("n_rows")).as("reident_risk"),
         (col("n_rows") < k).as("violates_k"),
         col("k_anonymity")): _*)
-      .orderBy(quasiIds.map(col): _*)
+      // NULLS LAST: a nullable QI (plausible in a governance audit) sorts
+      // NULLS FIRST under Spark's default ASC but last in the DuckDB
+      // oracle's ORDER BY — the same cross-engine reorder fixed in
+      // Features.topCategories
+      .orderBy(quasiIds.map(q => col(q).asc_nulls_last): _*)
   }
 
   /** The default suite over the star schema (mirrors the dbt schema.yml

@@ -164,7 +164,7 @@ object Scd2 {
          effective_from_s, epoch_us(ts) AS effective_from_us, effective_to_s,
          effective_to_s IS NULL AS is_current,
          CASE WHEN version = 1 THEN 'NEW' ELSE 'UPDATED' END AS change_reason,
-         md5(event_type || '|' || printf('%.2f', value)) AS change_hash
+         md5(COALESCE(event_type, '_graft_null_') || '|' || COALESCE(printf('%.2f', value), '_graft_null_')) AS change_hash
        FROM h ORDER BY user_id, version"""
 
   val oracles: Map[String, String] = Map(

@@ -26,12 +26,19 @@ object Sinks {
     * specs (and recovery tooling) can replay a delivered batch and
     * assert idempotence. Overwrites exactly the `batch_id=<batchId>`
     * partition of `target`, leaving every other partition untouched. */
-  def writeBatch(target: String)(batch: Dataset[Row], batchId: Long): Unit =
+  def writeBatch(target: String)(batch: Dataset[Row], batchId: Long): Unit = {
+    // withColumn silently REPLACES a same-named column — a user frame
+    // already carrying batch_id would lose its data and repartition the
+    // sink without any error (the PrefixSum 'cum' guard class)
+    require(!batch.columns.contains("batch_id"),
+      "the exactly-once sink adds its own 'batch_id' partition column; " +
+        "the streamed frame already has one — rename it first")
     batch.withColumn("batch_id", lit(batchId))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("batch_id")
       .parquet(target)
+  }
 
   /** Drain a (finite) streaming frame into `target` with exactly-once
     * output semantics: at-least-once delivery + an idempotent
