@@ -162,16 +162,21 @@ object Ann {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"),
         col("nrm").as("cnrm"))
 
-  /** Per-vector centroid ranking: corpus × K broadcast score, rank window
+  /** Per-vector centroid ranking against an explicit centroid frame
+    * (centroid_id, ce, cnrm): corpus × K broadcast score, rank window
     * partitioned by vec_id (K rows per partition — bounded). rn=1 is the
     * cell assignment; rn<=nCells are a probe's search cells. */
-  private def centroidRanked(v: DataFrame, k: Int): DataFrame = {
-    val scored = v.crossJoin(broadcast(centroids(v, k)))
+  private def centroidRankedWith(v: DataFrame, cents: DataFrame): DataFrame = {
+    val scored = v.crossJoin(broadcast(cents))
       .withColumn("ccos", r6(dot("embedding", "ce") / (col("nrm") * col("cnrm"))))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("centroid_id"))
     scored.withColumn("rn", row_number().over(w))
   }
+
+  /** [[centroidRankedWith]] against the default hash-sampled centroids. */
+  private def centroidRanked(v: DataFrame, k: Int): DataFrame =
+    centroidRankedWith(v, centroids(v, k))
 
   /** IVF cell assignment: every vector is assigned to its nearest of K
     * hash-sampled centroids. The scale path: search only touches the
@@ -191,7 +196,18 @@ object Ann {
   def ivfSearch(embeddings: DataFrame, nProbes: Int = 10, k: Int = 10,
                 kCents: Int = 16, nCells: Int = 5): DataFrame = {
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
-    val ranked = centroidRanked(v, kCents)
+    ivfSearchWith(embeddings, centroids(v, kCents), nProbes, k, nCells)
+  }
+
+  /** [[ivfSearch]] against an explicit centroid frame (centroid_id, ce,
+    * cnrm) — the seam that lets the SAME probed-search plan run over
+    * hash-sampled or Lloyd-refined centroids, so index-quality A/Bs
+    * ([[annEval]] with `cents`) compare centroid TRAINING, not two
+    * different search codepaths. */
+  def ivfSearchWith(embeddings: DataFrame, cents: DataFrame,
+                    nProbes: Int = 10, k: Int = 10, nCells: Int = 5): DataFrame = {
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val ranked = centroidRankedWith(v, cents)
     val assign = ranked.filter(col("rn") === 1).select(col("vec_id"), col("centroid_id"))
     val probeCells = ranked.filter(col("vec_id") < nProbes && col("rn") <= nCells)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
@@ -563,10 +579,12 @@ object Ann {
     * the per-probe curve as a query). Composes the two existing search
     * paths and joins their neighbor sets; cost is bounded by the probe
     * count, not the corpus. */
-  def annEval(embeddings: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame = {
+  def annEval(embeddings: DataFrame, nProbes: Int = 10, k: Int = 10,
+              cents: Option[DataFrame] = None): DataFrame = {
     val bf = bruteForceTopK(embeddings, nProbes, k)
       .select(col("probe_id"), col("neighbor_id"))
-    val iv = ivfSearch(embeddings, nProbes, k)
+    val iv = cents.map(c => ivfSearchWith(embeddings, c, nProbes, k))
+      .getOrElse(ivfSearch(embeddings, nProbes, k))
       .select(col("probe_id").as("ip"), col("neighbor_id").as("in_"))
     val nf = iv.groupBy(col("ip")).agg(count(lit(1)).as("n_found"))
     bf.join(iv, col("probe_id") === col("ip") && col("neighbor_id") === col("in_"), "left")

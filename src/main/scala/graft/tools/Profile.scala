@@ -129,7 +129,17 @@ object Profile {
     if (sys.env.contains("SPARK_GRAFT_STREAM")) {
       // streaming twins: wall-clock to drain the full finite input
       // through the memory sink (micro-batch count ~constant, so this
-      // measures per-batch state + aggregation growth with input size)
+      // measures per-batch state + aggregation growth with input size).
+      // A streaming query's STATE-STORE count is pinned from
+      // spark.sql.shuffle.partitions at first start (per checkpoint), so
+      // the local profile can size it to the twins' tiny local state
+      // instead of the batch suite's 32 — the stream-stream join pays a
+      // fixed per-(store x partition) setup cost (4 stores/join) that
+      // dominates its sf0.1 floor. On a cluster this is the same knob:
+      // size streaming shuffle partitions to state volume and key
+      // cardinality, not to batch-analytics defaults.
+      sys.env.get("SPARK_GRAFT_STREAM_PARTS").foreach(p =>
+        spark.conf.set("spark.sql.shuffle.partitions", p))
       for (round <- 1 to 2) {
         t(s"stream_windowed_$round") {
           graft.streaming.EventStream.windowedCounts(spark, sfDir, s"pw$round").count()
@@ -155,6 +165,31 @@ object Profile {
         t(s"stream_ssjoin_outer_$round") {
           graft.streaming.EventStream.touchPurchaseJoinOuter(spark, sfDir, s"pjo$round").count()
         }
+      }
+    }
+    if (sys.env.contains("SPARK_GRAFT_ANN")) {
+      // hash-sampled vs Lloyd-refined IVF centroids through the SAME
+      // probed-search plan: per-probe recall@10 vs exact brute force
+      val emb = graft.Tables.embeddings(spark, sfDir)
+      emb.count()
+      def recall(cents: Option[org.apache.spark.sql.DataFrame]): (Double, Double) = {
+        val r = graft.ann.Ann.annEval(emb, cents = cents)
+          .agg(avg(col("recall")), min(col("recall"))).first()
+        (r.getDouble(0), r.getDouble(1))
+      }
+      for (round <- 1 to 2) {
+        t(s"ann_eval_hash_$round") {
+          val (m, mn) = recall(None)
+          println(f"ANN_RECALL hash-ranked   mean=$m%.4f min=$mn%.4f"); 10L
+        }
+        for (iters <- Seq(1, 2, 4)) {
+          t(s"ann_eval_lloyd${iters}_$round") {
+            val (m, mn) = recall(Some(
+              graft.ann.Ann.lloydCentroids(emb, k = 16, iters = iters)))
+            println(f"ANN_RECALL lloyd-$iters%d-iter mean=$m%.4f min=$mn%.4f"); 10L
+          }
+        }
+        spark.catalog.clearCache()
       }
     }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
