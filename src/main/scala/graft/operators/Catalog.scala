@@ -47,8 +47,13 @@ object Catalog {
   case class TablePolicy(table: String, rowFilter: Option[String],
                          rules: Seq[ColumnRule])
 
+  /** One role's access declaration: permission verbs over glob patterns
+    * of catalog table names (the reference's access_controls list). */
+  case class AccessRule(role: String, permissions: Seq[String],
+                        tables: Seq[String])
+
   case class ParsedCatalog(facts: Seq[CatalogFact], dims: Seq[CatalogDim],
-                           policies: Seq[TablePolicy])
+                           policies: Seq[TablePolicy], access: Seq[AccessRule])
 
   private type JMap = java.util.Map[String, Object]
 
@@ -111,7 +116,12 @@ object Catalog {
           ruleList("pii_columns", "pii") ++ ruleList("sensitive_columns", "sensitive"))
       })
       .getOrElse(Nil)
-    ParsedCatalog(facts, dims, policies)
+    val access = Option(root.get("security"))
+      .map(_.asInstanceOf[JMap])
+      .map(s => maps(s, "access_controls").map(a =>
+        AccessRule(str(a, "role"), strs(a, "permissions"), strs(a, "tables"))))
+      .getOrElse(Nil)
+    ParsedCatalog(facts, dims, policies, access)
   }
 
   /** The library's bundled catalog, parsed once. Fails with the resource

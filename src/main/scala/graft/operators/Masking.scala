@@ -102,15 +102,83 @@ object Masking {
     rows.reduce(_.unionByName(_)).orderBy("table_name", "column_name")
   }
 
+  /** Glob → anchored regex (the catalog's table patterns: `*` any run,
+    * `?` any one char, everything else literal). */
+  private def globRegex(pat: String): String =
+    "^" + pat.flatMap {
+      case '*' => ".*"
+      case '?' => "."
+      case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+      case c => c.toString
+    } + "$"
+
+  /** Effective-permission matrix: every declared access_controls role
+    * expanded against every catalog-declared table — the audit view a
+    * governance review reads (and the grant script a deployment
+    * generates its GRANTs from). Pure catalog metadata, bounded by
+    * |roles|×|tables|; the frame is built driver-side like the date
+    * dimension is built from its config. */
+  def accessMatrix(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val tables =
+      Catalog.default.facts.map(f => (f.config.name, "fact")) ++
+        Catalog.default.dims.map(d => (d.config.name, "dim"))
+    accessMatrixFor(Catalog.default.access, tables)
+      .toDF("role", "table_name", "kind", "can_read", "can_write")
+      .orderBy("role", "table_name")
+  }
+
+  /** The pure expansion behind [[accessMatrix]] (exposed for direct
+    * testing of the glob semantics). */
+  def accessMatrixFor(rules: Seq[Catalog.AccessRule],
+                      tables: Seq[(String, String)])
+      : Seq[(String, String, String, Boolean, Boolean)] =
+    for {
+      r <- rules
+      (name, kind) <- tables
+    } yield {
+      val visible = r.tables.exists(p => name.matches(globRegex(p)))
+      (r.role, name, kind,
+        visible && r.permissions.contains("read"),
+        visible && r.permissions.contains("write"))
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_catalog_mask" -> ((s, d) => maskedCustomer(s, d)),
-    "q_mask_audit" -> ((s, d) => maskAudit(s, d))
+    "q_mask_audit" -> ((s, d) => maskAudit(s, d)),
+    "q_access_matrix" -> ((s, _) => accessMatrix(s))
   )
 
   // Hand-written SQL twins of the bundled policy — independent of the
   // YAML parser and the rule engine, so a hash match proves the policy
   // file was read and applied exactly.
   val oracles: Map[String, String] = Map(
+    "q_access_matrix" ->
+      """WITH t AS (SELECT * FROM (VALUES
+           ('fact_sales','fact'),('fact_orders','fact'),('fact_events','fact'),
+           ('fact_shipping','fact'),('fact_part_pricing','fact'),
+           ('fact_supplier_balance','fact'),('fact_customer_balance','fact'),
+           ('fact_returns','fact'),('fact_discounted_sales','fact'),
+           ('fact_taxed_lineitems','fact'),('fact_bulk_lineitems','fact'),
+           ('fact_open_orders','fact'),('fact_finished_orders','fact'),
+           ('fact_urgent_orders','fact'),('fact_purchase_events','fact'),
+           ('fact_doc_volume','fact'),('fact_sales_daily','fact'),
+           ('fact_user_daily','fact'),
+           ('dim_customer','dim'),('dim_part','dim'),('dim_supplier','dim'),
+           ('dim_document','dim'),('dim_nation','dim'),('dim_region','dim'),
+           ('dim_order','dim'),('dim_event','dim'),('dim_embedding','dim'),
+           ('dim_doc_source','dim'),('dim_part_size','dim'),
+           ('dim_supplier_nation','dim'),('dim_date','dim'),
+           ('dim_geography','dim')) AS v(table_name, kind))
+         SELECT role, table_name, kind, can_read, can_write FROM (
+           SELECT 'analyst' AS role, table_name, kind,
+             (table_name LIKE 'fact!_%' ESCAPE '!'
+               OR table_name LIKE 'dim!_%' ESCAPE '!') AS can_read,
+             false AS can_write
+           FROM t
+           UNION ALL
+           SELECT 'data_engineer', table_name, kind, true, true FROM t
+         ) ORDER BY role, table_name""",
     "q_catalog_mask" ->
       """SELECT c_custkey,
            md5(CAST(c_name AS VARCHAR)) AS c_name,

@@ -121,4 +121,37 @@ class Round10Spec extends AnyFunSuite {
       ("supplier", "s_name"), ("supplier", "s_acctbal"),
       ("events", "user_id")))
   }
+
+  test("access matrix: roles expand against every catalog table with glob semantics") {
+    import graft.operators.{Catalog, Masking}
+    val m = Masking.accessMatrix(spark).collect()
+    val nTables = Catalog.default.facts.size + Catalog.default.dims.size
+    assert(m.length == Catalog.default.access.size * nTables,
+      "one row per role x declared table")
+    // analyst: read-only everywhere it can see; data_engineer: full
+    m.foreach { r =>
+      r.getAs[String]("role") match {
+        case "analyst" => assert(!r.getAs[Boolean]("can_write"))
+        case "data_engineer" =>
+          assert(r.getAs[Boolean]("can_read") && r.getAs[Boolean]("can_write"))
+        case other => fail(s"unexpected role $other")
+      }
+    }
+    // a visible table is readable only via a matching pattern: check the
+    // glob engine directly on adversarial names
+    val rule = Catalog.AccessRule("t", Seq("read"), Seq("fact_*"))
+    def visible(name: String, rules: Seq[String]) = {
+      val r2 = rule.copy(tables = rules)
+      Masking.accessMatrixFor(Seq(r2), Seq((name, "fact")))
+        .head._4
+    }
+    assert(visible("fact_sales", Seq("fact_*")))
+    assert(!visible("dim_sales", Seq("fact_*")))
+    assert(!visible("xfact_sales", Seq("fact_*")))
+    assert(visible("fact_x", Seq("fact_?")))
+    assert(!visible("fact_xy", Seq("fact_?")))
+    // regex metacharacters in a pattern stay literal
+    assert(!visible("factXsales", Seq("fact.sales")))
+    assert(visible("fact.sales", Seq("fact.sales")))
+  }
 }
