@@ -213,6 +213,21 @@ class DeterminismPropertySpec extends AnyFunSuite {
         ord.repartition(13), Tables.customer(spark, sf), Tables.nation(spark, sf))))
   }
 
+  test("round-10 operators are invariant to input partitioning") {
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val ord = Tables.orders(spark, sf)
+    assert(run(graft.ml.Inference.customerDerived(ord.repartition(1))) ==
+      run(graft.ml.Inference.customerDerived(ord.repartition(13))))
+    val cust = Tables.customer(spark, sf)
+    assert(run(graft.operators.Masking.maskTable(cust.repartition(1),
+        graft.operators.Masking.policy("customer"))) ==
+      run(graft.operators.Masking.maskTable(cust.repartition(13),
+        graft.operators.Masking.policy("customer"))))
+    assert(run(graft.operators.Masking.maskAudit(spark, sf)) ==
+      run(graft.operators.Masking.maskAudit(spark, sf)))
+  }
+
   test("session-3 operators are invariant to input partitioning") {
     val docs = Tables.documents(spark, sf)
     val ev = Tables.events(spark, sf)

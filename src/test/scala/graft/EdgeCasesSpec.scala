@@ -191,6 +191,22 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(sp.length == 1 && sp(0).getAs[Long]("n_keys") == 0L)
   }
 
+  test("round-10 operators are well-defined on empty and degenerate inputs") {
+    val emptyOrd = Tables.orders(spark, sf).limit(0)
+    assert(graft.ml.Inference.customerDerived(emptyOrd).count() == 0)
+    // constant spend: spending_consistency defined (std=0 -> 1.0-ish),
+    // churn still clipped, tiers still total a full partition of rows
+    val constOrd = Tables.orders(spark, sf).withColumn("o_totalprice", lit(7.0))
+    val cd = graft.ml.Inference.customerDerived(constOrd)
+    assert(cd.filter(isnan(col("churn_probability")) ||
+      col("churn_probability") < 0 || col("churn_probability") > 1).count() == 0)
+    assert(cd.count() > 0)
+    // masking on an empty frame: projection defined, zero rows
+    assert(graft.operators.Masking.maskTable(
+      Tables.customer(spark, sf).limit(0),
+      graft.operators.Masking.policy("customer")).count() == 0)
+  }
+
   test("model-evaluation marts are well-defined on empty orders") {
     val emptyOrders = Tables.orders(spark, sf).limit(0)
     // no folds exist -> no fold rows
