@@ -708,6 +708,51 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** SEMANTIC dedup mart — SemDeDup (Abbas et al. 2023, arXiv:2303.09540)
+    * re-expressed on the IVF devices this family already oracles: cluster
+    * the corpus (nearest of the hash-sampled centroids, [[adaptiveCells]]
+    * K ~ √n), compare pairs only WITHIN a cell, call a pair semantic
+    * duplicates at cosine ≥ `threshold` (0.35 — the family's near-dup
+    * convention, shared with [[nearDupPairs]]), and keep, per duplicate
+    * pair, the member with the LOWER cosine to its own centroid (the
+    * paper's keep-the-least-prototypical rule; ties break to the smaller
+    * vec_id). A vector survives iff no same-cell partner at ≥ threshold
+    * dominates it under that order.
+    *
+    * Scale: within-cell pairing bounds the join at Σ|cell|² ≈ n²/K =
+    * n^1.5 with the adaptive K — the same sub-quadratic shape SCALE.md
+    * measures for [[knnGraph]] — vs the n² an all-pairs SemDeDup would
+    * cost; comparisons on the r6-rounded cosines keep the verdict
+    * engine- and partition-order-independent. Output is corpus-grain:
+    * every vector with its cell, fit, duplicate count / max duplicate
+    * cosine, and the keep verdict a curation pipeline filters on. */
+  def semanticDedup(embeddings: DataFrame, threshold: Double = 0.35,
+                    kCents: Int = 0): DataFrame = {
+    val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
+    val k = if (kCents > 0) kCents else adaptiveCells(PlanStats.rowCount(embeddings))
+    val assign = centroidRanked(v, k).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("centroid_id"), col("ccos"))
+    val other = assign.select(col("vec_id").as("vec_a"),
+      col("embedding").as("e2"), col("nrm").as("nrm2"),
+      col("centroid_id").as("cid_a"), col("ccos").as("ccos_a"))
+    val dups = assign.join(other,
+        col("centroid_id") === col("cid_a") && col("vec_id") =!= col("vec_a"))
+      .withColumn("cosine", r6(dot("embedding", "e2") / (col("nrm") * col("nrm2"))))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_dup_cosine"),
+        max(when(col("ccos_a") < col("ccos") ||
+            (col("ccos_a") === col("ccos") && col("vec_a") < col("vec_id")), 1)
+          .otherwise(0)).as("dominated"))
+    assign.select(col("vec_id"), col("centroid_id"), col("ccos"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("ccos").as("centroid_cosine"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("max_dup_cosine"),
+        (coalesce(col("dominated"), lit(0)) === 0).as("keep"))
+      .orderBy("vec_id")
+  }
+
   private def loadEmb(s: SparkSession, d: String): DataFrame = {
     DotScaled.register(s)
     Tables.embeddings(s, d)
@@ -737,7 +782,8 @@ object Ann {
       lshIncrement(fresh, emb, lshBandStore(existing, bandBits = bb), bandBits = bb)
     }),
     "q_label_centroids" -> ((s, d) => labelCentroids(loadEmb(s, d))),
-    "q_ann_hier" -> ((s, d) => hierAssign(loadEmb(s, d)))
+    "q_ann_hier" -> ((s, d) => hierAssign(loadEmb(s, d))),
+    "q_semantic_dedup" -> ((s, d) => semanticDedup(loadEmb(s, d)))
   )
 
   /** Oracle-side twin of [[dot]]: scaled-integer sum over zipped
@@ -1024,6 +1070,32 @@ object Ann {
          SELECT vec_id, coarse_id, centroid_id, ccos AS centroid_cosine
          FROM (SELECT *, ROW_NUMBER() OVER
              (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn FROM sc)
-         WHERE rn = 1 ORDER BY vec_id"""
+         WHERE rn = 1 ORDER BY vec_id""",
+    "q_semantic_dedup" ->
+      s"""WITH $normCte,
+         cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT GREATEST(16, CEIL(SQRT(COUNT(*) / 2.0))) FROM nv)),
+         scoredc AS (
+           SELECT nv.vec_id, nv.embedding, nv.nrm, centroid_id,
+             FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
+           FROM nv, cents),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+           FROM scoredc),
+         assign AS (SELECT vec_id, embedding, nrm, centroid_id, ccos FROM ranked WHERE rn = 1),
+         p AS (SELECT a.vec_id, a.ccos, b.vec_id AS vec_a, b.ccos AS ccos_a,
+             FLOOR((${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM assign a JOIN assign b
+             ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id),
+         d AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+             MAX(cosine) AS max_dup_cosine,
+             MAX(CASE WHEN ccos_a < ccos OR (ccos_a = ccos AND vec_a < vec_id)
+                 THEN 1 ELSE 0 END) AS dominated
+           FROM p WHERE cosine >= 0.35 GROUP BY vec_id)
+         SELECT a.vec_id, a.centroid_id, a.ccos AS centroid_cosine,
+           COALESCE(n_dups, 0) AS n_dups, max_dup_cosine,
+           COALESCE(dominated, 0) = 0 AS keep
+         FROM assign a LEFT JOIN d USING (vec_id) ORDER BY a.vec_id"""
   )
 }

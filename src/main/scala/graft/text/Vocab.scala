@@ -415,6 +415,69 @@ object Vocab {
       .orderBy("doc_id", "bucket")
   }
 
+  /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169 — "Data
+    * Selection for Language Models via Importance Resampling"),
+    * deterministic top-fraction variant: docs of `targetSource` define
+    * the target domain; every OTHER doc is scored by its hashed-unigram
+    * importance weight log w(x) = Σ_b cnt(x,b)·(ln p_target(b) −
+    * ln p_raw(b)) under add-1-smoothed bucket unigram models (the same
+    * md5 two-hex-digit bucket device [[featureHashing]] oracles), and
+    * the top `takeFrac` of raw docs by that weight are selected (the
+    * paper's Gumbel-noised sampling replaced by exact top-fraction so
+    * the mart is deterministic and oracle-checkable; ties at the edge
+    * score are all kept).
+    *
+    * Scale: both bucket LMs are `dims`-row broadcast artifacts built by
+    * partial-aggregated counts over the one exploded token pass the
+    * score join then reuses; the selection EDGE comes from the exact
+    * distributed cumulative count of [[graft.functions.PrefixSum]] over
+    * the distinct rounded scores (range-bucketed parallel sorts — no
+    * single-partition rank window over the corpus-grain scored frame),
+    * then one broadcast edge row and a row-local `selected` flag.
+    * Nothing in the plan grows super-linearly with the corpus; the
+    * importance-weight artifact never grows at all. */
+  def dsirSelect(documents: DataFrame, targetSource: String = "src0",
+                 dims: Int = 64, takeFrac: Double = 0.25): DataFrame = {
+    val toks = TextPrep.withWords(documents)
+      .select(col("doc_id"), col("source"), explode(col("words")).as("word"))
+      .withColumn("hx", md5(col("word").cast("binary")))
+      .withColumn("bucket", pmod(
+        (expr("instr('0123456789abcdef', substr(hx, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substr(hx, 2, 1))") - 1, lit(dims)))
+    val mass = toks.groupBy(col("bucket"))
+      .agg(sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("cr"))
+    val tot = mass.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    val lam = mass.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((col("ct") + lit(1d)) / (col("nt") + lit(dims.toDouble))) -
+          log((col("cr") + lit(1d)) / (col("nr") + lit(dims.toDouble)))).as("lam"))
+    val scored = toks.filter(col("source") =!= targetSource)
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(lam), "bucket")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        sum((col("cnt") * col("lam")).cast("decimal(20,12)")).as("s0"))
+      .select(col("doc_id"), col("source"), col("n_tok"),
+        r6(col("s0").cast("double")).as("dsir_score"))
+      .localCheckpoint(false)
+    val dist = scored.groupBy(col("dsir_score").as("v")).agg(count(lit(1)).as("c"))
+    val cum = graft.functions.PrefixSum.cumulative(dist, "v", "c")
+    val n = dist.agg(sum(col("c")).as("n"))
+    // edge = smallest score whose ascending cumulative count reaches into
+    // the top floor(takeFrac·n) docs; selected = score ≥ edge
+    val edgeRow = cum.crossJoin(broadcast(n))
+      .filter(col("cum") >= col("n") - floor(lit(takeFrac) * col("n")) + 1)
+      .agg(min(col("v")).as("edge"))
+    scored.crossJoin(broadcast(edgeRow))
+      .select(col("doc_id"), col("source"), col("n_tok"), col("dsir_score"),
+        // edge is NULL when floor(takeFrac·n) = 0 — nothing to take, so
+        // the flag must be FALSE, not NULL
+        coalesce(col("dsir_score") >= col("edge"), lit(false)).as("selected"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ppl_filter" -> ((s, d) => pplFilter(Tables.documents(s, d))),
     "q_epoch_plan" -> ((s, d) => epochPlan(Tables.documents(s, d))),
@@ -427,7 +490,8 @@ object Vocab {
     "q_mix_take" -> ((s, d) => mixTake(Tables.documents(s, d))),
     "q_feature_hashing" -> ((s, d) => featureHashing(Tables.documents(s, d))),
     "q_pmi_collocations" -> ((s, d) => pmiCollocations(Tables.documents(s, d))),
-    "q_mix_temperature" -> ((s, d) => mixTemperature(Tables.documents(s, d)))
+    "q_mix_temperature" -> ((s, d) => mixTemperature(Tables.documents(s, d))),
+    "q_dsir_select" -> ((s, d) => dsirSelect(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -658,6 +722,36 @@ object Vocab {
          SELECT CAST(rank AS INT) AS rank, bigram, n,
            ${sqlR("CAST(n AS DOUBLE) / total", 6)} AS share,
            ${sqlR("CAST(cum_n AS DOUBLE) / total", 6)} AS cum_share
-         FROM k, tot ORDER BY rank"""
+         FROM k, tot ORDER BY rank""",
+    "q_dsir_select" ->
+      s"""WITH nr0 AS (SELECT doc_id, source, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, source, unnest(string_split(norm, ' ')) AS word FROM nr0),
+         h AS (SELECT doc_id, source,
+             ((instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16 +
+               instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1) % 64 AS bucket
+           FROM w),
+         mass AS (SELECT bucket,
+             CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+           FROM h GROUP BY 1),
+         tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr FROM mass),
+         lam AS (SELECT bucket,
+             ln((ct + 1.0) / (nt + 64.0)) - ln((cr + 1.0) / (nr + 64.0)) AS lam
+           FROM mass, tot),
+         pd AS (SELECT doc_id, source, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM h WHERE source <> 'src0' GROUP BY 1, 2, 3),
+         sc AS (SELECT doc_id, source, CAST(SUM(cnt) AS BIGINT) AS n_tok,
+             ${sqlR("CAST(SUM(CAST(cnt * lam AS DECIMAL(20,12))) AS DOUBLE)", 6)} AS dsir_score
+           FROM pd JOIN lam USING (bucket) GROUP BY 1, 2),
+         vc AS (SELECT dsir_score AS v, CAST(COUNT(*) AS BIGINT) AS c FROM sc GROUP BY 1),
+         cm AS (SELECT v, CAST(SUM(c) OVER (ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+           FROM vc),
+         nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sc),
+         er AS (SELECT MIN(v) AS edge FROM cm, nn
+           WHERE cum >= n - CAST(FLOOR(0.25 * n) AS BIGINT) + 1)
+         SELECT doc_id, source, n_tok, dsir_score,
+           COALESCE(dsir_score >= edge, FALSE) AS selected
+         FROM sc, er ORDER BY doc_id"""
   )
 }

@@ -226,6 +226,12 @@ class DeterminismPropertySpec extends AnyFunSuite {
         graft.operators.Masking.policy("customer"))))
     assert(run(graft.operators.Masking.maskAudit(spark, sf)) ==
       run(graft.operators.Masking.maskAudit(spark, sf)))
+    val emb = Tables.embeddings(spark, sf)
+    assert(run(graft.ann.Ann.semanticDedup(emb.repartition(1))) ==
+      run(graft.ann.Ann.semanticDedup(emb.repartition(13))))
+    val docs = Tables.documents(spark, sf)
+    assert(run(graft.text.Vocab.dsirSelect(docs.repartition(1))) ==
+      run(graft.text.Vocab.dsirSelect(docs.repartition(13))))
   }
 
   test("session-3 operators are invariant to input partitioning") {

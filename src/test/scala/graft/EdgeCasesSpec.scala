@@ -205,6 +205,18 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.operators.Masking.maskTable(
       Tables.customer(spark, sf).limit(0),
       graft.operators.Masking.policy("customer")).count() == 0)
+    // semantic dedup / dsir on empty inputs: defined, zero rows (dsir's
+    // take-edge is NULL when floor(frac*n)=0 — flag must coalesce FALSE)
+    assert(graft.ann.Ann.semanticDedup(
+      Tables.embeddings(spark, sf).limit(0)).count() == 0)
+    assert(graft.text.Vocab.dsirSelect(
+      Tables.documents(spark, sf).limit(0)).count() == 0)
+    // a raw corpus too small to take from: every flag FALSE, never NULL
+    val tiny = Tables.documents(spark, sf)
+      .filter(col("source").isin("src0", "src1")).limit(27)
+    val flags = graft.text.Vocab.dsirSelect(tiny, takeFrac = 0.001).collect()
+    assert(flags.forall(r => !r.isNullAt(r.fieldIndex("selected")) &&
+      !r.getAs[Boolean]("selected")))
   }
 
   test("model-evaluation marts are well-defined on empty orders") {

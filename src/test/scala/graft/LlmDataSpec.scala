@@ -210,6 +210,62 @@ class LlmDataSpec extends AnyFunSuite {
     assert(inc == full, s"increment=${inc.size} full-new=${full.size}")
   }
 
+  test("semantic dedup: exactly one of an identical pair survives; loners untouched") {
+    import spark.implicits._
+    // v0 == v1 (cosine 1.0), v2/v3 orthogonal loners; one forced cell so
+    // the keep rule is exercised regardless of which vector the hash
+    // ranks as centroid (ties break to the smaller vec_id)
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f), 0),
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0f, 1f, 0f, 0f), 0),
+      (3L, Array(0f, 0f, 1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    graft.functions.DotScaled.register(spark)
+    val out = graft.ann.Ann.semanticDedup(emb, kCents = 1).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size == 4)
+    assert(out(0L).getAs[Boolean]("keep") && !out(1L).getAs[Boolean]("keep"))
+    assert(out(0L).getAs[Long]("n_dups") == 1L && out(1L).getAs[Long]("n_dups") == 1L)
+    assert(out(1L).getAs[Double]("max_dup_cosine") == 1.0)
+    Seq(2L, 3L).foreach { id =>
+      assert(out(id).getAs[Boolean]("keep") && out(id).getAs[Long]("n_dups") == 0L)
+    }
+  }
+
+  test("semantic dedup on the corpus: corpus-grain, dup-free rows always keep") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.ann.Ann.semanticDedup(emb).collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val (nd, keep) = (r.getAs[Long]("n_dups"), r.getAs[Boolean]("keep"))
+      if (nd == 0L) {
+        assert(keep, s"vec ${r.getAs[Long]("vec_id")} has no dups but was dropped")
+        assert(r.isNullAt(r.fieldIndex("max_dup_cosine")))
+      } else assert(r.getAs[Double]("max_dup_cosine") >= 0.35)
+    }
+    // at least one duplicate pair exists in the synthetic corpus and the
+    // rule dropped someone for it
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
+  test("dsir selection: target excluded, fraction honored, scores strictly separate") {
+    val docs = Tables.documents(spark, sf)
+    val rows = graft.text.Vocab.dsirSelect(docs).collect()
+    assert(rows.nonEmpty)
+    assert(!rows.exists(_.getAs[String]("source") == "src0"))
+    assert(rows.length ==
+      docs.filter(col("source") =!= "src0").count())
+    val (sel, unsel) = rows.partition(_.getAs[Boolean]("selected"))
+    val t = rows.length / 4 // floor(0.25 * n)
+    assert(sel.nonEmpty && unsel.nonEmpty)
+    val edge = sel.map(_.getAs[Double]("dsir_score")).min
+    // edge rule: strictly more than t docs only via ties AT the edge
+    assert(sel.length >= t, s"selected ${sel.length} < floor(frac*n)=$t")
+    assert(sel.count(_.getAs[Double]("dsir_score") > edge) < t)
+    assert(unsel.map(_.getAs[Double]("dsir_score")).max < edge)
+  }
+
   test("minhash accuracy mart: perfect-jaccard pairs agree on all 8 components") {
     val docs = Tables.documents(spark, sf)
     val rows = Dedup.minhashAccuracy(docs).collect()
