@@ -396,12 +396,7 @@ object Vocab {
     * token total as a window over that already-bucketed frame (≤ `dims`
     * rows per doc — bounded state, no second pass over the tokens). */
   def featureHashing(documents: DataFrame, dims: Int = 64): DataFrame = {
-    val toks = TextPrep.withWords(documents)
-      .select(col("doc_id"), explode(col("words")).as("word"))
-      .withColumn("hx", md5(col("word").cast("binary")))
-      .withColumn("bucket", pmod(
-        (expr("instr('0123456789abcdef', substr(hx, 1, 1))") - 1) * 16 +
-          expr("instr('0123456789abcdef', substr(hx, 2, 1))") - 1, lit(dims)))
+    val toks = hashedTokens(documents, dims)
       .withColumn("sgn",
         when((expr("instr('0123456789abcdef', substr(hx, 3, 1))") - 1) % 2 === 0,
           lit(1L)).otherwise(lit(-1L)))
@@ -414,6 +409,19 @@ object Vocab {
         r6(col("cnt").cast("double") / col("n_tok")).as("tf"))
       .orderBy("doc_id", "bucket")
   }
+
+  /** The hashing-trick token stream both [[featureHashing]] and
+    * [[dsirSelect]] build on: every token with its md5 hex string and
+    * two-hex-digit bucket in [0, dims). ONE definition so the two
+    * operators stay bit-identical to the shared oracle device. */
+  private def hashedTokens(documents: DataFrame, dims: Int,
+                           extra: Seq[String] = Nil): DataFrame =
+    TextPrep.withWords(documents)
+      .select(col("doc_id") +: extra.map(col) :+ explode(col("words")).as("word"): _*)
+      .withColumn("hx", md5(col("word").cast("binary")))
+      .withColumn("bucket", pmod(
+        (expr("instr('0123456789abcdef', substr(hx, 1, 1))") - 1) * 16 +
+          expr("instr('0123456789abcdef', substr(hx, 2, 1))") - 1, lit(dims)))
 
   /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169 — "Data
     * Selection for Language Models via Importance Resampling"),
@@ -438,23 +446,22 @@ object Vocab {
     * importance-weight artifact never grows at all. */
   def dsirSelect(documents: DataFrame, targetSource: String = "src0",
                  dims: Int = 64, takeFrac: Double = 0.25): DataFrame = {
-    val toks = TextPrep.withWords(documents)
-      .select(col("doc_id"), col("source"), explode(col("words")).as("word"))
-      .withColumn("hx", md5(col("word").cast("binary")))
-      .withColumn("bucket", pmod(
-        (expr("instr('0123456789abcdef', substr(hx, 1, 1))") - 1) * 16 +
-          expr("instr('0123456789abcdef', substr(hx, 2, 1))") - 1, lit(dims)))
-    val mass = toks.groupBy(col("bucket"))
-      .agg(sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("ct"),
-        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("cr"))
+    // ONE pass over the exploded token stream, aggregated straight to
+    // (doc, source, bucket) grain; both the bucket LMs and the per-doc
+    // scores derive from this frame, so the two consumers share the
+    // same canonical exchange (ReuseExchange) instead of re-tokenizing
+    val perDoc = hashedTokens(documents, dims, Seq("source"))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val mass = perDoc.groupBy(col("bucket"))
+      .agg(sum(when(col("source") === targetSource, col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= targetSource, col("cnt")).otherwise(0L)).as("cr"))
     val tot = mass.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
     val lam = mass.crossJoin(broadcast(tot))
       .select(col("bucket"),
         (log((col("ct") + lit(1d)) / (col("nt") + lit(dims.toDouble))) -
           log((col("cr") + lit(1d)) / (col("nr") + lit(dims.toDouble)))).as("lam"))
-    val scored = toks.filter(col("source") =!= targetSource)
-      .groupBy(col("doc_id"), col("source"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    val scored = perDoc.filter(col("source") =!= targetSource)
       .join(broadcast(lam), "bucket")
       .groupBy(col("doc_id"), col("source"))
       .agg(sum(col("cnt")).as("n_tok"),

@@ -212,9 +212,11 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.text.Vocab.dsirSelect(
       Tables.documents(spark, sf).limit(0)).count() == 0)
     // a raw corpus too small to take from: every flag FALSE, never NULL
+    // (src1-only input guarantees a nonempty raw side — no target docs)
     val tiny = Tables.documents(spark, sf)
-      .filter(col("source").isin("src0", "src1")).limit(27)
+      .filter(col("source") === "src1").limit(27)
     val flags = graft.text.Vocab.dsirSelect(tiny, takeFrac = 0.001).collect()
+    assert(flags.nonEmpty)
     assert(flags.forall(r => !r.isNullAt(r.fieldIndex("selected")) &&
       !r.getAs[Boolean]("selected")))
   }
