@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.functions.Fns
+
+/** Streaming DSIR quality gate — the DEPLOYMENT shape of
+  * [[graft.text.Vocab.dsirSelect]]: the importance weights are trained
+  * OFFLINE on the existing corpus ([[graft.text.Vocab.dsirWeights]] — a
+  * `dims`-row artifact) together with a selection edge, then every
+  * arriving document is scored and gated ROW-LOCALLY inside its
+  * micro-batch. No streaming aggregation state at all (the same
+  * stateless-ingest contract as [[DocStream.bandMatches]]): the weights
+  * ride along as a literal array column, the per-doc bucket counts come
+  * from array higher-order functions over the doc's own tokens, and the
+  * score reproduces the batch operator's arithmetic EXACTLY — per-bucket
+  * long·double product, one DECIMAL(20,12) cast per bucket, decimal sum
+  * (associative, so bucket-order vs shuffle-order is immaterial), r6 at
+  * the edge. ScoreStreamSpec locks streamed == batch bit-equality.
+  *
+  * At 100 TB of ingest this is one projection per micro-batch: nothing
+  * is keyed, nothing is joined, the artifact never grows with the
+  * corpus; re-TRAINING the weights stays a batch job, exactly as the
+  * paper deploys it.
+  */
+object ScoreStream {
+
+  /** Score and gate a document stream against a trained weight vector.
+    *
+    * @param lam  bucket → λ importance weight, `lam.length` = dims
+    *             (missing/empty buckets are 0.0 — a zero count
+    *             contributes an exact decimal zero either way)
+    * @param edge selection threshold on the r6 score (ships with the
+    *             artifact; the batch twin derives it from takeFrac)
+    */
+  def dsirGate(spark: SparkSession, dir: String, lam: Seq[Double], edge: Double,
+               targetSource: String = "src0",
+               queryName: String = "stream_dsir"): DataFrame = {
+    val dims = lam.length
+    val bucketOf = (e: String) =>
+      s"((instr('0123456789abcdef', substr(md5(cast($e as binary)), 1, 1)) - 1) * 16 + " +
+        s"instr('0123456789abcdef', substr(md5(cast($e as binary)), 2, 1)) - 1) % $dims"
+    val scored = DocStream.readDocuments(spark, dir)
+      .filter(col("source") =!= targetSource)
+      .withColumn("words", split(Fns.normText(col("text")), " "))
+      .withColumn("bkts", expr(s"transform(words, w -> ${bucketOf("w")})"))
+      .withColumn("lamarr", array(lam.map(lit): _*))
+      // each step casts back to the zero's decimal(20,12): Spark's
+      // aggregate() requires a stable accumulator type (plain decimal
+      // addition widens precision), and scale-12 stays lossless for
+      // these magnitudes — identical exact arithmetic to the batch sum
+      .withColumn("s0", expr(
+        s"""aggregate(sequence(0, $dims - 1), cast(0 as decimal(20, 12)),
+           |  (acc, b) -> cast(acc + cast(size(filter(bkts, x -> x = b)) * lamarr[b]
+           |                              as decimal(20, 12)) as decimal(20, 12)))""".stripMargin))
+      .select(col("doc_id"), col("source"),
+        size(col("words")).cast("long").as("n_tok"),
+        Fns.r6(col("s0").cast("double")).as("dsir_score"))
+      .withColumn("selected", col("dsir_score") >= lit(edge))
+    val q = scored.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

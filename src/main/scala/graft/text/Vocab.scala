@@ -423,6 +423,32 @@ object Vocab {
         (expr("instr('0123456789abcdef', substr(hx, 1, 1))") - 1) * 16 +
           expr("instr('0123456789abcdef', substr(hx, 2, 1))") - 1, lit(dims)))
 
+  /** The smoothed log-importance-ratio per bucket from a
+    * (doc_id, source, bucket, cnt)-grain frame: λ_b = ln p_target(b) −
+    * ln p_raw(b), add-1 over `dims` buckets. `dims` rows out — the
+    * broadcast artifact both [[dsirSelect]] and the streaming gate
+    * ([[graft.streaming.ScoreStream]]) apply. */
+  private def lamOf(perDoc: DataFrame, targetSource: String, dims: Int): DataFrame = {
+    val mass = perDoc.groupBy(col("bucket"))
+      .agg(sum(when(col("source") === targetSource, col("cnt")).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= targetSource, col("cnt")).otherwise(0L)).as("cr"))
+    val tot = mass.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
+    mass.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        (log((col("ct") + lit(1d)) / (col("nt") + lit(dims.toDouble))) -
+          log((col("cr") + lit(1d)) / (col("nr") + lit(dims.toDouble)))).as("lam"))
+  }
+
+  /** The TRAINED DSIR artifact on its own — (bucket, lam), `dims` rows:
+    * what a deployment persists after fitting on the training corpus and
+    * ships to the ingestion gate. Same math as the artifact
+    * [[dsirSelect]] builds inline. */
+  def dsirWeights(documents: DataFrame, targetSource: String = "src0",
+                  dims: Int = 64): DataFrame =
+    lamOf(hashedTokens(documents, dims, Seq("source"))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("cnt")), targetSource, dims)
+
   /** DSIR data selection (Xie et al. 2023, arXiv:2302.03169 — "Data
     * Selection for Language Models via Importance Resampling"),
     * deterministic top-fraction variant: docs of `targetSource` define
@@ -453,14 +479,7 @@ object Vocab {
     val perDoc = hashedTokens(documents, dims, Seq("source"))
       .groupBy(col("doc_id"), col("source"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val mass = perDoc.groupBy(col("bucket"))
-      .agg(sum(when(col("source") === targetSource, col("cnt")).otherwise(0L)).as("ct"),
-        sum(when(col("source") =!= targetSource, col("cnt")).otherwise(0L)).as("cr"))
-    val tot = mass.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"))
-    val lam = mass.crossJoin(broadcast(tot))
-      .select(col("bucket"),
-        (log((col("ct") + lit(1d)) / (col("nt") + lit(dims.toDouble))) -
-          log((col("cr") + lit(1d)) / (col("nr") + lit(dims.toDouble)))).as("lam"))
+    val lam = lamOf(perDoc, targetSource, dims)
     val scored = perDoc.filter(col("source") =!= targetSource)
       .join(broadcast(lam), "bucket")
       .groupBy(col("doc_id"), col("source"))
