@@ -753,6 +753,45 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** IVF index STALENESS mart — the re-train trigger for a live index:
+    * centroids were trained on the corpus as it stood (the ≥2 side of
+    * the md5-digit split, the same deterministic "existing vs fresh"
+    * device the incremental-dedup family uses), fresh vectors keep
+    * arriving, and this mart reports per stored cell how the arrivals
+    * fit: member growth (fresh share) and the fit GAP between existing
+    * and fresh members' centroid cosines. Cells whose fresh members fit
+    * markedly worse than their training-time members are where the
+    * index has gone stale — the per-cell curve an operator reads before
+    * paying for a [[lloydCentroids]] re-train, the index-side twin of
+    * the model-side q_retrain_decision.
+    *
+    * Scale: one broadcast assign pass (n·K exact dots, K ~ √n_existing)
+    * and one K-row aggregate; means are DECIMAL sums so the mart is
+    * partition-order-exact. */
+  def indexStaleness(embeddings: DataFrame): DataFrame = {
+    val tagged = embeddings.withColumn("dg", graft.functions.Fns.hexDigit("vec_id", 1))
+    val existing = tagged.filter(col("dg") >= 2)
+    val k = adaptiveCells(PlanStats.rowCount(existing.select(col("vec_id"))))
+    val v = withNorm(tagged.select(col("vec_id"), col("dg"), col("embedding")))
+    val cents = centroids(
+      withNorm(existing.select(col("vec_id"), col("embedding"))), k)
+    val assign = centroidRankedWith(v, cents).filter(col("rn") === 1)
+    assign.groupBy(col("centroid_id"))
+      .agg(
+        sum(when(col("dg") >= 2, 1L).otherwise(0L)).as("n_existing"),
+        sum(when(col("dg") < 2, 1L).otherwise(0L)).as("n_fresh"),
+        sum(when(col("dg") >= 2, col("ccos").cast("decimal(20,12)"))).as("se"),
+        sum(when(col("dg") < 2, col("ccos").cast("decimal(20,12)"))).as("sf"))
+      .select(col("centroid_id"), col("n_existing"), col("n_fresh"),
+        r6(col("n_fresh").cast("double") /
+          (col("n_existing") + col("n_fresh"))).as("fresh_share"),
+        r6(col("se").cast("double") / col("n_existing")).as("fit_existing"),
+        r6(col("sf").cast("double") / col("n_fresh")).as("fit_fresh"),
+        r6(col("se").cast("double") / col("n_existing") -
+          col("sf").cast("double") / col("n_fresh")).as("fit_gap"))
+      .orderBy("centroid_id")
+  }
+
   private def loadEmb(s: SparkSession, d: String): DataFrame = {
     DotScaled.register(s)
     Tables.embeddings(s, d)
@@ -783,7 +822,8 @@ object Ann {
     }),
     "q_label_centroids" -> ((s, d) => labelCentroids(loadEmb(s, d))),
     "q_ann_hier" -> ((s, d) => hierAssign(loadEmb(s, d))),
-    "q_semantic_dedup" -> ((s, d) => semanticDedup(loadEmb(s, d)))
+    "q_semantic_dedup" -> ((s, d) => semanticDedup(loadEmb(s, d))),
+    "q_index_staleness" -> ((s, d) => indexStaleness(loadEmb(s, d)))
   )
 
   /** Oracle-side twin of [[dot]]: scaled-integer sum over zipped
@@ -1096,6 +1136,36 @@ object Ann {
          SELECT a.vec_id, a.centroid_id, a.ccos AS centroid_cosine,
            COALESCE(n_dups, 0) AS n_dups, max_dup_cosine,
            COALESCE(dominated, 0) = 0 AS keep
-         FROM assign a LEFT JOIN d USING (vec_id) ORDER BY a.vec_id"""
+         FROM assign a LEFT JOIN d USING (vec_id) ORDER BY a.vec_id""",
+    "q_index_staleness" ->
+      s"""WITH nv AS (
+           SELECT vec_id, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+             (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) AS dg
+           FROM embeddings),
+         ex AS (SELECT * FROM nv WHERE dg >= 2),
+         cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM ex
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT GREATEST(16, CEIL(SQRT(COUNT(*) / 2.0))) FROM ex)),
+         sc AS (
+           SELECT nv.vec_id, nv.dg, centroid_id,
+             FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
+           FROM nv, cents),
+         rk AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+           FROM sc),
+         a AS (SELECT * FROM rk WHERE rn = 1),
+         g AS (SELECT centroid_id,
+             CAST(SUM(CASE WHEN dg >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_existing,
+             CAST(SUM(CASE WHEN dg < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh,
+             SUM(CASE WHEN dg >= 2 THEN CAST(ccos AS DECIMAL(20,12)) END) AS se,
+             SUM(CASE WHEN dg < 2 THEN CAST(ccos AS DECIMAL(20,12)) END) AS sf
+           FROM a GROUP BY 1)
+         SELECT centroid_id, n_existing, n_fresh,
+           ${sqlR("CAST(n_fresh AS DOUBLE) / (n_existing + n_fresh)", 6)} AS fresh_share,
+           ${sqlR("CAST(se AS DOUBLE) / n_existing", 6)} AS fit_existing,
+           ${sqlR("CAST(sf AS DOUBLE) / n_fresh", 6)} AS fit_fresh,
+           ${sqlR("CAST(se AS DOUBLE) / n_existing - CAST(sf AS DOUBLE) / n_fresh", 6)} AS fit_gap
+         FROM g ORDER BY centroid_id"""
   )
 }

@@ -249,6 +249,23 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("index staleness: cells partition the corpus, fit means bounded, gap defined iff fresh") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.ann.Ann.indexStaleness(emb).collect()
+    assert(rows.nonEmpty)
+    // every vector lands in exactly one stored cell
+    assert(rows.map(r => r.getAs[Long]("n_existing") + r.getAs[Long]("n_fresh")).sum
+      == emb.count())
+    rows.foreach { r =>
+      // the centroid vector itself is an existing member of its own cell
+      assert(r.getAs[Long]("n_existing") >= 1L)
+      assert(math.abs(r.getAs[Double]("fit_existing")) <= 1.0 + 1e-9)
+      val freshless = r.getAs[Long]("n_fresh") == 0L
+      assert(r.isNullAt(r.fieldIndex("fit_fresh")) == freshless)
+      assert(r.isNullAt(r.fieldIndex("fit_gap")) == freshless)
+    }
+  }
+
   test("dsir selection: target excluded, fraction honored, scores strictly separate") {
     val docs = Tables.documents(spark, sf)
     val rows = graft.text.Vocab.dsirSelect(docs).collect()
