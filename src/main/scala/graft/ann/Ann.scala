@@ -753,6 +753,57 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** INCREMENTAL semantic dedup — the ingestion twin of
+    * [[semanticDedup]], sharing [[indexStaleness]]'s frozen-index
+    * contract: centroids stay as trained on the existing corpus (the
+    * md5-digit ≥2 split), arrivals are assigned against them, and each
+    * arrival is compared ONLY within its cell. A fresh vector is
+    * ADMITTED unless a same-cell partner at cosine ≥ `threshold`
+    * dominates it, where a STORED member always dominates (the corpus
+    * keeps its copy — an arrival never evicts history, the same
+    * asymmetry as [[lshIncrement]]) and co-arriving duplicates resolve
+    * by the batch keep-least-prototypical rule (lower centroid cosine
+    * survives, ties to the smaller vec_id).
+    *
+    * Scale: history is never re-signed or re-paired — the join is
+    * |fresh| × |cell| with cells bounded by the existing index's
+    * adaptive K, and the assign pass is one broadcast of K centroid
+    * rows. Output is fresh-grain. */
+  def semanticIncrement(embeddings: DataFrame, threshold: Double = 0.35): DataFrame = {
+    val tagged = embeddings.withColumn("dg", graft.functions.Fns.hexDigit("vec_id", 1))
+    val existing = tagged.filter(col("dg") >= 2)
+    val k = adaptiveCells(PlanStats.rowCount(existing.select(col("vec_id"))))
+    val v = withNorm(tagged.select(col("vec_id"), col("dg"), col("embedding")))
+    val cents = centroids(
+      withNorm(existing.select(col("vec_id"), col("embedding"))), k)
+    val assign = centroidRankedWith(v, cents).filter(col("rn") === 1)
+      .select(col("vec_id"), col("dg"), col("embedding"), col("nrm"),
+        col("centroid_id"), col("ccos"))
+    val fresh = assign.filter(col("dg") < 2)
+    val partners = assign.select(col("vec_id").as("vec_a"), col("dg").as("dg_a"),
+      col("embedding").as("e2"), col("nrm").as("nrm2"),
+      col("centroid_id").as("cid_a"), col("ccos").as("ccos_a"))
+    val dups = fresh.join(partners,
+        col("centroid_id") === col("cid_a") && col("vec_id") =!= col("vec_a"))
+      .withColumn("cosine", r6(dot("embedding", "e2") / (col("nrm") * col("nrm2"))))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_dup_cosine"),
+        sum(when(col("dg_a") >= 2, 1L).otherwise(0L)).as("n_stored_dups"),
+        max(when(col("dg_a") >= 2 ||
+            col("ccos_a") < col("ccos") ||
+            (col("ccos_a") === col("ccos") && col("vec_a") < col("vec_id")), 1)
+          .otherwise(0)).as("dominated"))
+    fresh.select(col("vec_id"), col("centroid_id"), col("ccos"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("centroid_id"), col("ccos").as("centroid_cosine"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        coalesce(col("n_stored_dups"), lit(0L)).as("n_stored_dups"),
+        col("max_dup_cosine"),
+        (coalesce(col("dominated"), lit(0)) === 0).as("admit"))
+      .orderBy("vec_id")
+  }
+
   /** IVF index STALENESS mart — the re-train trigger for a live index:
     * centroids were trained on the corpus as it stood (the ≥2 side of
     * the md5-digit split, the same deterministic "existing vs fresh"
@@ -823,7 +874,8 @@ object Ann {
     "q_label_centroids" -> ((s, d) => labelCentroids(loadEmb(s, d))),
     "q_ann_hier" -> ((s, d) => hierAssign(loadEmb(s, d))),
     "q_semantic_dedup" -> ((s, d) => semanticDedup(loadEmb(s, d))),
-    "q_index_staleness" -> ((s, d) => indexStaleness(loadEmb(s, d)))
+    "q_index_staleness" -> ((s, d) => indexStaleness(loadEmb(s, d))),
+    "q_semantic_incremental" -> ((s, d) => semanticIncrement(loadEmb(s, d)))
   )
 
   /** Oracle-side twin of [[dot]]: scaled-integer sum over zipped
@@ -1166,6 +1218,42 @@ object Ann {
            ${sqlR("CAST(se AS DOUBLE) / n_existing", 6)} AS fit_existing,
            ${sqlR("CAST(sf AS DOUBLE) / n_fresh", 6)} AS fit_fresh,
            ${sqlR("CAST(se AS DOUBLE) / n_existing - CAST(sf AS DOUBLE) / n_fresh", 6)} AS fit_gap
-         FROM g ORDER BY centroid_id"""
+         FROM g ORDER BY centroid_id""",
+    "q_semantic_incremental" ->
+      s"""WITH nv AS (
+           SELECT vec_id, embedding,
+             sqrt(${dotSql("embedding", "embedding")}) AS nrm,
+             (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) AS dg
+           FROM embeddings),
+         ex AS (SELECT * FROM nv WHERE dg >= 2),
+         cents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM ex
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+           LIMIT (SELECT GREATEST(16, CEIL(SQRT(COUNT(*) / 2.0))) FROM ex)),
+         sc AS (
+           SELECT nv.vec_id, nv.dg, nv.embedding, nv.nrm, centroid_id,
+             FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
+           FROM nv, cents),
+         rk AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+           FROM sc),
+         a AS (SELECT vec_id, dg, embedding, nrm, centroid_id, ccos FROM rk WHERE rn = 1),
+         fr AS (SELECT * FROM a WHERE dg < 2),
+         p AS (SELECT f.vec_id, f.ccos, b.vec_id AS vec_a, b.dg AS dg_a, b.ccos AS ccos_a,
+             FLOOR((${dotSql("f.embedding", "b.embedding")} / (f.nrm * b.nrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM fr f JOIN a b
+             ON f.centroid_id = b.centroid_id AND f.vec_id <> b.vec_id),
+         d AS (SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+             MAX(cosine) AS max_dup_cosine,
+             CAST(SUM(CASE WHEN dg_a >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_stored_dups,
+             MAX(CASE WHEN dg_a >= 2 OR ccos_a < ccos
+                       OR (ccos_a = ccos AND vec_a < vec_id)
+                 THEN 1 ELSE 0 END) AS dominated
+           FROM p WHERE cosine >= 0.35 GROUP BY vec_id)
+         SELECT f.vec_id, f.centroid_id, f.ccos AS centroid_cosine,
+           COALESCE(n_dups, 0) AS n_dups,
+           COALESCE(n_stored_dups, 0) AS n_stored_dups,
+           max_dup_cosine,
+           COALESCE(dominated, 0) = 0 AS admit
+         FROM fr f LEFT JOIN d USING (vec_id) ORDER BY f.vec_id"""
   )
 }

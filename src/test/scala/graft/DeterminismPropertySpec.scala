@@ -231,6 +231,8 @@ class DeterminismPropertySpec extends AnyFunSuite {
       run(graft.ann.Ann.semanticDedup(emb.repartition(13))))
     assert(run(graft.ann.Ann.indexStaleness(emb.repartition(1))) ==
       run(graft.ann.Ann.indexStaleness(emb.repartition(13))))
+    assert(run(graft.ann.Ann.semanticIncrement(emb.repartition(1))) ==
+      run(graft.ann.Ann.semanticIncrement(emb.repartition(13))))
     val docs = Tables.documents(spark, sf)
     assert(run(graft.text.Vocab.dsirSelect(docs.repartition(1))) ==
       run(graft.text.Vocab.dsirSelect(docs.repartition(13))))

@@ -209,6 +209,10 @@ class EdgeCasesSpec extends AnyFunSuite {
     // take-edge is NULL when floor(frac*n)=0 — flag must coalesce FALSE)
     assert(graft.ann.Ann.semanticDedup(
       Tables.embeddings(spark, sf).limit(0)).count() == 0)
+    assert(graft.ann.Ann.semanticIncrement(
+      Tables.embeddings(spark, sf).limit(0)).count() == 0)
+    assert(graft.ann.Ann.indexStaleness(
+      Tables.embeddings(spark, sf).limit(0)).count() == 0)
     assert(graft.text.Vocab.dsirSelect(
       Tables.documents(spark, sf).limit(0)).count() == 0)
     // a raw corpus too small to take from: every flag FALSE, never NULL

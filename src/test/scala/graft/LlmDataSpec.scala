@@ -249,6 +249,60 @@ class LlmDataSpec extends AnyFunSuite {
     assert(rows.exists(!_.getAs[Boolean]("keep")))
   }
 
+  test("semantic increment: stored copies always win; co-arrivals keep one; loners admitted") {
+    import spark.implicits._
+    // pick real ids on each side of the md5-digit split so the operator's
+    // own split device sees them as stored vs arriving
+    def digit(id: Long): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      "0123456789abcdef".indexOf(hex.charAt(0))
+    }
+    val stored = (0L to 200L).filter(digit(_) >= 2)
+    val fresh = (0L to 200L).filter(digit(_) < 2)
+    assert(stored.size >= 1 && fresh.size >= 3)
+    val (s0, f0, f1, f2, f3) = (stored.head, fresh(0), fresh(1), fresh(2), fresh(3))
+    val e1 = Array(1f, 0f, 0f, 0f) // shared by the stored copy and arrival f0
+    val e2 = Array(0f, 1f, 0f, 0f) // co-arriving identical pair f1/f2, ⊥ stored
+    val e3 = Array(0f, 0f, 0f, 1f) // orthogonal loner f3
+    val emb = Seq((s0, e1, 0), (f0, e1, 0), (f1, e2, 0), (f2, e2, 0), (f3, e3, 0))
+      .toDF("vec_id", "embedding", "label")
+    graft.functions.DotScaled.register(spark)
+    val out = graft.ann.Ann.semanticIncrement(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.keySet == Set(f0, f1, f2, f3), "output is fresh-grain")
+    // arrival duplicating a stored vector: rejected, stored dup counted
+    assert(!out(f0).getAs[Boolean]("admit"))
+    assert(out(f0).getAs[Long]("n_stored_dups") >= 1L)
+    // co-arriving identical pair with no stored partner: equal centroid
+    // fit (both ⊥ the lone stored centroid) -> tie breaks to the smaller
+    // id, exactly one admitted
+    assert(out(f1).getAs[Boolean]("admit") && !out(f2).getAs[Boolean]("admit"))
+    assert(out(f1).getAs[Long]("n_dups") >= 1L &&
+      out(f1).getAs[Long]("n_stored_dups") == 0L)
+    // orthogonal loner: no partners above threshold, admitted
+    assert(out(f3).getAs[Boolean]("admit"))
+    assert(out(f3).getAs[Long]("n_dups") == 0L)
+  }
+
+  test("semantic increment on the corpus: fresh-grain, stored-dominated never admitted") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.ann.Ann.semanticIncrement(emb).collect()
+    val nFresh = emb.filter(
+      graft.functions.Fns.hexDigit("vec_id", 1) < 2).count()
+    assert(rows.length == nFresh && nFresh > 0)
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_stored_dups") > 0L)
+        assert(!r.getAs[Boolean]("admit"),
+          s"vec ${r.getAs[Long]("vec_id")} admitted over a stored duplicate")
+      if (r.getAs[Long]("n_dups") == 0L) {
+        assert(r.getAs[Boolean]("admit"))
+        assert(r.isNullAt(r.fieldIndex("max_dup_cosine")))
+      }
+      assert(r.getAs[Long]("n_stored_dups") <= r.getAs[Long]("n_dups"))
+    }
+  }
+
   test("index staleness: cells partition the corpus, fit means bounded, gap defined iff fresh") {
     val emb = Tables.embeddings(spark, sf)
     val rows = graft.ann.Ann.indexStaleness(emb).collect()
