@@ -87,6 +87,46 @@ object Approx {
         rankOk("r90_lt", "r90_le", 0.9, 0.005).as("p90_rank_ok"))
   }
 
+  /** Re-aggregatable distinct-count mart: per-(event_type, day) HLL
+    * sketches (Apache DataSketches `hll_sketch_agg`, lgConfigK=14) rolled
+    * up to the per-type total via `hll_union_agg` — the 100 TB pattern
+    * for distinct-count marts. Exact COUNT(DISTINCT) does NOT
+    * re-aggregate: the weekly/monthly/total numbers each need their own
+    * full-shuffle over the raw keys, so a daily-refresh warehouse rescans
+    * the corpus for every grain. Sketches are bounded byte blobs that
+    * union associatively, so the daily sketch table is built ONCE per
+    * day's partition and every coarser grain derives from sketch bytes
+    * alone — no second touch of raw events, and the union is
+    * partial-aggregated map-side like any other agg.
+    *
+    * Oracle contract (same device as [[approxProfile]]): the row carries
+    * the EXACT per-type distinct count and the exact sum of per-day
+    * distincts (both DuckDB-recomputable), plus `union_ok` asserting the
+    * unioned-sketch estimate landed within 5% (lgK=14 ⇒ rsd 0.81%, so 5%
+    * is > 6σ) or ±2 absolute for tiny groups. The exact columns exist to
+    * hash-gate the contract at test SF; a production mart at 100 TB ships
+    * only the sketch bytes and estimates. `sum_day_users ≥ exact_users`
+    * is the cross-day overlap the union dedups — the number a naive
+    * SUM-of-dailies rollup would get wrong. */
+  def hllRollup(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
+        countDistinct(col("user_id")).as("du"))
+    val rolled = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("du")).as("sum_day_users"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = events.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    rolled.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("n_days"), col("sum_day_users"),
+        col("exact_users"),
+        (abs(col("est") - col("exact_users")).cast("double") <=
+          greatest(col("exact_users") * lit(0.05), lit(2.0))).as("union_ok"))
+      .orderBy("event_type")
+  }
+
   /** Time-range rolling window: events in the PRECEDING HOUR per user
     * (value-range frame, not row-count frame — the correct semantics for
     * irregular event streams). */
@@ -104,7 +144,8 @@ object Approx {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_profile" -> ((s, d) => approxProfile(Tables.events(s, d))),
-    "q_rolling_time_window" -> ((s, d) => rollingTimeWindow(Tables.events(s, d)))
+    "q_rolling_time_window" -> ((s, d) => rollingTimeWindow(Tables.events(s, d))),
+    "q_hll_rollup" -> ((s, d) => hllRollup(Tables.events(s, d)))
   )
 
   // q_approx_profile's oracle computes the exact stats independently and
@@ -129,6 +170,23 @@ object Approx {
          FROM t
          WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
            RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
-         ORDER BY event_id"""
+         ORDER BY event_id""",
+    // Exact stats recomputed independently; union_ok asserted literally
+    // TRUE (the sketch-error contract, as in q_approx_profile).
+    "q_hll_rollup" ->
+      """WITH daily AS (
+           SELECT event_type, CAST(ts AS DATE) AS day,
+             COUNT(DISTINCT user_id) AS du
+           FROM events GROUP BY 1, 2),
+         tot AS (
+           SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+           FROM events GROUP BY 1)
+         SELECT d.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.du) AS BIGINT) AS sum_day_users,
+           MAX(t.exact_users) AS exact_users,
+           TRUE AS union_ok
+         FROM daily d JOIN tot t ON d.event_type = t.event_type
+         GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -293,7 +293,87 @@ object TrainPrep {
         col("s.pearson_r").as("pearson_r"))
   }
 
+  /** The (doc_id, y, x1, x2) design frame shared by [[linregFit]] /
+    * [[linregScore]]: a document "length model" — predict byte length
+    * (`n_chars`) from token count and distinct-token count. The model is
+    * a stand-in for any cheap linear fit over corpus features (compute
+    * budgeting, quality priors); the OPERATOR is the point: how a linear
+    * model trains on 100 TB. */
+  private def linregDesign(documents: DataFrame): DataFrame =
+    graft.text.TextPrep.withWords(documents)
+      .select(col("doc_id"), col("n_chars").as("y"),
+        size(col("words")).cast("long").as("x1"),
+        size(array_distinct(col("words"))).cast("long").as("x2"))
+
+  /** One-row sufficient statistics + closed-form OLS solve.
+    *
+    * This is the canonical distributed-training shape for linear models:
+    * ONE partial-aggregated pass computes the normal-equation moments
+    * X'X / X'y (10 sums for 2 features + intercept), and the p×p solve is
+    * O(p³) on a one-row frame — the corpus is never iterated, shuffled on,
+    * or broadcast. Determinism contract: every moment is an EXACT decimal
+    * sum of integer row terms (each factor cast to DECIMAL(18,0) before
+    * the multiply, so products are exact decimals, overflow-proof, and
+    * partition-order-independent); the solve then runs in IEEE double via
+    * Cramer's rule written with the identical expression tree the DuckDB
+    * oracle uses, so both engines round identically at every step. */
+  private def linregBetas(documents: DataFrame): DataFrame = {
+    def d0(c: Column) = c.cast("decimal(18,0)")
+    def ds(c: Column) = sum(c).cast("double")
+    val s = linregDesign(documents).agg(
+      count(lit(1)).cast("double").as("n"),
+      ds(d0(col("x1"))).as("s1"), ds(d0(col("x2"))).as("s2"),
+      ds(d0(col("y"))).as("sy"),
+      ds(d0(col("x1")) * d0(col("x1"))).as("s11"),
+      ds(d0(col("x1")) * d0(col("x2"))).as("s12"),
+      ds(d0(col("x2")) * d0(col("x2"))).as("s22"),
+      ds(d0(col("x1")) * d0(col("y"))).as("s1y"),
+      ds(d0(col("x2")) * d0(col("y"))).as("s2y"),
+      ds(d0(col("y")) * d0(col("y"))).as("syy"))
+    s.withColumn("det",
+        col("n") * (col("s11") * col("s22") - col("s12") * col("s12"))
+          - col("s1") * (col("s1") * col("s22") - col("s12") * col("s2"))
+          + col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+      .withColumn("b0",
+        (col("sy") * (col("s11") * col("s22") - col("s12") * col("s12"))
+          - col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+          + col("s2") * (col("s1y") * col("s12") - col("s11") * col("s2y"))) / col("det"))
+      .withColumn("b1",
+        (col("n") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
+          - col("sy") * (col("s1") * col("s22") - col("s12") * col("s2"))
+          + col("s2") * (col("s1") * col("s2y") - col("s1y") * col("s2"))) / col("det"))
+      .withColumn("b2",
+        (col("n") * (col("s11") * col("s2y") - col("s1y") * col("s12"))
+          - col("s1") * (col("s1") * col("s2y") - col("s1y") * col("s2"))
+          + col("sy") * (col("s1") * col("s12") - col("s11") * col("s2"))) / col("det"))
+  }
+
+  /** Distributed OLS fit — one row: n, coefficients, R². R² derives from
+    * the same sufficient statistics via the normal-equation identity
+    * SSE = y'y − β'X'y, so the fit metric costs zero additional passes. */
+  def linregFit(documents: DataFrame): DataFrame =
+    linregBetas(documents).select(
+      col("n").cast("long").as("n"),
+      r6(col("b0")).as("b0"), r6(col("b1")).as("b1"), r6(col("b2")).as("b2"),
+      r6(lit(1d) -
+        (col("syy") - col("b0") * col("sy") - col("b1") * col("s1y") - col("b2") * col("s2y")) /
+          (col("syy") - col("sy") * col("sy") / col("n"))).as("r2_score"))
+
+  /** Model application: the fitted one-row β is BROADCAST onto the corpus
+    * and scoring is row-local arithmetic — the train-once/score-everywhere
+    * split. At 100 TB the β row is the only thing that moves. */
+  def linregScore(documents: DataFrame): DataFrame = {
+    val b = linregBetas(documents).select("b0", "b1", "b2")
+    linregDesign(documents).crossJoin(broadcast(b))
+      .select(col("doc_id"), col("x1"), col("x2"), col("y"),
+        r6(col("b0") + col("b1") * col("x1") + col("b2") * col("x2")).as("y_hat"),
+        r6(col("y") - (col("b0") + col("b1") * col("x1") + col("b2") * col("x2"))).as("residual"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_linreg_fit" -> ((s, d) => linregFit(Tables.documents(s, d))),
+    "q_linreg_score" -> ((s, d) => linregScore(Tables.documents(s, d))),
     "q_train_assembly" -> ((s, d) => trainingAssembly(Tables.orders(s, d))),
     "q_impute" -> ((s, d) => imputePlan(Tables.events(s, d))),
     "q_feature_corr" -> ((s, d) => featureCorr(Tables.lineitem(s, d))),
@@ -303,7 +383,57 @@ object TrainPrep {
     "q_time_split_embargo" -> ((s, d) => timeSplitEmbargo(Tables.events(s, d)))
   )
 
+  /** Shared oracle CTE: design frame → exact HUGEINT moments → doubles →
+    * Cramer solve, the identical expression tree [[linregBetas]] builds. */
+  private val linregB: String =
+    """WITH w AS (SELECT doc_id, n_chars,
+           string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
+         FROM documents),
+       f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
+           CAST(len(words) AS BIGINT) AS x1,
+           CAST(len(list_distinct(words)) AS BIGINT) AS x2
+         FROM w),
+       s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+           CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+           CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+           CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+           CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+           CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+         FROM f),
+       dt AS (SELECT *,
+           n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det
+         FROM s),
+       b AS (SELECT n, sy, s1y, s2y, syy,
+           (sy * (s11 * s22 - s12 * s12)
+             - s1 * (s1y * s22 - s12 * s2y)
+             + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+           (n * (s1y * s22 - s12 * s2y)
+             - sy * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+           (n * (s11 * s2y - s1y * s12)
+             - s1 * (s1 * s2y - s1y * s2)
+             + sy * (s1 * s12 - s11 * s2)) / det AS b2
+         FROM dt)"""
+
   val oracles: Map[String, String] = Map(
+    "q_linreg_fit" ->
+      s"""$linregB
+         SELECT CAST(n AS BIGINT) AS n,
+           ${sqlR("b0", 6)} AS b0, ${sqlR("b1", 6)} AS b1, ${sqlR("b2", 6)} AS b2,
+           ${sqlR("1 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (syy - sy * sy / n)", 6)} AS r2_score
+         FROM b""",
+    "q_linreg_score" ->
+      s"""$linregB
+         SELECT f.doc_id, f.x1, f.x2, f.y,
+           ${sqlR("b.b0 + b.b1 * f.x1 + b.b2 * f.x2", 6)} AS y_hat,
+           ${sqlR("f.y - (b.b0 + b.b1 * f.x1 + b.b2 * f.x2)", 6)} AS residual
+         FROM f, b ORDER BY f.doc_id""",
     "q_train_assembly" ->
       s"""WITH a AS (
            SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -200,7 +201,43 @@ object TextOps {
     content.join(sketch, Seq("doc_id"), "left").orderBy("doc_id")
   }
 
+  /** Character-level Shannon entropy gate — the standard cheap
+    * gibberish/boilerplate detector (low entropy = repeated characters /
+    * template text; natural English sits near 2.8-3.0 nats/char at the
+    * character level). Flags docs below `minEntropy` nats.
+    *
+    * Scale shape: per-(doc, char) counts partial-aggregate on the
+    * exploded char stream (state bounded by alphabet size per doc); the
+    * per-doc total is a window over that ALREADY-bucketed frame (≤
+    * |alphabet| rows per doc — no second pass over characters). Entropy
+    * terms are row-local doubles routed through the DECIMAL(20,12) sum
+    * (partition-order-independent, the psiDrift device), r6 for oracle
+    * parity. The keep/drop flag derives from the ROUNDED value so both
+    * engines gate identically at the threshold. */
+  def charEntropy(documents: DataFrame, minEntropy: Double = 2.0): DataFrame = {
+    val counts = documents
+      .withColumn("norm", normText(col("text")))
+      .filter(length(col("norm")) > 0)
+      .select(col("doc_id"), explode(split(col("norm"), "")).as("ch"))
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    val wD = Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("n", sum(col("c")).over(wD))
+      .withColumn("term",
+        (col("c").cast("double") / col("n")) * log(col("c").cast("double") / col("n")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_chars_norm"),
+        count(lit(1)).as("n_distinct_chars"),
+        (-sum(col("term").cast("decimal(20,12)")).cast("double")).as("ent0"))
+      .select(col("doc_id"), col("n_chars_norm"), col("n_distinct_chars"),
+        r6(col("ent0")).as("entropy"),
+        (r6(col("ent0")) < minEntropy).as("low_entropy"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
     "q_token_count" -> ((s, d) => tokenCount(Tables.documents(s, d))),
@@ -215,6 +252,25 @@ object TextOps {
     s"len(list_filter(words, w -> w IN ${inList(stop(lang))}))"
 
   val oracles: Map[String, String] = Map(
+    "q_char_entropy" ->
+      s"""WITH nm AS (SELECT doc_id, $normSql AS norm FROM documents),
+         ch AS (SELECT doc_id, substr(norm, CAST(r.i AS INT) + 1, 1) AS ch
+           FROM nm, LATERAL (SELECT UNNEST(range(len(norm))) AS i) r
+           WHERE len(norm) > 0),
+         c AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+         t AS (SELECT doc_id, c,
+             SUM(c) OVER (PARTITION BY doc_id) AS n,
+             (CAST(c AS DOUBLE) / (SUM(c) OVER (PARTITION BY doc_id)))
+               * ln(CAST(c AS DOUBLE) / (SUM(c) OVER (PARTITION BY doc_id))) AS term
+           FROM c),
+         e AS (SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_chars_norm,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+             -(CAST(SUM(CAST(term AS DECIMAL(20,12))) AS DOUBLE)) AS ent0
+           FROM t GROUP BY 1)
+         SELECT doc_id, n_chars_norm, n_distinct_chars,
+           ${sqlR("ent0", 6)} AS entropy,
+           ${sqlR("ent0", 6)} < 2.0 AS low_entropy
+         FROM e ORDER BY doc_id""",
     "q_lang_id" ->
       s"""WITH w AS (SELECT doc_id, lang, string_split($normSql, ' ') AS words FROM documents),
          sc AS (SELECT doc_id, lang,

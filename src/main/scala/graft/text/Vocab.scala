@@ -504,7 +504,40 @@ object Vocab {
       .orderBy("doc_id")
   }
 
+  /** Windowed skip-gram co-occurrence — the word2vec/GloVe training-pair
+    * extraction (Mikolov et al. 2013): every unordered word pair within
+    * `window` positions of each other in a document, counted corpus-wide;
+    * the global top `k` pairs by count (count desc, then a/b asc — no
+    * ties possible since (a,b) is the group key). Same-word pairs are
+    * excluded; least/greatest canonicalizes direction so "the cat" and
+    * "cat the" count to one key.
+    *
+    * Scale shape: pair generation is ROW-LOCAL — a flatten/transform
+    * expression over the words array, bounded at `window` pairs per
+    * token — NOT a positional self-join of the exploded token stream,
+    * which would shuffle the corpus on doc_id and rescan it per offset.
+    * Pair counts partial-aggregate map-side (the pair-key space is
+    * vocab², but the OBSERVED pairs are Zipf-concentrated, so map-side
+    * combine absorbs most of the mass), and the global top-k is
+    * TakeOrderedAndProject — per-partition heaps, no full sort. */
+  def cooccurTopk(documents: DataFrame, window: Int = 3, k: Int = 50): DataFrame = {
+    TextPrep.withWords(documents)
+      .filter(size(col("words")) >= 2)
+      .select(explode(expr(
+        s"""flatten(transform(sequence(0, size(words) - 1), i ->
+              filter(transform(sequence(1, $window), d ->
+                CASE WHEN i + d <= size(words) - 1 AND words[i] <> words[i + d]
+                     THEN struct(least(words[i], words[i + d]) AS a,
+                                 greatest(words[i], words[i + d]) AS b)
+                END), p -> p IS NOT NULL)))""")).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("a"), col("b"))
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cooccur_topk" -> ((s, d) => cooccurTopk(Tables.documents(s, d))),
     "q_ppl_filter" -> ((s, d) => pplFilter(Tables.documents(s, d))),
     "q_epoch_plan" -> ((s, d) => epochPlan(Tables.documents(s, d))),
     "q_tfidf" -> ((s, d) => tfidf(Tables.documents(s, d))),
@@ -524,6 +557,17 @@ object Vocab {
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "q_cooccur_topk" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+         t AS (SELECT doc_id, CAST(r.i AS INT) AS i, words[CAST(r.i AS INT) + 1] AS word
+           FROM w, LATERAL (SELECT UNNEST(range(len(words))) AS i) r
+           WHERE len(words) >= 2),
+         p AS (SELECT least(t1.word, t2.word) AS a, greatest(t1.word, t2.word) AS b
+           FROM t t1 JOIN t t2 ON t1.doc_id = t2.doc_id
+             AND t2.i BETWEEN t1.i + 1 AND t1.i + 3
+           WHERE t1.word <> t2.word)
+         SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1, 2
+         ORDER BY n DESC, a, b LIMIT 50""",
     "q_pmi_collocations" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),

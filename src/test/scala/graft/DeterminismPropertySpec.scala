@@ -238,6 +238,23 @@ class DeterminismPropertySpec extends AnyFunSuite {
       run(graft.text.Vocab.dsirSelect(docs.repartition(13))))
   }
 
+  test("stats-ops operators are invariant to input partitioning") {
+    def run(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val docs = Tables.documents(spark, sf)
+    val ev = Tables.events(spark, sf)
+    Seq[org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame](
+      graft.ml.TrainPrep.linregFit(_),
+      graft.ml.TrainPrep.linregScore(_),
+      graft.text.Vocab.cooccurTopk(_),
+      graft.text.TextOps.charEntropy(_)
+    ).foreach { op =>
+      assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
+    }
+    assert(run(graft.ml.Approx.hllRollup(ev.repartition(1))) ==
+      run(graft.ml.Approx.hllRollup(ev.repartition(13))))
+  }
+
   test("session-3 operators are invariant to input partitioning") {
     val docs = Tables.documents(spark, sf)
     val ev = Tables.events(spark, sf)

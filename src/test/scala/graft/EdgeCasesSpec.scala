@@ -215,6 +215,17 @@ class EdgeCasesSpec extends AnyFunSuite {
       Tables.embeddings(spark, sf).limit(0)).count() == 0)
     assert(graft.text.Vocab.dsirSelect(
       Tables.documents(spark, sf).limit(0)).count() == 0)
+    // stats-ops family on empty inputs: scoring/pair/entropy/rollup
+    // frames are defined and empty; the FIT emits its one aggregate row
+    // with n=0 and NULL coefficients (0x0 normal equations — no solve)
+    val emptyDocs = Tables.documents(spark, sf).limit(0)
+    assert(graft.ml.TrainPrep.linregScore(emptyDocs).count() == 0)
+    assert(graft.text.Vocab.cooccurTopk(emptyDocs).count() == 0)
+    assert(graft.text.TextOps.charEntropy(emptyDocs).count() == 0)
+    assert(graft.ml.Approx.hllRollup(Tables.events(spark, sf).limit(0)).count() == 0)
+    val emptyFit = graft.ml.TrainPrep.linregFit(emptyDocs).collect()(0)
+    assert(emptyFit.getAs[Long]("n") == 0L)
+    assert(emptyFit.isNullAt(emptyFit.fieldIndex("b0")))
     // a raw corpus too small to take from: every flag FALSE, never NULL
     // (src1-only input guarantees a nonempty raw side — no target docs)
     val tiny = Tables.documents(spark, sf)

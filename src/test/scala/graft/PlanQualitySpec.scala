@@ -340,6 +340,35 @@ class PlanQualitySpec extends AnyFunSuite {
       "per-doc total must partition by doc_id, not a global window")
   }
 
+  test("cooccur top-k: TakeOrderedAndProject over partial-aggregated pair counts, no self-join") {
+    val plan = planOf(graft.text.Vocab.cooccurTopk(Tables.documents(spark, sf)))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      s"pair generation must be row-local, not a positional self-join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"pair counts must partial-aggregate map-side:\n$plan")
+  }
+
+  test("linreg: the corpus never shuffles — one partial moment aggregate, beta row broadcast") {
+    val fitPlan = planOf(graft.ml.TrainPrep.linregFit(Tables.documents(spark, sf)))
+    assert(!fitPlan.contains("hashpartitioning"),
+      s"moment aggregation must be partial+single-row final, not a keyed shuffle:\n$fitPlan")
+    val scorePlan = planOf(graft.ml.TrainPrep.linregScore(Tables.documents(spark, sf)).limit(1))
+    assert(scorePlan.contains("BroadcastNestedLoopJoin") || scorePlan.contains("BroadcastExchange"),
+      s"beta row must broadcast onto the corpus:\n$scorePlan")
+    assert(!scorePlan.contains("SortMergeJoin"),
+      s"scoring must never shuffle-join the corpus:\n$scorePlan")
+  }
+
+  test("hll rollup: sketches partial-aggregate map-side before the event_type shuffle") {
+    val plan = planOf(graft.ml.Approx.hllRollup(Tables.events(spark, sf)).limit(1))
+    // two aggregation layers (daily sketch build, union rollup), each
+    // split partial/final
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"sketch aggregation must be partial before the shuffle:\n$plan")
+  }
+
   test("exact percentiles match the Percentile aggregate bit-for-bit on both branches") {
     val ev = Tables.events(spark, sf)
     val expect = ev.groupBy(col("event_type"))

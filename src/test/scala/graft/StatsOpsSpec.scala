@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Approx, TrainPrep}
+import graft.text.{TextOps, Vocab}
+
+/** Behavioral invariants for the sufficient-statistics / sketch-rollup
+  * family beyond their row-level oracles: the distributed OLS fit against
+  * a local normal-equation solve, co-occurrence pair semantics on a
+  * hand-computable corpus, the entropy formula on known distributions,
+  * and the HLL-union rollup contract.
+  */
+class StatsOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("stats-ops-spec").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  test("linregFit matches a local normal-equation solve; R2 sane; residuals sum to ~0") {
+    val docs = Tables.documents(spark, sf)
+    val fit = TrainPrep.linregFit(docs).collect()(0)
+    val rows = graft.text.TextPrep.withWords(docs)
+      .select(col("n_chars").cast("double"),
+        size(col("words")).cast("double"),
+        size(array_distinct(col("words"))).cast("double"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val n = rows.length.toDouble
+    val s1 = rows.map(_._2).sum; val s2 = rows.map(_._3).sum
+    val sy = rows.map(_._1).sum
+    val s11 = rows.map(r => r._2 * r._2).sum
+    val s12 = rows.map(r => r._2 * r._3).sum
+    val s22 = rows.map(r => r._3 * r._3).sum
+    val s1y = rows.map(r => r._2 * r._1).sum
+    val s2y = rows.map(r => r._3 * r._1).sum
+    val det = n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s12 - s11 * s2)
+    val b0 = (sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) +
+      s2 * (s1y * s12 - s11 * s2y)) / det
+    val b1 = (n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) +
+      s2 * (s1 * s2y - s1y * s2)) / det
+    val b2 = (n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) +
+      sy * (s1 * s12 - s11 * s2)) / det
+    assert(fit.getAs[Long]("n") == rows.length)
+    assert(math.abs(fit.getAs[Double]("b0") - b0) < 1e-4)
+    assert(math.abs(fit.getAs[Double]("b1") - b1) < 1e-4)
+    assert(math.abs(fit.getAs[Double]("b2") - b2) < 1e-4)
+    val r2 = fit.getAs[Double]("r2_score")
+    assert(r2 > 0.0 && r2 <= 1.0, s"r2 $r2")
+    // OLS with intercept: residuals sum to zero (each rounded to 1e-6,
+    // so the tolerance scales with corpus size)
+    val resSum = TrainPrep.linregScore(docs).agg(
+      sum(col("residual")).cast("double")).collect()(0).getDouble(0)
+    assert(math.abs(resSum) < 0.01 + rows.length * 1e-6, s"residual sum $resSum")
+  }
+
+  test("cooccurTopk counts exactly the within-window unordered pairs of a hand corpus") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c a"), (1L, "b a")).toDF("doc_id", "text")
+    // doc0 offsets 1..3: (a,b) (a,c) [a,a excluded] (b,c) (b,a) (c,a);
+    // doc1: (b,a) — canonicalized totals: (a,b)=3 (a,c)=2 (b,c)=1
+    val out = Vocab.cooccurTopk(docs, window = 3, k = 50).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("n"))).toSeq
+    assert(out == Seq(("a", "b", 3L), ("a", "c", 2L), ("b", "c", 1L)))
+  }
+
+  test("cooccurTopk window bound: offset window+1 pairs are not counted") {
+    import spark.implicits._
+    val docs = Seq((0L, "a x y z b")).toDF("doc_id", "text")
+    // a..b are 4 apart — outside window 3
+    val pairs = Vocab.cooccurTopk(docs, window = 3, k = 50).collect()
+      .map(r => (r.getAs[String]("a"), r.getAs[String]("b"))).toSet
+    assert(!pairs.contains(("a", "b")))
+    assert(pairs.contains(("a", "z"))) // 3 apart: counted
+  }
+
+  test("charEntropy: 0 for a constant string, ln k for uniform k chars, blank docs dropped") {
+    import spark.implicits._
+    val docs = Seq((0L, "aaaa"), (1L, "abab"), (2L, "   "), (3L, "abcd"))
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(2L)) // norm("   ") is empty — no entropy row
+    assert(out(0L).getAs[Double]("entropy") == 0.0)
+    assert(out(0L).getAs[Boolean]("low_entropy"))
+    assert(math.abs(out(1L).getAs[Double]("entropy") - math.log(2)) < 1e-5)
+    assert(math.abs(out(3L).getAs[Double]("entropy") - math.log(4)) < 1e-5)
+    assert(out(3L).getAs[Long]("n_distinct_chars") == 4L)
+    // entropy is bounded by ln(|alphabet|)
+    TextOps.charEntropy(Tables.documents(spark, sf)).collect().foreach { r =>
+      val hi = math.log(r.getAs[Long]("n_distinct_chars").toDouble)
+      assert(r.getAs[Double]("entropy") <= hi + 1e-6)
+      assert(r.getAs[Double]("entropy") >= 0.0)
+    }
+  }
+
+  test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
+    val ev = Tables.events(spark, sf)
+    val out = Approx.hllRollup(ev).collect()
+    assert(out.nonEmpty)
+    val raw = ev.select(col("event_type"), to_date(col("ts")).cast("string"), col("user_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val byType = raw.groupBy(_._1)
+    out.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val exact = byType(t).map(_._3).distinct.length
+      val sumDaily = byType(t).groupBy(_._2).map(_._2.map(_._3).distinct.length).sum
+      assert(r.getAs[Long]("exact_users") == exact)
+      assert(r.getAs[Long]("sum_day_users") == sumDaily)
+      assert(r.getAs[Long]("sum_day_users") >= r.getAs[Long]("exact_users"))
+      assert(r.getAs[Boolean]("union_ok"), s"HLL union outside bound for $t")
+    }
+  }
+}
