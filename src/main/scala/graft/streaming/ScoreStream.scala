@@ -65,4 +65,28 @@ object ScoreStream {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** Catalog-policy masking at INGEST — the streaming deployment of
+    * [[graft.operators.Masking.maskTable]]: the SAME policy object
+    * produces the same RLS filter + row-local masked projection over a
+    * readStream frame, because mask rules are pure SELECT expressions
+    * (no aggregate, no state). The governance point: data masked at
+    * rest but not in motion leaks PII through the streaming sinks — the
+    * policy must bind to the SOURCE, and sharing one `maskTable`
+    * guarantees the batch marts and the live feed can never disagree
+    * on what an analyst role sees. Zero streaming state (stateless
+    * Append — MaskStreamSpec locks bit-equality with the batch
+    * projection and the absence of state operators), so at 100 TB of
+    * ingest this adds only codegen'd projection work per micro-batch. */
+  def maskGate(spark: SparkSession, dir: String,
+               queryName: String = "stream_mask"): DataFrame = {
+    val masked = graft.operators.Masking.maskTable(
+      EventStream.readEvents(spark, dir),
+      graft.operators.Masking.policy("events"))
+    val q = masked.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
 }

@@ -43,8 +43,54 @@ object Packing {
       .orderBy("stream_id", "pack_id")
   }
 
+  /** Ranked round-robin shard assignment: every doc ranked globally by
+    * estimated token count (the q_token_count est-BPE device:
+    * ceil(n_chars/4)), then dealt to `nShards` shards round-robin in rank
+    * order — the distributable relaxation of greedy LPT balancing, with
+    * per-shard token totals within one max-doc of each other (each shard
+    * takes one doc from every consecutive size band).
+    *
+    * The global rank is the classic 100 TB trap: ROW_NUMBER over an
+    * unpartitioned window is a single-task sort of the corpus. Here it
+    * derives from the exact distributed [[graft.functions.PrefixSum]]
+    * cumulative count over the DISTINCT token-count values (NDV-scale,
+    * range-bucketed past 1M NDV) plus a within-tie ROW_NUMBER partitioned
+    * by the token count — every window partitions on a real key. */
+  def shardPlan(documents: DataFrame, nShards: Int = 16): DataFrame = {
+    val base = documents.select(col("doc_id"),
+      ceil(length(col("text")) / 4.0).cast("long").as("est_tokens"))
+    // NDV-scale distinct frame, pinned per the PrefixSum caller contract
+    val dist = base.groupBy(col("est_tokens")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val cum = graft.functions.PrefixSum.cumulative(dist, "est_tokens", "cnt")
+    val wTie = Window.partitionBy(col("est_tokens")).orderBy(col("doc_id"))
+    base
+      .join(cum.select(col("est_tokens"), col("cnt"), col("cum")), Seq("est_tokens"))
+      .withColumn("rnk", col("cum") - col("cnt") + row_number().over(wTie))
+      .withColumn("shard", ((col("rnk") - 1) % nShards).cast("int"))
+      .select(col("doc_id"), col("est_tokens"), col("rnk"), col("shard"))
+      .orderBy("rnk")
+  }
+
+  /** The shard-grain balance mart over [[shardPlan]]: per-shard doc and
+    * token totals plus the fill ratio against the ideal even split —
+    * the number a training launcher checks before committing a shard
+    * layout. `nShards`-row output; the ideal is a broadcast scalar. */
+  def shardBalance(documents: DataFrame, nShards: Int = 16): DataFrame = {
+    val plan = shardPlan(documents, nShards)
+    val tot = plan.agg(sum(col("est_tokens")).as("tot"))
+    plan.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("est_tokens")).as("shard_tokens"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("shard_tokens"),
+        r6(col("shard_tokens") * lit(nShards.toDouble) / col("tot")).as("balance_ratio"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d)))
+    "q_pack_sequences" -> ((s, d) => packSequences(Tables.documents(s, d))),
+    "q_shard_plan" -> ((s, d) => shardPlan(Tables.documents(s, d))),
+    "q_shard_balance" -> ((s, d) => shardBalance(Tables.documents(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -67,6 +113,29 @@ object Packing {
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc,
            ${sqlR("CAST(SUM(n_tokens) AS DOUBLE) / 512", 6)} AS fill_ratio
-         FROM p GROUP BY 1, 2 ORDER BY stream_id, pack_id"""
+         FROM p GROUP BY 1, 2 ORDER BY stream_id, pack_id""",
+    // ROW_NUMBER over the full corpus is legal in the one-node oracle;
+    // the Spark side derives the same rank distributively (PrefixSum +
+    // within-tie window) — that equivalence IS what the hash gate checks.
+    "q_shard_plan" ->
+      """WITH t AS (SELECT doc_id,
+             CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_tokens
+           FROM documents)
+         SELECT doc_id, est_tokens,
+           ROW_NUMBER() OVER (ORDER BY est_tokens, doc_id) AS rnk,
+           CAST((ROW_NUMBER() OVER (ORDER BY est_tokens, doc_id) - 1) % 16 AS INT) AS shard
+         FROM t ORDER BY rnk""",
+    "q_shard_balance" ->
+      s"""WITH t AS (SELECT doc_id,
+             CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_tokens
+           FROM documents),
+         r AS (SELECT est_tokens,
+             CAST((ROW_NUMBER() OVER (ORDER BY est_tokens, doc_id) - 1) % 16 AS INT) AS shard
+           FROM t),
+         tot AS (SELECT SUM(est_tokens) AS tot FROM t)
+         SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(est_tokens) AS BIGINT) AS shard_tokens,
+           ${sqlR("CAST(SUM(est_tokens) AS DOUBLE) * 16.0 / MAX(tot.tot)", 6)} AS balance_ratio
+         FROM r, tot GROUP BY shard ORDER BY shard"""
   )
 }

@@ -536,7 +536,55 @@ object Vocab {
       .limit(k)
   }
 
+  /** BM25 retrieval scoring (Robertson & Spärck Jones probabilistic
+    * relevance; k1=1.2, b=0.75 — the Lucene/Elasticsearch defaults) of
+    * every document against the corpus-head seed query: the `nQuery`
+    * most frequent non-stopword terms (count desc, word asc — the
+    * deterministic stand-in for a user query; swap in any bounded term
+    * list). The retrieval primitive of similarity-driven curation:
+    * "rank the corpus against this seed".
+    *
+    * Scale shape: the seed query and its document frequencies are
+    * bounded BROADCAST artifacts (`nQuery` rows); the broadcast
+    * semi-join prunes the token stream to query terms BEFORE the one
+    * (doc, term) shuffle; doc length rides that same pass as a
+    * functional-dependency max (no second corpus scan for dl); the
+    * final score folds ≤ `nQuery` decimal-routed terms per doc. Docs
+    * sharing no term with the query emit no row (standard inverted-index
+    * semantics), mirrored by the oracle. k1/b are fixed literals so the
+    * IEEE expression tree matches the oracle's exactly. */
+  def bm25(documents: DataFrame, nQuery: Int = 10): DataFrame = {
+    val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+    val toks = TextPrep.withWords(documents)
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
+        explode(col("words")).as("word"))
+    val q = toks.filter(!col("word").isin(stopEn: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("ct"))
+      .orderBy(col("ct").desc, col("word")).limit(nQuery).select("word")
+    val tf = toks.join(broadcast(q), Seq("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dft = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = TextPrep.withWords(documents)
+      .agg(count(lit(1)).as("nn"),
+        sum(size(col("words")).cast("decimal(18,0)")).cast("double").as("sdl"))
+    tf.join(broadcast(dft), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sdl") / col("nn"))
+      .withColumn("idf",
+        log((col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_terms"),
+        sum(col("contrib").cast("decimal(20,12)")).cast("double").as("score0"))
+      .select(col("doc_id"), col("dl"), col("n_terms"), r6(col("score0")).as("bm25"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bm25" -> ((s, d) => bm25(Tables.documents(s, d))),
     "q_cooccur_topk" -> ((s, d) => cooccurTopk(Tables.documents(s, d))),
     "q_ppl_filter" -> ((s, d) => pplFilter(Tables.documents(s, d))),
     "q_epoch_plan" -> ((s, d) => epochPlan(Tables.documents(s, d))),
@@ -557,6 +605,25 @@ object Vocab {
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "q_bm25" ->
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+         tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS word FROM w),
+         q AS (SELECT word FROM tk
+           WHERE word NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+           GROUP BY word ORDER BY COUNT(*) DESC, word LIMIT 10),
+         tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+           FROM tk WHERE word IN (SELECT word FROM q) GROUP BY 1, 2),
+         dft AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CAST(len(words) AS HUGEINT)) AS DOUBLE) AS sdl FROM w),
+         sc AS (SELECT t.doc_id, t.dl,
+             ln((CAST(st.nn - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(t.tf AS DOUBLE) * 2.2) /
+               (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (st.sdl / st.nn))) AS contrib
+           FROM tf t JOIN dft d ON t.word = d.word, st)
+         SELECT doc_id, CAST(MAX(dl) AS BIGINT) AS dl, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ${sqlR("CAST(SUM(CAST(contrib AS DECIMAL(20,12))) AS DOUBLE)", 6)} AS bm25
+         FROM sc GROUP BY 1 ORDER BY 1""",
     "q_cooccur_topk" ->
       s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
          t AS (SELECT doc_id, CAST(r.i AS INT) AS i, words[CAST(r.i AS INT) + 1] AS word

@@ -247,7 +247,10 @@ class DeterminismPropertySpec extends AnyFunSuite {
       graft.ml.TrainPrep.linregFit(_),
       graft.ml.TrainPrep.linregScore(_),
       graft.text.Vocab.cooccurTopk(_),
-      graft.text.TextOps.charEntropy(_)
+      graft.text.TextOps.charEntropy(_),
+      graft.text.Vocab.bm25(_),
+      graft.text.Packing.shardPlan(_),
+      graft.text.Packing.shardBalance(_)
     ).foreach { op =>
       assert(run(op(docs.repartition(1))) == run(op(docs.repartition(13))))
     }

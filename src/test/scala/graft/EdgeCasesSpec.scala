@@ -226,6 +226,9 @@ class EdgeCasesSpec extends AnyFunSuite {
     val emptyFit = graft.ml.TrainPrep.linregFit(emptyDocs).collect()(0)
     assert(emptyFit.getAs[Long]("n") == 0L)
     assert(emptyFit.isNullAt(emptyFit.fieldIndex("b0")))
+    assert(graft.text.Vocab.bm25(emptyDocs).count() == 0)
+    assert(graft.text.Packing.shardPlan(emptyDocs).count() == 0)
+    assert(graft.text.Packing.shardBalance(emptyDocs).count() == 0)
     // a raw corpus too small to take from: every flag FALSE, never NULL
     // (src1-only input guarantees a nonempty raw side — no target docs)
     val tiny = Tables.documents(spark, sf)

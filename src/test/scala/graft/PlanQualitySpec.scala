@@ -361,6 +361,14 @@ class PlanQualitySpec extends AnyFunSuite {
       s"scoring must never shuffle-join the corpus:\n$scorePlan")
   }
 
+  test("bm25: query and df artifacts broadcast — the corpus is never shuffle-joined") {
+    val plan = planOf(graft.text.Vocab.bm25(Tables.documents(spark, sf)).limit(1))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"seed-query semi-join must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus must never shuffle-join the bounded artifacts:\n$plan")
+  }
+
   test("hll rollup: sketches partial-aggregate map-side before the event_type shuffle") {
     val plan = planOf(graft.ml.Approx.hllRollup(Tables.events(spark, sf)).limit(1))
     // two aggregation layers (daily sketch build, union rollup), each

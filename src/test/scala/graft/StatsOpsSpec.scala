@@ -100,6 +100,57 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 matches a brute-force recomputation on a hand corpus") {
+    import spark.implicits._
+    val docs = Seq((0L, "cat dog cat"), (1L, "dog fish"), (2L, "bird"))
+      .toDF("doc_id", "text")
+    val out = Vocab.bm25(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // brute force: all 4 terms are in the seed query (nQuery=10 > vocab)
+    val corpus = Map(0L -> Seq("cat", "dog", "cat"), 1L -> Seq("dog", "fish"), 2L -> Seq("bird"))
+    val nn = 3.0
+    val avgdl = (3 + 2 + 1) / 3.0
+    def dfOf(t: String) = corpus.values.count(_.contains(t)).toDouble
+    corpus.foreach { case (id, words) =>
+      val expect = words.distinct.map { t =>
+        val tf = words.count(_ == t).toDouble
+        val idf = math.log((nn - dfOf(t) + 0.5) / (dfOf(t) + 0.5) + 1.0)
+        idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * words.length / avgdl))
+      }.sum
+      assert(math.abs(out(id).getAs[Double]("bm25") - expect) < 1e-5,
+        s"doc $id: got ${out(id).getAs[Double]("bm25")}, want $expect")
+      assert(out(id).getAs[Long]("n_terms") == words.distinct.length)
+    }
+    // BM25 saturates in tf: doubling an already-present term raises the
+    // score sublinearly (k1 saturation), never linearly
+    val one = out(1L).getAs[Double]("bm25")
+    assert(out(0L).getAs[Double]("bm25") > 0 && one > 0)
+  }
+
+  test("shardPlan: ranks are a permutation, shards balanced within two max docs") {
+    val docs = Tables.documents(spark, sf)
+    val plan = graft.text.Packing.shardPlan(docs).collect()
+    val n = docs.count()
+    assert(plan.length == n)
+    assert(plan.map(_.getAs[Long]("rnk")).sorted.toSeq == (1L to n).toSeq)
+    // rank order follows (est_tokens, doc_id)
+    val byRank = plan.sortBy(_.getAs[Long]("rnk"))
+    byRank.sliding(2).foreach { case Array(a, b) =>
+      val ka = (a.getAs[Long]("est_tokens"), a.getAs[Long]("doc_id"))
+      val kb = (b.getAs[Long]("est_tokens"), b.getAs[Long]("doc_id"))
+      assert(ka._1 < kb._1 || (ka._1 == kb._1 && ka._2 < kb._2))
+    }
+    val totals = plan.groupBy(_.getAs[Int]("shard"))
+      .map { case (_, rs) => rs.map(_.getAs[Long]("est_tokens")).sum }
+    val maxDoc = plan.map(_.getAs[Long]("est_tokens")).max
+    assert(totals.max - totals.min <= 2 * maxDoc,
+      s"shard spread ${totals.max - totals.min} exceeds 2x max doc $maxDoc")
+    // the balance mart agrees with the plan
+    val bal = graft.text.Packing.shardBalance(docs).collect()
+    assert(bal.map(_.getAs[Long]("shard_tokens")).sum == plan.map(_.getAs[Long]("est_tokens")).sum)
+    bal.foreach(r => assert(math.abs(r.getAs[Double]("balance_ratio") - 1.0) < 0.2))
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
