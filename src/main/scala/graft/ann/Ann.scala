@@ -582,6 +582,34 @@ object Ann {
       .orderBy("vec_id")
   }
 
+  /** NDCG@k of the IVF search ranking against the exact brute-force
+    * ranking — the ORDER-sensitive complement of [[annEval]]'s recall:
+    * recall counts set overlap only; NDCG discounts a right neighbor
+    * surfaced at the wrong rank. Graded relevance = (cosine + 1)/2 (the
+    * r6-rounded exact cosine both rankings already carry), discount
+    * log2(rank + 1), so `idcg` is the brute-force list's own DCG and
+    * ndcg = dcg/idcg ∈ [0, 1], 1 iff the IVF list is rank-faithful.
+    * Per-rank terms are row-local doubles with the identical expression
+    * tree on the oracle side; the ≤ k-term fold per probe is
+    * decimal-routed. Cost: both rankings are existing oracled devices;
+    * this adds only a k-row-per-probe aggregation. */
+  def annNdcg(embeddings: DataFrame, nProbes: Int = 10, k: Int = 10): DataFrame = {
+    def dcgOf(ranked: DataFrame, name: String) = ranked
+      .withColumn("term",
+        ((col("cosine") + lit(1.0)) / lit(2.0)) /
+          (log(col("rank") + lit(1.0)) / log(lit(2.0))))
+      .groupBy(col("probe_id"))
+      .agg(sum(col("term").cast("decimal(20,12)")).cast("double").as(name))
+    val ideal = dcgOf(bruteForceTopK(embeddings, nProbes, k), "idcg0")
+    val got = dcgOf(ivfSearch(embeddings, nProbes, k), "dcg0")
+    ideal.join(got, Seq("probe_id"), "left")
+      .select(col("probe_id"),
+        r6(col("idcg0")).as("idcg"),
+        r6(coalesce(col("dcg0"), lit(0.0))).as("dcg"),
+        r6(coalesce(col("dcg0"), lit(0.0)) / col("idcg0")).as("ndcg"))
+      .orderBy("probe_id")
+  }
+
   /** ANN index-quality EVALUATION mart: per probe, recall@k of the IVF
     * multi-probe search against the exact brute-force ground truth —
     * the number an index owner actually watches when tuning
@@ -858,6 +886,7 @@ object Ann {
     "q_embed_survivors" -> ((s, d) => embedSurvivors(loadEmb(s, d))),
     "q_cell_quality" -> ((s, d) => cellQuality(loadEmb(s, d))),
     "q_ann_eval" -> ((s, d) => annEval(loadEmb(s, d))),
+    "q_ann_ndcg" -> ((s, d) => annNdcg(loadEmb(s, d))),
     "q_embed_incremental" -> ((s, d) => {
       // deterministic batch split: vectors with md5 digit < 2 (~1/8)
       // arrive as the new increment, mirroring q_dedup_incremental
@@ -1117,6 +1146,58 @@ object Ann {
            COALESCE(n_found, 0) AS n_found, n_hits,
            ${sqlR("CAST(n_hits AS DOUBLE) / n_true", 6)} AS recall
          FROM hits LEFT JOIN nf ON hits.probe_id = nf.probe_id
+         ORDER BY 1""",
+    // Same CTE chain as q_ann_eval (brute-force ranks + IVF ranks), the
+    // rank CTEs additionally carrying cosine for the DCG gain terms.
+    "q_ann_ndcg" ->
+      s"""WITH $normCte,
+         eprobes AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm FROM nv WHERE vec_id < 10),
+         bsc AS (
+           SELECT nv.vec_id, probe_id,
+             FLOOR((${dotSql("embedding", "pe")} / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM nv, eprobes WHERE nv.vec_id <> probe_id),
+         brk AS (
+           SELECT probe_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+           FROM bsc),
+         bdcg AS (
+           SELECT probe_id,
+             CAST(SUM(CAST(((cosine + 1.0) / 2.0) /
+               (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)) AS DECIMAL(20,12))) AS DOUBLE) AS idcg0
+           FROM brk WHERE rank <= 10 GROUP BY 1),
+         ecents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM nv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         esc AS (
+           SELECT nv.vec_id, nv.embedding, nv.nrm, centroid_id,
+             FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
+           FROM nv, ecents),
+         erk AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+           FROM esc),
+         eassign AS (SELECT vec_id, centroid_id FROM erk WHERE rn = 1),
+         epcells AS (
+           SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm, centroid_id AS pcell
+           FROM erk WHERE vec_id < 10 AND rn <= 5),
+         ecorpus AS (SELECT nv.vec_id, nv.embedding, nv.nrm, eassign.centroid_id
+           FROM nv JOIN eassign USING (vec_id)),
+         isc AS (
+           SELECT ecorpus.vec_id, probe_id,
+             FLOOR((${dotSql("embedding", "pe")} / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM ecorpus JOIN epcells ON centroid_id = pcell AND vec_id <> probe_id),
+         irk AS (
+           SELECT probe_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+           FROM isc),
+         gdcg AS (
+           SELECT probe_id,
+             CAST(SUM(CAST(((cosine + 1.0) / 2.0) /
+               (ln(CAST(rank AS DOUBLE) + 1.0) / ln(2.0)) AS DECIMAL(20,12))) AS DOUBLE) AS dcg0
+           FROM irk WHERE rank <= 10 GROUP BY 1)
+         SELECT b.probe_id,
+           ${sqlR("idcg0", 6)} AS idcg,
+           ${sqlR("COALESCE(dcg0, 0.0)", 6)} AS dcg,
+           ${sqlR("COALESCE(dcg0, 0.0) / idcg0", 6)} AS ndcg
+         FROM bdcg b LEFT JOIN gdcg g ON b.probe_id = g.probe_id
          ORDER BY 1""",
     "q_cell_quality" ->
       s"""WITH $normCte,

@@ -256,6 +256,9 @@ class DeterminismPropertySpec extends AnyFunSuite {
     }
     assert(run(graft.ml.Approx.hllRollup(ev.repartition(1))) ==
       run(graft.ml.Approx.hllRollup(ev.repartition(13))))
+    val emb = Tables.embeddings(spark, sf)
+    assert(run(graft.ann.Ann.annNdcg(emb.repartition(1))) ==
+      run(graft.ann.Ann.annNdcg(emb.repartition(13))))
   }
 
   test("session-3 operators are invariant to input partitioning") {

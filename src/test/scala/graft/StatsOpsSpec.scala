@@ -151,6 +151,29 @@ class StatsOpsSpec extends AnyFunSuite {
     bal.foreach(r => assert(math.abs(r.getAs[Double]("balance_ratio") - 1.0) < 0.2))
   }
 
+  test("annNdcg matches a local DCG recomputation over the two oracled rankings; ndcg in [0,1]") {
+    val emb = Tables.embeddings(spark, sf)
+    def dcgLocal(rows: Array[org.apache.spark.sql.Row]): Map[Long, Double] =
+      rows.groupBy(_.getAs[Long]("probe_id")).map { case (p, rs) =>
+        p -> rs.map { r =>
+          val g = (r.getAs[Double]("cosine") + 1.0) / 2.0
+          g / (math.log(r.getAs[Int]("rank") + 1.0) / math.log(2.0))
+        }.sum
+      }
+    val ideal = dcgLocal(graft.ann.Ann.bruteForceTopK(emb).collect())
+    val got = dcgLocal(graft.ann.Ann.ivfSearch(emb).collect())
+    val out = graft.ann.Ann.annNdcg(emb).collect()
+    assert(out.nonEmpty && out.length == ideal.size)
+    out.foreach { r =>
+      val p = r.getAs[Long]("probe_id")
+      assert(math.abs(r.getAs[Double]("idcg") - ideal(p)) < 1e-5)
+      assert(math.abs(r.getAs[Double]("dcg") - got.getOrElse(p, 0.0)) < 1e-5)
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0 + 1e-9, s"probe $p ndcg $ndcg")
+      assert(math.abs(ndcg - got.getOrElse(p, 0.0) / ideal(p)) < 1e-5)
+    }
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
