@@ -583,7 +583,59 @@ object Vocab {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary-size planning for tokenizer training: for each token-mass
+    * coverage target, the smallest frequency-ranked vocabulary that
+    * reaches it — reported as the count threshold (`min_count`, the
+    * granularity tokenizers actually prune at), the vocab size at that
+    * cut, and the realized coverage / OOV share. The mart a tokenizer
+    * build reads before committing to a vocab budget.
+    *
+    * Scale shape: the cumulative token mass runs over the distinct count
+    * VALUES (the NDV of word frequencies — hundreds even for a 100 TB
+    * corpus, Zipf guarantees it), via the exact PrefixSum device on the
+    * count-descending key — the VOCAB itself (billions of types) is
+    * never sorted or collected; the target selection is the same
+    * explode-filter-max edge device as quantileBins, in exact decimal.
+    */
+  def vocabPrune(documents: DataFrame,
+                 targets: Seq[Int] = Seq(50, 75, 90, 95, 99)): DataFrame = {
+    val wc = TextPrep.withWords(documents)
+      .select(explode(col("words")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    // distinct frequency values with type and token mass; v = -c so the
+    // ascending prefix sum accumulates from the MOST frequent type down
+    val dist = wc.groupBy(col("c")).agg(count(lit(1)).as("nw"))
+      .withColumn("toks", col("c") * col("nw"))
+      .withColumn("v", -col("c"))
+      .localCheckpoint(false)
+    val cumW = graft.functions.PrefixSum.cumulative(
+        dist.select(col("v"), col("nw")), "v", "nw")
+      .select(col("v"), col("cum").as("words_cum"))
+    val cumT = graft.functions.PrefixSum.cumulative(
+        dist.select(col("v"), col("toks")), "v", "toks")
+      .select(col("v").as("v2"), col("cum").as("toks_cum"))
+    val tot = dist.agg(sum(col("toks")).as("tot"))
+    val grid = cumW.join(cumT, col("v") === col("v2")).drop("v2")
+      .crossJoin(broadcast(tot))
+      .select((-col("v")).as("min_count"), col("words_cum"),
+        col("toks_cum"), col("tot"))
+    // highest threshold whose coverage still meets the target = smallest
+    // vocabulary; comparison in exact decimal, no float coverage math
+    val picked = grid
+      .withColumn("q100", explode(array(targets.map(lit): _*)))
+      .filter(col("toks_cum").cast("decimal(38,0)") * 100 >=
+        col("q100").cast("decimal(38,0)") * col("tot"))
+      .groupBy(col("q100")).agg(max(col("min_count")).as("min_count"))
+    picked.join(grid, Seq("min_count"))
+      .select((col("q100").cast("double") / 100d).as("target"),
+        col("min_count"), col("words_cum").as("vocab_size"),
+        r6(col("toks_cum").cast("double") / col("tot")).as("coverage"),
+        r6(lit(1.0) - col("toks_cum").cast("double") / col("tot")).as("oov_share"))
+      .orderBy("target")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_prune" -> ((s, d) => vocabPrune(Tables.documents(s, d))),
     "q_bm25" -> ((s, d) => bm25(Tables.documents(s, d))),
     "q_cooccur_topk" -> ((s, d) => cooccurTopk(Tables.documents(s, d))),
     "q_ppl_filter" -> ((s, d) => pplFilter(Tables.documents(s, d))),
@@ -605,6 +657,27 @@ object Vocab {
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "q_vocab_prune" ->
+      s"""WITH w AS (SELECT string_split($normSql, ' ') AS words FROM documents),
+         tk AS (SELECT unnest(words) AS word FROM w),
+         wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+         d AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nw,
+             c * CAST(COUNT(*) AS BIGINT) AS toks FROM wc GROUP BY 1),
+         cum AS (SELECT c,
+             SUM(nw) OVER (ORDER BY c DESC) AS words_cum,
+             SUM(toks) OVER (ORDER BY c DESC) AS toks_cum
+           FROM d),
+         t AS (SELECT SUM(toks) AS tot FROM d),
+         tgt AS (SELECT UNNEST([50, 75, 90, 95, 99]) AS q100),
+         pick AS (SELECT q100, MAX(c) AS min_count
+           FROM cum, t, tgt WHERE 100 * toks_cum >= q100 * tot GROUP BY 1)
+         SELECT CAST(p.q100 AS DOUBLE) / 100 AS target,
+           p.min_count,
+           CAST(cum.words_cum AS BIGINT) AS vocab_size,
+           ${sqlR("CAST(cum.toks_cum AS DOUBLE) / t.tot", 6)} AS coverage,
+           ${sqlR("1.0 - CAST(cum.toks_cum AS DOUBLE) / t.tot", 6)} AS oov_share
+         FROM pick p JOIN cum ON cum.c = p.min_count, t
+         ORDER BY target""",
     "q_bm25" ->
       s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
          tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS word FROM w),

@@ -249,6 +249,7 @@ class DeterminismPropertySpec extends AnyFunSuite {
       graft.text.Vocab.cooccurTopk(_),
       graft.text.TextOps.charEntropy(_),
       graft.text.Vocab.bm25(_),
+      graft.text.Vocab.vocabPrune(_),
       graft.text.Packing.shardPlan(_),
       graft.text.Packing.shardBalance(_)
     ).foreach { op =>

@@ -174,6 +174,34 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabPrune: coverage meets each target minimally; matches a brute-force recount") {
+    val docs = Tables.documents(spark, sf)
+    val rows = graft.text.Vocab.vocabPrune(docs).collect().sortBy(_.getAs[Double]("target"))
+    assert(rows.map(_.getAs[Double]("target")).toSeq == Seq(0.5, 0.75, 0.9, 0.95, 0.99))
+    // brute force: word counts -> sorted desc, cumulative shares
+    val wcs = graft.text.TextPrep.withWords(docs)
+      .select(explode(col("words")).as("w")).groupBy("w").count()
+      .collect().map(_.getLong(1)).sorted.reverse
+    val tot = wcs.sum.toDouble
+    rows.foreach { r =>
+      val t = r.getAs[Double]("target")
+      val cov = r.getAs[Double]("coverage")
+      assert(cov + 1e-9 >= t, s"coverage $cov below target $t")
+      // minimality at count granularity: dropping the min_count band
+      // (all words with count == min_count) must fall below the target
+      val mc = r.getAs[Long]("min_count")
+      val covWithout = wcs.filter(_ > mc).sum / tot
+      assert(covWithout < t, s"cut not minimal at target $t: $covWithout without band $mc")
+      val expCov = wcs.filter(_ >= mc).sum / tot
+      assert(math.abs(cov - expCov) < 1e-5)
+      assert(r.getAs[Long]("vocab_size") == wcs.count(_ >= mc))
+      assert(math.abs(r.getAs[Double]("oov_share") - (1.0 - expCov)) < 1e-5)
+    }
+    // vocab grows with the coverage target
+    val sizes = rows.map(_.getAs[Long]("vocab_size"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b })
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
