@@ -66,6 +66,41 @@ object ScoreStream {
     spark.table(queryName)
   }
 
+  /** Character-entropy quality gate at INGEST — the stateless streaming
+    * twin of [[graft.text.TextOps.charEntropy]]. The batch operator
+    * aggregates per-(doc, char) counts through a shuffle; a stream must
+    * not (per-doc state for a row-local property is waste), so the same
+    * statistic is computed INSIDE the row: distinct chars via
+    * array_distinct, each count via a filter() scan of the doc's own
+    * char array, every entropy term cast to DECIMAL(20,12) before the
+    * fold. Decimal addition is exact and commutative, so the
+    * first-occurrence fold order here and the shuffle order of the batch
+    * groupBy produce the SAME total — MaskStreamSpec locks streamed ==
+    * batch bit-for-bit. Cost per row is O(len × |alphabet|) — the
+    * documented trade for zero streaming state at 100 TB of ingest. */
+  def entropyGate(spark: SparkSession, dir: String,
+                  queryName: String = "stream_entropy"): DataFrame = {
+    val gated = DocStream.readDocuments(spark, dir)
+      .withColumn("chars", split(Fns.normText(col("text")), ""))
+      .filter(length(Fns.normText(col("text"))) > 0)
+      .withColumn("s0", expr(
+        """aggregate(array_distinct(chars), cast(0 as decimal(20, 12)),
+          |  (acc, c) -> cast(acc + cast(
+          |    (cast(size(filter(chars, x -> x = c)) as double) / size(chars))
+          |      * ln(cast(size(filter(chars, x -> x = c)) as double) / size(chars))
+          |    as decimal(20, 12)) as decimal(20, 12)))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("chars")).cast("long").as("n_chars_norm"),
+        size(array_distinct(col("chars"))).cast("long").as("n_distinct_chars"),
+        Fns.r6((-col("s0")).cast("double")).as("entropy"))
+      .withColumn("low_entropy", col("entropy") < lit(2.0))
+    val q = gated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Catalog-policy masking at INGEST — the streaming deployment of
     * [[graft.operators.Masking.maskTable]]: the SAME policy object
     * produces the same RLS filter + row-local masked projection over a

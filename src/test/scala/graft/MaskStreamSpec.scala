@@ -33,6 +33,15 @@ class MaskStreamSpec extends AnyFunSuite {
     assert(Masking.maskTable(Tables.events(spark, sf), policy).columns.toSeq == rawCols)
   }
 
+  test("streamed entropy gate equals the batch charEntropy bit-for-bit") {
+    val batch = graft.text.TextOps.charEntropy(Tables.documents(spark, sf))
+      .collect().map(_.toString).sorted.toSeq
+    assert(batch.nonEmpty)
+    val streamed = ScoreStream.entropyGate(spark, sf).collect()
+      .map(_.toString).sorted.toSeq
+    assert(streamed == batch)
+  }
+
   test("the mask gate is stateless: no aggregate or join in the streaming plan") {
     val frame = Masking.maskTable(
       EventStream.readEvents(spark, sf), Masking.policy("events"))
