@@ -145,7 +145,57 @@ object Embeddings {
       .orderBy("vec_id")
   }
 
+  /** Variance-screened covariance/correlation mart over the embedding
+    * dims — the moment matrix a PCA / whitening / feature-selection step
+    * consumes, on a budget. A full d×d covariance explodes d² product
+    * terms per vector (4096 at d=64); instead pass 1 computes the d
+    * per-dim moment sums (d terms per vector, partial-aggregated), picks
+    * the `topD` highest-variance dims (bounded broadcast artifact,
+    * deterministic var-desc/dim-asc order), and pass 2 restricts the
+    * pair explode to topD(topD+1)/2 terms per vector — the screen is the
+    * standard budget device before a full PCA is justified.
+    *
+    * Determinism: per-element doubles are exact float widenings, every
+    * moment sum is decimal-routed (order-free), and cov/corr derive in
+    * IEEE double with the oracle's exact expression tree; sqrt's last-ulp
+    * slack is absorbed by r6. */
+  def embedCov(embeddings: DataFrame, topD: Int = 8): DataFrame = {
+    val x = embeddings.select(posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("i"), col("x").cast("double").as("x"))
+    val dims = x.groupBy(col("i")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(27,12)")).cast("double").as("sx"),
+        sum((col("x") * col("x")).cast("decimal(27,12)")).cast("double").as("sxx"))
+      .withColumn("var0", (col("sxx") - col("sx") * col("sx") / col("n")) / col("n"))
+    val top = dims.orderBy(col("var0").desc, col("i")).limit(topD)
+    // sorted dim list: collect_list alone is partition-order-dependent
+    val tds = top.agg(sort_array(collect_list(col("i"))).as("tds"))
+    val pairs = embeddings.select(col("embedding"))
+      .crossJoin(broadcast(tds))
+      .select(col("embedding"), explode(col("tds")).as("di"), col("tds"))
+      .select(col("embedding"), col("di"), explode(col("tds")).as("dj"))
+      .filter(col("di") <= col("dj"))
+      .select(col("di"), col("dj"),
+        (element_at(col("embedding"), col("di") + 1).cast("double") *
+          element_at(col("embedding"), col("dj") + 1).cast("double")).as("p"))
+      .groupBy(col("di"), col("dj"))
+      .agg(sum(col("p").cast("decimal(27,12)")).cast("double").as("sxy"))
+    val ti = top.select(col("i").as("di"), col("sx").as("sx_i"),
+      col("var0").as("var_i"), col("n"))
+    val tj = top.select(col("i").as("dj"), col("sx").as("sx_j"),
+      col("var0").as("var_j"))
+    pairs.join(broadcast(ti), Seq("di")).join(broadcast(tj), Seq("dj"))
+      .withColumn("cov0",
+        (col("sxy") - col("sx_i") * col("sx_j") / col("n")) / col("n"))
+      .select(col("di"), col("dj"), col("n"),
+        r6(col("var_i")).as("var_i"), r6(col("var_j")).as("var_j"),
+        r6(col("cov0")).as("cov"),
+        r6(col("cov0") / sqrt(col("var_i") * col("var_j"))).as("corr"))
+      .orderBy("di", "dj")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_cov" -> ((s, d) => embedCov(Tables.embeddings(s, d))),
     "q_embed_quant" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
     "q_rand_proj" -> ((s, d) => randomProjection(Tables.embeddings(s, d))),
     "q_pq_codes" -> ((s, d) => pqCodes(Tables.embeddings(s, d)))
@@ -157,6 +207,27 @@ object Embeddings {
         FROM (SELECT unnest($e1) AS x, unnest($e2) AS y)) / $S"""
 
   val oracles: Map[String, String] = Map(
+    "q_embed_cov" ->
+      s"""WITH x AS (SELECT CAST(r.i AS INT) AS i,
+             CAST(embedding[CAST(r.i AS INT) + 1] AS DOUBLE) AS x
+           FROM embeddings, LATERAL (SELECT UNNEST(range(len(embedding))) AS i) r),
+         d AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx
+           FROM x GROUP BY 1),
+         v AS (SELECT *, (sxx - sx * sx / n) / n AS var0 FROM d),
+         top AS (SELECT * FROM v ORDER BY var0 DESC, i LIMIT 8),
+         p AS (SELECT ti.i AS di, tj.i AS dj,
+             CAST(SUM(CAST(
+               CAST(e.embedding[ti.i + 1] AS DOUBLE) *
+               CAST(e.embedding[tj.i + 1] AS DOUBLE) AS DECIMAL(27,12))) AS DOUBLE) AS sxy
+           FROM embeddings e, top ti, top tj WHERE ti.i <= tj.i GROUP BY 1, 2)
+         SELECT p.di, p.dj, ti.n,
+           ${sqlR("ti.var0", 6)} AS var_i, ${sqlR("tj.var0", 6)} AS var_j,
+           ${sqlR("(p.sxy - ti.sx * tj.sx / ti.n) / ti.n", 6)} AS cov,
+           ${sqlR("((p.sxy - ti.sx * tj.sx / ti.n) / ti.n) / sqrt(ti.var0 * tj.var0)", 6)} AS corr
+         FROM p JOIN top ti ON ti.i = p.di JOIN top tj ON tj.i = p.dj
+         ORDER BY di, dj""",
     "q_pq_codes" ->
       s"""WITH ms AS (SELECT m FROM generate_series(0, 3) t(m)),
          cents AS (SELECT vec_id AS centroid_id, embedding AS ce FROM embeddings

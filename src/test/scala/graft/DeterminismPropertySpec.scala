@@ -260,6 +260,8 @@ class DeterminismPropertySpec extends AnyFunSuite {
     val emb = Tables.embeddings(spark, sf)
     assert(run(graft.ann.Ann.annNdcg(emb.repartition(1))) ==
       run(graft.ann.Ann.annNdcg(emb.repartition(13))))
+    assert(run(graft.ann.Embeddings.embedCov(emb.repartition(1))) ==
+      run(graft.ann.Embeddings.embedCov(emb.repartition(13))))
   }
 
   test("session-3 operators are invariant to input partitioning") {

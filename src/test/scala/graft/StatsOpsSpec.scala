@@ -202,6 +202,34 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(sizes.zip(sizes.tail).forall { case (a, b) => a <= b })
   }
 
+  test("embedCov matches a local covariance recomputation; diagonal corr is 1; |corr| <= 1") {
+    val emb = Tables.embeddings(spark, sf)
+    val rows = graft.ann.Embeddings.embedCov(emb).collect()
+    assert(rows.length == 8 * 9 / 2)
+    val vecs = emb.select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length.toDouble
+    def covLocal(i: Int, j: Int): Double = {
+      val sxy = vecs.map(v => v(i) * v(j)).sum
+      val sxi = vecs.map(_(i)).sum; val sxj = vecs.map(_(j)).sum
+      (sxy - sxi * sxj / n) / n
+    }
+    rows.foreach { r =>
+      val (di, dj) = (r.getAs[Int]("di"), r.getAs[Int]("dj"))
+      assert(di <= dj)
+      assert(math.abs(r.getAs[Double]("cov") - covLocal(di, dj)) < 1e-4,
+        s"cov($di,$dj): ${r.getAs[Double]("cov")} vs ${covLocal(di, dj)}")
+      val corr = r.getAs[Double]("corr")
+      assert(math.abs(corr) <= 1.0 + 1e-6)
+      if (di == dj) assert(math.abs(corr - 1.0) < 1e-6, s"diag corr $corr at $di")
+    }
+    // the screen picked the 8 highest-variance dims
+    val allVar = (0 until vecs.head.length).map(i => i -> covLocal(i, i))
+    val picked = rows.map(_.getAs[Int]("di")).toSet ++ rows.map(_.getAs[Int]("dj"))
+    val top8 = allVar.sortBy { case (i, v) => (-v, i) }.take(8).map(_._1).toSet
+    assert(picked == top8, s"screen picked $picked, brute force says $top8")
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
