@@ -391,6 +391,45 @@ object Dedup {
   /** Word-3-gram Jaccard near-dup join. Hot shingles (document frequency
     * > dfLimit) are pruned before the pair join — the standard guard that
     * keeps the candidate join linear on skewed corpora. */
+  /** Asymmetric shingle CONTAINMENT (Broder's other resemblance measure):
+    * share of the smaller doc's 3-gram set inside the other. The case
+    * Jaccard structurally misses — a short doc quoted whole inside a long
+    * one scores I/union ≈ \|A\|/\|B\| ≈ 0 but containment ≈ 1 — which is
+    * exactly the boilerplate-wrap / quote-inclusion duplication an LLM
+    * corpus needs caught. Same int64-hashed, df-capped candidate machinery
+    * as [[ngramJaccard]] (one ReuseExchange-shared explode, bounded
+    * Σ\|bucket\|² candidate stream); only the final projection differs:
+    * both directional scores, the max, and the dominating direction. */
+  def containment(documents: DataFrame, threshold: Double = 0.5,
+                  dfLimit: Int = 100): DataFrame = {
+    val sh = TextPrep.shinglesAll(documents)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
+      .distinct()
+    val wS = Window.partitionBy(col("sh"))
+    val shp = sh
+      .withColumn("df", count(lit(1)).over(wS))
+      .filter(col("df") <= dfLimit)
+      .select("doc_id", "sh")
+    val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = shp.as("a")
+      .join(shp.as("b"), col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_intersect"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "na"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "nb"), "doc_b")
+      .withColumn("cont_a", r6(col("n_intersect") / col("na")))
+      .withColumn("cont_b", r6(col("n_intersect") / col("nb")))
+      .withColumn("containment", greatest(col("cont_a"), col("cont_b")))
+      .filter(col("containment") >= threshold)
+      .withColumn("direction",
+        when(col("cont_a") >= col("cont_b"), lit("a_in_b")).otherwise(lit("b_in_a")))
+      .select("doc_a", "doc_b", "n_intersect", "na", "nb",
+        "cont_a", "cont_b", "containment", "direction")
+      .orderBy("doc_a", "doc_b")
+  }
+
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.4,
                    dfLimit: Int = 100): DataFrame = {
     // Hash every 3-gram to int64 BEFORE anything shuffles: the df count,
@@ -492,6 +531,7 @@ object Dedup {
     "q_dedup_clusters" -> ((s, d) => nearDupClusters(Tables.documents(s, d))),
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
+    "q_containment" -> ((s, d) => containment(Tables.documents(s, d))),
     "q_minhash_est" -> ((s, d) => minhashAccuracy(Tables.documents(s, d))),
     "q_jaccard_hist" -> ((s, d) => jaccardHistogram(Tables.documents(s, d)))
   )
@@ -616,6 +656,28 @@ object Dedup {
          FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
          WHERE FLOOR((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 >= 0.4
          ORDER BY 1, 2""",
+    "q_containment" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         w2 AS (SELECT * FROM w WHERE len(words) >= 3),
+         sh AS (SELECT DISTINCT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+                FROM w2, UNNEST(generate_series(1, len(words) - 2)) AS t(i)),
+         keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 100),
+         shp AS (SELECT sh.* FROM sh JOIN keep USING (shingle)),
+         sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) n FROM shp GROUP BY doc_id),
+         inter AS (SELECT a.doc_id da, b.doc_id db, CAST(COUNT(*) AS BIGINT) i
+           FROM shp a JOIN shp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sc AS (SELECT da AS doc_a, db AS doc_b, i AS n_intersect,
+             sa.n AS na, sb.n AS nb,
+             FLOOR((CAST(i AS DOUBLE) / sa.n) * 1000000 + 0.5) / 1000000 AS cont_a,
+             FLOOR((CAST(i AS DOUBLE) / sb.n) * 1000000 + 0.5) / 1000000 AS cont_b
+           FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id)
+         SELECT doc_a, doc_b, n_intersect, na, nb, cont_a, cont_b,
+           GREATEST(cont_a, cont_b) AS containment,
+           CASE WHEN cont_a >= cont_b THEN 'a_in_b' ELSE 'b_in_a' END AS direction
+         FROM sc WHERE GREATEST(cont_a, cont_b) >= 0.5
+         ORDER BY doc_a, doc_b""",
     "q_minhash_est" -> {
       val agreeSql = (0 to 7).map(k =>
         s"CASE WHEN a.h$k = b.h$k THEN 1 ELSE 0 END").mkString(" + ")

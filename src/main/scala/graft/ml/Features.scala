@@ -353,6 +353,39 @@ object Features {
       .orderBy("event_id")
   }
 
+  /** Top session PATHS — the user-journey mart (funnel/Sankey source):
+    * each 30-minute session's ordered event-type sequence, capped at the
+    * first `maxLen` steps (so a pathological session cannot blow up the
+    * path key space), counted corpus-wide with visitor reach; top `k`
+    * by session count. Session assignment is [[sessionize]]'s exact
+    * window device, so the two marts can never disagree on boundaries.
+    *
+    * Scale shape: the windows are user-keyed (no global sort); the path
+    * string comes from sort_array(collect_list(struct(ts, event_id,
+    * type))) per session — DETERMINISTIC order from the struct key, not
+    * collect_list arrival order, and bounded by session length with the
+    * slice cap; path counts partial-aggregate and the top-k is
+    * TakeOrderedAndProject. */
+  def sessionPaths(events: DataFrame, maxLen: Int = 5, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("ts_s", epochS(col("ts")))
+      .withColumn("prev_s", lag(col("ts_s"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_s").isNull || col("ts_s") - col("prev_s") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    flagged.groupBy(col("user_id"), col("session_seq"))
+      .agg(sort_array(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+      .select(col("user_id"),
+        expr(s"concat_ws('>', transform(slice(evs, 1, $maxLen), e -> e.event_type))").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"), countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** PSI (population stability index) between the first and second half of
     * the event stream over 10 equi-width bins (_calculate_psi). Two
     * aggregate passes, nothing collected: bin counts are the only state. */
@@ -679,6 +712,7 @@ object Features {
     "q_rfm_features" -> ((s, d) => rfmExact(Tables.events(s, d))),
     "q_rolling_features" -> ((s, d) => rolling(Tables.events(s, d))),
     "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
+    "q_session_paths" -> ((s, d) => sessionPaths(Tables.events(s, d))),
     "q_funnel" -> ((s, d) => funnel(Tables.events(s, d))),
     "q_funnel_ordered" -> ((s, d) => funnelOrdered(Tables.events(s, d))),
     "q_txn_enrich" -> ((s, d) => enrichTransactions(Tables.events(s, d))),
@@ -737,6 +771,28 @@ object Features {
          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
            w3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
          ORDER BY event_id""",
+    "q_session_paths" ->
+      """WITH t AS (
+           SELECT user_id, event_type, event_id, ts,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS ts_s,
+             LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+           FROM events),
+         f AS (
+           SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS is_new
+           FROM t),
+         s AS (
+           SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           FROM f),
+         r AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq ORDER BY ts, event_id) AS rn
+           FROM s),
+         p AS (
+           SELECT user_id, session_seq, string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+           FROM r WHERE rn <= 5 GROUP BY 1, 2)
+         SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""",
     "q_sessionize" ->
       """WITH t AS (
            SELECT user_id, event_type, value, event_id,

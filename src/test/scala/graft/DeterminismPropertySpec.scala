@@ -262,6 +262,10 @@ class DeterminismPropertySpec extends AnyFunSuite {
       run(graft.ann.Ann.annNdcg(emb.repartition(13))))
     assert(run(graft.ann.Embeddings.embedCov(emb.repartition(1))) ==
       run(graft.ann.Embeddings.embedCov(emb.repartition(13))))
+    assert(run(graft.dedup.Dedup.containment(docs.repartition(1))) ==
+      run(graft.dedup.Dedup.containment(docs.repartition(13))))
+    assert(run(graft.ml.Features.sessionPaths(ev.repartition(1))) ==
+      run(graft.ml.Features.sessionPaths(ev.repartition(13))))
   }
 
   test("session-3 operators are invariant to input partitioning") {

@@ -234,6 +234,9 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.text.Vocab.vocabPrune(emptyDocs).count() == 0)
     assert(graft.ann.Embeddings.embedCov(
       Tables.embeddings(spark, sf).limit(0)).count() == 0)
+    assert(graft.dedup.Dedup.containment(emptyDocs).count() == 0)
+    assert(graft.ml.Features.sessionPaths(
+      Tables.events(spark, sf).limit(0)).count() == 0)
     // a raw corpus too small to take from: every flag FALSE, never NULL
     // (src1-only input guarantees a nonempty raw side — no target docs)
     val tiny = Tables.documents(spark, sf)

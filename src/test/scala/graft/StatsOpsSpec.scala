@@ -230,6 +230,60 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(picked == top8, s"screen picked $picked, brute force says $top8")
   }
 
+  test("containment catches full inclusion Jaccard misses; agrees with the shared intersections") {
+    import spark.implicits._
+    // B contains all of A's 3-grams plus many of its own: Jaccard is low
+    // (3 shared / 13 union), containment of A in B is exactly 1
+    val a = "alpha beta gamma delta epsilon"
+    val b = a + " zeta eta theta iota kappa lambda mu nu xi omicron"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = graft.dedup.Dedup.containment(docs).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Double]("cont_a") == 1.0)
+    assert(r.getAs[String]("direction") == "a_in_b")
+    assert(r.getAs[Double]("containment") == 1.0)
+    // the same pair is BELOW the Jaccard near-dup bar — the blind spot
+    assert(graft.dedup.Dedup.ngramJaccard(docs).collect().isEmpty)
+    // on the corpus: every surviving pair's containment >= its jaccard
+    val corpus = Tables.documents(spark, sf)
+    val jac = graft.dedup.Dedup.ngramJaccard(corpus).collect()
+      .map(r0 => (r0.getAs[Long]("doc_a"), r0.getAs[Long]("doc_b")) ->
+        r0.getAs[Double]("jaccard")).toMap
+    val cont = graft.dedup.Dedup.containment(corpus).collect()
+      .map(r0 => (r0.getAs[Long]("doc_a"), r0.getAs[Long]("doc_b")) ->
+        r0.getAs[Double]("containment")).toMap
+    jac.foreach { case (k, j) =>
+      if (j >= 0.5) assert(cont.contains(k) && cont(k) + 1e-9 >= j,
+        s"pair $k jaccard $j missing or below in containment")
+    }
+  }
+
+  test("sessionPaths matches a local recomputation of capped session paths") {
+    val ev = Tables.events(spark, sf)
+    val out = graft.ml.Features.sessionPaths(ev).collect()
+      .map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions"), r.getAs[Long]("n_users")))
+    val raw = ev.selectExpr("user_id", "event_id", "event_type",
+        "cast(floor(unix_timestamp(ts)) as long) ts_s", "ts")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("ts_s"),
+        r.getAs[java.sql.Timestamp]("ts")))
+    val paths = raw.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val sorted = evs.sortBy(e => (e._5.getTime, e._2))
+      // split on >30min gaps of the floored seconds, as the operator does
+      val sessions = sorted.foldLeft(Vector.empty[Vector[(String, Long)]]) { (acc, e) =>
+        if (acc.isEmpty || e._4 - acc.last.last._2 > 1800L) acc :+ Vector((e._3, e._4))
+        else acc.init :+ (acc.last :+ ((e._3, e._4)))
+      }
+      sessions.map(s => (u, s.take(5).map(_._1).mkString(">")))
+    }
+    val counts = paths.groupBy(_._2).map { case (p, xs) =>
+      (p, xs.size.toLong, xs.map(_._1).distinct.size.toLong) }
+    val top = counts.toSeq.sortBy { case (p, n, _) => (-n, p) }.take(20)
+    assert(out.toSeq == top)
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
