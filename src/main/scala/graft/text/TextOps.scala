@@ -138,18 +138,18 @@ object TextOps {
       .orderBy("source", "predicted_lang")
   }
 
-  /** Gopher-style quality gates (Rae et al. 2021, arXiv:2112.11446,
-    * table A1 — the published rule set most pretraining pipelines start
-    * from), each rule its own flag so the funnel is auditable:
-    * word count in [50, 100k], mean word length in [3, 10],
-    * symbol-to-word ratio (# and … ) ≤ 0.1, ≥ 80% of words contain an
-    * alphabetic character, ≥ 2 stopword hits. All row-local column
-    * expressions over one tokenized pass — shuffle-free at any corpus
-    * size; thresholds compare identically-rounded doubles in both
-    * engines, so no gate sits on a float boundary. */
-  def gopherGates(documents: DataFrame): DataFrame =
-    TextPrep.withWords(documents)
-      .withColumn("n_words", size(col("words")))
+  /** Adds the Gopher signal + pass-flag columns (Rae et al. 2021,
+    * arXiv:2112.11446, table A1 — the published rule set most
+    * pretraining pipelines start from) to a withWords frame: word count
+    * in [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    * (# and …) ≤ 0.1, ≥ 80% of words contain an alphabetic character,
+    * ≥ 2 stopword hits. All row-local column expressions over one
+    * tokenized pass — shuffle-free at any corpus size; thresholds
+    * compare identically-rounded doubles in both engines, so no gate
+    * sits on a float boundary. Shared by [[gopherGates]] and the fused
+    * [[gateFunnel]]. */
+  private[graft] def withGopherSignals(d0: DataFrame): DataFrame =
+    d0.withColumn("n_words", size(col("words")))
       .withColumn("mean_word_len",
         r4((length(col("norm")) - (col("n_words") - 1)) / col("n_words")))
       .withColumn("n_symbols",
@@ -170,6 +170,11 @@ object TextOps {
       .withColumn("keep",
         col("pass_word_count") && col("pass_word_len") && col("pass_symbol") &&
           col("pass_alpha") && col("pass_stop"))
+
+  /** Gopher-style quality gates as a per-doc audit mart — each rule its
+    * own flag so the funnel is auditable (see [[withGopherSignals]]). */
+  def gopherGates(documents: DataFrame): DataFrame =
+    withGopherSignals(TextPrep.withWords(documents))
       .select("doc_id", "n_words", "mean_word_len", "n_symbols", "symbol_ratio",
         "n_alpha_words", "alpha_frac", "n_stop", "pass_word_count",
         "pass_word_len", "pass_symbol", "pass_alpha", "pass_stop", "keep")
@@ -236,7 +241,86 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** The ROW-LOCAL char-entropy fold over a `chars` array column — the
+    * shared device of [[graft.streaming.ScoreStream.entropyGate]] (which
+    * must not shuffle) and the [[gateFunnel]] (which wants all gates in
+    * one pass). Exact-decimal term casts make it bit-equal to the batch
+    * [[charEntropy]] groupBy form: decimal addition is associative and
+    * commutative, so first-occurrence fold order vs shuffle order is
+    * immaterial. O(len × |alphabet|) per row — the documented trade for
+    * shuffle-freedom. Returns the DECIMAL(20,12) negated-entropy sum. */
+  private[graft] def entropyFold(charsCol: String): org.apache.spark.sql.Column = expr(
+    s"""aggregate(array_distinct($charsCol), cast(0 as decimal(20, 12)),
+       |  (acc, c) -> cast(acc + cast(
+       |    (cast(size(filter($charsCol, x -> x = c)) as double) / size($charsCol))
+       |      * ln(cast(size(filter($charsCol, x -> x = c)) as double) / size($charsCol))
+       |    as decimal(20, 12)) as decimal(20, 12)))""".stripMargin)
+
+  /** Language-ID confusion matrix with per-cell label/prediction mass —
+    * the classifier-eval mart over [[langId]] at corpus scale: one row
+    * per (labeled, predicted) pair, its count, the label row total and
+    * prediction column total, and the recall/precision shares those
+    * imply (the diagonal rows ARE per-language recall and precision).
+    * Scale shape: one row-local scoring pass, one |langs|²-bounded
+    * aggregate, windows only over that bounded frame. */
+  def langConfusion(documents: DataFrame): DataFrame = {
+    val cm = withLangScores(TextPrep.withWords(documents))
+      .groupBy(col("lang").as("labeled_lang"), col("predicted_lang"))
+      .agg(count(lit(1)).as("n"))
+    val wP = Window.partitionBy(col("predicted_lang"))
+    val wL = Window.partitionBy(col("labeled_lang"))
+    cm.withColumn("n_labeled", sum(col("n")).over(wL))
+      .withColumn("n_predicted", sum(col("n")).over(wP))
+      .select(col("labeled_lang"), col("predicted_lang"), col("n"),
+        col("n_labeled"), col("n_predicted"),
+        r6(col("n") / col("n_labeled")).as("recall_share"),
+        r6(col("n") / col("n_predicted")).as("precision_share"))
+      .orderBy("labeled_lang", "predicted_lang")
+  }
+
+  /** The curation FUNNEL report — sequential attrition through the
+    * pipeline's gates (Gopher rules → English → char entropy →
+    * quality score), one row per stage with survivor count and the
+    * share of total / of the previous stage. The number a pipeline
+    * owner actually reads before a training run: where the corpus is
+    * lost. ALL gates evaluate in ONE fused row-local pass (the entropy
+    * gate uses the row-local [[entropyFold]] device, spec-proven
+    * bit-equal to the batch form), so the whole funnel costs one scan
+    * and one 1-row aggregate regardless of gate count. */
+  def gateFunnel(documents: DataFrame, minQuality: Double = 0.4): DataFrame = {
+    val flags = withLangScores(withQualitySignals(withGopherSignals(
+        TextPrep.withWords(documents))))
+      .withColumn("chars", split(col("norm"), ""))
+      .withColumn("entropy",
+        when(length(col("norm")) > 0, r6((-entropyFold("chars")).cast("double"))))
+      .withColumn("g1", col("keep"))
+      .withColumn("g2", col("g1") && col("predicted_lang") === "en")
+      .withColumn("g3", coalesce(col("g2") && col("entropy") >= 2.0, lit(false)))
+      .withColumn("g4", col("g3") && col("quality_score") >= minQuality)
+    def n(c: String) = sum(when(col(c), 1L).otherwise(0L))
+    val agg = flags.agg(count(lit(1)).as("n0"),
+      n("g1").as("n1"), n("g2").as("n2"), n("g3").as("n3"), n("g4").as("n4"))
+    def st(i: Int, gate: String, nc: String, pc: String) =
+      struct(lit(i).as("stage"), lit(gate).as("gate"), col(nc).as("n_docs"),
+        col(pc).as("n_prev"), col("n0").as("n_total"))
+    agg.select(explode(array(
+        st(0, "total", "n0", "n0"),
+        st(1, "gopher_rules", "n1", "n0"),
+        st(2, "english", "n2", "n1"),
+        st(3, "char_entropy", "n3", "n2"),
+        st(4, "quality_score", "n4", "n3"))).as("s"))
+      .select(col("s.stage").as("stage"), col("s.gate").as("gate"),
+        col("s.n_docs").as("n_docs"),
+        // try_divide on both: an EMPTY corpus has n_total = 0, and ANSI
+        // `/` would abort the report instead of yielding NULL shares
+        r6(try_divide(col("s.n_docs"), col("s.n_total"))).as("share_total"),
+        r6(try_divide(col("s.n_docs"), col("s.n_prev"))).as("share_prev"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_lang_confusion" -> ((s, d) => langConfusion(Tables.documents(s, d))),
+    "q_gate_funnel" -> ((s, d) => gateFunnel(Tables.documents(s, d))),
     "q_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
     "q_lang_id" -> ((s, d) => langId(Tables.documents(s, d))),
     "q_text_quality" -> ((s, d) => quality(Tables.documents(s, d))),
@@ -252,6 +336,89 @@ object TextOps {
     s"len(list_filter(words, w -> w IN ${inList(stop(lang))}))"
 
   val oracles: Map[String, String] = Map(
+    "q_lang_confusion" ->
+      s"""WITH w AS (SELECT doc_id, lang, string_split($normSql, ' ') AS words FROM documents),
+         sc AS (SELECT doc_id, lang,
+             CAST(${hits("en")} AS INT) s_en, CAST(${hits("es")} AS INT) s_es,
+             CAST(${hits("de")} AS INT) s_de, CAST(${hits("fr")} AS INT) s_fr
+           FROM w),
+         pr AS (SELECT lang AS labeled_lang,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS predicted_lang
+           FROM sc),
+         cm AS (SELECT labeled_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n
+           FROM pr GROUP BY 1, 2)
+         SELECT labeled_lang, predicted_lang, n,
+           CAST(SUM(n) OVER (PARTITION BY labeled_lang) AS BIGINT) AS n_labeled,
+           CAST(SUM(n) OVER (PARTITION BY predicted_lang) AS BIGINT) AS n_predicted,
+           ${sqlR("CAST(n AS DOUBLE) / (SUM(n) OVER (PARTITION BY labeled_lang))", 6)} AS recall_share,
+           ${sqlR("CAST(n AS DOUBLE) / (SUM(n) OVER (PARTITION BY predicted_lang))", 6)} AS precision_share
+         FROM cm ORDER BY labeled_lang, predicted_lang""",
+    "q_gate_funnel" ->
+      s"""WITH w AS (SELECT doc_id, text, $normSql AS norm,
+             string_split($normSql, ' ') AS words FROM documents),
+         d AS (SELECT doc_id, norm,
+             CAST(len(words) AS INT) AS n_words,
+             FLOOR((CAST(length(norm) - (len(words) - 1) AS DOUBLE) / len(words)) * 10000 + 0.5) / 10000 AS mean_word_len,
+             CAST((length(text) - length(replace(text, '#', ''))) +
+                  (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+             CAST(len(list_filter(words, w2 -> regexp_matches(w2, '[a-z]'))) AS INT) AS n_alpha_words,
+             CAST(${hits("en")} AS INT) AS n_stop,
+             FLOOR((CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 10000 + 0.5) / 10000 AS punct_ratio,
+             FLOOR((CAST(${hits("en")} AS DOUBLE) / len(words)) * 10000 + 0.5) / 10000 AS stop_ratio,
+             CAST(${hits("es")} AS INT) AS s_es, CAST(${hits("de")} AS INT) AS s_de,
+             CAST(${hits("fr")} AS INT) AS s_fr
+           FROM w),
+         ch AS (SELECT doc_id, substr(norm, CAST(r.i AS INT) + 1, 1) AS ch
+           FROM (SELECT doc_id, norm FROM w) nm,
+             LATERAL (SELECT UNNEST(range(len(norm))) AS i) r
+           WHERE len(norm) > 0),
+         cc AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+         ct AS (SELECT doc_id, c,
+             (CAST(c AS DOUBLE) / (SUM(c) OVER (PARTITION BY doc_id)))
+               * ln(CAST(c AS DOUBLE) / (SUM(c) OVER (PARTITION BY doc_id))) AS term
+           FROM cc),
+         en AS (SELECT doc_id,
+             ${sqlR("-(CAST(SUM(CAST(term AS DECIMAL(20,12))) AS DOUBLE))", 6)} AS entropy
+           FROM ct GROUP BY 1),
+         fl AS (SELECT d.doc_id,
+             (d.n_words >= 50 AND d.n_words <= 100000
+               AND d.mean_word_len >= 3.0 AND d.mean_word_len <= 10.0
+               AND FLOOR((CAST(d.n_symbols AS DOUBLE) / d.n_words) * 10000 + 0.5) / 10000 <= 0.1
+               AND FLOOR((CAST(d.n_alpha_words AS DOUBLE) / d.n_words) * 10000 + 0.5) / 10000 >= 0.8
+               AND d.n_stop >= 2) AS g1,
+             (CASE WHEN d.n_stop >= d.s_es AND d.n_stop >= d.s_de AND d.n_stop >= d.s_fr THEN 'en'
+                   WHEN d.s_es >= d.s_de AND d.s_es >= d.s_fr THEN 'es'
+                   WHEN d.s_de >= d.s_fr THEN 'de'
+                   ELSE 'fr' END) = 'en' AS is_en,
+             en.entropy,
+             FLOOR((0.4 * d.stop_ratio + 0.3 * (1.0 - d.punct_ratio)
+               + 0.3 * LEAST(CAST(d.n_words AS DOUBLE) / 100, 1.0)) * 10000 + 0.5) / 10000 AS quality_score
+           FROM d LEFT JOIN en ON d.doc_id = en.doc_id),
+         fg AS (SELECT doc_id, g1,
+             g1 AND is_en AS g2,
+             COALESCE(g1 AND is_en AND entropy >= 2.0, FALSE) AS g3,
+             COALESCE(g1 AND is_en AND entropy >= 2.0, FALSE) AND quality_score >= 0.4 AS g4
+           FROM fl),
+         agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+           FROM fg)
+         SELECT stage, gate, n_docs,
+           ${sqlR("CAST(n_docs AS DOUBLE) / n_total", 6)} AS share_total,
+           CASE WHEN n_prev = 0 THEN NULL
+                ELSE ${sqlR("CAST(n_docs AS DOUBLE) / n_prev", 6)} END AS share_prev
+         FROM (
+           SELECT 0 AS stage, 'total' AS gate, n0 AS n_docs, n0 AS n_prev, n0 AS n_total FROM agg
+           UNION ALL SELECT 1, 'gopher_rules', n1, n0, n0 FROM agg
+           UNION ALL SELECT 2, 'english', n2, n1, n0 FROM agg
+           UNION ALL SELECT 3, 'char_entropy', n3, n2, n0 FROM agg
+           UNION ALL SELECT 4, 'quality_score', n4, n3, n0 FROM agg)
+         ORDER BY stage""",
     "q_char_entropy" ->
       s"""WITH nm AS (SELECT doc_id, $normSql AS norm FROM documents),
          ch AS (SELECT doc_id, substr(norm, CAST(r.i AS INT) + 1, 1) AS ch

@@ -264,6 +264,10 @@ class DeterminismPropertySpec extends AnyFunSuite {
       run(graft.ann.Embeddings.embedCov(emb.repartition(13))))
     assert(run(graft.dedup.Dedup.containment(docs.repartition(1))) ==
       run(graft.dedup.Dedup.containment(docs.repartition(13))))
+    assert(run(graft.text.TextOps.langConfusion(docs.repartition(1))) ==
+      run(graft.text.TextOps.langConfusion(docs.repartition(13))))
+    assert(run(graft.text.TextOps.gateFunnel(docs.repartition(1))) ==
+      run(graft.text.TextOps.gateFunnel(docs.repartition(13))))
     assert(run(graft.ml.Features.sessionPaths(ev.repartition(1))) ==
       run(graft.ml.Features.sessionPaths(ev.repartition(13))))
   }

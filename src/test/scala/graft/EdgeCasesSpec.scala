@@ -235,6 +235,10 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.ann.Embeddings.embedCov(
       Tables.embeddings(spark, sf).limit(0)).count() == 0)
     assert(graft.dedup.Dedup.containment(emptyDocs).count() == 0)
+    assert(graft.text.TextOps.langConfusion(emptyDocs).count() == 0)
+    // the funnel on an empty corpus still reports its five stages, all 0
+    val ef = graft.text.TextOps.gateFunnel(emptyDocs).collect()
+    assert(ef.length == 5 && ef.forall(_.getAs[Long]("n_docs") == 0L))
     assert(graft.ml.Features.sessionPaths(
       Tables.events(spark, sf).limit(0)).count() == 0)
     // a raw corpus too small to take from: every flag FALSE, never NULL

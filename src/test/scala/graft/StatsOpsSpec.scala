@@ -284,6 +284,51 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.toSeq == top)
   }
 
+  test("langConfusion is the exact cross-tab of langId; shares normalize per row/column") {
+    val docs = Tables.documents(spark, sf)
+    val ids = graft.text.TextOps.langId(docs).collect()
+      .map(r => (r.getAs[String]("labeled_lang"), r.getAs[String]("predicted_lang")))
+    val expect = ids.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val out = graft.text.TextOps.langConfusion(docs).collect()
+    assert(out.map(_.getAs[Long]("n")).sum == ids.length)
+    out.foreach { r =>
+      val k = (r.getAs[String]("labeled_lang"), r.getAs[String]("predicted_lang"))
+      assert(r.getAs[Long]("n") == expect(k), s"cell $k")
+      assert(r.getAs[Long]("n_labeled") == ids.count(_._1 == k._1))
+      assert(r.getAs[Long]("n_predicted") == ids.count(_._2 == k._2))
+      assert(math.abs(r.getAs[Double]("recall_share") -
+        expect(k).toDouble / ids.count(_._1 == k._1)) < 1e-6)
+    }
+    assert(out.length == expect.size)
+  }
+
+  test("gateFunnel: monotone attrition, stage 1 equals the gopher keep count, fused == staged") {
+    val docs = Tables.documents(spark, sf)
+    val out = graft.text.TextOps.gateFunnel(docs).collect().sortBy(_.getAs[Int]("stage"))
+    assert(out.map(_.getAs[String]("gate")).toSeq ==
+      Seq("total", "gopher_rules", "english", "char_entropy", "quality_score"))
+    val ns = out.map(_.getAs[Long]("n_docs"))
+    assert(ns.head == docs.count())
+    assert(ns.zip(ns.tail).forall { case (a, b) => b <= a }, s"not monotone: ${ns.toSeq}")
+    // the fused stage-1 count equals the standalone gopher operator's
+    val gopherKeep = graft.text.TextOps.gopherGates(docs)
+      .filter(col("keep")).count()
+    assert(ns(1) == gopherKeep)
+    // staged recomputation of stage 3 from the standalone operators
+    val en = graft.text.TextOps.langId(docs).collect()
+      .filter(_.getAs[String]("predicted_lang") == "en")
+      .map(_.getAs[Long]("doc_id")).toSet
+    val gk = graft.text.TextOps.gopherGates(docs).filter(col("keep"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val hiEnt = graft.text.TextOps.charEntropy(docs)
+      .filter(col("entropy") >= 2.0).collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(ns(3) == (gk & en & hiEnt).size)
+    out.foreach { r =>
+      val st = r.getAs[Double]("share_total")
+      assert(st >= 0.0 && st <= 1.0)
+    }
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
