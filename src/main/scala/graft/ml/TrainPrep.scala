@@ -300,7 +300,10 @@ object TrainPrep {
     * budgeting, quality priors); the OPERATOR is the point: how a linear
     * model trains on 100 TB. */
   private def linregDesign(documents: DataFrame): DataFrame =
-    graft.text.TextPrep.withWords(documents)
+    // NULL text must drop, not poison the moments: Spark's size(NULL)
+    // is -1 while the oracle's len(NULL) is NULL-skipped by SUM — the
+    // cross-engine divergence class the SCD2 oracle hardening closed
+    graft.text.TextPrep.withWords(documents.filter(col("text").isNotNull))
       .select(col("doc_id"), col("n_chars").as("y"),
         size(col("words")).cast("long").as("x1"),
         size(array_distinct(col("words"))).cast("long").as("x2"))
@@ -330,10 +333,15 @@ object TrainPrep {
       ds(d0(col("x1")) * d0(col("y"))).as("s1y"),
       ds(d0(col("x2")) * d0(col("y"))).as("s2y"),
       ds(d0(col("y")) * d0(col("y"))).as("syy"))
+    // SINGULAR normal equations (degenerate corpus: too few rows or
+    // linearly dependent features) must yield NULL coefficients, not an
+    // ANSI DIVIDE_BY_ZERO abort: a zero determinant becomes a NULL
+    // divisor, which NULL-propagates through every β
+    def nz(c: Column) = when(c =!= 0.0, c)
     s.withColumn("det",
-        col("n") * (col("s11") * col("s22") - col("s12") * col("s12"))
+        nz(col("n") * (col("s11") * col("s22") - col("s12") * col("s12"))
           - col("s1") * (col("s1") * col("s22") - col("s12") * col("s2"))
-          + col("s2") * (col("s1") * col("s12") - col("s11") * col("s2")))
+          + col("s2") * (col("s1") * col("s12") - col("s11") * col("s2"))))
       .withColumn("b0",
         (col("sy") * (col("s11") * col("s22") - col("s12") * col("s12"))
           - col("s1") * (col("s1y") * col("s22") - col("s12") * col("s2y"))
@@ -355,9 +363,12 @@ object TrainPrep {
     linregBetas(documents).select(
       col("n").cast("long").as("n"),
       r6(col("b0")).as("b0"), r6(col("b1")).as("b1"), r6(col("b2")).as("b2"),
+      // a zero SST (constant y / single row) NULLs R² the same way a
+      // singular det NULLs the betas
       r6(lit(1d) -
         (col("syy") - col("b0") * col("sy") - col("b1") * col("s1y") - col("b2") * col("s2y")) /
-          (col("syy") - col("sy") * col("sy") / col("n"))).as("r2_score"))
+          when(col("syy") - col("sy") * col("sy") / col("n") =!= 0.0,
+            col("syy") - col("sy") * col("sy") / col("n"))).as("r2_score"))
 
   /** Model application: the fitted one-row β is BROADCAST onto the corpus
     * and scoring is row-local arithmetic — the train-once/score-everywhere
@@ -388,7 +399,7 @@ object TrainPrep {
   private val linregB: String =
     """WITH w AS (SELECT doc_id, n_chars,
            string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS words
-         FROM documents),
+         FROM documents WHERE text IS NOT NULL),
        f AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS y,
            CAST(len(words) AS BIGINT) AS x1,
            CAST(len(list_distinct(words)) AS BIGINT) AS x2
@@ -412,13 +423,13 @@ object TrainPrep {
        b AS (SELECT n, sy, s1y, s2y, syy,
            (sy * (s11 * s22 - s12 * s12)
              - s1 * (s1y * s22 - s12 * s2y)
-             + s2 * (s1y * s12 - s11 * s2y)) / det AS b0,
+             + s2 * (s1y * s12 - s11 * s2y)) / NULLIF(det, 0) AS b0,
            (n * (s1y * s22 - s12 * s2y)
              - sy * (s1 * s22 - s12 * s2)
-             + s2 * (s1 * s2y - s1y * s2)) / det AS b1,
+             + s2 * (s1 * s2y - s1y * s2)) / NULLIF(det, 0) AS b1,
            (n * (s11 * s2y - s1y * s12)
              - s1 * (s1 * s2y - s1y * s2)
-             + sy * (s1 * s12 - s11 * s2)) / det AS b2
+             + sy * (s1 * s12 - s11 * s2)) / NULLIF(det, 0) AS b2
          FROM dt)"""
 
   val oracles: Map[String, String] = Map(
@@ -426,7 +437,7 @@ object TrainPrep {
       s"""$linregB
          SELECT CAST(n AS BIGINT) AS n,
            ${sqlR("b0", 6)} AS b0, ${sqlR("b1", 6)} AS b1, ${sqlR("b2", 6)} AS b2,
-           ${sqlR("1 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (syy - sy * sy / n)", 6)} AS r2_score
+           ${sqlR("1 - (syy - b0 * sy - b1 * s1y - b2 * s2y) / NULLIF(syy - sy * sy / n, 0)", 6)} AS r2_score
          FROM b""",
     "q_linreg_score" ->
       s"""$linregB

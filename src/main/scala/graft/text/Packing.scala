@@ -57,8 +57,12 @@ object Packing {
     * range-bucketed past 1M NDV) plus a within-tie ROW_NUMBER partitioned
     * by the token count — every window partitions on a real key. */
   def shardPlan(documents: DataFrame, nShards: Int = 16): DataFrame = {
-    val base = documents.select(col("doc_id"),
-      ceil(length(col("text")) / 4.0).cast("long").as("est_tokens"))
+    // NULL text would rank NULLS FIRST in Spark but NULLS LAST in the
+    // oracle's ROW_NUMBER — drop it instead of depending on a nullable
+    // column's engine-specific sort position (the QI-null-ordering class)
+    val base = documents.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        ceil(length(col("text")) / 4.0).cast("long").as("est_tokens"))
     // NDV-scale distinct frame, pinned per the PrefixSum caller contract
     val dist = base.groupBy(col("est_tokens")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(false)
@@ -120,7 +124,7 @@ object Packing {
     "q_shard_plan" ->
       """WITH t AS (SELECT doc_id,
              CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_tokens
-           FROM documents)
+           FROM documents WHERE text IS NOT NULL)
          SELECT doc_id, est_tokens,
            ROW_NUMBER() OVER (ORDER BY est_tokens, doc_id) AS rnk,
            CAST((ROW_NUMBER() OVER (ORDER BY est_tokens, doc_id) - 1) % 16 AS INT) AS shard
@@ -128,7 +132,7 @@ object Packing {
     "q_shard_balance" ->
       s"""WITH t AS (SELECT doc_id,
              CAST(CEIL(length(text) / 4.0) AS BIGINT) AS est_tokens
-           FROM documents),
+           FROM documents WHERE text IS NOT NULL),
          r AS (SELECT est_tokens,
              CAST((ROW_NUMBER() OVER (ORDER BY est_tokens, doc_id) - 1) % 16 AS INT) AS shard
            FROM t),

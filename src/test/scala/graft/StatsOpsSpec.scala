@@ -329,6 +329,18 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("NULL text drops from linreg and shard plan instead of poisoning the stats") {
+    import spark.implicits._
+    val docs = Seq((1L, Option("hello world hello"), 17L),
+        (2L, None: Option[String], 5L))
+      .toDF("doc_id", "text", "n_chars")
+    // Spark's size(NULL) = -1 would have entered the moments as a -1
+    // feature value; the filter drops the row in both engines instead
+    assert(graft.ml.TrainPrep.linregFit(docs).collect()(0).getAs[Long]("n") == 1L)
+    assert(graft.text.Packing.shardPlan(docs).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
