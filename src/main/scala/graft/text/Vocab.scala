@@ -634,7 +634,58 @@ object Vocab {
       .orderBy("target")
   }
 
+  /** Zipf power-law fit of the vocabulary — the corpus-naturalness
+    * diagnostic (natural language sits near slope −1 on log rank vs log
+    * frequency; machine-generated or templated corpora bend away):
+    * every type gets its exact frequency rank, then a one-pass
+    * closed-form simple regression of ln(freq) on ln(rank) with the
+    * Pearson r² of the fit.
+    *
+    * Device composition: the rank is the [[graft.text.Packing.shardPlan]]
+    * shape (PrefixSum cumulative over the frequency NDV + within-tie
+    * keyed ROW_NUMBER — no partitionless window over the vocabulary),
+    * and the fit is the q_linreg_fit shape (decimal-routed moment sums,
+    * one-row closed-form solve mirrored in the oracle, NULL on a
+    * degenerate design). */
+  def zipfFit(documents: DataFrame): DataFrame = {
+    val wc = TextPrep.withWords(documents)
+      .select(explode(col("words")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val dist = wc.groupBy(col("c")).agg(count(lit(1)).as("nw"))
+      .withColumn("v", -col("c"))
+      .localCheckpoint(false)
+    val cum = graft.functions.PrefixSum.cumulative(
+        dist.select(col("v"), col("nw")), "v", "nw")
+      .select((-col("v")).as("c"), col("cum"), col("nw"))
+    val wTie = Window.partitionBy(col("c")).orderBy(col("word"))
+    val pts = wc.join(cum, Seq("c"))
+      .withColumn("rnk", col("cum") - col("nw") + row_number().over(wTie))
+      .select(log(col("rnk").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    def dsum(cc: org.apache.spark.sql.Column) =
+      sum(cc.cast("decimal(27,12)")).cast("double")
+    val s = pts.agg(count(lit(1)).cast("double").as("n"),
+      dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+      dsum(col("x") * col("x")).as("sxx"),
+      dsum(col("x") * col("y")).as("sxy"),
+      dsum(col("y") * col("y")).as("syy"))
+    s.withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          when(col("n") * col("sxx") - col("sx") * col("sx") =!= 0.0,
+            col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("n").cast("long").as("n_types"),
+        r6(col("slope")).as("slope"),
+        r6((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"),
+        r6(((col("n") * col("sxy") - col("sx") * col("sy")) *
+            (col("n") * col("sxy") - col("sx") * col("sy"))) /
+          when((col("n") * col("sxx") - col("sx") * col("sx")) *
+               (col("n") * col("syy") - col("sy") * col("sy")) =!= 0.0,
+            (col("n") * col("sxx") - col("sx") * col("sx")) *
+              (col("n") * col("syy") - col("sy") * col("sy")))).as("r2_fit"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zipf_fit" -> ((s, d) => zipfFit(Tables.documents(s, d))),
     "q_vocab_prune" -> ((s, d) => vocabPrune(Tables.documents(s, d))),
     "q_bm25" -> ((s, d) => bm25(Tables.documents(s, d))),
     "q_cooccur_topk" -> ((s, d) => cooccurTopk(Tables.documents(s, d))),
@@ -657,6 +708,27 @@ object Vocab {
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "q_zipf_fit" ->
+      s"""WITH w AS (SELECT string_split($normSql, ' ') AS words FROM documents),
+         tk AS (SELECT unnest(words) AS word FROM w),
+         wc AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+         r AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk FROM wc),
+         p AS (SELECT ln(CAST(rnk AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM r),
+         s AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(y * y AS DECIMAL(27,12))) AS DOUBLE) AS syy
+           FROM p),
+         b AS (SELECT *,
+             (n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0) AS slope
+           FROM s)
+         SELECT CAST(n AS BIGINT) AS n_types,
+           ${sqlR("slope", 6)} AS slope,
+           ${sqlR("(sy - slope * sx) / n", 6)} AS intercept,
+           ${sqlR("((n * sxy - sx * sy) * (n * sxy - sx * sy)) / NULLIF((n * sxx - sx * sx) * (n * syy - sy * sy), 0)", 6)} AS r2_fit
+         FROM b""",
     "q_vocab_prune" ->
       s"""WITH w AS (SELECT string_split($normSql, ' ') AS words FROM documents),
          tk AS (SELECT unnest(words) AS word FROM w),

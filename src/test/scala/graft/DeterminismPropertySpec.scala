@@ -250,6 +250,7 @@ class DeterminismPropertySpec extends AnyFunSuite {
       graft.text.TextOps.charEntropy(_),
       graft.text.Vocab.bm25(_),
       graft.text.Vocab.vocabPrune(_),
+      graft.text.Vocab.zipfFit(_),
       graft.text.Packing.shardPlan(_),
       graft.text.Packing.shardBalance(_)
     ).foreach { op =>

@@ -341,6 +341,35 @@ class StatsOpsSpec extends AnyFunSuite {
       .map(_.getAs[Long]("doc_id")).toSeq == Seq(1L))
   }
 
+  test("zipfFit matches a local log-log regression; a crafted Zipf corpus fits slope ~ -1") {
+    val docs = Tables.documents(spark, sf)
+    val fit = graft.text.Vocab.zipfFit(docs).collect()(0)
+    // local brute force over the exact (rank, freq) points
+    val freqs = graft.text.TextPrep.withWords(docs)
+      .select(explode(col("words")).as("w")).groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }
+    val pts = freqs.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble)) }
+    val n = pts.length.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(fit.getAs[Long]("n_types") == pts.length)
+    assert(math.abs(fit.getAs[Double]("slope") - slope) < 1e-4)
+    assert(math.abs(fit.getAs[Double]("intercept") - (sy - slope * sx) / n) < 1e-4)
+    val r2 = fit.getAs[Double]("r2_fit")
+    assert(r2 >= 0.0 && r2 <= 1.0 + 1e-9)
+    // a corpus built with exact 1/r frequencies fits slope -1 near-perfectly
+    import spark.implicits._
+    val zipf = (1 to 20).flatMap(r => Seq.fill(math.max(1, 240 / r))(s"w$r"))
+    val zdocs = Seq((0L, zipf.mkString(" "))).toDF("doc_id", "text")
+    val zfit = graft.text.Vocab.zipfFit(zdocs).collect()(0)
+    assert(math.abs(zfit.getAs[Double]("slope") + 1.0) < 0.1,
+      s"slope ${zfit.getAs[Double]("slope")} not ~ -1")
+    assert(zfit.getAs[Double]("r2_fit") > 0.98)
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
