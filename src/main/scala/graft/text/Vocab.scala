@@ -684,7 +684,45 @@ object Vocab {
               (col("n") * col("syy") - col("sy") * col("sy")))).as("r2_fit"))
   }
 
+  /** Per-source KL divergence from the corpus unigram blend over the
+    * hashed buckets (add-1 smoothed) — the mixture-MONITORING twin of
+    * DSIR: dsirSelect scores DOCUMENTS for selection against a target;
+    * this mart scores SOURCES for drift/contamination (a feed whose
+    * token distribution pulls away from the blend it is supposed to
+    * supply — the alarm a data-mixture owner watches between retrains).
+    *
+    * Scale shape: one exploded-token pass partial-aggregates to the
+    * (source, bucket) grain (|sources|×dims rows — broadcast-sized);
+    * the dense zero-filled spine makes add-1 smoothing see EMPTY
+    * buckets identically in both engines; KL terms are row-local
+    * doubles decimal-routed per source. Nothing here grows with the
+    * corpus except the one token scan. */
+  def sourceKl(documents: DataFrame, dims: Int = 64): DataFrame = {
+    val bt = hashedTokens(documents, dims, Seq("source"))
+      .groupBy(col("source"), col("bucket")).agg(count(lit(1)).as("cnt"))
+    val spine = documents.select(col("source")).distinct()
+      .crossJoin(broadcast(documents.sparkSession.range(0, dims)
+        .select(col("id").cast("int").as("bucket"))))
+    val dense = spine.join(bt, Seq("source", "bucket"), "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+    val srcTot = dense.groupBy(col("source")).agg(sum(col("cnt")).as("nt"))
+    val corpus = dense.groupBy(col("bucket")).agg(sum(col("cnt")).as("cc"))
+    val corpTot = corpus.agg(sum(col("cc")).as("nc"))
+    dense.join(srcTot, Seq("source"))
+      .join(broadcast(corpus), Seq("bucket"))
+      .crossJoin(broadcast(corpTot))
+      .withColumn("p", (col("cnt") + lit(1d)) / (col("nt") + lit(dims.toDouble)))
+      .withColumn("q", (col("cc") + lit(1d)) / (col("nc") + lit(dims.toDouble)))
+      .withColumn("term", col("p") * log(col("p") / col("q")))
+      .groupBy(col("source"))
+      .agg(max(col("nt")).as("n_tokens"),
+        sum(col("term").cast("decimal(20,12)")).cast("double").as("kl0"))
+      .select(col("source"), col("n_tokens"), r6(col("kl0")).as("kl_vs_corpus"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_source_kl" -> ((s, d) => sourceKl(Tables.documents(s, d))),
     "q_zipf_fit" -> ((s, d) => zipfFit(Tables.documents(s, d))),
     "q_vocab_prune" -> ((s, d) => vocabPrune(Tables.documents(s, d))),
     "q_bm25" -> ((s, d) => bm25(Tables.documents(s, d))),
@@ -708,6 +746,31 @@ object Vocab {
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    "q_source_kl" ->
+      s"""WITH nr0 AS (SELECT source, $normSql AS norm FROM documents),
+         w AS (SELECT source, unnest(string_split(norm, ' ')) AS word FROM nr0),
+         h AS (SELECT source,
+             ((instr('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 16 +
+               instr('0123456789abcdef', substr(md5(word), 2, 1)) - 1) % 64 AS bucket
+           FROM w),
+         bt AS (SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM h GROUP BY 1, 2),
+         spine AS (SELECT s.source, CAST(r.b AS INT) AS bucket
+           FROM (SELECT DISTINCT source FROM documents) s,
+             (SELECT UNNEST(range(64)) AS b) r),
+         dense AS (SELECT spine.source, spine.bucket, COALESCE(bt.cnt, 0) AS cnt
+           FROM spine LEFT JOIN bt ON spine.source = bt.source AND spine.bucket = bt.bucket),
+         st AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS nt FROM dense GROUP BY 1),
+         cb AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS cc FROM dense GROUP BY 1),
+         ctot AS (SELECT CAST(SUM(cc) AS BIGINT) AS nc FROM cb),
+         t AS (SELECT d.source, st.nt,
+             ((CAST(d.cnt AS DOUBLE) + 1.0) / (CAST(st.nt AS DOUBLE) + 64.0)) AS p,
+             ((CAST(cb.cc AS DOUBLE) + 1.0) / (CAST(ctot.nc AS DOUBLE) + 64.0)) AS q
+           FROM dense d JOIN st ON d.source = st.source
+             JOIN cb ON d.bucket = cb.bucket, ctot)
+         SELECT source, MAX(nt) AS n_tokens,
+           ${sqlR("CAST(SUM(CAST(p * ln(p / q) AS DECIMAL(20,12))) AS DOUBLE)", 6)} AS kl_vs_corpus
+         FROM t GROUP BY 1 ORDER BY 1""",
     "q_zipf_fit" ->
       s"""WITH w AS (SELECT string_split($normSql, ' ') AS words FROM documents),
          tk AS (SELECT unnest(words) AS word FROM w),

@@ -251,6 +251,7 @@ class DeterminismPropertySpec extends AnyFunSuite {
       graft.text.Vocab.bm25(_),
       graft.text.Vocab.vocabPrune(_),
       graft.text.Vocab.zipfFit(_),
+      graft.text.Vocab.sourceKl(_),
       graft.text.Packing.shardPlan(_),
       graft.text.Packing.shardBalance(_)
     ).foreach { op =>

@@ -370,6 +370,38 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(zfit.getAs[Double]("r2_fit") > 0.98)
   }
 
+  test("sourceKl: non-negative, zero for a single-source corpus, matches brute force") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val out = graft.text.Vocab.sourceKl(docs).collect()
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r.getAs[Double]("kl_vs_corpus") >= -1e-9,
+      s"KL negative for ${r.getAs[String]("source")}"))
+    // a corpus with ONE source: its distribution IS the corpus -> KL = 0
+    val one = docs.withColumn("source", lit("only"))
+    val kl0 = graft.text.Vocab.sourceKl(one).collect()
+    assert(kl0.length == 1 && math.abs(kl0.head.getAs[Double]("kl_vs_corpus")) < 1e-9)
+    // brute force one source's KL over the 64 hashed buckets
+    val toks = graft.text.TextPrep.withWords(docs)
+      .select(col("source"), explode(col("words")).as("w"))
+      .withColumn("hx", md5(col("w").cast("binary")))
+      .withColumn("bucket", expr(
+        "pmod((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 + " +
+          "instr('0123456789abcdef', substr(hx, 2, 1)) - 1, 64)"))
+      .select("source", "bucket").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Int]("bucket")))
+    val src = out.head.getAs[String]("source")
+    val mine = toks.filter(_._1 == src)
+    val nt = mine.length.toDouble; val nc = toks.length.toDouble
+    val kl = (0 until 64).map { b =>
+      val p = (mine.count(_._2 == b) + 1.0) / (nt + 64.0)
+      val q = (toks.count(_._2 == b) + 1.0) / (nc + 64.0)
+      p * math.log(p / q)
+    }.sum
+    assert(math.abs(out.head.getAs[Double]("kl_vs_corpus") - kl) < 1e-5)
+    assert(out.head.getAs[Long]("n_tokens") == mine.length)
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
