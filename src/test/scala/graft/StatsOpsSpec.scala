@@ -329,6 +329,20 @@ class StatsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("linregFit on collinear features (x1 == x2): singular system yields NULL, not garbage") {
+    import spark.implicits._
+    // all words distinct within every doc -> distinct-token count equals
+    // token count exactly -> X'X is singular
+    val docs = Seq((1L, "a b c", 5L), (2L, "d e", 3L), (3L, "f g h i", 7L),
+        (4L, "j k", 4L))
+      .toDF("doc_id", "text", "n_chars")
+    val fit = TrainPrep.linregFit(docs).collect()(0)
+    assert(fit.getAs[Long]("n") == 4L)
+    assert(fit.isNullAt(fit.fieldIndex("b0")))
+    assert(fit.isNullAt(fit.fieldIndex("b1")))
+    assert(fit.isNullAt(fit.fieldIndex("b2")))
+  }
+
   test("NULL text drops from linreg and shard plan instead of poisoning the stats") {
     import spark.implicits._
     val docs = Seq((1L, Option("hello world hello"), 17L),
