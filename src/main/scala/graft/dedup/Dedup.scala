@@ -391,6 +391,41 @@ object Dedup {
   /** Word-3-gram Jaccard near-dup join. Hot shingles (document frequency
     * > dfLimit) are pruned before the pair join — the standard guard that
     * keeps the candidate join linear on skewed corpora. */
+  /** Block-level (paragraph) dedup mart — the sub-document granularity
+    * the C4/RefinedWeb line-dedup stage works at: whole-doc dedup misses
+    * boilerplate ASSEMBLED from elsewhere (headers, licence blocks,
+    * navigation text duplicated across otherwise-distinct docs). Docs
+    * split into fixed `blockWords`-word blocks; a block appearing in
+    * MORE THAN ONE doc marks every holder. Per doc: block count,
+    * cross-doc-duplicated block count/share, and the trim flag at
+    * `trimShare` (the doc is mostly assembled duplication).
+    *
+    * Scale shape: block extraction is a row-local slice expression;
+    * occurrence counting is ONE partial-aggregated shuffle on the int64
+    * block hash, and the holders join lands on the SAME hash
+    * partitioning (ReuseExchange). Within-doc repeats do NOT count
+    * (countDistinct doc_id > 1 — boilerplate is a cross-doc property).
+    * Same accepted 64-bit-collision trade as [[ngramJaccard]]. */
+  def paraDedup(documents: DataFrame, blockWords: Int = 10,
+                trimShare: Double = 0.5): DataFrame = {
+    val blocks = TextPrep.withWords(documents)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, (size(words) - 1) div $blockWords),
+           |  i -> concat_ws(' ', slice(words, i * $blockWords + 1, $blockWords)))""".stripMargin))
+        .as("block"))
+      .withColumn("bh", xxhash64(col("block")))
+    val holders = blocks.groupBy(col("bh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    blocks.join(holders, Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("n_docs_with") > 1, 1L).otherwise(0L)).as("n_dup_blocks"))
+      .withColumn("dup_share", r4(col("n_dup_blocks") / col("n_blocks")))
+      .withColumn("trim_flag", col("dup_share") >= trimShare)
+      .select("doc_id", "n_blocks", "n_dup_blocks", "dup_share", "trim_flag")
+      .orderBy("doc_id")
+  }
+
   /** Asymmetric shingle CONTAINMENT (Broder's other resemblance measure):
     * share of the smaller doc's 3-gram set inside the other. The case
     * Jaccard structurally misses — a short doc quoted whole inside a long
@@ -532,6 +567,7 @@ object Dedup {
     "q_dedup_simhash" -> ((s, d) => simhash(Tables.documents(s, d))),
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
     "q_containment" -> ((s, d) => containment(Tables.documents(s, d))),
+    "q_para_dedup" -> ((s, d) => paraDedup(Tables.documents(s, d))),
     "q_minhash_est" -> ((s, d) => minhashAccuracy(Tables.documents(s, d))),
     "q_jaccard_hist" -> ((s, d) => jaccardHistogram(Tables.documents(s, d)))
   )
@@ -656,6 +692,21 @@ object Dedup {
          FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
          WHERE FLOOR((CAST(i AS DOUBLE) / (sa.n + sb.n - i)) * 1000000 + 0.5) / 1000000 >= 0.4
          ORDER BY 1, 2""",
+    // Oracle groups on the block STRING where Spark groups on its
+    // xxhash64 — identical modulo 64-bit collisions, the documented
+    // ngramJaccard trade; the hash never reaches the output.
+    "q_para_dedup" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         b AS (SELECT doc_id,
+             array_to_string(words[(CAST(i.i AS INT) * 10 + 1):(CAST(i.i AS INT) * 10 + 10)], ' ') AS block
+           FROM w, LATERAL (SELECT UNNEST(range(CAST(FLOOR(CAST(len(words) - 1 AS DOUBLE) / 10) AS BIGINT) + 1)) AS i) i),
+         d AS (SELECT block, COUNT(DISTINCT doc_id) AS ndw FROM b GROUP BY 1)
+         SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN d.ndw > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_blocks,
+           ${sqlR("CAST(SUM(CASE WHEN d.ndw > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)} AS dup_share,
+           ${sqlR("CAST(SUM(CASE WHEN d.ndw > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)} >= 0.5 AS trim_flag
+         FROM b JOIN d USING (block) GROUP BY 1 ORDER BY 1""",
     "q_containment" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),

@@ -233,6 +233,7 @@ class EdgeCasesSpec extends AnyFunSuite {
       Tables.embeddings(spark, sf).limit(0)).count() == 0)
     assert(graft.text.Vocab.vocabPrune(emptyDocs).count() == 0)
     assert(graft.text.Vocab.sourceKl(emptyDocs).count() == 0)
+    assert(graft.dedup.Dedup.paraDedup(emptyDocs).count() == 0)
     // zipf fit on empty corpus: one aggregate row, n_types 0, NULL fit
     val zf = graft.text.Vocab.zipfFit(emptyDocs).collect()(0)
     assert(zf.getAs[Long]("n_types") == 0L && zf.isNullAt(zf.fieldIndex("slope")))

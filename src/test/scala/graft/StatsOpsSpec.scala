@@ -416,6 +416,26 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(out.head.getAs[Long]("n_tokens") == mine.length)
   }
 
+  test("paraDedup: cross-doc blocks flag every holder; within-doc repeats do not count") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " " + (1 to 10).map(i => s"a$i").mkString(" ")), // shared + own block
+      (2L, shared),                                                  // exactly the shared block
+      (3L, (1 to 10).map(i => s"c$i").mkString(" ")),                // unique
+      (4L, ((1 to 10).map(i => s"d$i") ++ (1 to 10).map(i => s"d$i")).mkString(" "))
+    ).toDF("doc_id", "text")                                         // self-repeat only
+    val out = graft.dedup.Dedup.paraDedup(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_blocks") == 2 && out(1L).getAs[Long]("n_dup_blocks") == 1)
+    assert(out(1L).getAs[Double]("dup_share") == 0.5 && out(1L).getAs[Boolean]("trim_flag"))
+    assert(out(2L).getAs[Long]("n_dup_blocks") == 1 && out(2L).getAs[Boolean]("trim_flag"))
+    assert(out(3L).getAs[Long]("n_dup_blocks") == 0 && !out(3L).getAs[Boolean]("trim_flag"))
+    // doc 4 repeats its own block twice — cross-doc count is 1, no flag
+    assert(out(4L).getAs[Long]("n_blocks") == 2 && out(4L).getAs[Long]("n_dup_blocks") == 0)
+    assert(!out(4L).getAs[Boolean]("trim_flag"))
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
