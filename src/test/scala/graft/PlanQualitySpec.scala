@@ -369,6 +369,15 @@ class PlanQualitySpec extends AnyFunSuite {
       s"corpus must never shuffle-join the bounded artifacts:\n$plan")
   }
 
+  test("para dedup: the holders join lands on the block-hash partitioning (one block shuffle)") {
+    val plan = planOf(graft.dedup.Dedup.paraDedup(Tables.documents(spark, sf)).limit(1))
+    assert(plan.contains("ReusedExchange") ||
+      "Exchange hashpartitioning\\(bh".r.findAllIn(plan).size <= 2,
+      s"blocks must shuffle once on the block hash, reused by the holders join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no unbounded joins in the block dedup:\n$plan")
+  }
+
   test("hll rollup: sketches partial-aggregate map-side before the event_type shuffle") {
     val plan = planOf(graft.ml.Approx.hllRollup(Tables.events(spark, sf)).limit(1))
     // two aggregation layers (daily sketch build, union rollup), each
