@@ -318,7 +318,33 @@ object TextOps {
       .orderBy("stage")
   }
 
+  /** Flesch reading-ease features (Flesch 1948 — the readability signal
+    * curation pipelines keep alongside the quality score): sentences as
+    * terminal-punctuation runs, syllables as vowel GROUPS per word (the
+    * standard cheap heuristic), words from the shared tokenizer. Score
+    * + grade bucket from the ROUNDED value so both engines bucket
+    * identically. Pure row-local expressions — shuffle-free at any
+    * corpus size; the floors (≥1 sentence/syllable) keep degenerate
+    * docs defined instead of dividing by zero. */
+  def readability(documents: DataFrame): DataFrame =
+    TextPrep.withWords(documents)
+      .withColumn("n_words", size(col("words")))
+      .withColumn("n_sentences",
+        greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)))
+      .withColumn("n_syllables",
+        greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")), lit(1)))
+      .withColumn("flesch", r4(lit(206.835)
+        - lit(1.015) * (col("n_words").cast("double") / col("n_sentences"))
+        - lit(84.6) * (col("n_syllables").cast("double") / col("n_words"))))
+      .withColumn("grade",
+        when(col("flesch") >= 70.0, "easy")
+          .when(col("flesch") >= 50.0, "standard")
+          .otherwise("difficult"))
+      .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "grade")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_readability" -> ((s, d) => readability(Tables.documents(s, d))),
     "q_lang_confusion" -> ((s, d) => langConfusion(Tables.documents(s, d))),
     "q_gate_funnel" -> ((s, d) => gateFunnel(Tables.documents(s, d))),
     "q_char_entropy" -> ((s, d) => charEntropy(Tables.documents(s, d))),
@@ -336,6 +362,21 @@ object TextOps {
     s"len(list_filter(words, w -> w IN ${inList(stop(lang))}))"
 
   val oracles: Map[String, String] = Map(
+    "q_readability" ->
+      s"""WITH w AS (SELECT doc_id, text, string_split($normSql, ' ') AS words FROM documents),
+         d AS (SELECT doc_id,
+             CAST(len(words) AS INT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sentences,
+             CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS INT) AS n_syllables
+           FROM w),
+         f AS (SELECT *,
+             ${sqlR("206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences) - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)", 4)} AS flesch
+           FROM d)
+         SELECT doc_id, n_words, n_sentences, n_syllables, flesch,
+           CASE WHEN flesch >= 70.0 THEN 'easy'
+                WHEN flesch >= 50.0 THEN 'standard'
+                ELSE 'difficult' END AS grade
+         FROM f ORDER BY doc_id""",
     "q_lang_confusion" ->
       s"""WITH w AS (SELECT doc_id, lang, string_split($normSql, ' ') AS words FROM documents),
          sc AS (SELECT doc_id, lang,

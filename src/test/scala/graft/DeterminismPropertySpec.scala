@@ -253,6 +253,7 @@ class DeterminismPropertySpec extends AnyFunSuite {
       graft.text.Vocab.zipfFit(_),
       graft.text.Vocab.sourceKl(_),
       graft.dedup.Dedup.paraDedup(_),
+      graft.text.TextOps.readability(_),
       graft.text.Packing.shardPlan(_),
       graft.text.Packing.shardBalance(_)
     ).foreach { op =>

@@ -234,6 +234,7 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(graft.text.Vocab.vocabPrune(emptyDocs).count() == 0)
     assert(graft.text.Vocab.sourceKl(emptyDocs).count() == 0)
     assert(graft.dedup.Dedup.paraDedup(emptyDocs).count() == 0)
+    assert(graft.text.TextOps.readability(emptyDocs).count() == 0)
     // zipf fit on empty corpus: one aggregate row, n_types 0, NULL fit
     val zf = graft.text.Vocab.zipfFit(emptyDocs).collect()(0)
     assert(zf.getAs[Long]("n_types") == 0L && zf.isNullAt(zf.fieldIndex("slope")))

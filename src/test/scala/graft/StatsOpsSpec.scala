@@ -436,6 +436,25 @@ class StatsOpsSpec extends AnyFunSuite {
     assert(!out(4L).getAs[Boolean]("trim_flag"))
   }
 
+  test("readability: hand-computable Flesch values; floors keep degenerate docs defined") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat."),          // 3 words, 1 sentence, 3 syllable groups
+      (2L, ""),                      // degenerate: floors to 1/1
+      (3L, "Incomprehensibilities!") // 1 word, many vowel groups
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextOps.readability(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val f1 = 206.835 - 1.015 * (3.0 / 1) - 84.6 * (3.0 / 3)
+    assert(math.abs(out(1L).getAs[Double]("flesch") -
+      math.floor(f1 * 10000 + 0.5) / 10000) < 1e-9)
+    assert(out(1L).getAs[String]("grade") == "easy")
+    assert(out(2L).getAs[Int]("n_sentences") == 1 && out(2L).getAs[Int]("n_syllables") == 1)
+    // "Incomprehensibilities": vowel groups i-o-e-e-i-i-i-e = 8
+    assert(out(3L).getAs[Int]("n_syllables") == 8)
+    assert(out(3L).getAs[String]("grade") == "difficult")
+  }
+
   test("hllRollup: exact stats match brute force; union estimate within bound; dailies dominate") {
     val ev = Tables.events(spark, sf)
     val out = Approx.hllRollup(ev).collect()
