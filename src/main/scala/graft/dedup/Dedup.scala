@@ -388,9 +388,6 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Word-3-gram Jaccard near-dup join. Hot shingles (document frequency
-    * > dfLimit) are pruned before the pair join — the standard guard that
-    * keeps the candidate join linear on skewed corpora. */
   /** Block-level (paragraph) dedup mart — the sub-document granularity
     * the C4/RefinedWeb line-dedup stage works at: whole-doc dedup misses
     * boilerplate ASSEMBLED from elsewhere (headers, licence blocks,
@@ -408,7 +405,11 @@ object Dedup {
     * Same accepted 64-bit-collision trade as [[ngramJaccard]]. */
   def paraDedup(documents: DataFrame, blockWords: Int = 10,
                 trimShare: Double = 0.5): DataFrame = {
-    val blocks = TextPrep.withWords(documents)
+    // NULL text: Spark's sequence(0, (size(NULL)-1) div 10) = sequence(0,0)
+    // plus never-NULL concat_ws would emit one empty-block row where the
+    // oracle's range(NULL) unnest emits none — drop NULL text up front,
+    // mirrored in the oracle (hardening class of commit 80e9ea4)
+    val blocks = TextPrep.withWords(documents.filter(col("text").isNotNull))
       .select(col("doc_id"), explode(expr(
         s"""transform(sequence(0, (size(words) - 1) div $blockWords),
            |  i -> concat_ws(' ', slice(words, i * $blockWords + 1, $blockWords)))""".stripMargin))
@@ -465,6 +466,9 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Word-3-gram Jaccard near-dup join. Hot shingles (document frequency
+    * > dfLimit) are pruned before the pair join — the standard guard that
+    * keeps the candidate join linear on skewed corpora. */
   def ngramJaccard(documents: DataFrame, threshold: Double = 0.4,
                    dfLimit: Int = 100): DataFrame = {
     // Hash every 3-gram to int64 BEFORE anything shuffles: the df count,
@@ -696,7 +700,8 @@ object Dedup {
     // xxhash64 — identical modulo 64-bit collisions, the documented
     // ngramJaccard trade; the hash never reaches the output.
     "q_para_dedup" ->
-      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents
+           WHERE text IS NOT NULL),
          w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
          b AS (SELECT doc_id,
              array_to_string(words[(CAST(i.i AS INT) * 10 + 1):(CAST(i.i AS INT) * 10 + 10)], ' ') AS block

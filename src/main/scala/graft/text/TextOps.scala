@@ -327,7 +327,11 @@ object TextOps {
     * corpus size; the floors (≥1 sentence/syllable) keep degenerate
     * docs defined instead of dividing by zero. */
   def readability(documents: DataFrame): DataFrame =
-    TextPrep.withWords(documents)
+    // NULL text would make n_words = size(NULL) = -1 and score the doc
+    // flesch ≈ 292 / 'easy' where the oracle's len(NULL) propagates
+    // NULL — drop it up front, mirrored in the oracle (same hardening
+    // class as linreg/shardPlan, commit 80e9ea4)
+    TextPrep.withWords(documents.filter(col("text").isNotNull))
       .withColumn("n_words", size(col("words")))
       .withColumn("n_sentences",
         greatest(regexp_count(col("text"), lit("[.!?]+")), lit(1)))
@@ -363,7 +367,8 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q_readability" ->
-      s"""WITH w AS (SELECT doc_id, text, string_split($normSql, ' ') AS words FROM documents),
+      s"""WITH w AS (SELECT doc_id, text, string_split($normSql, ' ') AS words FROM documents
+           WHERE text IS NOT NULL),
          d AS (SELECT doc_id,
              CAST(len(words) AS INT) AS n_words,
              CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS INT) AS n_sentences,

@@ -76,8 +76,11 @@ object Vocab {
         "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
     val total = bi.agg(sum(col("n")).as("total"))
-    val wR = Window.orderBy(col("n").desc, col("bigram"))
-    val wC = Window.orderBy(col("n").desc, col("bigram"))
+    // partitionBy(lit(0)) is a no-op on the k-row post-limit frame but
+    // gives WindowExec a partition spec, so "No Partition Defined" noise
+    // stops wallpapering the logs where a REAL unbounded window would hide
+    val wR = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("bigram"))
+    val wC = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("bigram"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // top-k via orderBy+limit (TakeOrderedAndProject: bounded per-partition
     // heaps, no full vocabulary sort); the global-ordered rank/cumsum
@@ -328,7 +331,8 @@ object Vocab {
         log((col("c12").cast("double") / col("n_bi")) /
           ((col("c1").cast("double") / col("n_uni")) *
             (col("c2").cast("double") / col("n_uni")))) / log(lit(2.0))))
-    val wR = Window.orderBy(col("pmi").desc, col("w1"), col("w2"))
+    // lit(0) partition: no-op on the post-limit k rows, silences WindowExec
+    val wR = Window.partitionBy(lit(0)).orderBy(col("pmi").desc, col("w1"), col("w2"))
     scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
       .withColumn("rank", row_number().over(wR))
       .select(col("rank").cast("int").as("rank"), col("w1"), col("w2"),
@@ -555,7 +559,11 @@ object Vocab {
     * IEEE expression tree matches the oracle's exactly. */
   def bm25(documents: DataFrame, nQuery: Int = 10): DataFrame = {
     val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
-    val toks = TextPrep.withWords(documents)
+    // NULL text would put size(NULL) = -1 into dl and the avgdl sum,
+    // where the oracle's SUM(len(words)) skips NULL rows — drop it up
+    // front in BOTH corpus passes (same hardening as linreg/shardPlan)
+    val docs = documents.filter(col("text").isNotNull)
+    val toks = TextPrep.withWords(docs)
       .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
         explode(col("words")).as("word"))
     val q = toks.filter(!col("word").isin(stopEn: _*))
@@ -565,7 +573,7 @@ object Vocab {
       .groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val dft = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val stats = TextPrep.withWords(documents)
+    val stats = TextPrep.withWords(docs)
       .agg(count(lit(1)).as("nn"),
         sum(size(col("words")).cast("decimal(18,0)")).cast("double").as("sdl"))
     tf.join(broadcast(dft), Seq("word"))
@@ -814,7 +822,8 @@ object Vocab {
          FROM pick p JOIN cum ON cum.c = p.min_count, t
          ORDER BY target""",
     "q_bm25" ->
-      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
+      s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents
+           WHERE text IS NOT NULL),
          tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS word FROM w),
          q AS (SELECT word FROM tk
            WHERE word NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
