@@ -108,14 +108,25 @@ object Embeddings {
     * row-local argmin over k·m exact scaled-integer L2² distances, so
     * the only shuffle is the final presentation sort. Emits the per-
     * subspace codes and the exact total reconstruction distance. */
-  def pqCodes(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
-              k: Int = 8): DataFrame = {
+  /** Hash-ranked PQ codebook sample (the [[Ann]] centroid device):
+    * k vectors whose subspace slices serve as every subspace's codebook —
+    * corpus-size-independent, so the broadcast stays k rows at any scale. */
+  private[graft] def pqCodebook(embeddings: DataFrame, k: Int = 8): DataFrame =
+    embeddings
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+
+  /** Per-(vector, subspace) nearest-codebook-entry assignment — the raw
+    * long-form codes behind [[pqCodes]] and the index side of
+    * [[Ann.pqSearch]]. Row-local argmin over k·m exact scaled-integer
+    * L2² distances (the codebook is broadcast); returns one row per
+    * (vec_id, m) with the winning `code` and its exact `d2`. */
+  private[graft] def pqAssign(embeddings: DataFrame, m: Int = 4,
+                              subDim: Int = 16, k: Int = 8): DataFrame = {
     graft.functions.DotScaled.register(embeddings.sparkSession)
     def d(a: String, b: String) =
       expr(s"graft_dot($a, $b)").cast("double") / expr(S)
-    val cents = embeddings
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce"))
+    val cents = pqCodebook(embeddings, k)
     val ms = explode(array((0 until m).map(lit): _*)).as("m")
     val sub = embeddings.select(col("vec_id"), col("embedding"), ms)
       .withColumn("sv", expr(s"slice(embedding, m * $subDim + 1, $subDim)"))
@@ -125,10 +136,16 @@ object Embeddings {
       .select(col("centroid_id"), col("m").as("cm"), col("cv"))
     val w = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d2").asc, col("centroid_id").asc)
-    val best = sub.join(broadcast(csub), col("m") === col("cm"))
+    sub.join(broadcast(csub), col("m") === col("cm"))
       .withColumn("d2", d("sv", "sv") - lit(2d) * d("sv", "cv") + d("cv", "cv"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("centroid_id"), col("d2"))
+  }
+
+  def pqCodes(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
+              k: Int = 8): DataFrame = {
+    val best = pqAssign(embeddings, m, subDim, k)
     best.groupBy(col("vec_id"))
       .agg(
         max(when(col("m") === 0, col("centroid_id"))).as("code0"),
