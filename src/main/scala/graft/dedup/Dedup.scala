@@ -403,18 +403,28 @@ object Dedup {
     * partitioning (ReuseExchange). Within-doc repeats do NOT count
     * (countDistinct doc_id > 1 — boilerplate is a cross-doc property).
     * Same accepted 64-bit-collision trade as [[ngramJaccard]]. */
+  /** Shared fixed-width block extraction for [[paraDedup]]/[[paraTrim]]:
+    * (doc_id, idx, block, bw tokens, bh int64 hash) — row-local slice
+    * expressions, no shuffle. NULL text: Spark's
+    * sequence(0, (size(NULL)-1) div 10) = sequence(0,0) plus never-NULL
+    * concat_ws would emit one empty-block row where the oracle's
+    * range(NULL) unnest emits none — drop NULL text up front, mirrored
+    * in the oracles (hardening class of commit 80e9ea4). */
+  private def blockFrame(documents: DataFrame, blockWords: Int): DataFrame =
+    TextPrep.withWords(documents.filter(col("text").isNotNull))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, (size(words) - 1) div $blockWords),
+           |  i -> struct(
+           |    concat_ws(' ', slice(words, i * $blockWords + 1, $blockWords)) AS block,
+           |    size(slice(words, i * $blockWords + 1, $blockWords)) AS bw))""".stripMargin))
+        .as(Seq("idx", "s")))
+      .select(col("doc_id"), col("idx"), col("s.block").as("block"),
+        col("s.bw").as("bw"))
+      .withColumn("bh", xxhash64(col("block")))
+
   def paraDedup(documents: DataFrame, blockWords: Int = 10,
                 trimShare: Double = 0.5): DataFrame = {
-    // NULL text: Spark's sequence(0, (size(NULL)-1) div 10) = sequence(0,0)
-    // plus never-NULL concat_ws would emit one empty-block row where the
-    // oracle's range(NULL) unnest emits none — drop NULL text up front,
-    // mirrored in the oracle (hardening class of commit 80e9ea4)
-    val blocks = TextPrep.withWords(documents.filter(col("text").isNotNull))
-      .select(col("doc_id"), explode(expr(
-        s"""transform(sequence(0, (size(words) - 1) div $blockWords),
-           |  i -> concat_ws(' ', slice(words, i * $blockWords + 1, $blockWords)))""".stripMargin))
-        .as("block"))
-      .withColumn("bh", xxhash64(col("block")))
+    val blocks = blockFrame(documents, blockWords)
     val holders = blocks.groupBy(col("bh"))
       .agg(countDistinct(col("doc_id")).as("n_docs_with"))
     blocks.join(holders, Seq("bh"))
@@ -424,6 +434,40 @@ object Dedup {
       .withColumn("dup_share", r4(col("n_dup_blocks") / col("n_blocks")))
       .withColumn("trim_flag", col("dup_share") >= trimShare)
       .select("doc_id", "n_blocks", "n_dup_blocks", "dup_share", "trim_flag")
+      .orderBy("doc_id")
+  }
+
+  /** The ACTION twin of [[paraDedup]]: where the flag mart says WHICH
+    * docs are mostly assembled duplication, this emits the trimmed TEXT
+    * the corpus writer actually ships — cross-doc duplicate blocks
+    * dropped, surviving blocks re-joined in document order. Same
+    * row-local block device and ONE block-hash shuffle as the flag
+    * mart; the per-doc reassembly is an ordered collect over that doc's
+    * own ≤(tokens/blockWords) blocks — bounded by document length,
+    * never corpus size. Token mass is conserved by construction
+    * (kept_tokens + trimmed_tokens == the doc's token count — spec) and
+    * WITHIN-doc repeats are preserved: a block is trimmed only when
+    * another document also holds it, so self-repetition survives
+    * (that's lexical style, not boilerplate — the [[paraDedup]]
+    * cross-doc-only contract). */
+  def paraTrim(documents: DataFrame, blockWords: Int = 10): DataFrame = {
+    val blocks = blockFrame(documents, blockWords)
+    val holders = blocks.groupBy(col("bh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs_with"))
+    blocks.join(holders, Seq("bh"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("n_docs_with") === 1, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("n_docs_with") === 1, col("bw")).otherwise(0))
+          .cast("long").as("kept_tokens"),
+        sum(when(col("n_docs_with") > 1, col("bw")).otherwise(0))
+          .cast("long").as("trimmed_tokens"),
+        array_join(transform(
+          array_sort(collect_list(when(col("n_docs_with") === 1,
+            struct(col("idx"), col("block"))))),
+          x => x.getField("block")), " ").as("text_trimmed"))
+      .select("doc_id", "n_blocks", "n_kept", "kept_tokens",
+        "trimmed_tokens", "text_trimmed")
       .orderBy("doc_id")
   }
 
@@ -572,6 +616,7 @@ object Dedup {
     "q_ngram_jaccard" -> ((s, d) => ngramJaccard(Tables.documents(s, d))),
     "q_containment" -> ((s, d) => containment(Tables.documents(s, d))),
     "q_para_dedup" -> ((s, d) => paraDedup(Tables.documents(s, d))),
+    "q_para_trim" -> ((s, d) => paraTrim(Tables.documents(s, d))),
     "q_minhash_est" -> ((s, d) => minhashAccuracy(Tables.documents(s, d))),
     "q_jaccard_hist" -> ((s, d) => jaccardHistogram(Tables.documents(s, d)))
   )
@@ -712,6 +757,25 @@ object Dedup {
            ${sqlR("CAST(SUM(CASE WHEN d.ndw > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)} AS dup_share,
            ${sqlR("CAST(SUM(CASE WHEN d.ndw > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 4)} >= 0.5 AS trim_flag
          FROM b JOIN d USING (block) GROUP BY 1 ORDER BY 1""",
+    // Same block device as q_para_dedup; the reassembly is an ORDER BY
+    // idx string_agg (Spark: sort_array over (idx, block) structs).
+    "q_para_trim" ->
+      s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents
+           WHERE text IS NOT NULL),
+         w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),
+         b AS (SELECT doc_id, CAST(i.i AS INT) AS idx,
+             array_to_string(words[(CAST(i.i AS INT) * 10 + 1):(CAST(i.i AS INT) * 10 + 10)], ' ') AS block,
+             len(words[(CAST(i.i AS INT) * 10 + 1):(CAST(i.i AS INT) * 10 + 10)]) AS bw
+           FROM w, LATERAL (SELECT UNNEST(range(CAST(FLOOR(CAST(len(words) - 1 AS DOUBLE) / 10) AS BIGINT) + 1)) AS i) i),
+         d AS (SELECT block, COUNT(DISTINCT doc_id) AS ndw FROM b GROUP BY 1)
+         SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(CASE WHEN ndw = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN ndw = 1 THEN bw ELSE 0 END) AS BIGINT) AS kept_tokens,
+           CAST(SUM(CASE WHEN ndw > 1 THEN bw ELSE 0 END) AS BIGINT) AS trimmed_tokens,
+           COALESCE(string_agg(CASE WHEN ndw = 1 THEN block END, ' ' ORDER BY idx), '') AS text_trimmed
+         FROM b JOIN d USING (block)
+         GROUP BY 1 ORDER BY 1""",
     "q_containment" ->
       s"""WITH n AS (SELECT doc_id, $normSql AS norm FROM documents),
          w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM n),

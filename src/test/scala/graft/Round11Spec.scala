@@ -43,6 +43,50 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("paraTrim: token mass is conserved — kept + trimmed == the doc's token count") {
+    import graft.dedup.Dedup
+    import graft.text.TextPrep
+    val docs = Tables.documents(spark, sf)
+    val masses = TextPrep.withWords(docs.filter(col("text").isNotNull))
+      .select(col("doc_id"), size(col("words")).cast("long").as("n_tokens"))
+    val out = Dedup.paraTrim(docs)
+      .join(masses, "doc_id").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("kept_tokens") + r.getAs[Long]("trimmed_tokens") ==
+        r.getAs[Long]("n_tokens"), s"doc ${r.getAs[Long]("doc_id")} leaks tokens")
+      // the reassembled text carries exactly the kept mass
+      val t = r.getAs[String]("text_trimmed")
+      val n = if (t.isEmpty) 0L else t.split(" ").length.toLong
+      assert(n == r.getAs[Long]("kept_tokens"),
+        s"doc ${r.getAs[Long]("doc_id")} text/mass mismatch")
+    }
+  }
+
+  test("paraTrim: within-doc repeats survive, cross-doc duplicates are trimmed in order") {
+    import graft.dedup.Dedup
+    import spark.implicits._
+    val selfRep = ("alpha " * 10).trim          // 10-word block
+    val shared = ("omega " * 10).trim           // 10-word block in two docs
+    val docs = Seq(
+      (1L, s"$selfRep $selfRep"),               // block repeated WITHIN one doc
+      (2L, s"$shared unique two three four five six seven eight nine ten"),
+      (3L, s"zzz yyy xxx www vvv uuu ttt sss rrr qqq $shared")
+    ).toDF("doc_id", "text")
+    val out = Dedup.paraTrim(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: self-repetition is NOT boilerplate — both blocks kept
+    assert(out(1L).getAs[Long]("n_kept") == 2L)
+    assert(out(1L).getAs[String]("text_trimmed") == s"$selfRep $selfRep")
+    // docs 2/3: the shared block goes, the rest survives in order
+    assert(out(2L).getAs[String]("text_trimmed") ==
+      "unique two three four five six seven eight nine ten")
+    assert(out(3L).getAs[String]("text_trimmed") ==
+      "zzz yyy xxx www vvv uuu ttt sss rrr qqq")
+    assert(out(2L).getAs[Long]("trimmed_tokens") == 10L)
+    assert(out(3L).getAs[Long]("trimmed_tokens") == 10L)
+  }
+
   test("pqSearch: ADC candidates come only from the probe's cells, k rows per probe max") {
     val out = Ann.pqSearch(emb).collect()
     val byProbe = out.groupBy(_.getLong(0))
