@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -132,7 +132,59 @@ object CorpusStats {
       .orderBy("doc_id")
   }
 
+  /** Corpus VERSION diff — the dataset-versioning mart a training-data
+    * pipeline reads before promoting a corpus snapshot: per source, how
+    * many docs were added / removed / changed (content-hash compare, the
+    * q_row_hash_cdc device at doc grain) and the token-mass delta the
+    * mixture weights must absorb. One FULL OUTER join co-keyed on doc_id
+    * is the only doc-grain shuffle; no window touches raw docs, so the
+    * shape is two scans + one exchange at any corpus size.
+    *
+    * Snapshots are derived deterministically from the one test corpus
+    * (the md5-gate device every incremental twin uses): the OLD snapshot
+    * is docs with md5 digit1 < 14 (~7/8), the NEW is digit1 >= 2 (~7/8),
+    * and within NEW the docs with digit2 < 4 carry revised text — so all
+    * four statuses are exercised. A production caller passes two real
+    * snapshot frames through [[corpusDiffOf]]. */
+  def corpusDiff(documents: DataFrame): DataFrame = {
+    val h1 = hexDigit("doc_id", 1)
+    val h2 = hexDigit("doc_id", 2)
+    val olds = documents.filter(h1 < 14)
+    val news = documents.filter(h1 >= 2)
+      .withColumn("text",
+        when(h2 < 4, concat(col("text"), lit(" [rev]"))).otherwise(col("text")))
+    corpusDiffOf(olds, news)
+  }
+
+  /** [[corpusDiff]] over two explicit snapshot frames (doc_id, source,
+    * text). */
+  def corpusDiffOf(olds: DataFrame, news: DataFrame): DataFrame = {
+    def tok(t: Column) =
+      when(t.isNotNull, size(split(normText(t), " "))).otherwise(0).cast("long")
+    val a = olds.select(col("doc_id"), col("source").as("source_a"),
+      rowHash(col("text")).as("ha"), tok(col("text")).as("ta"))
+    val b = news.select(col("doc_id"), col("source").as("source_b"),
+      rowHash(col("text")).as("hb"), tok(col("text")).as("tb"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .withColumn("st",
+        when(col("ha").isNull, lit("added"))
+          .when(col("hb").isNull, lit("removed"))
+          .when(col("ha") =!= col("hb"), lit("changed"))
+          .otherwise(lit("unchanged")))
+      .groupBy(coalesce(col("source_a"), col("source_b")).as("source"))
+      .agg(
+        sum(when(col("st") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),
+        sum(coalesce(col("ta"), lit(0L))).as("tokens_old"),
+        sum(coalesce(col("tb"), lit(0L))).as("tokens_new"))
+      .withColumn("token_delta", col("tokens_new") - col("tokens_old"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_diff" -> ((s, d) => corpusDiff(Tables.documents(s, d))),
     "q_source_overlap" -> ((s, d) => sourceOverlap(Tables.documents(s, d))),
     "q_length_hist" -> ((s, d) => lengthHistogram(Tables.documents(s, d))),
     "q_corpus_drift" -> ((s, d) => corpusDrift(Tables.documents(s, d))),
@@ -143,6 +195,39 @@ object CorpusStats {
     "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   val oracles: Map[String, String] = Map(
+    // md5-gate snapshots + doc-grain content-hash FULL OUTER diff; the
+    // '_graft_null_' placeholder mirrors Fns.rowHash.
+    "q_corpus_diff" -> {
+      val dig = (pos: Int) =>
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $pos, 1)) - 1)"
+      val tokOf = (t: String) =>
+        s"CASE WHEN $t IS NOT NULL THEN CAST(len(string_split(trim(regexp_replace(lower($t), '\\s+', ' ', 'g')), ' ')) AS BIGINT) ELSE 0 END"
+      s"""WITH olds AS (SELECT doc_id, source,
+             md5(COALESCE(text, '_graft_null_')) AS ha, ${tokOf("text")} AS ta
+           FROM documents WHERE ${dig(1)} < 14),
+         rev AS (SELECT doc_id, source,
+             CASE WHEN ${dig(2)} < 4 THEN text || ' [rev]' ELSE text END AS t2
+           FROM documents WHERE ${dig(1)} >= 2),
+         news AS (SELECT doc_id, source,
+             md5(COALESCE(t2, '_graft_null_')) AS hb, ${tokOf("t2")} AS tb
+           FROM rev),
+         f AS (SELECT COALESCE(o.source, n.source) AS source,
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.ha <> n.hb THEN 'changed'
+                  ELSE 'unchanged' END AS st,
+             COALESCE(o.ta, 0) AS ta, COALESCE(n.tb, 0) AS tb
+           FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id)
+         SELECT source,
+           CAST(SUM(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+           CAST(SUM(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+           CAST(SUM(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+           CAST(SUM(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+           CAST(SUM(ta) AS BIGINT) AS tokens_old,
+           CAST(SUM(tb) AS BIGINT) AS tokens_new,
+           CAST(SUM(tb) - SUM(ta) AS BIGINT) AS token_delta
+         FROM f GROUP BY 1 ORDER BY 1"""
+    },
     "q_source_overlap" ->
       s"""WITH ${Dedup.minhashCtes},
          mp AS (SELECT da AS doc_a, db AS doc_b FROM pairs GROUP BY 1, 2),

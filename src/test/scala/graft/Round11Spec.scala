@@ -87,6 +87,19 @@ class Round11Spec extends AnyFunSuite {
     assert(out(3L).getAs[Long]("trimmed_tokens") == 10L)
   }
 
+  test("corpusDiffOf: identical snapshots diff to all-unchanged with zero token delta") {
+    import graft.text.CorpusStats
+    val docs = Tables.documents(spark, sf)
+    val out = CorpusStats.corpusDiffOf(docs, docs).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_added") == 0L && r.getAs[Long]("n_removed") == 0L &&
+        r.getAs[Long]("n_changed") == 0L && r.getAs[Long]("token_delta") == 0L,
+        s"source ${r.getAs[String]("source")} drifted against itself")
+      assert(r.getAs[Long]("n_unchanged") > 0L)
+    }
+  }
+
   test("pqSearch: ADC candidates come only from the probe's cells, k rows per probe max") {
     val out = Ann.pqSearch(emb).collect()
     val byProbe = out.groupBy(_.getLong(0))
