@@ -1,6 +1,6 @@
 package graft.ml
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -127,6 +127,80 @@ object Approx {
       .orderBy("event_type")
   }
 
+  /** Signed log-width bin of `value`: floor(log10(1+|v|)·20) with the
+    * negative axis mirrored below -1 — ~12% relative bin width, the
+    * fixed-size mergeable summary [[quantileState]] keys on. Shared by
+    * state build and estimate so they can never drift. */
+  private def qBin: Column =
+    when(col("value") >= 0, floor(log10(col("value") + 1) * 20))
+      .otherwise(lit(-1) - floor(log10(-col("value") + 1) * 20))
+      .cast("long")
+
+  /** Upper edge (in value space) of bin `b` — the quantile estimate for
+    * a bin the cumulative count crosses. Monotone in b, so the first
+    * crossing bin is recoverable as a MIN over qualifying edges. */
+  private def qBinUpper(b: Column): Column =
+    when(b >= 0, pow(lit(10d), (b + 1).cast("double") / 20d) - 1)
+      .otherwise(-(pow(lit(10d), (-b - 1).cast("double") / 20d) - 1))
+
+  /** Day-grain mergeable quantile state: per (event_type, day, bin) row
+    * counts. This is the ONLY thing built from raw events — bounded at
+    * types × days × (a few hundred log bins), it unions associatively
+    * across days/partitions/corpus shards exactly like the HLL bytes in
+    * [[hllRollup]]. */
+  def quantileState(events: DataFrame): DataFrame =
+    events.filter(col("value").isNotNull)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"), qBin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Per-type p50/p95 estimates derived from day-grain state ONLY (no
+    * raw-event access — the spec pins this by merging split-half states):
+    * union the daily bins, one cumulative window over the ≤few-hundred
+    * bins per type, estimate = upper edge of the first crossing bin. */
+  def quantileEstimates(state: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val days = state.groupBy(col("event_type"))
+      .agg(countDistinct(col("day")).as("n_days"), sum(col("n")).as("total"))
+    state.groupBy(col("event_type"), col("bin"))
+      .agg(sum(col("n")).as("n"))
+      .withColumn("cum", sum(col("n")).over(w))
+      .join(days, "event_type")
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"), max(col("total")).as("n"),
+        min(when(col("cum") >= col("total") * 0.5, qBinUpper(col("bin"))))
+          .as("est_p50"),
+        min(when(col("cum") >= col("total") * 0.95, qBinUpper(col("bin"))))
+          .as("est_p95"))
+  }
+
+  /** Re-aggregatable QUANTILE mart — the quantile sibling of
+    * [[hllRollup]]: exact per-type percentiles do not re-aggregate
+    * (every coarser grain re-shuffles raw values), but the log-binned
+    * day-grain state does — coarser grains derive from state rows
+    * alone. Oracle contract (the [[approxProfile]] device): the row
+    * carries the EXACT per-type p50/p95 (DuckDB-recomputable via
+    * quantile_cont — the contract columns at test SF; a production mart
+    * ships only the state and estimates) plus `p50_ok`/`p95_ok`
+    * asserting the bin estimate landed within two log-bin widths
+    * (0.35·(1+|exact|)) of exact. */
+  def quantileRollup(events: DataFrame): DataFrame = {
+    val est = quantileEstimates(quantileState(events))
+    val exact = graft.functions.PrefixSum.exactPercentiles(
+      events.filter(col("value").isNotNull)
+        .select(col("event_type"), col("value")),
+      "value", Seq("event_type"),
+      Seq("xp50" -> 0.5, "xp95" -> 0.95)).drop("pct_n")
+    def ok(e: String, x: String) =
+      abs(col(e) - r6(col(x))) <= (abs(r6(col(x))) + 1d) * 0.35
+    est.join(broadcast(exact.withColumnRenamed("event_type", "et_q")),
+        col("event_type") <=> col("et_q"), "left")
+      .select(col("event_type"), col("n_days"), col("n"),
+        r6(col("xp50")).as("exact_p50"), r6(col("xp95")).as("exact_p95"),
+        ok("est_p50", "xp50").as("p50_ok"), ok("est_p95", "xp95").as("p95_ok"))
+      .orderBy("event_type")
+  }
+
   /** Time-range rolling window: events in the PRECEDING HOUR per user
     * (value-range frame, not row-count frame — the correct semantics for
     * irregular event streams). */
@@ -145,7 +219,8 @@ object Approx {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_approx_profile" -> ((s, d) => approxProfile(Tables.events(s, d))),
     "q_rolling_time_window" -> ((s, d) => rollingTimeWindow(Tables.events(s, d))),
-    "q_hll_rollup" -> ((s, d) => hllRollup(Tables.events(s, d)))
+    "q_hll_rollup" -> ((s, d) => hllRollup(Tables.events(s, d))),
+    "q_quantile_rollup" -> ((s, d) => quantileRollup(Tables.events(s, d)))
   )
 
   // q_approx_profile's oracle computes the exact stats independently and
@@ -187,6 +262,18 @@ object Approx {
            MAX(t.exact_users) AS exact_users,
            TRUE AS union_ok
          FROM daily d JOIN tot t ON d.event_type = t.event_type
+         GROUP BY 1 ORDER BY 1""",
+    // Exact percentiles recomputed independently; the bin-estimate
+    // bound booleans asserted literally TRUE (the q_approx_profile
+    // sketch-error contract device).
+    "q_quantile_rollup" ->
+      """SELECT event_type,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           FLOOR(quantile_cont(value, 0.5) * 1000000 + 0.5) / 1000000 AS exact_p50,
+           FLOOR(quantile_cont(value, 0.95) * 1000000 + 0.5) / 1000000 AS exact_p95,
+           TRUE AS p50_ok, TRUE AS p95_ok
+         FROM events WHERE value IS NOT NULL
          GROUP BY 1 ORDER BY 1"""
   )
 }

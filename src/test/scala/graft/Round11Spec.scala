@@ -100,6 +100,29 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("quantileRollup: estimates derive from mergeable day-grain state only (split-half union == whole)") {
+    import graft.ml.Approx
+    val events = Tables.events(spark, sf)
+    // two disjoint shards built independently, states unioned and
+    // RE-AGGREGATED — the associativity a coarser grain relies on
+    val h = graft.functions.Fns.hexDigit("event_id", 1)
+    val s1 = Approx.quantileState(events.filter(h < 8))
+    val s2 = Approx.quantileState(events.filter(h >= 8))
+    val merged = s1.union(s2)
+      .groupBy(col("event_type"), col("day"), col("bin"))
+      .agg(sum(col("n")).as("n"))
+    val whole = Approx.quantileEstimates(Approx.quantileState(events))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val split = Approx.quantileEstimates(merged).collect()
+    assert(split.nonEmpty)
+    split.foreach { r =>
+      val w = whole(r.getString(0))
+      assert(r.getAs[Long]("n") == w.getAs[Long]("n"))
+      assert(r.getAs[Double]("est_p50") == w.getAs[Double]("est_p50"))
+      assert(r.getAs[Double]("est_p95") == w.getAs[Double]("est_p95"))
+    }
+  }
+
   test("pqSearch: ADC candidates come only from the probe's cells, k rows per probe max") {
     val out = Ann.pqSearch(emb).collect()
     val byProbe = out.groupBy(_.getLong(0))
