@@ -123,6 +123,69 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("spaceSaving fold: state bounded at capacity, never undercounts, declares its overestimation") {
+    import graft.streaming.TopKStream
+    // skewed synthetic stream: word i appears ~1000/i times (i=1..60)
+    val stream = (1 to 60).flatMap(i => Seq.fill(1000 / i)(s"w$i"))
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cap = 8
+    val (m, n) = TopKStream.foldSpaceSaving(Map.empty, 0L, stream.iterator, cap)
+    assert(n == stream.size.toLong)
+    assert(m.size <= cap, s"state grew to ${m.size} > $cap")
+    m.foreach { case (w, (est, err)) =>
+      val t = truth(w)
+      assert(t <= est, s"$w undercounted: est=$est true=$t")
+      assert(est - err <= t, s"$w over-over-estimated: est=$est err=$err true=$t")
+    }
+    // epsilon-superset: every word with true freq > n/cap is in the table
+    truth.filter(_._2 > n / cap).keys.foreach { w =>
+      assert(m.contains(w), s"heavy hitter $w (true=${truth(w)}) evicted")
+    }
+  }
+
+  test("streaming heavy hitters: epsilon-superset of the batch truth across micro-batches, bounded output") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{TopKStream, WordIn}
+    import graft.text.TextPrep
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val toks = TextPrep.withWords(Tables.documents(spark, sf).filter(col("text").isNotNull))
+      .select(col("lang"), explode(col("words")).as("word"))
+      .as[(String, String)].collect().map(t => WordIn(t._1, t._2))
+    val truth = toks.groupBy(_.lang).view.mapValues(
+      _.groupBy(_.word).view.mapValues(_.length.toLong).toMap).toMap
+    val cap = 16
+    val input = MemoryStream[WordIn]
+    // k == capacity so each batch emits the key's FULL table
+    val q = TopKStream.heavyHitters(input.toDS(), capacity = cap, k = cap)
+      .toDF().writeStream.outputMode("update")
+      .format("memory").queryName("hh_stream").start()
+    val (b1, b2) = toks.splitAt(toks.length / 2)
+    input.addData(b1.toIndexedSeq); q.processAllAvailable()
+    input.addData(b2.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hh_stream").collect()
+    truth.foreach { case (lang, counts) =>
+      val nLang = counts.values.sum
+      val latest = rows.filter(_.getAs[String]("lang") == lang)
+      assert(latest.nonEmpty, s"no output for lang $lang")
+      val lastSeen = latest.map(_.getAs[Long]("n_seen")).max
+      assert(lastSeen == nLang, s"lang $lang saw $lastSeen of $nLang tokens")
+      val table = latest.filter(_.getAs[Long]("n_seen") == lastSeen)
+        .map(r => r.getAs[String]("word") -> (r.getAs[Long]("est"), r.getAs[Long]("err"))).toMap
+      assert(table.size <= cap)
+      // the epsilon-superset guarantee vs the exact batch truth
+      counts.filter(_._2 > nLang / cap).keys.foreach { w =>
+        assert(table.contains(w), s"lang $lang heavy hitter $w missing from stream table")
+      }
+      // and the per-entry bracket survives micro-batch folding
+      table.foreach { case (w, (est, err)) =>
+        val t = counts.getOrElse(w, 0L)
+        assert(t <= est && est - err <= t, s"lang $lang $w: est=$est err=$err true=$t")
+      }
+    }
+  }
+
   test("pqSearch: ADC candidates come only from the probe's cells, k rows per probe max") {
     val out = Ann.pqSearch(emb).collect()
     val byProbe = out.groupBy(_.getLong(0))
