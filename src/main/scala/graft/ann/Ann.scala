@@ -812,6 +812,29 @@ object Ann {
       .orderBy("centroid_id")
   }
 
+  /** PQ codebook-quality mart — the [[cellQuality]] analog for the
+    * quantizer: per SUBSPACE, member count, codebook utilization
+    * (distinct codes used / kCodes — an underused codebook means the
+    * hash sample missed that subspace's mass) and the mean/max exact
+    * quantization distortion d2. This is the diagnostic that decides
+    * whether [[pqSearch]]'s recall lever is a bigger codebook (high
+    * distortion, full utilization) or a better sample (low utilization).
+    * Rides the SAME assignment frame the index build computes
+    * ([[Embeddings.pqAssign]]); the aggregate is m rows. */
+  def pqQuality(embeddings: DataFrame, m: Int = 8, subDim: Int = 8,
+                kCodes: Int = 64): DataFrame =
+    Embeddings.pqAssign(embeddings, m, subDim, kCodes)
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("centroid_id")).as("codes_used"),
+        sum(col("d2").cast("decimal(27,12)")).as("sd"),
+        max(col("d2")).as("maxd"))
+      .select(col("m").cast("int").as("m"), col("n_vecs"), col("codes_used"),
+        r6(col("codes_used").cast("double") / lit(kCodes.toDouble)).as("code_util"),
+        r6(col("sd").cast("double") / col("n_vecs")).as("mean_d2"),
+        r6(col("maxd")).as("max_d2"))
+      .orderBy("m")
+
   /** Per-cluster elementwise vector mean as a typed Aggregator: the
     * buffer is one double[dim] + count per cluster, partial-aggregated
     * map-side — so recomputing K centroids over any corpus size shuffles
@@ -1038,6 +1061,7 @@ object Ann {
     "q_pq_search" -> ((s, d) => pqSearch(loadEmb(s, d))),
     "q_pq_refine" -> ((s, d) => pqRefine(loadEmb(s, d))),
     "q_pq_eval" -> ((s, d) => pqEval(loadEmb(s, d))),
+    "q_pq_quality" -> ((s, d) => pqQuality(loadEmb(s, d))),
     "q_embed_incremental" -> ((s, d) => {
       // deterministic batch split: vectors with md5 digit < 2 (~1/8)
       // arrive as the new increment, mirroring q_dedup_incremental
@@ -1452,6 +1476,17 @@ object Ann {
            ${sqlR("CAST(SUM(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS recall_refined
          FROM bf LEFT JOIN adck a ON bf.probe_id = a.probe_id AND bf.vec_id = a.vec_id
                  LEFT JOIN refk r ON bf.probe_id = r.probe_id AND bf.vec_id = r.vec_id
+         GROUP BY 1 ORDER BY 1""",
+    // Same code-assignment CTEs as q_pq_search (unreferenced CTEs in the
+    // chain are never executed); m-row aggregate over pqbest.
+    "q_pq_quality" ->
+      s"""WITH $normCte, $pqCtes
+         SELECT CAST(m AS INT) AS m, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(DISTINCT code) AS BIGINT) AS codes_used,
+           ${sqlR("CAST(COUNT(DISTINCT code) AS DOUBLE) / 64", 6)} AS code_util,
+           ${sqlR("CAST(SUM(CAST(d2 AS DECIMAL(27,12))) AS DOUBLE) / COUNT(*)", 6)} AS mean_d2,
+           ${sqlR("MAX(d2)", 6)} AS max_d2
+         FROM pqbest WHERE crn = 1
          GROUP BY 1 ORDER BY 1""",
     "q_cell_quality" ->
       s"""WITH $normCte,
