@@ -120,7 +120,14 @@ object Embeddings {
     * long-form codes behind [[pqCodes]] and the index side of
     * [[Ann.pqSearch]]. Row-local argmin over k·m exact scaled-integer
     * L2² distances (the codebook is broadcast); returns one row per
-    * (vec_id, m) with the winning `code` and its exact `d2`. */
+    * (vec_id, m) with the winning `code` and its exact `d2`.
+    *
+    * The argmin is a map-side-combined `min(struct(d2, centroid_id))`
+    * aggregate, NOT a rank window: a window over (vec_id, m) would
+    * shuffle all n·m·k scored rows to rank k of them, while the struct
+    * ordering (d2 asc, centroid_id asc — the same tie-break) partial-
+    * aggregates to n·m rows before the exchange — a k× shuffle cut that
+    * matters at 100 TB index-build scale. */
   private[graft] def pqAssign(embeddings: DataFrame, m: Int = 4,
                               subDim: Int = 16, k: Int = 8): DataFrame = {
     graft.functions.DotScaled.register(embeddings.sparkSession)
@@ -134,13 +141,12 @@ object Embeddings {
     val csub = cents.select(col("centroid_id"), col("ce"), ms)
       .withColumn("cv", expr(s"slice(ce, m * $subDim + 1, $subDim)"))
       .select(col("centroid_id"), col("m").as("cm"), col("cv"))
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2").asc, col("centroid_id").asc)
     sub.join(broadcast(csub), col("m") === col("cm"))
       .withColumn("d2", d("sv", "sv") - lit(2d) * d("sv", "cv") + d("cv", "cv"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("centroid_id"), col("d2"))
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("centroid_id"))).as("best"))
+      .select(col("vec_id"), col("m"),
+        col("best.centroid_id").as("centroid_id"), col("best.d2").as("d2"))
   }
 
   def pqCodes(embeddings: DataFrame, m: Int = 4, subDim: Int = 16,
