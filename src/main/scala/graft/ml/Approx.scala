@@ -131,7 +131,7 @@ object Approx {
     * negative axis mirrored below -1 — ~12% relative bin width, the
     * fixed-size mergeable summary [[quantileState]] keys on. Shared by
     * state build and estimate so they can never drift. */
-  private def qBin: Column =
+  private[graft] def qBin: Column =
     when(col("value") >= 0, floor(log10(col("value") + 1) * 20))
       .otherwise(lit(-1) - floor(log10(-col("value") + 1) * 20))
       .cast("long")

@@ -103,6 +103,32 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming builder of the day-grain quantile state — the readStream
+    * twin of [[graft.ml.Approx.quantileState]], closing the rollup loop:
+    * the stream maintains the mergeable (event_type, day, bin) counts
+    * (grouping on a 1-day event-time window so the 2-day watermark
+    * actually evicts closed days from state — a derived date column
+    * would never age out), and [[graft.ml.Approx.quantileEstimates]]
+    * reads the SAME state rows the batch path builds, so streaming and
+    * batch quantile marts can never drift. State is bounded at
+    * types × open-days × bins regardless of stream length. */
+  def quantileStateStream(spark: SparkSession, dir: String,
+                          queryName: String = "stream_qstate"): DataFrame = {
+    val agg = readEvents(spark, dir)
+      .filter(col("value").isNotNull)
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"),
+        graft.ml.Approx.qBin.as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("event_type"), to_date(col("window.start")).as("day"),
+        col("bin"), col("n"))
+    val q = agg.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming exact dedup on event_id with a watermark bounding the
     * dedup state — the streaming twin of Dedup.exact (late duplicates
     * beyond the watermark age out of state instead of growing it

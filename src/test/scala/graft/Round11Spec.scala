@@ -186,6 +186,31 @@ class Round11Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming quantile state == batch state, and estimates derived from it match exactly") {
+    import graft.ml.Approx
+    import graft.streaming.EventStream
+    val streamedSink = EventStream.quantileStateStream(spark, sf)
+    // re-materialize off the memory-sink view: MemoryPlan views hit the
+    // conflicting-reference resolver when self-joined (quantileEstimates
+    // reads the state twice)
+    val streamed = spark.createDataFrame(
+      spark.sparkContext.parallelize(streamedSink.collect().toSeq),
+      streamedSink.schema)
+    val batch = Approx.quantileState(Tables.events(spark, sf))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("event_type"), r.getAs[java.sql.Date]("day").toString,
+        r.getAs[Long]("bin")) -> r.getAs[Long]("n")
+    val sm = streamed.collect().map(key).toMap
+    val bm = batch.collect().map(key).toMap
+    assert(sm == bm, s"state drift: stream-only=${(sm.keySet -- bm.keySet).take(3)} batch-only=${(bm.keySet -- sm.keySet).take(3)}")
+    // and the rollup built from the STREAMED state matches the batch rollup
+    val se = Approx.quantileEstimates(streamed).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val be = Approx.quantileEstimates(batch).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(se == be)
+  }
+
   test("pqSearch: ADC candidates come only from the probe's cells, k rows per probe max") {
     val out = Ann.pqSearch(emb).collect()
     val byProbe = out.groupBy(_.getLong(0))
