@@ -269,7 +269,8 @@ object Ann {
     * query-to-reconstruction estimate. */
   private def pqAdcScored(embeddings: DataFrame, nProbes: Int,
                           kCents: Int, nCells: Int,
-                          m: Int, subDim: Int, kCodes: Int): DataFrame = {
+                          m: Int, subDim: Int, kCodes: Int,
+                          csubOpt: Option[DataFrame] = None): DataFrame = {
     val S = DotScaled.Scale
     val v = withNorm(embeddings.select(col("vec_id"), col("embedding")))
     val ranked = centroidRankedWith(v, centroids(v, kCents))
@@ -278,20 +279,23 @@ object Ann {
     val probeCells = ranked.filter(col("vec_id") < nProbes && col("rn") <= nCells)
       .select(col("vec_id").as("probe_id"), col("nrm").as("pnrm"),
         col("centroid_id").as("pcell"))
+    // subspace codebook: the hash sample by default, or an explicit
+    // (Lloyd-refined) frame through the csubOpt seam
+    val csubRaw = csubOpt.getOrElse(
+      Embeddings.csubOf(Embeddings.pqCodebook(embeddings, kCodes), m, subDim))
     // stored index: cell + m codes per vector (one co-keyed shuffle)
     val codeCols = (0 until m).map(j =>
       max(when(col("m") === j, col("centroid_id"))).as(s"code$j"))
-    val codes = Embeddings.pqAssign(embeddings, m, subDim, kCodes)
+    val codes = Embeddings.pqAssignWith(
+        Embeddings.subFrame(embeddings, m, subDim), csubRaw)
       .groupBy(col("vec_id"))
       .agg(codeCols.head, codeCols.tail: _*)
     val index = assign.join(codes, "vec_id")
     // broadcast LUT: per (probe, subspace, codebook entry) the exact
     // scaled-integer query-sub-dot qd and codebook self-dot cd
-    val cb = Embeddings.pqCodebook(embeddings, kCodes)
     val ms = explode(array((0 until m).map(lit): _*)).as("m")
-    val csub = cb.select(col("centroid_id").as("code"), col("ce"), ms)
-      .withColumn("cv", expr(s"slice(ce, m * $subDim + 1, $subDim)"))
-      .select("code", "m", "cv")
+    val csub = csubRaw.select(col("centroid_id").as("code"),
+      col("cm").as("m"), col("cv"))
     val psub = v.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding"), ms)
       .withColumn("pv", expr(s"slice(embedding, m * $subDim + 1, $subDim)"))
@@ -766,6 +770,19 @@ object Ann {
         r6(col("n_ref_hits").cast("double") / col("n_true")).as("recall_refined"))
       .orderBy("probe_id")
   }
+
+  /** ADC recall@k against an EXPLICIT subspace codebook — the A/B seam
+    * that compares codebook TRAINING (hash sample vs
+    * [[Embeddings.pqLloydCsub]]) through the identical search plan,
+    * exactly as [[annEval]]'s `cents` does for IVF centroids. */
+  private[graft] def pqEvalWith(embeddings: DataFrame, csub: DataFrame,
+                                nProbes: Int = 10, k: Int = 10,
+                                kCents: Int = 16, nCells: Int = 5,
+                                m: Int = 8, subDim: Int = 8,
+                                kCodes: Int = 64): DataFrame =
+    recallVsExact(bruteForceTopK(embeddings, nProbes, k),
+      topkPerProbe(pqAdcScored(embeddings, nProbes, kCents, nCells,
+        m, subDim, kCodes, Some(csub)), k))
 
   /** Shared recall@k comparison: per probe, how many of the exact
     * baseline's neighbors the approximate list recovered. */
