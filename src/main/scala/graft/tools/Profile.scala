@@ -165,6 +165,29 @@ object Profile {
         t(s"stream_ssjoin_outer_$round") {
           graft.streaming.EventStream.touchPurchaseJoinOuter(spark, sfDir, s"pjo$round").count()
         }
+        t(s"stream_qstate_$round") {
+          graft.streaming.EventStream.quantileStateStream(spark, sfDir, s"pq$round").count()
+        }
+        t(s"stream_heavyhitters_$round") {
+          import spark.implicits._
+          val words = graft.text.TextPrep
+            .withWords(docs.filter(col("text").isNotNull))
+            .select(col("lang"), explode(col("words")).as("word"))
+          // finite-input drive via the file-source staged docs is what
+          // the other twins do; heavy hitters consume a MemoryStream in
+          // specs, so here the token stream is staged through a temp
+          // parquet to exercise the same micro-batch path
+          val dir = java.nio.file.Files.createTempDirectory("graft-hh").toString
+          words.write.mode("overwrite").parquet(s"$dir/words.parquet")
+          val schema = spark.read.parquet(s"$dir/words.parquet").schema
+          val streamed = spark.readStream.schema(schema).parquet(s"$dir/words.parquet")
+            .as[graft.streaming.WordIn]
+          val q = graft.streaming.TopKStream.heavyHitters(streamed)
+            .toDF().writeStream.outputMode("update")
+            .format("memory").queryName(s"phh$round").start()
+          try q.processAllAvailable() finally q.stop()
+          spark.table(s"phh$round").count()
+        }
       }
     }
     if (sys.env.contains("SPARK_GRAFT_ANN")) {
