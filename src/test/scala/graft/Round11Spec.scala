@@ -233,6 +233,27 @@ class Round11Spec extends AnyFunSuite {
       "Lloyd codebook regressed ADC recall vs the hash sample")
   }
 
+  test("round-11 operators are well-defined on empty inputs (the EdgeCasesSpec contract)") {
+    import graft.ann.Ann
+    import graft.dedup.Dedup
+    import graft.ml.Approx
+    import graft.text.CorpusStats
+    val emptyEmb = Tables.embeddings(spark, sf).limit(0)
+    val emptyDocs = Tables.documents(spark, sf).limit(0)
+    val emptyEvents = Tables.events(spark, sf).limit(0)
+    assert(Ann.pqSearch(emptyEmb).count() == 0)
+    assert(Ann.pqRefine(emptyEmb).count() == 0)
+    assert(Ann.pqEval(emptyEmb).count() == 0)
+    assert(Ann.pqQuality(emptyEmb).count() == 0)
+    assert(Dedup.paraTrim(emptyDocs).count() == 0)
+    assert(CorpusStats.corpusDiff(emptyDocs).count() == 0)
+    assert(Approx.quantileRollup(emptyEvents).count() == 0)
+    // single-doc corpus: everything is unique -> full text survives
+    val one = Dedup.paraTrim(Tables.documents(spark, sf)
+      .filter(col("text").isNotNull).limit(1)).collect()
+    assert(one.length == 1 && one.head.getAs[Long]("trimmed_tokens") == 0L)
+  }
+
   test("pqSearch: ADC candidates come only from the probe's cells, k rows per probe max") {
     val out = Ann.pqSearch(emb).collect()
     val byProbe = out.groupBy(_.getLong(0))
