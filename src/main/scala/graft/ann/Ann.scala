@@ -349,6 +349,39 @@ object Ann {
     topkPerProbe(scored, k)
   }
 
+  /** Incremental IVF-PQ index MAINTENANCE — the arrival path of the
+    * search family (the [[lshIncrement]] twin for the PQ index): a new
+    * batch of vectors is celled and coded against the EXISTING corpus's
+    * artifacts (hash-ranked centroids + codebook trained on the old
+    * corpus only), so ingest appends index rows without retraining or
+    * touching stored vectors. Emits per new vector its cell (+fit), its
+    * m codes, and the exact reconstruction distance — the staleness
+    * signal [[indexStaleness]] aggregates: a rising recon_l2 on arrivals
+    * says the frozen codebook no longer covers the distribution and a
+    * [[Embeddings.pqLloydCsub]] retrain is due. Cost: one broadcast of
+    * the (kCents + kCodes·m) artifacts against the NEW batch only. */
+  def pqIncrement(newVecs: DataFrame, corpus: DataFrame, kCents: Int = 16,
+                  m: Int = 8, subDim: Int = 8, kCodes: Int = 64): DataFrame = {
+    val vCorpus = withNorm(corpus.select(col("vec_id"), col("embedding")))
+    val cents = centroids(vCorpus, kCents)
+    val csub = Embeddings.csubOf(Embeddings.pqCodebook(corpus, kCodes), m, subDim)
+    val vNew = withNorm(newVecs.select(col("vec_id"), col("embedding")))
+    val cell = centroidRankedWith(vNew, cents).filter(col("rn") === 1)
+      .select(col("vec_id"), col("centroid_id").as("cell_id"),
+        col("ccos").as("cell_cosine"))
+    val codeCols = (0 until m).map(j =>
+      max(when(col("m") === j, col("centroid_id"))).as(s"code$j")) :+
+      sum(col("d2")).as("sumd2")
+    val codes = Embeddings.pqAssignWith(
+        Embeddings.subFrame(newVecs, m, subDim), csub)
+      .groupBy(col("vec_id"))
+      .agg(codeCols.head, codeCols.tail: _*)
+    cell.join(codes, "vec_id")
+      .withColumn("recon_l2", r6(sqrt(greatest(col("sumd2"), lit(0d)))))
+      .drop("sumd2")
+      .orderBy("vec_id")
+  }
+
   /** Adaptive IVF cell count for self-join blocking: the √n balance
     * point where brute centroid assignment (n·K) and the within-cell
     * join (Σ|cell|² ≈ n²/K) both cost n^1.5 — a fixed K is quadratic in
@@ -1079,6 +1112,12 @@ object Ann {
     "q_pq_refine" -> ((s, d) => pqRefine(loadEmb(s, d))),
     "q_pq_eval" -> ((s, d) => pqEval(loadEmb(s, d))),
     "q_pq_quality" -> ((s, d) => pqQuality(loadEmb(s, d))),
+    "q_pq_incremental" -> ((s, d) => {
+      val emb = loadEmb(s, d).withColumn("dg",
+        graft.functions.Fns.hexDigit("vec_id", 1))
+      pqIncrement(emb.filter(col("dg") < 2).drop("dg"),
+        emb.filter(col("dg") >= 2).drop("dg"))
+    }),
     "q_embed_incremental" -> ((s, d) => {
       // deterministic batch split: vectors with md5 digit < 2 (~1/8)
       // arrive as the new increment, mirroring q_dedup_incremental
@@ -1494,6 +1533,44 @@ object Ann {
          FROM bf LEFT JOIN adck a ON bf.probe_id = a.probe_id AND bf.vec_id = a.vec_id
                  LEFT JOIN refk r ON bf.probe_id = r.probe_id AND bf.vec_id = r.vec_id
          GROUP BY 1 ORDER BY 1""",
+    // Old/new md5-gate split; centroids + codebook from OLD rows only,
+    // new batch celled + coded against them (the q_dedup_incremental
+    // device applied to the PQ index).
+    "q_pq_incremental" ->
+      s"""WITH $normCte,
+         g AS (SELECT vec_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) < 2 AS is_new
+           FROM embeddings),
+         oldv AS (SELECT nv.* FROM nv JOIN g USING (vec_id) WHERE NOT is_new),
+         newv AS (SELECT nv.* FROM nv JOIN g USING (vec_id) WHERE is_new),
+         icents AS (SELECT vec_id AS centroid_id, embedding AS ce, nrm AS cnrm FROM oldv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+         isc AS (SELECT newv.vec_id, centroid_id,
+             FLOOR((${dotSql("embedding", "ce")} / (nrm * cnrm)) * 1000000 + 0.5) / 1000000 AS ccos
+           FROM newv, icents),
+         irk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, centroid_id) AS rn
+           FROM isc),
+         icell AS (SELECT vec_id, centroid_id AS cell_id, ccos AS cell_cosine FROM irk WHERE rn = 1),
+         icbk AS (SELECT vec_id AS code, embedding AS cbe FROM oldv
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 64),
+         ims AS (SELECT m FROM generate_series(0, 7) t(m)),
+         icbsub AS (SELECT code, m, list_slice(cbe, m * 8 + 1, (m + 1) * 8) AS cv FROM icbk, ims),
+         insub AS (SELECT vec_id, m, list_slice(embedding, m * 8 + 1, (m + 1) * 8) AS sv
+           FROM newv, ims),
+         ipsc AS (SELECT insub.vec_id, insub.m, icbsub.code,
+             ${dotSql("sv", "sv")} - 2 * ${dotSql("sv", "cv")} + ${dotSql("cv", "cv")} AS d2
+           FROM insub JOIN icbsub USING (m)),
+         ibest AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2 ASC, code ASC) AS crn
+           FROM ipsc),
+         icode AS (SELECT vec_id,
+             ${(0 until 8).map(j => s"MAX(CASE WHEN m = $j THEN code END) AS code$j").mkString(", ")},
+             SUM(d2) AS sumd2
+           FROM ibest WHERE crn = 1 GROUP BY 1)
+         SELECT icell.vec_id, cell_id, cell_cosine,
+           ${(0 until 8).map(j => s"code$j").mkString(", ")},
+           ${sqlR("sqrt(GREATEST(sumd2, 0.0))", 6)} AS recon_l2
+         FROM icell JOIN icode USING (vec_id)
+         ORDER BY 1""",
     // Same code-assignment CTEs as q_pq_search (unreferenced CTEs in the
     // chain are never executed); m-row aggregate over pqbest.
     "q_pq_quality" ->
