@@ -347,7 +347,58 @@ object TextOps {
       .select("doc_id", "n_words", "n_sentences", "n_syllables", "flesch", "grade")
       .orderBy("doc_id")
 
+  /** Two-phase training-data SCHEDULE — the annealing plan modern
+    * pretraining runs end on (a final ~10% of tokens drawn from the
+    * highest-quality slice; e.g. MiniCPM / Llama-3 style "anneal" or
+    * "midtraining" phases): per source, the full-corpus pretrain token
+    * mass plus an anneal allocation proportional to that source's
+    * TOP-QUARTILE-quality token mass, capped at what it actually has.
+    * Eligibility is data-adaptive (score ≥ the corpus p75 via the
+    * PrefixSum exact-percentile device, a 1-row broadcast) rather than
+    * the fixed HIGH tier — a corpus whose scores all sit in one tier
+    * still gets a real anneal slice. Composes [[quality]]'s row-wise
+    * score pass with the mixture-budget arithmetic of
+    * [[graft.text.Vocab.mixPlan]]; all artifacts past the one
+    * per-source aggregate are 1-row broadcasts. NULL text is excluded
+    * up front (mirrored in the oracle). */
+  def annealPlan(documents: DataFrame, annealFrac: Double = 0.1): DataFrame = {
+    val scored = withQualitySignals(
+        TextPrep.withWords(documents.filter(col("text").isNotNull)))
+      .select(col("source"), col("n_words").cast("long").as("toks"),
+        col("quality_score"))
+    val thr = graft.functions.PrefixSum.exactPercentiles(
+        scored.select(col("quality_score").as("qs")), "qs", Nil,
+        Seq("p75_0" -> 0.75)).drop("pct_n")
+      .select(r6(col("p75_0")).as("q_p75"))
+    val d = scored.crossJoin(broadcast(thr))
+    val bySrc = d.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("toks")).as("total_tokens"),
+      sum(when(col("quality_score") >= col("q_p75"), col("toks")).otherwise(0L))
+        .as("high_tokens"),
+      max(col("q_p75")).as("q_p75"))
+    val consts = bySrc.agg(
+      sum(col("total_tokens")).as("corpus_tokens"),
+      sum(col("high_tokens")).as("high_total"))
+    bySrc.crossJoin(broadcast(consts))
+      .withColumn("anneal_budget",
+        floor(col("corpus_tokens").cast("double") * lit(annealFrac)).cast("long"))
+      .withColumn("anneal_take",
+        when(col("high_total") > 0,
+          least(col("high_tokens"),
+            floor(col("anneal_budget").cast("double") * col("high_tokens") /
+              col("high_total")).cast("long")))
+          .otherwise(lit(0L)))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("high_tokens").as("top_q_tokens"), col("q_p75"),
+        col("anneal_budget"), col("anneal_take"),
+        r6(try_divide(col("anneal_take").cast("double"), col("anneal_budget")))
+          .as("anneal_share"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_anneal_plan" -> ((s, d) => annealPlan(Tables.documents(s, d))),
     "q_readability" -> ((s, d) => readability(Tables.documents(s, d))),
     "q_lang_confusion" -> ((s, d) => langConfusion(Tables.documents(s, d))),
     "q_gate_funnel" -> ((s, d) => gateFunnel(Tables.documents(s, d))),
@@ -366,6 +417,39 @@ object TextOps {
     s"len(list_filter(words, w -> w IN ${inList(stop(lang))}))"
 
   val oracles: Map[String, String] = Map(
+    // The q_text_quality score chain (r4-rounded signals feeding the
+    // r4-rounded score) carried with source, aggregated to the
+    // per-source schedule; the budget arithmetic repeats the identical
+    // double expression tree on both engines.
+    "q_anneal_plan" ->
+      s"""WITH w AS (SELECT doc_id, source, text, $normSql AS norm,
+             string_split($normSql, ' ') AS words FROM documents
+           WHERE text IS NOT NULL),
+         sig AS (SELECT source, CAST(len(words) AS BIGINT) AS toks,
+             FLOOR((0.4 * (FLOOR((CAST(${hits("en")} AS DOUBLE) / len(words)) * 10000 + 0.5) / 10000)
+               + 0.3 * (1.0 - (FLOOR((CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)) * 10000 + 0.5) / 10000))
+               + 0.3 * LEAST(CAST(len(words) AS DOUBLE) / 100, 1.0)) * 10000 + 0.5) / 10000 AS q
+           FROM w),
+         thr AS (SELECT ${sqlR("quantile_cont(q, 0.75)", 6)} AS q_p75 FROM sig),
+         s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(toks) AS BIGINT) AS total_tokens,
+             CAST(SUM(CASE WHEN q >= q_p75 THEN toks ELSE 0 END) AS BIGINT) AS top_q_tokens,
+             MAX(q_p75) AS q_p75
+           FROM sig, thr GROUP BY 1),
+         c AS (SELECT CAST(SUM(total_tokens) AS BIGINT) AS corpus_tokens,
+             CAST(SUM(top_q_tokens) AS BIGINT) AS high_total FROM s),
+         p AS (SELECT s.*,
+             CAST(FLOOR(CAST(corpus_tokens AS DOUBLE) * CAST(0.1 AS DOUBLE)) AS BIGINT) AS anneal_budget,
+             high_total
+           FROM s, c),
+         t AS (SELECT *, CASE WHEN high_total > 0
+               THEN LEAST(top_q_tokens,
+                 CAST(FLOOR(CAST(anneal_budget AS DOUBLE) * top_q_tokens / high_total) AS BIGINT))
+               ELSE 0 END AS anneal_take
+           FROM p)
+         SELECT source, n_docs, total_tokens, top_q_tokens, q_p75, anneal_budget, anneal_take,
+           ${sqlR("CAST(anneal_take AS DOUBLE) / anneal_budget", 6)} AS anneal_share
+         FROM t ORDER BY source""",
     "q_readability" ->
       s"""WITH w AS (SELECT doc_id, text, string_split($normSql, ' ') AS words FROM documents
            WHERE text IS NOT NULL),
