@@ -248,6 +248,8 @@ class Round11Spec extends AnyFunSuite {
     assert(Dedup.paraTrim(emptyDocs).count() == 0)
     assert(CorpusStats.corpusDiff(emptyDocs).count() == 0)
     assert(Approx.quantileRollup(emptyEvents).count() == 0)
+    assert(Ann.pqIncrement(emptyEmb, Tables.embeddings(spark, sf)).count() == 0)
+    assert(graft.text.TextOps.annealPlan(emptyDocs).count() == 0)
     // single-doc corpus: everything is unique -> full text survives
     val one = Dedup.paraTrim(Tables.documents(spark, sf)
       .filter(col("text").isNotNull).limit(1)).collect()
