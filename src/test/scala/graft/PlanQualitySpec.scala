@@ -16,6 +16,12 @@ class PlanQualitySpec extends AnyFunSuite {
   private def planOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Executed plan with the AQE "Initial Plan" echo stripped — after a
+    * collect() the string carries final + initial sections and every
+    * operator would double-count. */
+  private def finalPlanOf(df: org.apache.spark.sql.DataFrame): String =
+    planOf(df).split("== Initial Plan ==")(0)
+
   private def optimizedOf(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.optimizedPlan.toString
 
@@ -384,6 +390,48 @@ class PlanQualitySpec extends AnyFunSuite {
     // split partial/final
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
       s"sketch aggregation must be partial before the shuffle:\n$plan")
+  }
+
+  test("pq search: LUT lookups are broadcast joins; no unbounded join anywhere") {
+    val df = graft.ann.Ann.pqSearch(
+      Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")))
+    df.collect() // finalize AQE so the printed plan is the executed one
+    val plan = finalPlanOf(df)
+    // 8 per-subspace LUT joins + probe-cell join, all broadcast
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 9,
+      s"ADC lookups must be broadcast joins:\n$plan")
+    // the corpus x K centroid cross (BroadcastNestedLoopJoin with a
+    // bounded build side) is the intended IVF device; what must never
+    // appear is a shuffled cartesian, and the only shuffle joins allowed
+    // are the co-keyed index build on vec_id
+    assert(!plan.contains("CartesianProduct"),
+      s"no shuffled cartesian in pq search:\n$plan")
+    assert("SortMergeJoin".r.findAllIn(plan).size <= 2,
+      s"candidate scoring must not shuffle-join:\n$plan")
+  }
+
+  test("para trim: one block-hash shuffle shared with the holders join, like the flag mart") {
+    val plan = planOf(graft.dedup.Dedup.paraTrim(Tables.documents(spark, sf)))
+    assert("Exchange hashpartitioning\\(bh".r.findAllIn(plan).size <= 2,
+      s"blocks must shuffle once on the block hash, reused by the holders join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no unbounded joins in para trim:\n$plan")
+  }
+
+  test("corpus diff: the doc-grain compare is one co-keyed join, no nested loop") {
+    val df = graft.text.CorpusStats.corpusDiff(Tables.documents(spark, sf))
+    df.collect() // finalize AQE so the printed plan is the executed one
+    val plan = finalPlanOf(df)
+    assert("FullOuter".r.findAllIn(plan).size == 1,
+      s"expected exactly one full-outer join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"no unbounded joins in corpus diff:\n$plan")
+  }
+
+  test("quantile state: bin counts partial-aggregate map-side before the shuffle") {
+    val plan = planOf(graft.ml.Approx.quantileState(Tables.events(spark, sf)))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2,
+      s"state build must be partial before the shuffle:\n$plan")
   }
 
   test("exact percentiles match the Percentile aggregate bit-for-bit on both branches") {
