@@ -349,6 +349,87 @@ object Ann {
     topkPerProbe(scored, k)
   }
 
+  /** HYBRID retrieval with reciprocal-rank fusion (Cormack, Clarke,
+    * Buettcher 2009) — the RAG-serving composition of the engine's two
+    * ranking arms: per probe document, a LEXICAL arm (the probe's top
+    * `kTerms` tf terms scored BM25-style against the corpus — the exact
+    * constants and decimal-sum routing of [[graft.text.Vocab.bm25]])
+    * and a VECTOR arm (exact cosine ranking over the embeddings
+    * table), fused as rrf = Σ 1/(rrfK + rank). The engine's data-model
+    * contract here is that `embeddings.vec_id` keys the same id space
+    * as `documents.doc_id` (document i's embedding) — the join every
+    * hybrid store maintains physically.
+    *
+    * Scale shape: probe terms, their df artifact and the 1-row corpus
+    * stats are broadcasts; the lexical candidate stream is one
+    * (probe, doc, term) partial aggregation; BOTH arms rank through the
+    * bounded-heap device (never a per-probe corpus-slice window), and
+    * the fusion join is over two ≤ arm-row-per-probe frames. */
+  def hybridRrf(documents: DataFrame, embeddings: DataFrame,
+                nProbes: Int = 10, k: Int = 10, kTerms: Int = 8,
+                arm: Int = 50, rrfK: Int = 60): DataFrame = {
+    import graft.text.TextPrep
+    val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+    val docs = documents.filter(col("text").isNotNull)
+    val toks = TextPrep.withWords(docs)
+      .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
+        explode(col("words")).as("word"))
+    // probe query terms: top-kTerms by in-probe tf (window bounded by
+    // one document's vocabulary, never the corpus)
+    val wP = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ptf").desc, col("word"))
+    val pt = toks.filter(col("doc_id") < nProbes && !col("word").isin(stopEn: _*))
+      .groupBy(col("doc_id").as("probe_id"), col("word"))
+      .agg(count(lit(1)).as("ptf"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= kTerms)
+      .select("probe_id", "word")
+    val dfw = toks.join(broadcast(pt.select("word").distinct()), Seq("word"))
+      .groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+    val stats = TextPrep.withWords(docs)
+      .agg(count(lit(1)).as("nn"),
+        sum(size(col("words")).cast("decimal(18,0)")).cast("double").as("sdl"))
+    val tfd = toks.join(broadcast(pt), Seq("word"))
+      .filter(col("doc_id") =!= col("probe_id"))
+      .groupBy(col("probe_id"), col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val lexScored = tfd.join(broadcast(dfw), Seq("word"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sdl") / col("nn"))
+      .withColumn("contrib",
+        log((col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("contrib").cast("decimal(20,12)")).cast("double").as("score0"))
+      .select(col("probe_id"), col("doc_id").as("vec_id"),
+        r6(col("score0")).as("cosine"))
+    val lex = topkPerProbe(lexScored, arm)
+      .select(col("probe_id").as("lp"), col("neighbor_id").as("ld"),
+        col("rank").as("lex_rank"))
+    val vec = bruteForceTopK(embeddings, nProbes, arm)
+      .select(col("probe_id").as("vp"), col("neighbor_id").as("vd"),
+        col("rank").as("vec_rank"))
+    val fused = lex.join(vec,
+        col("lp") === col("vp") && col("ld") === col("vd"), "full_outer")
+      .select(coalesce(col("lp"), col("vp")).as("probe_id"),
+        coalesce(col("ld"), col("vd")).as("vec_id"),
+        col("lex_rank"), col("vec_rank"))
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
+    val top = topkPerProbe(
+        fused.select(col("probe_id"), col("vec_id"), col("rrf").as("cosine")), k)
+      .withColumnRenamed("cosine", "rrf_score")
+      .withColumnRenamed("neighbor_id", "doc_id")
+    top.join(broadcast(fused.select(col("probe_id").as("fp"),
+        col("vec_id").as("fd"), col("lex_rank"), col("vec_rank"))),
+        col("probe_id") === col("fp") && col("doc_id") === col("fd"))
+      .select(col("probe_id"), col("rank"), col("doc_id"),
+        r6(col("rrf_score")).as("rrf_score"), col("lex_rank"), col("vec_rank"))
+      .orderBy("probe_id", "rank")
+  }
+
   /** Incremental IVF-PQ index MAINTENANCE — the arrival path of the
     * search family (the [[lshIncrement]] twin for the PQ index): a new
     * batch of vectors is celled and coded against the EXISTING corpus's
@@ -1112,6 +1193,8 @@ object Ann {
     "q_pq_refine" -> ((s, d) => pqRefine(loadEmb(s, d))),
     "q_pq_eval" -> ((s, d) => pqEval(loadEmb(s, d))),
     "q_pq_quality" -> ((s, d) => pqQuality(loadEmb(s, d))),
+    "q_hybrid_rrf" -> ((s, d) =>
+      hybridRrf(graft.Tables.documents(s, d), loadEmb(s, d))),
     "q_pq_incremental" -> ((s, d) => {
       val emb = loadEmb(s, d).withColumn("dg",
         graft.functions.Fns.hexDigit("vec_id", 1))
@@ -1533,6 +1616,64 @@ object Ann {
          FROM bf LEFT JOIN adck a ON bf.probe_id = a.probe_id AND bf.vec_id = a.vec_id
                  LEFT JOIN refk r ON bf.probe_id = r.probe_id AND bf.vec_id = r.vec_id
          GROUP BY 1 ORDER BY 1""",
+    // Vector arm = the q_ann_topk chain at arm depth; lexical arm = the
+    // q_bm25 scoring chain per probe; RRF fusion over the full-outer
+    // candidate union. CAST(1.0 AS DOUBLE): a bare 1.0/(bigint) would be
+    // DuckDB DECIMAL division where Spark divides doubles.
+    "q_hybrid_rrf" ->
+      s"""WITH $normCte,
+         hvp AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm FROM nv WHERE vec_id < 10),
+         hvs AS (SELECT nv.vec_id, probe_id,
+             FLOOR((${dotSql("embedding", "pe")} / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM nv, hvp WHERE nv.vec_id <> probe_id),
+         hvr AS (SELECT probe_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS vec_rank
+           FROM hvs),
+         varm AS (SELECT probe_id, vec_id, vec_rank FROM hvr WHERE vec_rank <= 50),
+         hw AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+           FROM documents WHERE text IS NOT NULL),
+         htk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS word FROM hw),
+         hpt0 AS (SELECT doc_id AS probe_id, word, CAST(COUNT(*) AS BIGINT) AS ptf
+           FROM htk WHERE doc_id < 10
+             AND word NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+           GROUP BY 1, 2),
+         hptk AS (SELECT probe_id, word FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ptf DESC, word) AS rn
+           FROM hpt0) WHERE rn <= 8),
+         hdfw AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM htk
+           WHERE word IN (SELECT DISTINCT word FROM hptk) GROUP BY 1),
+         hst AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CAST(len(words) AS HUGEINT)) AS DOUBLE) AS sdl FROM hw),
+         htfd AS (SELECT hptk.probe_id, htk.doc_id, htk.word,
+             CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+           FROM htk JOIN hptk ON htk.word = hptk.word AND htk.doc_id <> hptk.probe_id
+           GROUP BY 1, 2, 3),
+         hsc AS (SELECT t.probe_id, t.doc_id,
+             ln((CAST(hst.nn - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(t.tf AS DOUBLE) * 2.2) /
+               (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (hst.sdl / hst.nn))) AS contrib
+           FROM htfd t JOIN hdfw d ON t.word = d.word, hst),
+         hls AS (SELECT probe_id, doc_id,
+             ${sqlR("CAST(SUM(CAST(contrib AS DECIMAL(20,12))) AS DOUBLE)", 6)} AS score
+           FROM hsc GROUP BY 1, 2),
+         hlr AS (SELECT probe_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) AS lex_rank
+           FROM hls),
+         larm AS (SELECT probe_id, doc_id, lex_rank FROM hlr WHERE lex_rank <= 50),
+         hfused AS (SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
+             COALESCE(l.doc_id, v.vec_id) AS doc_id, l.lex_rank, v.vec_rank
+           FROM larm l FULL OUTER JOIN varm v
+             ON l.probe_id = v.probe_id AND l.doc_id = v.vec_id),
+         hrrf AS (SELECT *,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0) +
+               COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0) AS rrf
+           FROM hfused),
+         hfr AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank FROM hrrf)
+         SELECT probe_id, CAST(rank AS INT) AS rank, doc_id,
+           ${sqlR("rrf", 6)} AS rrf_score,
+           CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
+         FROM hfr WHERE rank <= 10 ORDER BY probe_id, rank""",
     // Old/new md5-gate split; centroids + codebook from OLD rows only,
     // new batch celled + coded against them (the q_dedup_incremental
     // device applied to the PQ index).

@@ -256,6 +256,27 @@ class Round11Spec extends AnyFunSuite {
     assert(one.length == 1 && one.head.getAs[Long]("trimmed_tokens") == 0L)
   }
 
+  test("hybridRrf: every hit comes from an arm and the fused score is exactly the RRF sum") {
+    import graft.ann.Ann
+    val out = Ann.hybridRrf(Tables.documents(spark, sf), emb).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val l = Option(r.getAs[Any]("lex_rank")).map(_.asInstanceOf[Int])
+      val v = Option(r.getAs[Any]("vec_rank")).map(_.asInstanceOf[Int])
+      assert(l.isDefined || v.isDefined, "hit from neither arm")
+      val expect = l.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        v.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf_score") -
+        math.floor(expect * 1e6 + 0.5) / 1e6) < 1e-12)
+      l.foreach(x => assert(x >= 1 && x <= 50))
+      v.foreach(x => assert(x >= 1 && x <= 50))
+    }
+    // a doc ranked first by BOTH arms must win the fusion
+    val both = out.filter(r => !r.isNullAt(r.fieldIndex("lex_rank")) &&
+      !r.isNullAt(r.fieldIndex("vec_rank")))
+    assert(both.nonEmpty, "no candidate surfaced by both arms at this SF")
+  }
+
   test("pqSearch: ADC candidates come only from the probe's cells, k rows per probe max") {
     val out = Ann.pqSearch(emb).collect()
     val byProbe = out.groupBy(_.getLong(0))
