@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ann.Embeddings
+
+/** Streaming vector-index ingest — the readStream twin of
+  * [[graft.ann.Ann.pqIncrement]], completing the ingest story beside
+  * [[DocStream]] (text arrivals): new embeddings are celled and PQ-coded
+  * against the EXISTING corpus's frozen artifacts the moment their
+  * micro-batch lands.
+  *
+  * The batch operator ranks cells with a window and codes with a
+  * grouped argmin — both streaming-hostile (unbounded keyed state). The
+  * stream instead gets the artifacts as ONE static row of arrays
+  * (16 centroids + 64×8 codebook slices — bounded regardless of corpus
+  * size, the thing that makes them broadcastable), stream-static
+  * cross-joined, and every argmin becomes a ROW-LOCAL
+  * `array_min(transform(...))` fold: struct ordering (-cos, id) /
+  * (d2, code) reproduces the batch tie-breaks exactly, so
+  * Round11Spec pins streamed == batch BIT-FOR-BIT. Zero streaming
+  * aggregation state; the only state is the file-source log.
+  */
+object VecStream {
+
+  /** Streaming read of the embeddings table (same staging device as
+    * [[DocStream.readDocuments]]). */
+  def readEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = Staging.stageParquet(dir, "embeddings", "graft-vecstream")
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema).parquet(streamDir)
+  }
+
+  /** The frozen index artifacts as one broadcastable row:
+    * `cents` = array of (cid, ce, cnrm), `cb0..cb{m-1}` = per-subspace
+    * codebook arrays of (code, cv). Built from the static corpus. */
+  private[graft] def artifactRow(corpus: DataFrame, kCents: Int, m: Int,
+                                 subDim: Int, kCodes: Int): DataFrame = {
+    graft.functions.DotScaled.register(corpus.sparkSession)
+    val S = graft.functions.DotScaled.Scale
+    val cents1 = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(kCents)
+      .select(col("vec_id").as("cid"), col("embedding").as("ce"),
+        sqrt(expr("graft_dot(embedding, embedding)").cast("double") / lit(S)).as("cnrm"))
+      .agg(collect_list(struct(col("cid"), col("ce"), col("cnrm"))).as("cents"))
+    val cbCols = (0 until m).map(j =>
+      collect_list(when(col("cm") === j,
+        struct(col("centroid_id").as("code"), col("cv")))).as(s"cb$j"))
+    val cbs = Embeddings.csubOf(Embeddings.pqCodebook(corpus, kCodes), m, subDim)
+      .agg(cbCols.head, cbCols.tail: _*)
+    cents1.crossJoin(cbs)
+  }
+
+  /** Row-local cell + code assignment of a (possibly streaming) vector
+    * frame against an artifact row — shared by the streaming query and
+    * the spec's batch-equivalence check. */
+  private[graft] def codeRows(vecs: DataFrame, artifacts: DataFrame,
+                              m: Int, subDim: Int): DataFrame = {
+    graft.functions.DotScaled.register(vecs.sparkSession)
+    val S = graft.functions.DotScaled.Scale
+    val Sd = "1099511627776.0D" // 2^40 as a SQL double literal
+    // -cos in the struct so array_min lands on (cos desc, cid asc) —
+    // the exact centroidRankedWith rn=1 tie-break
+    val cellExpr =
+      s"""array_min(transform(cents, c -> struct(
+         |  -(floor(((cast(graft_dot(embedding, c.ce) as double) / $Sd)
+         |      / (nrm * c.cnrm)) * 1000000D + 0.5D) / 1000000D) AS nc,
+         |  c.cid AS cid)))""".stripMargin
+    // d2 = <sv,sv> - 2<sv,cv> + <cv,cv>, each term the exact scaled dot
+    def d2Expr(j: Int) = {
+      val sv = s"slice(embedding, ${j * subDim} + 1, $subDim)"
+      s"""array_min(transform(cb$j, e -> struct(
+         |  (cast(graft_dot($sv, $sv) as double) / $Sd)
+         |    - 2.0D * (cast(graft_dot($sv, e.cv) as double) / $Sd)
+         |    + (cast(graft_dot(e.cv, e.cv) as double) / $Sd) AS d2,
+         |  e.code AS code)))""".stripMargin
+    }
+    val withBest = vecs
+      .withColumn("nrm",
+        sqrt(expr("graft_dot(embedding, embedding)").cast("double") / lit(S)))
+      .crossJoin(broadcast(artifacts))
+      .withColumn("cell", expr(cellExpr))
+    val withCodes = (0 until m).foldLeft(withBest) { (df, j) =>
+      df.withColumn(s"best$j", expr(d2Expr(j)))
+    }
+    withCodes.select(
+      col("vec_id") +:
+        col("cell.cid").as("cell_id") +:
+        (-col("cell.nc")).as("cell_cosine") +:
+        (0 until m).map(j => col(s"best$j.code").as(s"code$j")) :+
+        graft.functions.Fns.r6(sqrt(greatest(
+          (0 until m).map(j => col(s"best$j.d2")).reduce(_ + _), lit(0d))))
+          .as("recon_l2"): _*)
+  }
+
+  /** Stream new vectors against the frozen index artifacts: emits one
+    * fully-coded index row per arrival. Pure Append — no aggregation
+    * state at all. */
+  def codedArrivals(spark: SparkSession, dir: String, corpus: DataFrame,
+                    kCents: Int = 16, m: Int = 8, subDim: Int = 8,
+                    kCodes: Int = 64,
+                    newVecFilter: Option[org.apache.spark.sql.Column] = None,
+                    queryName: String = "stream_veccode"): DataFrame = {
+    val base = readEmbeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val fresh = newVecFilter.map(base.filter).getOrElse(base)
+    val arts = artifactRow(corpus, kCents, m, subDim, kCodes)
+    val out = codeRows(fresh, arts, m, subDim)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+}

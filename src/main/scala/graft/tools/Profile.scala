@@ -168,6 +168,13 @@ object Profile {
         t(s"stream_qstate_$round") {
           graft.streaming.EventStream.quantileStateStream(spark, sfDir, s"pq$round").count()
         }
+        t(s"stream_veccode_$round") {
+          val embAll = graft.Tables.embeddings(spark, sfDir)
+          val dg = graft.functions.Fns.hexDigit("vec_id", 1)
+          graft.streaming.VecStream.codedArrivals(spark, sfDir,
+            embAll.filter(dg >= 2), newVecFilter = Some(dg < 2),
+            queryName = s"pvc$round").count()
+        }
         t(s"stream_heavyhitters_$round") {
           import spark.implicits._
           val words = graft.text.TextPrep

@@ -277,6 +277,22 @@ class Round11Spec extends AnyFunSuite {
     assert(both.nonEmpty, "no candidate surfaced by both arms at this SF")
   }
 
+  test("streaming vector ingest == batch pqIncrement bit-for-bit") {
+    import graft.ann.Ann
+    import graft.streaming.VecStream
+    val embAll = Tables.embeddings(spark, sf)
+    def dg = graft.functions.Fns.hexDigit("vec_id", 1)
+    val corpus = embAll.filter(dg >= 2)
+    val batch = Ann.pqIncrement(embAll.filter(dg < 2), corpus)
+      .collect().map(_.toSeq).toSet
+    val streamed = VecStream.codedArrivals(spark, sf, corpus,
+        newVecFilter = Some(dg < 2))
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(2)} batch-only=${(batch -- streamed).take(2)}")
+  }
+
   test("pqSearch: ADC candidates come only from the probe's cells, k rows per probe max") {
     val out = Ann.pqSearch(emb).collect()
     val byProbe = out.groupBy(_.getLong(0))
