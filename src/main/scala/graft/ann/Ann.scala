@@ -417,6 +417,25 @@ object Ann {
   def hybridRrf(documents: DataFrame, embeddings: DataFrame,
                 nProbes: Int = 10, k: Int = 10, kTerms: Int = 8,
                 arm: Int = 50, rrfK: Int = 60): DataFrame = {
+    val fused = hybridFused(documents, embeddings, nProbes, kTerms, arm, rrfK)
+    val top = topkPerProbe(
+        fused.select(col("probe_id"), col("vec_id"), col("rrf").as("cosine")), k)
+      .withColumnRenamed("cosine", "rrf_score")
+      .withColumnRenamed("neighbor_id", "doc_id")
+    top.join(broadcast(fused.select(col("probe_id").as("fp"),
+        col("vec_id").as("fd"), col("lex_rank"), col("vec_rank"))),
+        col("probe_id") === col("fp") && col("doc_id") === col("fd"))
+      .select(col("probe_id"), col("rank"), col("doc_id"),
+        r6(col("rrf_score")).as("rrf_score"), col("lex_rank"), col("vec_rank"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** The fused candidate frame behind [[hybridRrf]]/[[hybridEval]]:
+    * (probe_id, vec_id, lex_rank, vec_rank, rrf) over the full-outer
+    * union of both arms' top-`arm` lists. */
+  private def hybridFused(documents: DataFrame, embeddings: DataFrame,
+                          nProbes: Int, kTerms: Int,
+                          arm: Int, rrfK: Int): DataFrame = {
     import graft.text.TextPrep
     val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
     val docs = documents.filter(col("text").isNotNull)
@@ -459,7 +478,7 @@ object Ann {
     val vec = bruteForceTopK(embeddings, nProbes, arm)
       .select(col("probe_id").as("vp"), col("neighbor_id").as("vd"),
         col("rank").as("vec_rank"))
-    val fused = lex.join(vec,
+    lex.join(vec,
         col("lp") === col("vp") && col("ld") === col("vd"), "full_outer")
       .select(coalesce(col("lp"), col("vp")).as("probe_id"),
         coalesce(col("ld"), col("vd")).as("vec_id"),
@@ -467,16 +486,49 @@ object Ann {
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(rrfK) + col("vec_rank")), lit(0.0)))
-    val top = topkPerProbe(
+  }
+
+  /** Label-relevance precision@k of the three retrieval lists — the
+    * fusion-robustness eval beside [[annEval]]/[[pqEval]]/
+    * [[filteredEval]]: per probe, the share of each arm's (and the
+    * fused list's) top-k that carries the probe's own label. On a
+    * corpus whose text carries no label signal, the lexical arm reads
+    * as chance and the eval MEASURES that fusion still preserves most
+    * of the vector arm's precision — the robustness argument for RRF
+    * over score mixing. Cost bounded by probes × arm. */
+  def hybridEval(documents: DataFrame, embeddings: DataFrame,
+                 nProbes: Int = 10, k: Int = 10, kTerms: Int = 8,
+                 arm: Int = 50, rrfK: Int = 60): DataFrame = {
+    val fused = hybridFused(documents, embeddings, nProbes, kTerms, arm, rrfK)
+    val labels = embeddings.select(col("vec_id"), col("label"))
+    val probeLab = labels.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("pl_id"), col("label").as("plabel"))
+    val rrfTop = topkPerProbe(
         fused.select(col("probe_id"), col("vec_id"), col("rrf").as("cosine")), k)
-      .withColumnRenamed("cosine", "rrf_score")
-      .withColumnRenamed("neighbor_id", "doc_id")
-    top.join(broadcast(fused.select(col("probe_id").as("fp"),
-        col("vec_id").as("fd"), col("lex_rank"), col("vec_rank"))),
-        col("probe_id") === col("fp") && col("doc_id") === col("fd"))
-      .select(col("probe_id"), col("rank"), col("doc_id"),
-        r6(col("rrf_score")).as("rrf_score"), col("lex_rank"), col("vec_rank"))
-      .orderBy("probe_id", "rank")
+      .select(col("probe_id"), col("neighbor_id").as("vec_id"),
+        lit(null).cast("int").as("lex_rank"), lit(null).cast("int").as("vec_rank"),
+        lit(true).as("in_rrf"))
+    val armTop = fused.filter(col("lex_rank") <= k || col("vec_rank") <= k)
+      .select(col("probe_id"), col("vec_id"), col("lex_rank"), col("vec_rank"),
+        lit(false).as("in_rrf"))
+    armTop.unionByName(rrfTop)
+      .join(broadcast(labels.withColumnRenamed("vec_id", "cand_id")),
+        col("vec_id") === col("cand_id"))
+      .join(broadcast(probeLab), col("probe_id") === col("pl_id"))
+      .withColumn("rel", (col("label") === col("plabel")).cast("long"))
+      .groupBy(col("probe_id"))
+      .agg(
+        sum(when(col("lex_rank") <= k, 1L).otherwise(0L)).as("n_lex"),
+        sum(when(col("lex_rank") <= k, col("rel")).otherwise(0L)).as("lex_hits"),
+        sum(when(col("vec_rank") <= k, 1L).otherwise(0L)).as("n_vec"),
+        sum(when(col("vec_rank") <= k, col("rel")).otherwise(0L)).as("vec_hits"),
+        sum(when(col("in_rrf"), 1L).otherwise(0L)).as("n_rrf"),
+        sum(when(col("in_rrf"), col("rel")).otherwise(0L)).as("rrf_hits"))
+      .select(col("probe_id"),
+        col("n_lex"), r6(try_divide(col("lex_hits").cast("double"), col("n_lex"))).as("p_lex"),
+        col("n_vec"), r6(try_divide(col("vec_hits").cast("double"), col("n_vec"))).as("p_vec"),
+        col("n_rrf"), r6(try_divide(col("rrf_hits").cast("double"), col("n_rrf"))).as("p_rrf"))
+      .orderBy("probe_id")
   }
 
   /** Incremental IVF-PQ index MAINTENANCE — the arrival path of the
@@ -1246,6 +1298,8 @@ object Ann {
       hybridRrf(graft.Tables.documents(s, d), loadEmb(s, d))),
     "q_ann_filtered" -> ((s, d) => ivfFilteredSearch(loadEmb(s, d))),
     "q_ann_filtered_eval" -> ((s, d) => filteredEval(loadEmb(s, d))),
+    "q_hybrid_eval" -> ((s, d) =>
+      hybridEval(graft.Tables.documents(s, d), loadEmb(s, d))),
     "q_pq_incremental" -> ((s, d) => {
       val emb = loadEmb(s, d).withColumn("dg",
         graft.functions.Fns.hexDigit("vec_id", 1))
@@ -1392,6 +1446,59 @@ object Ann {
                           JOIN nv vb ON vec_b = vb.vec_id),
          lshp AS (SELECT vec_a, vec_b, n_shared_bands, cosine FROM sc
                   WHERE cosine >= 0.35)"""
+
+
+  /** Shared oracle CTE chain for the hybrid retrieval family (expects
+    * `nv` upstream): vector arm (q_ann_topk at arm depth) + lexical arm
+    * (the q_bm25 scoring chain per probe) + RRF fusion
+    * `hrrf(probe_id, doc_id, lex_rank, vec_rank, rrf)`. */
+  private lazy val hybridCtes: String =
+    s"""hvp AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm FROM nv WHERE vec_id < 10),
+         hvs AS (SELECT nv.vec_id, probe_id,
+             FLOOR((${dotSql("embedding", "pe")} / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
+           FROM nv, hvp WHERE nv.vec_id <> probe_id),
+         hvr AS (SELECT probe_id, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS vec_rank
+           FROM hvs),
+         varm AS (SELECT probe_id, vec_id, vec_rank FROM hvr WHERE vec_rank <= 50),
+         hw AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
+           FROM documents WHERE text IS NOT NULL),
+         htk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS word FROM hw),
+         hpt0 AS (SELECT doc_id AS probe_id, word, CAST(COUNT(*) AS BIGINT) AS ptf
+           FROM htk WHERE doc_id < 10
+             AND word NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+           GROUP BY 1, 2),
+         hptk AS (SELECT probe_id, word FROM (SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ptf DESC, word) AS rn
+           FROM hpt0) WHERE rn <= 8),
+         hdfw AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM htk
+           WHERE word IN (SELECT DISTINCT word FROM hptk) GROUP BY 1),
+         hst AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CAST(len(words) AS HUGEINT)) AS DOUBLE) AS sdl FROM hw),
+         htfd AS (SELECT hptk.probe_id, htk.doc_id, htk.word,
+             CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+           FROM htk JOIN hptk ON htk.word = hptk.word AND htk.doc_id <> hptk.probe_id
+           GROUP BY 1, 2, 3),
+         hsc AS (SELECT t.probe_id, t.doc_id,
+             ln((CAST(hst.nn - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+               * (CAST(t.tf AS DOUBLE) * 2.2) /
+               (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (hst.sdl / hst.nn))) AS contrib
+           FROM htfd t JOIN hdfw d ON t.word = d.word, hst),
+         hls AS (SELECT probe_id, doc_id,
+             ${sqlR("CAST(SUM(CAST(contrib AS DECIMAL(20,12))) AS DOUBLE)", 6)} AS score
+           FROM hsc GROUP BY 1, 2),
+         hlr AS (SELECT probe_id, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) AS lex_rank
+           FROM hls),
+         larm AS (SELECT probe_id, doc_id, lex_rank FROM hlr WHERE lex_rank <= 50),
+         hfused AS (SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
+             COALESCE(l.doc_id, v.vec_id) AS doc_id, l.lex_rank, v.vec_rank
+           FROM larm l FULL OUTER JOIN varm v
+             ON l.probe_id = v.probe_id AND l.doc_id = v.vec_id),
+         hrrf AS (SELECT *,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0) +
+               COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0) AS rrf
+           FROM hfused)"""
 
   val oracles: Map[String, String] = Map(
     "q_embed_neardup" ->
@@ -1754,59 +1861,43 @@ object Ann {
     // candidate union. CAST(1.0 AS DOUBLE): a bare 1.0/(bigint) would be
     // DuckDB DECIMAL division where Spark divides doubles.
     "q_hybrid_rrf" ->
-      s"""WITH $normCte,
-         hvp AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm FROM nv WHERE vec_id < 10),
-         hvs AS (SELECT nv.vec_id, probe_id,
-             FLOOR((${dotSql("embedding", "pe")} / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
-           FROM nv, hvp WHERE nv.vec_id <> probe_id),
-         hvr AS (SELECT probe_id, vec_id,
-             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS vec_rank
-           FROM hvs),
-         varm AS (SELECT probe_id, vec_id, vec_rank FROM hvr WHERE vec_rank <= 50),
-         hw AS (SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ') AS words
-           FROM documents WHERE text IS NOT NULL),
-         htk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS word FROM hw),
-         hpt0 AS (SELECT doc_id AS probe_id, word, CAST(COUNT(*) AS BIGINT) AS ptf
-           FROM htk WHERE doc_id < 10
-             AND word NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
-           GROUP BY 1, 2),
-         hptk AS (SELECT probe_id, word FROM (SELECT *,
-             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ptf DESC, word) AS rn
-           FROM hpt0) WHERE rn <= 8),
-         hdfw AS (SELECT word, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM htk
-           WHERE word IN (SELECT DISTINCT word FROM hptk) GROUP BY 1),
-         hst AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
-             CAST(SUM(CAST(len(words) AS HUGEINT)) AS DOUBLE) AS sdl FROM hw),
-         htfd AS (SELECT hptk.probe_id, htk.doc_id, htk.word,
-             CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
-           FROM htk JOIN hptk ON htk.word = hptk.word AND htk.doc_id <> hptk.probe_id
-           GROUP BY 1, 2, 3),
-         hsc AS (SELECT t.probe_id, t.doc_id,
-             ln((CAST(hst.nn - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-               * (CAST(t.tf AS DOUBLE) * 2.2) /
-               (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (hst.sdl / hst.nn))) AS contrib
-           FROM htfd t JOIN hdfw d ON t.word = d.word, hst),
-         hls AS (SELECT probe_id, doc_id,
-             ${sqlR("CAST(SUM(CAST(contrib AS DECIMAL(20,12))) AS DOUBLE)", 6)} AS score
-           FROM hsc GROUP BY 1, 2),
-         hlr AS (SELECT probe_id, doc_id,
-             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, doc_id) AS lex_rank
-           FROM hls),
-         larm AS (SELECT probe_id, doc_id, lex_rank FROM hlr WHERE lex_rank <= 50),
-         hfused AS (SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
-             COALESCE(l.doc_id, v.vec_id) AS doc_id, l.lex_rank, v.vec_rank
-           FROM larm l FULL OUTER JOIN varm v
-             ON l.probe_id = v.probe_id AND l.doc_id = v.vec_id),
-         hrrf AS (SELECT *,
-             COALESCE(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0.0) +
-               COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0) AS rrf
-           FROM hfused),
+      s"""WITH $normCte, $hybridCtes,
          hfr AS (SELECT *, ROW_NUMBER() OVER
              (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank FROM hrrf)
          SELECT probe_id, CAST(rank AS INT) AS rank, doc_id,
            ${sqlR("rrf", 6)} AS rrf_score,
            CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
          FROM hfr WHERE rank <= 10 ORDER BY probe_id, rank""",
+    // The hybrid chain + label joins: per-arm and fused precision@10 by
+    // probe-label agreement.
+    "q_hybrid_eval" ->
+      s"""WITH $normCte, $hybridCtes,
+         hrk AS (SELECT probe_id, doc_id, ROW_NUMBER() OVER
+             (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank FROM hrrf),
+         rrftop AS (SELECT probe_id, doc_id FROM hrk WHERE rank <= 10),
+         elab AS (SELECT vec_id, label FROM embeddings),
+         eplab AS (SELECT vec_id AS probe_id, label AS plabel FROM embeddings WHERE vec_id < 10),
+         armstats AS (SELECT f.probe_id,
+             CAST(SUM(CASE WHEN lex_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_lex,
+             CAST(SUM(CASE WHEN lex_rank <= 10 AND l.label = p.plabel THEN 1 ELSE 0 END) AS BIGINT) AS lex_hits,
+             CAST(SUM(CASE WHEN vec_rank <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_vec,
+             CAST(SUM(CASE WHEN vec_rank <= 10 AND l.label = p.plabel THEN 1 ELSE 0 END) AS BIGINT) AS vec_hits
+           FROM hrrf f JOIN elab l ON l.vec_id = f.doc_id
+             JOIN eplab p ON p.probe_id = f.probe_id
+           GROUP BY 1),
+         rrfstats AS (SELECT r.probe_id, CAST(COUNT(*) AS BIGINT) AS n_rrf,
+             CAST(SUM(CASE WHEN l.label = p.plabel THEN 1 ELSE 0 END) AS BIGINT) AS rrf_hits
+           FROM rrftop r JOIN elab l ON l.vec_id = r.doc_id
+             JOIN eplab p ON p.probe_id = r.probe_id
+           GROUP BY 1)
+         SELECT a.probe_id, n_lex,
+           CASE WHEN n_lex > 0 THEN ${sqlR("CAST(lex_hits AS DOUBLE) / n_lex", 6)} END AS p_lex,
+           n_vec,
+           CASE WHEN n_vec > 0 THEN ${sqlR("CAST(vec_hits AS DOUBLE) / n_vec", 6)} END AS p_vec,
+           n_rrf,
+           CASE WHEN n_rrf > 0 THEN ${sqlR("CAST(rrf_hits AS DOUBLE) / n_rrf", 6)} END AS p_rrf
+         FROM armstats a JOIN rrfstats r ON a.probe_id = r.probe_id
+         ORDER BY 1""",
     // Old/new md5-gate split; centroids + codebook from OLD rows only,
     // new batch celled + coded against them (the q_dedup_incremental
     // device applied to the PQ index).
