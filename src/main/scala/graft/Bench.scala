@@ -1,7 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute /proc/loadavg reading — recorded in the output line so a
+    * loaded-VM bench is distinguishable from a code regression without
+    * the manual re-adjudication rounds 10/11 needed. */
+  private def loadAvg(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
+    val loadStart = loadAvg()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -99,6 +107,7 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(dec)(total)},"unit":"sec","queries":$qs,""" +
         s""""fast_n":$fastN,"fast_sec":${fmt(dec)(fastSec)},""" +
+        s""""load_start":${fmt(2)(loadStart)},"load_end":${fmt(2)(loadAvg())},""" +
         s""""note":"queries under ${fmt(2)(cut)}s each rolled into fast_n/fast_sec","sf":"$sfName"}"""
     }
     // Degrade by raising the roll-up cut until the line fits.

@@ -123,7 +123,7 @@ object Ann {
     * map-side, so no per-probe full sort and no one-task-per-probe
     * window. Ordering matches the oracle's rank window exactly:
     * cosine desc, vec_id asc. */
-  private def topkPerProbe(scored: DataFrame, k: Int): DataFrame = {
+  private[ann] def topkPerProbe(scored: DataFrame, k: Int): DataFrame = {
     val spark = scored.sparkSession
     import spark.implicits._
     scored.select(col("probe_id"), col("vec_id"), col("cosine"))
@@ -437,7 +437,7 @@ object Ann {
                           nProbes: Int, kTerms: Int,
                           arm: Int, rrfK: Int): DataFrame = {
     import graft.text.TextPrep
-    val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopEn = TextPrep.stopEn
     val docs = documents.filter(col("text").isNotNull)
     val toks = TextPrep.withWords(docs)
       .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
@@ -464,10 +464,8 @@ object Ann {
     val lexScored = tfd.join(broadcast(dfw), Seq("word"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sdl") / col("nn"))
-      .withColumn("contrib",
-        log((col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-          (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("contrib", TextPrep.bm25Contrib(
+        col("tf"), col("df"), col("dl"), col("nn"), col("avgdl")))
       .groupBy(col("probe_id"), col("doc_id"))
       .agg(sum(col("contrib").cast("decimal(20,12)")).cast("double").as("score0"))
       .select(col("probe_id"), col("doc_id").as("vec_id"),
@@ -1274,7 +1272,7 @@ object Ann {
       .orderBy("centroid_id")
   }
 
-  private def loadEmb(s: SparkSession, d: String): DataFrame = {
+  private[ann] def loadEmb(s: SparkSession, d: String): DataFrame = {
     DotScaled.register(s)
     Tables.embeddings(s, d)
   }
@@ -1332,7 +1330,7 @@ object Ann {
     s"""(SELECT CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) * 1099511627776.0) AS BIGINT)) AS DOUBLE)
         FROM (SELECT unnest($e1) AS x, unnest($e2) AS y)) / 1099511627776.0"""
 
-  private def normCte: String =
+  private[ann] def normCte: String =
     s"""nv AS (
          SELECT vec_id, label, embedding,
            sqrt(${dotSql("embedding", "embedding")}) AS nrm
@@ -1452,7 +1450,7 @@ object Ann {
     * `nv` upstream): vector arm (q_ann_topk at arm depth) + lexical arm
     * (the q_bm25 scoring chain per probe) + RRF fusion
     * `hrrf(probe_id, doc_id, lex_rank, vec_rank, rrf)`. */
-  private lazy val hybridCtes: String =
+  private[ann] lazy val hybridCtes: String =
     s"""hvp AS (SELECT vec_id AS probe_id, embedding AS pe, nrm AS pnrm FROM nv WHERE vec_id < 10),
          hvs AS (SELECT nv.vec_id, probe_id,
              FLOOR((${dotSql("embedding", "pe")} / (nrm * pnrm)) * 1000000 + 0.5) / 1000000 AS cosine
@@ -1466,7 +1464,7 @@ object Ann {
          htk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS word FROM hw),
          hpt0 AS (SELECT doc_id AS probe_id, word, CAST(COUNT(*) AS BIGINT) AS ptf
            FROM htk WHERE doc_id < 10
-             AND word NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+             AND word NOT IN (${graft.text.TextPrep.stopEnSql})
            GROUP BY 1, 2),
          hptk AS (SELECT probe_id, word FROM (SELECT *,
              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY ptf DESC, word) AS rn
@@ -1480,9 +1478,7 @@ object Ann {
            FROM htk JOIN hptk ON htk.word = hptk.word AND htk.doc_id <> hptk.probe_id
            GROUP BY 1, 2, 3),
          hsc AS (SELECT t.probe_id, t.doc_id,
-             ln((CAST(hst.nn - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-               * (CAST(t.tf AS DOUBLE) * 2.2) /
-               (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (hst.sdl / hst.nn))) AS contrib
+             ${graft.text.TextPrep.bm25ContribSql("t.tf", "d.df", "t.dl", "hst.nn", "(hst.sdl / hst.nn)")} AS contrib
            FROM htfd t JOIN hdfw d ON t.word = d.word, hst),
          hls AS (SELECT probe_id, doc_id,
              ${sqlR("CAST(SUM(CAST(contrib AS DECIMAL(20,12))) AS DOUBLE)", 6)} AS score

@@ -566,7 +566,7 @@ object Dedup {
     val g = pairs.groupBy(col("bucket")).agg(count(lit(1)).as("n_pairs"))
       .localCheckpoint()
     val total = g.agg(sum(col("n_pairs")).as("t_pairs"))
-    val wAbove = Window.orderBy(col("bucket").desc)
+    val wAbove = Window.partitionBy(onePart(col("bucket"))).orderBy(col("bucket").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     g.crossJoin(broadcast(total))
       .withColumn("n_at_or_above", sum(col("n_pairs")).over(wAbove))

@@ -20,6 +20,18 @@ object Fns {
   def decSum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** Constant-0 partition key for windows over frames bounded BY
+    * CONSTRUCTION (post-limit top-k, nBins histograms, date spines): it
+    * gives WindowExec a partition spec so the "No Partition Defined"
+    * warning marks only REAL unbounded windows. It must be NON-foldable:
+    * Spark 4's EliminateWindowPartitions optimizer rule strips foldable
+    * partition expressions, so a bare partitionBy(lit(0)) is optimized
+    * back to a partitionless window and still warns. Anchoring the
+    * constant on a column of the frame keeps the spec through
+    * optimization; pmod(hash(x), 1) evaluates to 0 for every row (hash
+    * never returns NULL), so the window semantics are untouched. */
+  def onePart(anchor: Column): Column = pmod(hash(anchor), lit(1))
+
   /** Deterministic mean: exact decimal sum over count (both engines divide
     * the same two numbers). Numerator and denominator see the SAME cast
     * expression, so a value the decimal cast nulls (overflow in non-ANSI

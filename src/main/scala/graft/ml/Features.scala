@@ -62,14 +62,16 @@ object Features {
     * by population; [[rfmApprox]] is the sketch-threshold variant. */
   def rfm(events: DataFrame): DataFrame = {
     val perUser = rfmBase(events)
-    // Global ntile windows log Spark's "WindowExec: No Partition
-    // Defined" warning — benign HERE ONLY: rfmExact routes to this form
-    // solely when the purchase population is ≤ windowMax (the per-user
-    // AGGREGATE, tiny relative to the event scan); past the cap it
-    // switches to rfmExactDistributed, which has no global window.
-    val wR = Window.orderBy(col("recency_days"), col("user_id"))
-    val wF = Window.orderBy(col("frequency"), col("user_id"))
-    val wM = Window.orderBy(col("monetary"), col("user_id"))
+    // Global ntile windows — bounded HERE ONLY: rfmExact routes to this
+    // form solely when the purchase population is ≤ windowMax (the
+    // per-user AGGREGATE, tiny relative to the event scan); past the cap
+    // it switches to rfmExactDistributed, which has no global window.
+    // onePart is a no-op on the bounded frame but keeps the
+    // "No Partition Defined" wallpaper out of the logs, so a REAL
+    // unbounded window can't hide behind it.
+    val wR = Window.partitionBy(onePart(col("user_id"))).orderBy(col("recency_days"), col("user_id"))
+    val wF = Window.partitionBy(onePart(col("user_id"))).orderBy(col("frequency"), col("user_id"))
+    val wM = Window.partitionBy(onePart(col("user_id"))).orderBy(col("monetary"), col("user_id"))
     rfmFinish(perUser
       .withColumn("r_score", lit(6) - ntile(5).over(wR))
       .withColumn("f_score", ntile(5).over(wF))
@@ -455,7 +457,10 @@ object Features {
       .groupBy(col("bin")).agg(
         sum(col("is_a")).as("ca"), sum(lit(1L) - col("is_a")).as("cb"),
         max(col("na")).as("na"), max(col("nb")).as("nb"))
-    val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    // nBins-row frame; onePart silences the partitionless-window
+    // warning without changing the (already single-partition) plan
+    val w = Window.partitionBy(onePart(col("bin"))).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, 0)
     counts
       .withColumn("cum_a", sum(col("ca")).over(w))
       .withColumn("cum_b", sum(col("cb")).over(w))
@@ -687,7 +692,8 @@ object Features {
       // NULLS FIRST where DuckDB's ROW_NUMBER is NULLS LAST — a NULL
       // category tying another value's count would otherwise rank
       // differently per engine
-      val w = Window.orderBy(col("cnt").desc, col("v").asc_nulls_last)
+      val w = Window.partitionBy(onePart(col("cnt")))
+        .orderBy(col("cnt").desc, col("v").asc_nulls_last)
       val p = col("cnt").cast("double") / col("n_rows")
       counts.withColumn("rn", row_number().over(w))
         .crossJoin(broadcast(total))

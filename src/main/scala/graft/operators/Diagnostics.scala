@@ -45,8 +45,8 @@ object Diagnostics {
     // partition, no global sort), then folded to one row
     val top = cnts.orderBy(col("c").desc, col("k").asc).limit(3)
       .withColumn("r", row_number().over(
-        // lit(0) partition: no-op on the 3 post-limit rows, silences WindowExec
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        // onePart: no-op on the 3 post-limit rows, silences WindowExec
+        org.apache.spark.sql.expressions.Window.partitionBy(onePart(col("c")))
           .orderBy(col("c").desc, col("k").asc)))
       .agg(
         max(when(col("r") === 1, col("k"))).as("top1_key"),

@@ -34,8 +34,9 @@ object Marts {
       .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     // orderBy+limit plans as TakeOrderedAndProject: each task keeps its own
     // top 10, the driver merges — no full aggregate through one rank window.
-    // The rnk window then runs over the 10 surviving rows only.
-    val w = Window.orderBy(col("revenue").desc, col("l_orderkey"))
+    // The rnk window then runs over the 10 surviving rows only;
+    // onePart keeps the partitionless-window warning out.
+    val w = Window.partitionBy(onePart(col("revenue"))).orderBy(col("revenue").desc, col("l_orderkey"))
     perOrder.orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
       .withColumn("rnk", row_number().over(w))
       .select(col("rnk"), col("l_orderkey"), col("order_date"),
@@ -56,7 +57,7 @@ object Marts {
       .agg(decSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("lost_revenue"),
         count(lit(1)).as("n_returned_lines"))
     // Same TakeOrderedAndProject discipline as shippingPriority.
-    val w = Window.orderBy(col("lost_revenue").desc, col("c_custkey"))
+    val w = Window.partitionBy(onePart(col("lost_revenue"))).orderBy(col("lost_revenue").desc, col("c_custkey"))
     perCust.orderBy(col("lost_revenue").desc, col("c_custkey")).limit(20)
       .withColumn("rnk", row_number().over(w))
       .select(col("rnk"), col("c_custkey"), col("c_name"), col("nation_name"),
@@ -241,7 +242,9 @@ object Marts {
       .select(col("mn"), greatest(col("mx_ship"), col("mx_ord")).as("mx"))
     val spine = broadcast(bounds)
       .select(explode(expr("sequence(mn, mx, interval 1 day)")).as("day"))
-    val w = Window.orderBy(col("day"))
+    // date-spine frame (one row per calendar day — bounded by the date
+    // range, not the data); onePart partition spec keeps the logs clean
+    val w = Window.partitionBy(onePart(col("day"))).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine
       .join(placed, Seq("day"), "left")

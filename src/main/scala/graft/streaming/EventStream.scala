@@ -126,7 +126,17 @@ object EventStream {
       .format("memory").queryName(queryName).start()
     try q.processAllAvailable()
     finally q.stop()
+    // The Update-mode memory sink APPENDS one row per key per trigger that
+    // touched it — if the file source ever splits the input across
+    // micro-batches (maxFilesPerTrigger, real multi-wave arrivals), stale
+    // earlier emissions for a key sit beside the final one and downstream
+    // aggregation double-counts. The state's n per (event_type, day, bin)
+    // is monotone non-decreasing across emissions (a streaming count only
+    // accumulates), so max(n) per key IS the latest emission — dedupe
+    // here instead of assuming the single-micro-batch drain.
     spark.table(queryName)
+      .groupBy(col("event_type"), col("day"), col("bin"))
+      .agg(max(col("n")).as("n"))
   }
 
   /** Streaming exact dedup on event_id with a watermark bounding the

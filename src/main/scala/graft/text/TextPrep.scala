@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Fns._
@@ -33,4 +33,31 @@ object TextPrep {
     * [[shinglesAll]]) — for set semantics (Jaccard, counts). */
   def shingles(documents: DataFrame): DataFrame =
     shinglesAll(documents).distinct()
+
+  /** English stopword list of the BM25 family — the SINGLE source of
+    * truth for Vocab.bm25, Ann's hybrid lexical arm, and their oracle
+    * SQL (previously four inline copies that could silently drift). */
+  private[graft] val stopEn: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** [[stopEn]] as a SQL IN-list literal for the oracle builders. */
+  private[graft] val stopEnSql: String =
+    stopEn.map(w => s"'$w'").mkString(", ")
+
+  /** One BM25 term contribution (k1 = 1.2, b = 0.75, Lucene's +1 idf) —
+    * shared by Vocab.bm25 and Ann's hybrid lexical arm so the IEEE
+    * expression tree is byte-identical in both operators; must mirror
+    * [[bm25ContribSql]] exactly or the oracle hashes drift. */
+  private[graft] def bm25Contrib(tf: Column, df: Column, dl: Column,
+                                 nn: Column, avgdl: Column): Column =
+    log((nn - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0)) *
+      (tf * lit(2.2)) /
+      (tf + lit(1.2) * (lit(0.25) + lit(0.75) * dl / avgdl))
+
+  /** DuckDB fragment mirroring [[bm25Contrib]] term for term. */
+  private[graft] def bm25ContribSql(tf: String, df: String, dl: String,
+                                    nn: String, avgdl: String): String =
+    s"ln((CAST($nn - $df AS DOUBLE) + 0.5) / (CAST($df AS DOUBLE) + 0.5) + 1.0)" +
+      s" * (CAST($tf AS DOUBLE) * 2.2)" +
+      s" / ($tf + 1.2 * (0.25 + 0.75 * $dl / $avgdl))"
 }

@@ -76,11 +76,12 @@ object Vocab {
         "transform(sequence(0, size(words) - 2), i -> concat_ws(' ', words[i], words[i+1]))")).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
     val total = bi.agg(sum(col("n")).as("total"))
-    // partitionBy(lit(0)) is a no-op on the k-row post-limit frame but
-    // gives WindowExec a partition spec, so "No Partition Defined" noise
-    // stops wallpapering the logs where a REAL unbounded window would hide
-    val wR = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("bigram"))
-    val wC = Window.partitionBy(lit(0)).orderBy(col("n").desc, col("bigram"))
+    // onePart (Fns) is a no-op on the k-row post-limit frame but gives
+    // WindowExec a non-foldable partition spec, so "No Partition Defined"
+    // noise stops wallpapering the logs where a REAL unbounded window
+    // would hide (a bare lit(0) is stripped by EliminateWindowPartitions)
+    val wR = Window.partitionBy(onePart(col("n"))).orderBy(col("n").desc, col("bigram"))
+    val wC = Window.partitionBy(onePart(col("n"))).orderBy(col("n").desc, col("bigram"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // top-k via orderBy+limit (TakeOrderedAndProject: bounded per-partition
     // heaps, no full vocabulary sort); the global-ordered rank/cumsum
@@ -332,7 +333,7 @@ object Vocab {
           ((col("c1").cast("double") / col("n_uni")) *
             (col("c2").cast("double") / col("n_uni")))) / log(lit(2.0))))
     // lit(0) partition: no-op on the post-limit k rows, silences WindowExec
-    val wR = Window.partitionBy(lit(0)).orderBy(col("pmi").desc, col("w1"), col("w2"))
+    val wR = Window.partitionBy(onePart(col("pmi"))).orderBy(col("pmi").desc, col("w1"), col("w2"))
     scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
       .withColumn("rank", row_number().over(wR))
       .select(col("rank").cast("int").as("rank"), col("w1"), col("w2"),
@@ -558,7 +559,7 @@ object Vocab {
     * semantics), mirrored by the oracle. k1/b are fixed literals so the
     * IEEE expression tree matches the oracle's exactly. */
   def bm25(documents: DataFrame, nQuery: Int = 10): DataFrame = {
-    val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+    val stopEn = TextPrep.stopEn
     // NULL text would put size(NULL) = -1 into dl and the avgdl sum,
     // where the oracle's SUM(len(words)) skips NULL rows — drop it up
     // front in BOTH corpus passes (same hardening as linreg/shardPlan)
@@ -579,11 +580,8 @@ object Vocab {
     tf.join(broadcast(dft), Seq("word"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sdl") / col("nn"))
-      .withColumn("idf",
-        log((col("nn") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("contrib", TextPrep.bm25Contrib(
+        col("tf"), col("df"), col("dl"), col("nn"), col("avgdl")))
       .groupBy(col("doc_id"))
       .agg(max(col("dl")).as("dl"), count(lit(1)).as("n_terms"),
         sum(col("contrib").cast("decimal(20,12)")).cast("double").as("score0"))
@@ -826,7 +824,7 @@ object Vocab {
            WHERE text IS NOT NULL),
          tk AS (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl, unnest(words) AS word FROM w),
          q AS (SELECT word FROM tk
-           WHERE word NOT IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')
+           WHERE word NOT IN (${TextPrep.stopEnSql})
            GROUP BY word ORDER BY COUNT(*) DESC, word LIMIT 10),
          tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
            FROM tk WHERE word IN (SELECT word FROM q) GROUP BY 1, 2),
@@ -834,9 +832,7 @@ object Vocab {
          st AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
              CAST(SUM(CAST(len(words) AS HUGEINT)) AS DOUBLE) AS sdl FROM w),
          sc AS (SELECT t.doc_id, t.dl,
-             ln((CAST(st.nn - d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
-               * (CAST(t.tf AS DOUBLE) * 2.2) /
-               (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (st.sdl / st.nn))) AS contrib
+             ${TextPrep.bm25ContribSql("t.tf", "d.df", "t.dl", "st.nn", "(st.sdl / st.nn)")} AS contrib
            FROM tf t JOIN dft d ON t.word = d.word, st)
          SELECT doc_id, CAST(MAX(dl) AS BIGINT) AS dl, CAST(COUNT(*) AS BIGINT) AS n_terms,
            ${sqlR("CAST(SUM(CAST(contrib AS DECIMAL(20,12))) AS DOUBLE)", 6)} AS bm25

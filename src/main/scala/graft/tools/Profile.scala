@@ -186,6 +186,11 @@ object Profile {
           // parquet to exercise the same micro-batch path
           val dir = java.nio.file.Files.createTempDirectory("graft-hh").toString
           words.write.mode("overwrite").parquet(s"$dir/words.parquet")
+          // deleteOnExit runs in reverse registration order (the Staging
+          // device's discipline): register parents before children so the
+          // staged token-parquet copy doesn't leak a full copy per round
+          val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+          try walk.sorted().forEach(p => p.toFile.deleteOnExit()) finally walk.close()
           val schema = spark.read.parquet(s"$dir/words.parquet").schema
           val streamed = spark.readStream.schema(schema).parquet(s"$dir/words.parquet")
             .as[graft.streaming.WordIn]
