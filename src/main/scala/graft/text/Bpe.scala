@@ -1,0 +1,237 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Iterative BPE merge-table training and application over the word-token
+  * stream — the real multi-round loop behind [[Vocab.bigramVocab]] (which
+  * computes exactly round 1's merge CANDIDATES): each round counts all
+  * adjacent token pairs over the EVOLVING token stream, merges the single
+  * most frequent pair into a new token (greedy leftmost non-overlapping,
+  * the standard BPE application order), and recounts. The learned ranked
+  * merge table is the artifact every tokenizer consumer
+  * (q_token_count / q_vocab_prune / q_pack_sequences) actually trains.
+  *
+  * The reference ships no tokenizer trainer; this is the LLM-data
+  * extension's iterative rung on the q_pagerank pattern (fixed rounds,
+  * localCheckpoint'ed state, one partial-aggregated shuffle per round);
+  * the algorithm is Sennrich et al. 2016 (arXiv:1508.07909) applied at
+  * word grain (merges may cross word boundaries — the engine's token
+  * stream is the whitespace word sequence, and document boundaries are
+  * the only hard fences, exactly like the bigram devices).
+  *
+  * Scale design (100 TB):
+  *   - State is (doc_id, toks array), re-checkpointed per round. Each
+  *     round's ONLY shuffle is the pair count — hash partial-aggregated
+  *     map-side, so the exchange moves at most partitions × realized-pair
+  *     -vocab rows, never the token stream.
+  *   - The winning pair is a ONE-ROW broadcast; the merge itself is a
+  *     row-local array fold (no shuffle), with an `array_contains` quick
+  *     reject so documents not containing the pair skip the O(len) fold.
+  *   - The merge fold `last(acc) == a && next == b → replace last` is
+  *     exactly greedy leftmost non-overlapping BPE: the merged token
+  *     "a b" is strictly longer than `a`, so a fresh merge can never
+  *     chain into the next position within the same round.
+  *   - A fixed round count keeps the job graph static; per-round plans
+  *     stay O(1) because state lineage is cut at each checkpoint. On a
+  *     real cluster the localCheckpoints become reliable checkpoints to
+  *     the cluster store — the corpus is rewritten once per round either
+  *     way, which is the known cost of sequence-level BPE; production
+  *     trainers amortize it by training on a sampled shard (compose with
+  *     q_hash_sample) and applying corpus-wide via [[bpeApply]].
+  *
+  * Oracle: the same `rounds` merge rounds unrolled as chained CTEs (the
+  * q_pagerank device) over a separator-framed string form of the token
+  * stream, where one `replace(s, SEP||a||SEP||SEP||b||SEP,
+  * SEP||a||' '||b||SEP)` (SEP = chr(1)) performs the identical greedy
+  * leftmost non-overlapping merge: both engines' `replace` scans left to
+  * right and never rescans replaced output, the pattern consumes one
+  * frame char from each boundary and the replacement restores it, so
+  * disjoint consecutive occurrences stay matchable. U+0001 cannot appear
+  * in a token of this corpus (spec-asserted) and merged tokens only ever
+  * add ' '; BpeSpec pins the fold form == the string form on real data.
+  */
+object Bpe {
+
+  /** Token separator of the canonical string form (oracle + tok_hash):
+    * never produced by normText's single-space word stream. */
+  private val SEP = "\u0001"
+
+  /** (doc_id, toks): the normalized word stream as BPE's round-0 state.
+    * NULL and whitespace-only texts drop (they have no tokens; keeping
+    * them would put empty-string tokens into the stream, which the
+    * oracle's separator framing cannot represent). */
+  private[graft] def tokenState(documents: DataFrame): DataFrame =
+    TextPrep.withWords(documents.filter(col("text").isNotNull))
+      .filter(col("norm") =!= "")
+      .select(col("doc_id"), col("words").as("toks"))
+
+  /** One greedy leftmost non-overlapping merge of (ma, mb) → "ma mb"
+    * applied to `toks` — the row-local fold shared by train and apply.
+    * A NULL pair (empty-corpus round) is the identity. */
+  private val mergeFold =
+    """IF(array_contains(toks, ma) AND array_contains(toks, mb),
+         aggregate(toks, CAST(array() AS array<string>), (acc, t) ->
+           IF(size(acc) > 0 AND element_at(acc, -1) = ma AND t = mb,
+              concat(slice(acc, 1, size(acc) - 1), array(concat(ma, ' ', mb))),
+              concat(acc, array(t)))),
+         toks)"""
+
+  /** The training loop; returns (merge table, final token state). The
+    * final state stays checkpointed — [[bpeTrain]] releases it, BpeSpec
+    * reads it to pin apply == train. */
+  private[graft] def trainWithState(documents: DataFrame,
+                                    rounds: Int): (DataFrame, DataFrame) = {
+    var state = tokenState(documents).localCheckpoint(false)
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    intermediates += state
+    var merges = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = state.filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS a, toks[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n"))
+      // TakeOrderedAndProject keeps one candidate per partition; the
+      // eager 1-row checkpoint runs this round's pair-count job and cuts
+      // the lineage so the union below never recounts.
+      val top = pairs.orderBy(col("n").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
+      intermediates += top
+      merges :+= top.select(lit(r).as("round"), col("a").as("tok_a"),
+        col("b").as("tok_b"),
+        concat(col("a"), lit(" "), col("b")).as("merged"),
+        col("n").as("pair_n"))
+      // LEFT join on TRUE (not crossJoin): an exhausted corpus yields an
+      // EMPTY top and the state must pass through unchanged, not vanish.
+      state = state
+        .join(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))),
+          lit(true), "left")
+        .withColumn("toks", expr(mergeFold))
+        .select(col("doc_id"), col("toks"))
+        .localCheckpoint(false)
+      intermediates += state
+    }
+    val table = merges.reduce(_.unionByName(_)).orderBy("round").localCheckpoint()
+    intermediates.dropRight(1).foreach(_.unpersist())
+    (table, state)
+  }
+
+  /** The learned merge table: one row per round —
+    * (round, tok_a, tok_b, merged, pair_n), pair_n being the winning
+    * pair's corpus count at merge time (non-increasing over rounds: a
+    * merge only removes occurrences of existing pairs, and any pair it
+    * creates is bounded by the count it just consumed — BpeSpec). */
+  def bpeTrain(documents: DataFrame, rounds: Int = 8): DataFrame = {
+    val (table, finalState) = trainWithState(documents, rounds)
+    finalState.unpersist()
+    table
+  }
+
+  /** Row-local application of a learned merge table: (doc_id, toks)
+    * after replaying every merge in rank order. The table collapses to
+    * ONE broadcast row of structs (the artifact never grows with the
+    * corpus — it is `rounds` long by construction), and each document
+    * folds through the ranked merges locally: zero shuffles beyond the
+    * broadcast. Replaying rank-ordered merges from round 0 reproduces
+    * the training-time state exactly (each round's state is one full
+    * greedy application ahead of the previous — the classical BPE
+    * train/apply identity, spec-pinned). */
+  private[graft] def applyTokens(documents: DataFrame,
+                                 merges: DataFrame): DataFrame = {
+    val art = merges.agg(array_sort(collect_list(
+      struct(col("round"), col("tok_a"), col("tok_b")))).as("ms"))
+    tokenState(documents)
+      .crossJoin(broadcast(art))
+      .withColumn("toks", expr(
+        """aggregate(ms, toks, (acc0, m) ->
+             IF(array_contains(acc0, m.tok_a) AND array_contains(acc0, m.tok_b),
+                aggregate(acc0, CAST(array() AS array<string>), (acc, t) ->
+                  IF(size(acc) > 0 AND element_at(acc, -1) = m.tok_a AND t = m.tok_b,
+                     concat(slice(acc, 1, size(acc) - 1),
+                       array(concat(m.tok_a, ' ', m.tok_b))),
+                     concat(acc, array(t)))),
+                acc0))"""))
+      .select(col("doc_id"), col("toks"))
+  }
+
+  /** Corpus re-tokenization with the learned merge table — per document
+    * the original word count, the post-merge token count, the number of
+    * greedy merge applications that landed (their difference — token
+    * conservation: splitting merged tokens back on ' ' recovers the
+    * word stream exactly, spec-pinned), and the md5 fingerprint of the
+    * token stream (the cheap equality witness for index/shard
+    * consumers). */
+  def bpeApply(documents: DataFrame, merges: DataFrame): DataFrame = {
+    val orig = tokenState(documents)
+      .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"))
+    applyTokens(documents, merges)
+      .join(orig, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (col("n_words") - size(col("toks"))).cast("long").as("n_merges"),
+        md5(concat_ws(SEP, col("toks")).cast("binary")).as("tok_hash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_train" -> ((s, d) => bpeTrain(Tables.documents(s, d))),
+    "q_bpe_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      bpeApply(docs, bpeTrain(docs))
+    })
+  )
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** The separator-framed canonical form: chr(1)||chr(1) between tokens
+    * and at both ends, so the round-k merge is ONE string replace whose
+    * pattern consumes one frame char from each side and whose
+    * replacement restores them — consecutive disjoint occurrences stay
+    * matchable (see object doc). */
+  private def roundCtes(k: Int): String = {
+    val prev = if (k == 1) "s0" else s"s${k - 1}"
+    s"""tk$k AS (SELECT doc_id, list_filter(str_split(s, chr(1)||chr(1)), x -> x <> '') AS toks FROM $prev),
+       p$k AS (SELECT t.toks[CAST(i.i AS INT)] AS a, t.toks[CAST(i.i AS INT) + 1] AS b,
+           CAST(COUNT(*) AS BIGINT) AS n
+         FROM tk$k t, LATERAL (SELECT UNNEST(range(1, len(t.toks))) AS i) i
+         GROUP BY 1, 2),
+       t$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
+       s$k AS (SELECT doc_id,
+           CASE WHEN t.a IS NULL THEN p.s
+                ELSE replace(p.s, chr(1)||t.a||chr(1)||chr(1)||t.b||chr(1),
+                             chr(1)||t.a||' '||t.b||chr(1)) END AS s
+         FROM $prev p LEFT JOIN t$k t ON TRUE)"""
+  }
+
+  private val rounds = 8
+
+  private val baseCtes =
+    s"""s0 AS (SELECT doc_id,
+           chr(1)||chr(1) || array_to_string(string_split($normSql, ' '), chr(1)||chr(1)) || chr(1)||chr(1) AS s
+         FROM documents WHERE text IS NOT NULL AND $normSql <> ''),
+       ${(1 to rounds).map(roundCtes).mkString(",\n       ")}"""
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_train" ->
+      s"""WITH $baseCtes
+         SELECT * FROM (
+           ${(1 to rounds).map(k =>
+             s"SELECT $k AS round, a AS tok_a, b AS tok_b, a||' '||b AS merged, n AS pair_n FROM t$k")
+             .mkString("\n           UNION ALL ")}
+         ) ORDER BY round""",
+    "q_bpe_apply" ->
+      s"""WITH $baseCtes,
+         fin AS (SELECT doc_id, list_filter(str_split(s, chr(1)||chr(1)), x -> x <> '') AS toks FROM s$rounds),
+         orig AS (SELECT doc_id, CAST(len(string_split($normSql, ' ')) AS BIGINT) AS n_words
+           FROM documents WHERE text IS NOT NULL AND $normSql <> '')
+         SELECT f.doc_id, o.n_words,
+           CAST(len(f.toks) AS BIGINT) AS n_tokens,
+           CAST(o.n_words - len(f.toks) AS BIGINT) AS n_merges,
+           md5(array_to_string(f.toks, chr(1))) AS tok_hash
+         FROM fin f JOIN orig o USING (doc_id) ORDER BY f.doc_id"""
+  )
+}
