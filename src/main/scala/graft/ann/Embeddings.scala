@@ -68,7 +68,7 @@ object Embeddings {
     * parity of md5("i:j")'s first hex digit — reproducible by any engine
     * that can evaluate md5, which is what lets the oracle rebuild the
     * identical matrix. */
-  private def projSign(i: Int, j: Int): Int = {
+  private[ann] def projSign(i: Int, j: Int): Int = {
     val h = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$i:$j".getBytes("UTF-8"))
     if (((h(0) >> 4) & 0xf) % 2 == 0) 1 else -1
