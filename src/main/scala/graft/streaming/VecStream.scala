@@ -113,4 +113,108 @@ object VecStream {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** The [[artifactRow]] extended for QUERY serving: one broadcast row
+    * additionally carrying the coded index grouped by cell —
+    * `cells` = array of (cell_id, entries(vec_id, codes[m])). The index
+    * rows come from [[codeRows]] over the corpus itself, so ingest and
+    * serving read the IDENTICAL frozen artifacts. At test scale the
+    * whole index rides the one row; at 100 TB the per-cell entry arrays
+    * are the index SHARDS a serving tier stores keyed by cell and
+    * fetches per probe — the row-local scoring below is unchanged, only
+    * the shard lookup moves out of the broadcast. */
+  private[graft] def serveArtifacts(corpus: DataFrame, kCents: Int, m: Int,
+                                    subDim: Int, kCodes: Int): DataFrame = {
+    val arts = artifactRow(corpus, kCents, m, subDim, kCodes)
+    val cells = codeRows(corpus.select(col("vec_id"), col("embedding")),
+        arts, m, subDim)
+      .select(col("vec_id"), col("cell_id"),
+        array((0 until m).map(j => col(s"code$j")): _*).as("codes"))
+      .groupBy(col("cell_id"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("codes")))).as("entries"))
+      .agg(collect_list(struct(col("cell_id"), col("entries"))).as("cells"))
+    arts.crossJoin(cells)
+  }
+
+  /** Row-local IVF-PQ ADC top-k of a (possibly streaming) probe frame
+    * against a [[serveArtifacts]] row — the query-side twin of
+    * [[codeRows]]: rank cells from the cents array ((-cos, cid)
+    * array_sort — the exact centroidRanked order), build the per-probe
+    * ADC lookup tables from the SAME cb arrays as maps, concatenate the
+    * probe's nCells entry shards, score each candidate as m exact
+    * BIGINT lookup-adds, and keep top-k by one bounded array_sort —
+    * every step a row expression, so the stream needs ZERO aggregation
+    * state and the result is bit-equal to batch
+    * [[graft.ann.Ann.pqSearch]] (spec-pinned). */
+  private[graft] def serveRows(probes: DataFrame, arts: DataFrame,
+                               k: Int, nCells: Int, m: Int,
+                               subDim: Int): DataFrame = {
+    graft.functions.DotScaled.register(probes.sparkSession)
+    val S = graft.functions.DotScaled.Scale
+    val Sd = "1099511627776.0D"
+    val lutCols = (0 until m).map { j =>
+      expr(s"""map_from_entries(transform(cb$j, e -> struct(e.code,
+           struct(graft_dot(slice(embedding, ${j * subDim} + 1, $subDim), e.cv) AS qd,
+                  graft_dot(e.cv, e.cv) AS cd))))""").as(s"lut$j")
+    }
+    val qdt = (0 until m)
+      .map(j => s"element_at(lut$j, element_at(x.codes, ${j + 1})).qd")
+      .mkString(" + ")
+    val cdt = (0 until m)
+      .map(j => s"element_at(lut$j, element_at(x.codes, ${j + 1})).cd")
+      .mkString(" + ")
+    probes
+      .select(col("vec_id").as("probe_id"), col("embedding"))
+      .withColumn("nrm",
+        sqrt(expr("graft_dot(embedding, embedding)").cast("double") / lit(S)))
+      .crossJoin(broadcast(arts))
+      .withColumn("pcells", expr(
+        s"""slice(array_sort(transform(cents, c -> struct(
+           -(floor(((cast(graft_dot(embedding, c.ce) as double) / $Sd)
+               / (nrm * c.cnrm)) * 1000000D + 0.5D) / 1000000D) AS nc,
+           c.cid AS cid))), 1, $nCells)"""))
+      .select(col("probe_id") +: col("embedding") +: col("nrm") +:
+        col("pcells") +: col("cells") +: lutCols: _*)
+      .withColumn("cellmap",
+        expr("map_from_entries(transform(cells, cl -> struct(cl.cell_id, cl.entries)))"))
+      .withColumn("cand", expr(
+        """flatten(transform(pcells, pc -> coalesce(element_at(cellmap, pc.cid),
+           cast(array() as array<struct<vec_id:bigint,codes:array<bigint>>>))))"""))
+      .withColumn("topk", expr(
+        s"""slice(array_sort(transform(filter(cand, x -> x.vec_id <> probe_id),
+           x -> struct(
+             -(floor(((cast(($qdt) as double) / $Sd)
+                 / (nrm * sqrt(cast(($cdt) as double) / $Sd))) * 1000000D + 0.5D) / 1000000D) AS ncos,
+             x.vec_id AS vid))), 1, $k)"""))
+      .select(col("probe_id"), posexplode(col("topk")).as(Seq("pos", "entry")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("entry.vid").as("neighbor_id"), (-col("entry.ncos")).as("adc_cos"))
+  }
+
+  /** Serve a stream of arriving probe vectors against the frozen IVF-PQ
+    * index: top-k ADC neighbors per probe per micro-batch — the
+    * InferStream pattern for retrieval (query in, result rows out,
+    * nothing retained between batches). Pure Append, zero aggregation
+    * state; Round12Spec pins streamed == batch pqSearch bit-for-bit and
+    * asserts the empty state-operator list. */
+  def servedQueries(spark: SparkSession, dir: String, corpus: DataFrame,
+                    nProbes: Int = 10, k: Int = 10, kCents: Int = 16,
+                    nCells: Int = 5, m: Int = 8, subDim: Int = 8,
+                    kCodes: Int = 64,
+                    queryName: String = "stream_pqserve"): DataFrame = {
+    val probes = readEmbeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < nProbes)
+    val arts = serveArtifacts(corpus, kCents, m, subDim, kCodes)
+    val out = serveRows(probes, arts, k, nCells, m, subDim)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try {
+      q.processAllAvailable()
+      val st = q.lastProgress.stateOperators
+      require(st == null || st.isEmpty,
+        s"query serving must hold zero aggregation state, found ${st.length} operators")
+    } finally q.stop()
+    spark.table(queryName)
+  }
 }
