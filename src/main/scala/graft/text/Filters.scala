@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -239,17 +239,145 @@ object Filters {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Bloom position j of a shingle: the last 4 hex digits of
+    * md5("j:shingle") as an integer in [0, 65536) — uniform, engine-
+    * reproducible digit arithmetic (the md5-digit device; DuckDB has no
+    * conv, so the oracle extracts the same 4 digits positionally). */
+  private def bloomPos(j: Int): Column =
+    expr(s"cast(conv(substring(md5(cast(concat('$j:', shingle) as binary)), 29, 4), 16, 10) as bigint)")
+
+  private val bloomBitsM = 65536 // bits (8 KB — fixed, eval-size-independent)
+  private val bloomK = 4         // hash functions
+
+  /** The Bloom filter of an eval shingle set as ONE dense row:
+    * `bits` = 1024 longs (65536 bits). Built with one explode (kHash
+    * positions per shingle) + a bit_or aggregation per 64-bit word —
+    * the artifact is FIXED-WIDTH however large the eval set grows,
+    * which is exactly what [[decontaminate]]'s exact broadcast
+    * vocabulary is not. */
+  private[text] def bloomBits(evalShingles: DataFrame): DataFrame = {
+    val nWords = bloomBitsM / 64
+    evalShingles
+      .select(explode(array((0 until bloomK).map(bloomPos): _*)).as("pos"))
+      .select(floor(col("pos") / 64).cast("int").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+      .groupBy(col("w")).agg(expr("bit_or(mask)").as("bits"))
+      .agg(collect_list(struct(col("w"), col("bits"))).as("entries"))
+      .select(expr(
+        s"""transform(sequence(0, ${nWords - 1}),
+           i -> coalesce(element_at(map_from_entries(entries), cast(i as int)), 0L))""")
+        .as("bits"))
+  }
+
+  /** Bloom-gated decontamination — [[decontaminate]] for eval sets too
+    * large to broadcast exactly: the eval shingle vocabulary collapses
+    * to a fixed 8 KB bit array (the one curation artifact that GREW
+    * with the eval set is gone), and every training shingle is screened
+    * row-locally with 4 md5-digit probes. A Bloom filter never misses —
+    * every exact hit is a bloom hit by construction (spec-pinned), so
+    * the screen is a SAFE over-approximation; the false-positive rate
+    * is measured HERE against the exact operator per document
+    * (n_bloom vs n_exact, the approx_profile calibration device) —
+    * production then runs the bloom columns alone and drops the exact
+    * join. Expected FPR at this sizing: (1−e^(−kn/m))^k ≈ 1e-4 for the
+    * test eval set; BloomSpec pins the measured rate under the bound. */
+  def decontamBloom(documents: DataFrame,
+                    containmentThreshold: Double = 0.2): DataFrame = {
+    val withD = documents.withColumn("d", hexNoise("doc_id"))
+    val evalSh = TextPrep.shingles(withD.filter(col("d") === 0))
+      .select("shingle").distinct()
+    val bits = bloomBits(evalSh)
+    val evalVocab = evalSh.withColumn("in_eval", lit(1))
+    val train = withD.filter(col("d") =!= 0)
+    val posed = (0 until bloomK).foldLeft(
+        TextPrep.shingles(train).crossJoin(broadcast(bits))) {
+      (df, j) => df.withColumn(s"pos$j", bloomPos(j))
+    }
+    val hit = (0 until bloomK).map { j =>
+      expr(s"""(element_at(bits, cast(floor(pos$j / 64) as int) + 1)
+             & shiftleft(1L, cast(pos$j % 64 as int))) != 0L""")
+    }.reduce(_ && _)
+    val tagged = posed
+      .withColumn("bloom_hit", hit)
+      .join(broadcast(evalVocab), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(col("bloom_hit").cast("long")).as("n_bloom"),
+        sum(coalesce(col("in_eval"), lit(0))).as("n_exact"))
+    train.select(col("doc_id"))
+      .join(tagged, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shingles", "n_bloom", "n_exact"))
+      .withColumn("fp_shingles", col("n_bloom") - col("n_exact"))
+      .withColumn("bloom_containment",
+        r6(when(col("n_shingles") > 0, col("n_bloom") / col("n_shingles"))
+          .otherwise(lit(0d))))
+      .withColumn("bloom_contaminated",
+        col("bloom_containment") >= containmentThreshold)
+      .withColumn("is_contaminated",
+        r6(when(col("n_shingles") > 0, col("n_exact") / col("n_shingles"))
+          .otherwise(lit(0d))) >= containmentThreshold)
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_winnow_overlap" -> ((s, d) => winnowOverlap(Tables.documents(s, d))),
     "q_rep_filter" -> ((s, d) => repetition(Tables.documents(s, d))),
     "q_pii_scrub" -> ((s, d) => piiScrub(Tables.documents(s, d))),
     "q_decontaminate" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "q_decontam_bloom" -> ((s, d) => decontamBloom(Tables.documents(s, d))),
     "q_winnow_contam" -> ((s, d) => winnowContam(Tables.documents(s, d)))
   )
 
   private val normSql = "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
+  /** Oracle twin of [[bloomPos]]: the last 4 hex digits of `hx` as an
+    * integer (DuckDB has no conv — positional digit arithmetic). */
+  private def bloomPosSql(hx: String): String =
+    s"((strpos('0123456789abcdef', substr($hx, 29, 1)) - 1) * 4096 + " +
+      s"(strpos('0123456789abcdef', substr($hx, 30, 1)) - 1) * 256 + " +
+      s"(strpos('0123456789abcdef', substr($hx, 31, 1)) - 1) * 16 + " +
+      s"strpos('0123456789abcdef', substr($hx, 32, 1)) - 1)"
+
+  private val bloomHx = "md5(CAST(j AS VARCHAR) || ':' || shingle)"
+
   val oracles: Map[String, String] = Map(
+    // Set-bit membership re-expressed relationally: the bit array IS the
+    // distinct set of eval positions; a shingle bloom-hits iff all 4 of
+    // its positions are set (nhit = 4) — identical semantics to the
+    // engine's word/mask test.
+    "q_decontam_bloom" ->
+      s"""WITH w AS (SELECT doc_id,
+             (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) AS d,
+             string_split($normSql, ' ') AS words
+           FROM documents),
+         sh AS (SELECT DISTINCT doc_id, d,
+             words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+           FROM w, UNNEST(generate_series(1, len(words) - 2)) AS t(i)
+           WHERE len(words) >= 3),
+         ev AS (SELECT DISTINCT shingle FROM sh WHERE d = 0),
+         js AS (SELECT UNNEST(range(4)) AS j),
+         evp AS (SELECT DISTINCT ${bloomPosSql(bloomHx)} AS pos FROM ev, js),
+         tpp AS (SELECT doc_id, shingle, j, ${bloomPosSql(bloomHx)} AS pos
+           FROM (SELECT doc_id, shingle FROM sh WHERE d <> 0), js),
+         shhit AS (SELECT doc_id, shingle,
+             SUM(CASE WHEN e.pos IS NOT NULL THEN 1 ELSE 0 END) AS nhit
+           FROM tpp LEFT JOIN evp e ON tpp.pos = e.pos GROUP BY 1, 2),
+         agg AS (SELECT s.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN nhit = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom,
+             CAST(SUM(CASE WHEN ev2.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+           FROM shhit s LEFT JOIN ev ev2 ON s.shingle = ev2.shingle GROUP BY 1),
+         o AS (SELECT t.doc_id,
+             CAST(COALESCE(n_shingles, 0) AS BIGINT) AS n_shingles,
+             CAST(COALESCE(n_bloom, 0) AS BIGINT) AS n_bloom,
+             CAST(COALESCE(n_exact, 0) AS BIGINT) AS n_exact
+           FROM (SELECT doc_id FROM w WHERE d <> 0) t LEFT JOIN agg USING (doc_id))
+         SELECT doc_id, n_shingles, n_bloom, n_exact,
+           n_bloom - n_exact AS fp_shingles,
+           ${sqlR("CASE WHEN n_shingles > 0 THEN CAST(n_bloom AS DOUBLE) / n_shingles ELSE 0 END", 6)} AS bloom_containment,
+           ${sqlR("CASE WHEN n_shingles > 0 THEN CAST(n_bloom AS DOUBLE) / n_shingles ELSE 0 END", 6)} >= 0.2 AS bloom_contaminated,
+           ${sqlR("CASE WHEN n_shingles > 0 THEN CAST(n_exact AS DOUBLE) / n_shingles ELSE 0 END", 6)} >= 0.2 AS is_contaminated
+         FROM o ORDER BY doc_id""",
     "q_winnow_overlap" ->
       s"""WITH w AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents),
          g AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
