@@ -108,11 +108,19 @@ object Approx {
     * only the sketch bytes and estimates. `sum_day_users ≥ exact_users`
     * is the cross-day overlap the union dedups — the number a naive
     * SUM-of-dailies rollup would get wrong. */
-  def hllRollup(events: DataFrame): DataFrame = {
-    val daily = events
+  /** Day-grain HLL state: per (event_type, day) the 14-bit sketch bytes
+    * plus the exact daily distinct — the rows a daily job PERSISTS
+    * (StorageSpec round-trips them through day-partitioned parquet and
+    * pins rollup-from-files == direct rollup; the deployed shape: daily
+    * job appends a state partition, the weekly job reads state only). */
+  private[graft] def hllDaily(events: DataFrame): DataFrame =
+    events
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"),
         countDistinct(col("user_id")).as("du"))
+
+  def hllRollup(events: DataFrame): DataFrame = {
+    val daily = hllDaily(events)
     val rolled = daily.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_days"),
         sum(col("du")).as("sum_day_users"),

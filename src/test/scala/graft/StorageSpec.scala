@@ -150,6 +150,37 @@ class StorageSpec extends AnyFunSuite {
     assert(bad == 0, "a z-order group leaked outside its Morton tile")
   }
 
+  test("state marts round-trip through day-partitioned parquet: rollup FROM FILES == direct") {
+    // the deployed shape of q_hll_rollup / q_quantile_rollup: the daily
+    // job appends a day partition of mergeable state; the weekly job
+    // reads STATE FILES only, never raw events
+    import graft.ml.Approx
+    val events = Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("graft-state").toString
+    val qs = Approx.quantileState(events)
+    qs.write.partitionBy("day").mode("overwrite").parquet(s"$dir/qstate")
+    val qBack = spark.read.parquet(s"$dir/qstate")
+    val fromFiles = Approx.quantileEstimates(qBack)
+      .collect().map(_.toString).sorted.toSeq
+    val direct = Approx.quantileEstimates(qs)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fromFiles.nonEmpty && fromFiles == direct,
+      "quantile rollup from persisted state diverges from direct rollup")
+
+    val hd = Approx.hllDaily(events)
+    hd.write.partitionBy("day").mode("overwrite").parquet(s"$dir/hll")
+    val hBack = spark.read.parquet(s"$dir/hll")
+    def rolled(d: org.apache.spark.sql.DataFrame) = d.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("du")).as("sum_du"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .collect().map(_.toString).sorted.toSeq
+    val hFiles = rolled(hBack)
+    assert(hFiles.nonEmpty && hFiles == rolled(hd),
+      "HLL union over persisted day sketches diverges from direct union")
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+    try walk.sorted().forEach(p => p.toFile.deleteOnExit()) finally walk.close()
+  }
+
   test("extensions class registers graft_dot at session build time") {
     // applying to a fresh extensions container must succeed and register
     val ext = new org.apache.spark.sql.SparkSessionExtensions
