@@ -88,11 +88,15 @@ object PrefixSum {
         case r => r.getLong(0)
       }
     if (maxNdv <= fallbackNdv) {
-      // With no groupCols this logs Spark's "WindowExec: No Partition
-      // Defined" warning — benign HERE ONLY: the probe just proved the
-      // frame is ≤ fallbackNdv rows, so the single-task sort is the
-      // cheaper plan by design (see the ADAPTIVE note above).
-      val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+      // The probe just proved the frame is ≤ fallbackNdv rows, so the
+      // single-task sort is the cheaper plan by design (see the ADAPTIVE
+      // note above). With no groupCols the partition spec is Fns.onePart
+      // — a non-foldable constant that keeps WindowExec's "No Partition
+      // Defined" warning reserved for REAL unbounded windows.
+      val parts =
+        if (groupCols.isEmpty) Seq(Fns.onePart(col(valueCol)))
+        else groupCols.map(col)
+      val w = Window.partitionBy(parts: _*).orderBy(col(valueCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       return frame.withColumn("cum", sum(col(cntCol)).over(w))
     }

@@ -117,6 +117,20 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(Vocab.chunkDocs(oneDoc).count() > 0)
   }
 
+  test("round-12 operators are well-defined on empty and tiny corpora") {
+    import graft.text.{Bpe, Filters}
+    import graft.ann.ChunkRetrieval
+    assert(Bpe.bpeTrain(emptyDocs).count() == 0)
+    assert(Bpe.bpeApply(emptyDocs, Bpe.bpeTrain(emptyDocs)).count() == 0)
+    assert(ChunkRetrieval.chunkRetrieval(emptyDocs).count() == 0)
+    assert(ChunkRetrieval.chunkEval(emptyDocs, emptyEmb).count() == 0)
+    assert(Filters.decontamBloom(emptyDocs).count() == 0)
+    // one doc: BPE still learns and re-tokenizes it; chunk retrieval has
+    // no candidates (a probe never retrieves its own document)
+    assert(Bpe.bpeApply(oneDoc, Bpe.bpeTrain(oneDoc)).count() == 1)
+    assert(ChunkRetrieval.chunkRetrieval(oneDoc).count() == 0)
+  }
+
   test("ann family returns empty on an empty embedding table") {
     assert(Ann.bruteForceTopK(emptyEmb).count() == 0)
     assert(Ann.ivfAssign(emptyEmb).count() == 0)
