@@ -422,7 +422,7 @@ object Features {
       // a raw double window sum reassociates with partition order
       .withColumn("psi_total",
         sum(col("psi_term").cast("decimal(20,12)"))
-          .over(Window.partitionBy(lit(1))).cast("double"))
+          .over(Window.partitionBy(onePart(col("bin")))).cast("double"))
       .select(col("bin"), r6(col("p_ref")).as("ref_pct"), r6(col("p_cur")).as("cur_pct"),
         r6(col("psi_term")).as("psi_term"), r6(col("psi_total")).as("psi_total"))
       .orderBy("bin")

@@ -459,6 +459,7 @@ object Monitoring {
           .otherwise(lit(0d))).as("consistency"))
     consensus
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(graft.functions.Fns.onePart(col("feature")))
         .orderBy(col("mean_importance").desc, col("feature").asc)))
       .orderBy("rank")
   }

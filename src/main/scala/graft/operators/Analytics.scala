@@ -328,7 +328,9 @@ object Analytics {
     // would otherwise land silently in the TOP decile (bins-1)
     val valued = events.filter(col("value").isNotNull)
     val mm = valued.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
-    val wAll = Window.partitionBy(lit(1))
+    // bounded hour×bin grid; onePart keeps the share window warning-free
+    // (a bare lit partition is stripped by EliminateWindowPartitions)
+    val wAll = Window.partitionBy(onePart(col("hour_of_day")))
     valued.select(col("ts"), col("value"))
       .crossJoin(broadcast(mm))
       .select(hour(col("ts")).cast("int").as("hour_of_day"),

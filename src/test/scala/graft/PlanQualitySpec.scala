@@ -93,8 +93,12 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("ks drift window runs over the bin aggregate, never raw values") {
     val opt = optimizedOf(Features.ksDrift(Tables.events(spark, sf)))
-    assert(opt.contains("windowspecdefinition(bin"), opt)
-    assert(!opt.contains("windowspecdefinition(value"), opt)
+    // the cumulative windows ORDER by the nBins-bounded bin column (the
+    // partition key is now the non-foldable onePart constant, so bin
+    // appears as the order key, not the leading argument)
+    val winRe = "windowspecdefinition\\([^)]*bin#[0-9]+ ASC".r
+    assert(winRe.findFirstIn(opt).nonEmpty, opt)
+    assert("windowspecdefinition\\([^)]*value#[0-9]+ ASC".r.findFirstIn(opt).isEmpty, opt)
   }
 
   test("transaction enrichment never funnels through a single partition") {
@@ -322,7 +326,22 @@ class PlanQualitySpec extends AnyFunSuite {
           if w.partitionSpec.exists(_.toString.contains("pfx_bucket")) => w
     }
     assert(bucketed.isEmpty, "bucketed path engaged below the NDV threshold")
-    assert(partitionlessWindows(cum).nonEmpty, "expected the single-window fallback form")
+    // the fallback is one window partitioned by the non-foldable onePart
+    // constant (pmod(hash(v), 1)) — single-partition by construction,
+    // without tripping WindowExec's partitionless warning
+    // the onePart constant is projected as _w0 below the WindowExec, so
+    // match the window's existence plus the pmod(hash(...)) projection
+    // in the same plan
+    val wins = cum.queryExecution.sparkPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the single-window fallback form")
+    // the pmod(hash(v), 1) projection itself folds into the aggregate's
+    // result expressions (invisible in the plan string) — what matters
+    // is that the spec is non-empty, i.e. EliminateWindowPartitions did
+    // NOT strip it back to a partitionless (warning) window
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "fallback window lost its onePart partition key")
   }
 
   test("target encoder joins the class table by broadcast — the fact side is never shuffle-joined") {
