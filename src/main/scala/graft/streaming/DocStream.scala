@@ -85,4 +85,66 @@ object DocStream {
     finally q.stop()
     spark.table(queryName)
   }
+
+  /** Stream arriving documents through a FROZEN learned BPE merge table
+    * (the [[graft.text.Bpe.bpeTrain]] artifact — tokenizers are trained
+    * offline and applied at ingest): the ranked merge table collapses to
+    * one stream-static broadcast row and every document re-tokenizes
+    * with the row-local replay fold the moment its micro-batch lands.
+    * Emits the bpeApply columns per arrival; zero aggregation state,
+    * bit-equal to batch [[graft.text.Bpe.bpeApply]] (Round12Spec). */
+  def tokenizedArrivals(spark: SparkSession, dir: String, merges: DataFrame,
+                        newDocFilter: Option[Column] = None,
+                        queryName: String = "stream_bpe"): DataFrame = {
+    val base = readDocuments(spark, dir)
+    val docs = newDocFilter.map(base.filter).getOrElse(base)
+    val out = graft.text.Bpe.applyMart(docs, merges)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
+
+  /** Stream arriving documents through the fixed-width Bloom
+    * decontamination screen (the [[graft.text.Filters.bloomBits]]
+    * artifact — 8 KB regardless of eval-set size, which is what makes
+    * this gate broadcastable forever): per document the distinct
+    * word-3-gram set is built ROW-LOCALLY (array_distinct over a
+    * transform — no explode, no streaming aggregation) and each shingle
+    * tests its four md5-digit bit positions against the broadcast bit
+    * array. Emits (doc_id, n_shingles, n_bloom, bloom_containment,
+    * bloom_contaminated) per arrival — the production path of
+    * q_decontam_bloom with the exact-calibration join dropped; the
+    * shared columns are bit-equal to the batch screen (Round12Spec). */
+  def screenedArrivals(spark: SparkSession, dir: String, bits: DataFrame,
+                       containmentThreshold: Double = 0.2,
+                       newDocFilter: Option[Column] = None,
+                       queryName: String = "stream_bloom"): DataFrame = {
+    val base = readDocuments(spark, dir)
+    val docs = newDocFilter.map(base.filter).getOrElse(base)
+    val hit = graft.text.Filters.bloomHitSql("s")
+    val out = docs
+      .withColumn("words", split(graft.functions.Fns.normText(col("text")), " "))
+      .withColumn("sh", expr(
+        """CASE WHEN text IS NULL OR size(words) < 3
+             THEN CAST(array() AS array<string>)
+             ELSE array_distinct(transform(sequence(0, size(words) - 3),
+               i -> concat_ws(' ', words[i], words[i+1], words[i+2]))) END"""))
+      .crossJoin(broadcast(bits))
+      .withColumn("n_shingles", size(col("sh")).cast("long"))
+      .withColumn("n_bloom", expr(s"size(filter(sh, s -> $hit))").cast("long"))
+      .withColumn("bloom_containment",
+        graft.functions.Fns.r6(when(col("n_shingles") > 0,
+          col("n_bloom") / col("n_shingles")).otherwise(lit(0d))))
+      .withColumn("bloom_contaminated",
+        col("bloom_containment") >= containmentThreshold)
+      .select("doc_id", "n_shingles", "n_bloom",
+        "bloom_containment", "bloom_contaminated")
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(queryName)
+  }
 }

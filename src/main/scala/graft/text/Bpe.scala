@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Fns._
 
 /** Iterative BPE merge-table training and application over the word-token
   * stream — the real multi-round loop behind [[Vocab.bigramVocab]] (which
@@ -139,23 +140,44 @@ object Bpe {
     * the training-time state exactly (each round's state is one full
     * greedy application ahead of the previous — the classical BPE
     * train/apply identity, spec-pinned). */
-  private[graft] def applyTokens(documents: DataFrame,
-                                 merges: DataFrame): DataFrame = {
-    val art = merges.agg(array_sort(collect_list(
+  /** The rank-ordered replay fold over the broadcast merge artifact —
+    * row-local, so it runs identically over a batch corpus and a
+    * document STREAM (stateless; the artifact is stream-static). */
+  private val applyFold =
+    """aggregate(ms, toks, (acc0, m) ->
+         IF(array_contains(acc0, m.tok_a) AND array_contains(acc0, m.tok_b),
+            aggregate(acc0, CAST(array() AS array<string>), (acc, t) ->
+              IF(size(acc) > 0 AND element_at(acc, -1) = m.tok_a AND t = m.tok_b,
+                 concat(slice(acc, 1, size(acc) - 1),
+                   array(concat(m.tok_a, ' ', m.tok_b))),
+                 concat(acc, array(t)))),
+            acc0))"""
+
+  private def mergeArtifact(merges: DataFrame): DataFrame =
+    merges.agg(array_sort(collect_list(
       struct(col("round"), col("tok_a"), col("tok_b")))).as("ms"))
+
+  private[graft] def applyTokens(documents: DataFrame,
+                                 merges: DataFrame): DataFrame =
     tokenState(documents)
-      .crossJoin(broadcast(art))
-      .withColumn("toks", expr(
-        """aggregate(ms, toks, (acc0, m) ->
-             IF(array_contains(acc0, m.tok_a) AND array_contains(acc0, m.tok_b),
-                aggregate(acc0, CAST(array() AS array<string>), (acc, t) ->
-                  IF(size(acc) > 0 AND element_at(acc, -1) = m.tok_a AND t = m.tok_b,
-                     concat(slice(acc, 1, size(acc) - 1),
-                       array(concat(m.tok_a, ' ', m.tok_b))),
-                     concat(acc, array(t)))),
-                acc0))"""))
+      .crossJoin(broadcast(mergeArtifact(merges)))
+      .withColumn("toks", expr(applyFold))
       .select(col("doc_id"), col("toks"))
-  }
+
+  /** One-pass apply mart (the [[bpeApply]] columns computed without the
+    * word-count self-join, so it is also streaming-safe): per document
+    * the original and merged token counts, merges landed, and the token
+    * stream's md5 fingerprint. */
+  private[graft] def applyMart(documents: DataFrame,
+                               merges: DataFrame): DataFrame =
+    tokenState(documents)
+      .crossJoin(broadcast(mergeArtifact(merges)))
+      .withColumn("toks2", expr(applyFold))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        size(col("toks2")).cast("long").as("n_tokens"),
+        (size(col("toks")) - size(col("toks2"))).cast("long").as("n_merges"),
+        md5(concat_ws(SEP, col("toks2")).cast("binary")).as("tok_hash"))
 
   /** Corpus re-tokenization with the learned merge table — per document
     * the original word count, the post-merge token count, the number of
@@ -164,16 +186,41 @@ object Bpe {
     * word stream exactly, spec-pinned), and the md5 fingerprint of the
     * token stream (the cheap equality witness for index/shard
     * consumers). */
-  def bpeApply(documents: DataFrame, merges: DataFrame): DataFrame = {
-    val orig = tokenState(documents)
-      .select(col("doc_id"), size(col("toks")).cast("long").as("n_words"))
-    applyTokens(documents, merges)
-      .join(orig, Seq("doc_id"))
-      .select(col("doc_id"), col("n_words"),
-        size(col("toks")).cast("long").as("n_tokens"),
-        (col("n_words") - size(col("toks"))).cast("long").as("n_merges"),
-        md5(concat_ws(SEP, col("toks")).cast("binary")).as("tok_hash"))
-      .orderBy("doc_id")
+  def bpeApply(documents: DataFrame, merges: DataFrame): DataFrame =
+    applyMart(documents, merges).orderBy("doc_id")
+
+  /** Shard-trained BPE vs full-corpus BPE — the production
+    * amortization question (a 100 TB corpus trains its tokenizer on a
+    * sampled shard and applies it everywhere; this mart measures what
+    * that costs): train on the deterministic 25% md5-digit shard
+    * (digit 2, independent of the decontamination split on digit 1),
+    * apply BOTH merge tables to the FULL corpus, and report per-round
+    * merge agreement plus the token-count excess of the shard-trained
+    * tokenizer — one row: (n_rounds, n_agree, n_words, tokens_full,
+    * tokens_sample, excess_tokens, excess_share). Everything reuses
+    * the train/apply devices; all counts are exact longs. */
+  def bpeSampleEval(documents: DataFrame, rounds: Int = 8): DataFrame = {
+    val sample = documents.filter(graft.functions.Fns.hexDigit("doc_id", 2) < 4)
+    val fullT = bpeTrain(documents, rounds)
+    val sampT = bpeTrain(sample, rounds)
+    val agree = fullT.select(col("round"), col("merged").as("m_full"))
+      .join(sampT.select(col("round"), col("merged").as("m_sample")),
+        Seq("round"), "full_outer")
+      .agg(count(lit(1)).as("n_rounds"),
+        sum(coalesce((col("m_full") === col("m_sample")).cast("long"), lit(0L)))
+          .as("n_agree"))
+    def applied(m: DataFrame, nm: String) =
+      applyTokens(documents, m).agg(sum(size(col("toks")).cast("long")).as(nm))
+    val words = tokenState(documents)
+      .agg(sum(size(col("toks")).cast("long")).as("n_words"))
+    agree.crossJoin(words)
+      .crossJoin(applied(fullT, "tokens_full"))
+      .crossJoin(applied(sampT, "tokens_sample"))
+      .select(col("n_rounds"), col("n_agree"), col("n_words"),
+        col("tokens_full"), col("tokens_sample"),
+        (col("tokens_sample") - col("tokens_full")).as("excess_tokens"),
+        r6(try_divide((col("tokens_sample") - col("tokens_full")).cast("double"),
+          col("tokens_full"))).as("excess_share"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -181,7 +228,8 @@ object Bpe {
     "q_bpe_apply" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       bpeApply(docs, bpeTrain(docs))
-    })
+    }),
+    "q_bpe_sample" -> ((s, d) => bpeSampleEval(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -191,29 +239,33 @@ object Bpe {
     * and at both ends, so the round-k merge is ONE string replace whose
     * pattern consumes one frame char from each side and whose
     * replacement restores them — consecutive disjoint occurrences stay
-    * matchable (see object doc). */
-  private def roundCtes(k: Int): String = {
-    val prev = if (k == 1) "s0" else s"s${k - 1}"
-    s"""tk$k AS (SELECT doc_id, list_filter(str_split(s, chr(1)||chr(1)), x -> x <> '') AS toks FROM $prev),
-       p$k AS (SELECT t.toks[CAST(i.i AS INT)] AS a, t.toks[CAST(i.i AS INT) + 1] AS b,
+    * matchable (see object doc). `pfx` namespaces a chain so two
+    * trainings (full corpus / sampled shard) can share one WITH list;
+    * `where` narrows the round-0 corpus. */
+  private def roundCtes(pfx: String, k: Int): String = {
+    val prev = s"$pfx" + s"s${k - 1}"
+    s"""${pfx}tk$k AS (SELECT doc_id, list_filter(str_split(s, chr(1)||chr(1)), x -> x <> '') AS toks FROM $prev),
+       ${pfx}p$k AS (SELECT t.toks[CAST(i.i AS INT)] AS a, t.toks[CAST(i.i AS INT) + 1] AS b,
            CAST(COUNT(*) AS BIGINT) AS n
-         FROM tk$k t, LATERAL (SELECT UNNEST(range(1, len(t.toks))) AS i) i
+         FROM ${pfx}tk$k t, LATERAL (SELECT UNNEST(range(1, len(t.toks))) AS i) i
          GROUP BY 1, 2),
-       t$k AS (SELECT a, b, n FROM p$k ORDER BY n DESC, a, b LIMIT 1),
-       s$k AS (SELECT doc_id,
+       ${pfx}t$k AS (SELECT a, b, n FROM ${pfx}p$k ORDER BY n DESC, a, b LIMIT 1),
+       $pfx""" + s"""s$k AS (SELECT doc_id,
            CASE WHEN t.a IS NULL THEN p.s
                 ELSE replace(p.s, chr(1)||t.a||chr(1)||chr(1)||t.b||chr(1),
                              chr(1)||t.a||' '||t.b||chr(1)) END AS s
-         FROM $prev p LEFT JOIN t$k t ON TRUE)"""
+         FROM $prev p LEFT JOIN ${pfx}t$k t ON TRUE)"""
   }
 
   private val rounds = 8
 
-  private val baseCtes =
-    s"""s0 AS (SELECT doc_id,
+  private def chainCtes(pfx: String, where: String): String =
+    s"""$pfx""" + s"""s0 AS (SELECT doc_id,
            chr(1)||chr(1) || array_to_string(string_split($normSql, ' '), chr(1)||chr(1)) || chr(1)||chr(1) AS s
-         FROM documents WHERE text IS NOT NULL AND $normSql <> ''),
-       ${(1 to rounds).map(roundCtes).mkString(",\n       ")}"""
+         FROM documents WHERE text IS NOT NULL AND $normSql <> '' $where),
+       ${(1 to rounds).map(roundCtes(pfx, _)).mkString(",\n       ")}"""
+
+  private val baseCtes = chainCtes("", "")
 
   val oracles: Map[String, String] = Map(
     "q_bpe_train" ->
@@ -232,6 +284,39 @@ object Bpe {
            CAST(len(f.toks) AS BIGINT) AS n_tokens,
            CAST(o.n_words - len(f.toks) AS BIGINT) AS n_merges,
            md5(array_to_string(f.toks, chr(1))) AS tok_hash
-         FROM fin f JOIN orig o USING (doc_id) ORDER BY f.doc_id"""
+         FROM fin f JOIN orig o USING (doc_id) ORDER BY f.doc_id""",
+    // Two full training chains (prefix m = the 25% md5-digit-2 shard)
+    // plus 8 apply CTEs replaying the SHARD winners over the FULL
+    // corpus — the fold both engines run identically.
+    "q_bpe_sample" -> {
+      val sampleWhere =
+        "AND (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 4"
+      val applyK = (k: Int) =>
+        s"""a$k AS (SELECT doc_id,
+             CASE WHEN t.a IS NULL THEN p.s
+                  ELSE replace(p.s, chr(1)||t.a||chr(1)||chr(1)||t.b||chr(1),
+                               chr(1)||t.a||' '||t.b||chr(1)) END AS s
+           FROM a${k - 1} p LEFT JOIN mt$k t ON TRUE)"""
+      def ntok(src: String) =
+        s"CAST(SUM(len(list_filter(str_split(s, chr(1)||chr(1)), x -> x <> ''))) AS BIGINT)"
+      s"""WITH ${chainCtes("", "")},
+         ${chainCtes("m", sampleWhere)},
+         fmg AS (${(1 to rounds).map(k => s"SELECT $k AS round, a||' '||b AS m FROM t$k")
+            .mkString("\n           UNION ALL ")}),
+         smg AS (${(1 to rounds).map(k => s"SELECT $k AS round, a||' '||b AS m FROM mt$k")
+            .mkString("\n           UNION ALL ")}),
+         ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rounds,
+             CAST(SUM(CASE WHEN f.m = s.m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+           FROM fmg f FULL OUTER JOIN smg s USING (round)),
+         a0 AS (SELECT doc_id, s FROM s0),
+         ${(1 to rounds).map(applyK).mkString(",\n         ")},
+         wt AS (SELECT ${ntok("s0")} AS n_words FROM s0),
+         tf AS (SELECT ${ntok(s"s$rounds")} AS tokens_full FROM s$rounds),
+         tsm AS (SELECT ${ntok(s"a$rounds")} AS tokens_sample FROM a$rounds)
+         SELECT n_rounds, n_agree, n_words, tokens_full, tokens_sample,
+           tokens_sample - tokens_full AS excess_tokens,
+           ${sqlR("CAST(tokens_sample - tokens_full AS DOUBLE) / NULLIF(tokens_full, 0)", 6)} AS excess_share
+         FROM ag, wt, tf, tsm"""
+    }
   )
 }

@@ -249,13 +249,23 @@ object Filters {
   private val bloomBitsM = 65536 // bits (8 KB — fixed, eval-size-independent)
   private val bloomK = 4         // hash functions
 
+  /** SQL fragment testing shingle expression `sv` against the broadcast
+    * `bits` array (all four md5-digit positions set) — the lambda-form
+    * twin of the batch screen's per-column tests, shared with the
+    * streaming gate so the two can never drift. */
+  private[graft] def bloomHitSql(sv: String): String =
+    (0 until bloomK).map { j =>
+      val p = s"cast(conv(substring(md5(cast(concat('$j:', $sv) as binary)), 29, 4), 16, 10) as bigint)"
+      s"((element_at(bits, cast(floor($p / 64) as int) + 1) & shiftleft(1L, cast($p % 64 as int))) != 0L)"
+    }.mkString("(", " AND ", ")")
+
   /** The Bloom filter of an eval shingle set as ONE dense row:
     * `bits` = 1024 longs (65536 bits). Built with one explode (kHash
     * positions per shingle) + a bit_or aggregation per 64-bit word —
     * the artifact is FIXED-WIDTH however large the eval set grows,
     * which is exactly what [[decontaminate]]'s exact broadcast
     * vocabulary is not. */
-  private[text] def bloomBits(evalShingles: DataFrame): DataFrame = {
+  private[graft] def bloomBits(evalShingles: DataFrame): DataFrame = {
     val nWords = bloomBitsM / 64
     evalShingles
       .select(explode(array((0 until bloomK).map(bloomPos): _*)).as("pos"))

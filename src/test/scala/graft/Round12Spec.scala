@@ -93,6 +93,57 @@ class Round12Spec extends AnyFunSuite {
     }
   }
 
+  test("bpe sample eval: agreement bounded by rounds, both tokenizers compress") {
+    val r = graft.text.Bpe.bpeSampleEval(docs).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_rounds") >= 8L) // full outer of two 8-row tables
+    assert(row.getAs[Long]("n_agree") >= 0L &&
+      row.getAs[Long]("n_agree") <= row.getAs[Long]("n_rounds"))
+    assert(row.getAs[Long]("tokens_full") <= row.getAs[Long]("n_words"))
+    assert(row.getAs[Long]("tokens_sample") <= row.getAs[Long]("n_words"))
+    assert(row.getAs[Long]("excess_tokens") ==
+      row.getAs[Long]("tokens_sample") - row.getAs[Long]("tokens_full"))
+  }
+
+  test("streamed BPE apply gate == batch bpeApply bit-for-bit (zero aggregation state)") {
+    import graft.streaming.DocStream
+    val merges = graft.text.Bpe.bpeTrain(docs)
+    val streamed = DocStream.tokenizedArrivals(spark, sf, merges,
+        queryName = "r12_bpe_gate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sorted.toSeq
+    val batch = graft.text.Bpe.bpeApply(docs, merges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).sorted.toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("streamed bloom screen == batch decontamBloom on the shared columns") {
+    import graft.streaming.DocStream
+    import graft.text.{Filters, TextPrep}
+    val withD = docs.withColumn("d", graft.functions.Fns.hexDigit("doc_id", 1))
+    val evalSh = TextPrep.shingles(withD.filter(col("d") === 0))
+      .select("shingle").distinct()
+    val bits = Filters.bloomBits(evalSh)
+    val streamed = DocStream.screenedArrivals(spark, sf, bits,
+        queryName = "r12_bloom_gate")
+      .select("doc_id", "n_shingles", "n_bloom", "bloom_containment", "bloom_contaminated")
+    val batch = Filters.decontamBloom(docs)
+      .select(col("doc_id").as("b_id"), col("n_shingles").as("b_sh"),
+        col("n_bloom").as("b_bl"), col("bloom_containment").as("b_ct"),
+        col("bloom_contaminated").as("b_fl"))
+    // the batch mart covers only the train split; every one of its rows
+    // must match the streamed gate's row for the same doc exactly
+    val joined = batch.join(streamed, col("b_id") === col("doc_id"))
+    assert(joined.count() == batch.count(), "streamed gate missed train docs")
+    val diff = joined.filter(
+      col("b_sh") =!= col("n_shingles") || col("b_bl") =!= col("n_bloom") ||
+        col("b_ct") =!= col("bloom_containment") ||
+        col("b_fl") =!= col("bloom_contaminated")).count()
+    assert(diff == 0L, s"$diff documents diverge between streamed and batch screens")
+  }
+
   test("measured bloom false-positive rate stays under the sizing bound") {
     import graft.text.TextPrep
     val withD = docs.withColumn("d", graft.functions.Fns.hexDigit("doc_id", 1))
