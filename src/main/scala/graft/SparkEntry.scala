@@ -4,7 +4,7 @@ import graft.operators.{Analytics, Catalog, ConfigFacts, Diagnostics, Graph, Joi
 import graft.ml.{Approx, CrossVal, Features, Inference, Monitoring, TopK, TrainPrep}
 import graft.dedup.Dedup
 import graft.ann.{Ann, ChunkRetrieval, Embeddings}
-import graft.text.{Bpe, CorpusStats, Filters, Packing, TextOps, Vocab}
+import graft.text.{Bpe, CorpusStats, Filters, Packing, SubwordBpe, TextOps, Vocab}
 import graft.multimodal.Multimodal
 import graft.sources.SemiStructured
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -22,7 +22,7 @@ object SparkEntry {
       Joins.queries ++ Sampling.queries ++ ConfigFacts.queries ++ Marts.queries ++
       Quality.queries ++ Approx.queries ++ TopK.queries ++ SemiStructured.queries ++
       Monitoring.queries ++ Filters.queries ++ Packing.queries ++ Embeddings.queries ++ Vocab.queries ++ TrainPrep.queries ++
-      Inference.queries ++ Graph.queries ++ Diagnostics.queries ++ CorpusStats.queries ++ Catalog.queries ++ Masking.queries ++ CrossVal.queries ++ Bpe.queries ++ ChunkRetrieval.queries
+      Inference.queries ++ Graph.queries ++ Diagnostics.queries ++ CorpusStats.queries ++ Catalog.queries ++ Masking.queries ++ CrossVal.queries ++ Bpe.queries ++ ChunkRetrieval.queries ++ SubwordBpe.queries
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -31,5 +31,5 @@ object SparkEntry {
       Joins.oracles ++ Sampling.oracles ++ ConfigFacts.oracles ++ Marts.oracles ++
       Quality.oracles ++ Approx.oracles ++ TopK.oracles ++ SemiStructured.oracles ++
       Monitoring.oracles ++ Filters.oracles ++ Packing.oracles ++ Embeddings.oracles ++ Vocab.oracles ++ TrainPrep.oracles ++
-      Inference.oracles ++ Graph.oracles ++ Diagnostics.oracles ++ CorpusStats.oracles ++ Catalog.oracles ++ Masking.oracles ++ CrossVal.oracles ++ Bpe.oracles ++ ChunkRetrieval.oracles
+      Inference.oracles ++ Graph.oracles ++ Diagnostics.oracles ++ CorpusStats.oracles ++ Catalog.oracles ++ Masking.oracles ++ CrossVal.oracles ++ Bpe.oracles ++ ChunkRetrieval.oracles ++ SubwordBpe.oracles
 }

@@ -96,15 +96,17 @@ object ChunkRetrieval {
   /** Vector arm: exact cosine of every chunk against the nProbes
     * broadcast probe vectors, top-`arm` per probe via the bounded heap.
     *
-    * Both embedding frames are localCheckpoint'ed — this is the
-    * persisted-index boundary (production builds chunk embeddings once
-    * and serves queries against the stored frame), and it is also a
-    * measured 30× DRIVER-side win: the 16 JL aggregate expressions each
-    * carry a 64-literal sign array, and feeding that lineage into the
-    * typed bounded-heap aggregation put the optimizer/codegen pass at
-    * ~29 s per evaluation (no single Spark STAGE over 0.5 s — pure
-    * plan-processing cost) where the checkpointed frame plans in
-    * milliseconds. */
+    * The embedding lineage feeding this arm is kept cheap to PLAN by
+    * [[hashEmbed]]'s two-stage shape (signed counts per (key, bucket),
+    * then one sparse fold through a SINGLE 16×64 sign-matrix literal) —
+    * the earlier one-stage form carried 16 aggregate expressions each
+    * embedding its own 64-literal array and cost the DRIVER ~29 s of
+    * optimizer/codegen per evaluation (no single Spark STAGE over
+    * 0.5 s — pure plan-processing cost); the restructured tree plans in
+    * milliseconds and is bit-identical. In production the chunk frame
+    * is additionally a persisted artifact (built once, served many) —
+    * see [[graft.sources.Artifacts]] — but no checkpoint is needed for
+    * planning anymore. */
   private def vecArm(documents: DataFrame, nProbes: Int, arm: Int): DataFrame = {
     val ce = hashEmbed(chunks(documents)
       .select(col("chunk_id"), explode(col("cwords")).as("word")), "chunk_id")

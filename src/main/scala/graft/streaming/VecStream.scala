@@ -211,8 +211,11 @@ object VecStream {
       .format("memory").queryName(queryName).start()
     try {
       q.processAllAvailable()
-      val st = q.lastProgress.stateOperators
-      require(st == null || st.isEmpty,
+      // an empty probe directory produces no micro-batch and a NULL
+      // lastProgress — that is zero state, not a failure
+      val st = Option(q.lastProgress).flatMap(p => Option(p.stateOperators))
+        .getOrElse(Array.empty)
+      require(st.isEmpty,
         s"query serving must hold zero aggregation state, found ${st.length} operators")
     } finally q.stop()
     spark.table(queryName)

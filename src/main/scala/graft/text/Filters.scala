@@ -252,12 +252,18 @@ object Filters {
   /** SQL fragment testing shingle expression `sv` against the broadcast
     * `bits` array (all four md5-digit positions set) — the lambda-form
     * twin of the batch screen's per-column tests, shared with the
-    * streaming gate so the two can never drift. */
+    * streaming gate so the two can never drift. Each bit position is
+    * computed ONCE and bound to a lambda variable (`bp`) before the
+    * word-index/shift probe reads it twice — common-subexpression
+    * elimination inside a filter lambda is not guaranteed, and the
+    * inlined form paid 8 md5 calls per shingle where the batch path's
+    * pos0..pos3 columns pay 4. `concat(cast(bj as string), ':', ...)`
+    * produces the identical "j:shingle" bytes the batch
+    * [[bloomPos]] literals hash. */
   private[graft] def bloomHitSql(sv: String): String =
-    (0 until bloomK).map { j =>
-      val p = s"cast(conv(substring(md5(cast(concat('$j:', $sv) as binary)), 29, 4), 16, 10) as bigint)"
-      s"((element_at(bits, cast(floor($p / 64) as int) + 1) & shiftleft(1L, cast($p % 64 as int))) != 0L)"
-    }.mkString("(", " AND ", ")")
+    s"""forall(transform(sequence(0, ${bloomK - 1}),
+       bj -> cast(conv(substring(md5(cast(concat(cast(bj as string), ':', $sv) as binary)), 29, 4), 16, 10) as bigint)),
+       bp -> (element_at(bits, cast(floor(bp / 64) as int) + 1) & shiftleft(1L, cast(bp % 64 as int))) != 0L)"""
 
   /** The Bloom filter of an eval shingle set as ONE dense row:
     * `bits` = 1024 longs (65536 bits). Built with one explode (kHash

@@ -1,0 +1,339 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Fns._
+
+/** CHARACTER-grain BPE — the real Sennrich et al. 2016 granularity
+  * (arXiv:1508.07909, learn_bpe.py's algorithm): symbols start as the
+  * characters of each word plus an end-of-word marker, and each round
+  * merges the single most frequent adjacent symbol pair WITHIN words.
+  * This is what [[Bpe]] (word-grain, merges whitespace words into
+  * phrases) deliberately is not: only character-grain merges can
+  * produce an OOV-free subword vocabulary — any unseen word still
+  * tokenizes as a sequence of learned subwords bottoming out at single
+  * characters, which is the property production tokenizers exist for.
+  *
+  * The decisive scale difference from sequence-level BPE: training
+  * state is the aggregated WORD-SHAPE table (word, corpus count,
+  * symbol array) — Sennrich's own formulation — so each round rewrites
+  * a VOCAB-bounded frame, not the corpus. At 100 TB the token stream
+  * is ~10^13 words but the distinct-word table is ~10^7-10^8 rows:
+  * the per-round cost collapses by 5-6 orders of magnitude versus
+  * [[Bpe.trainWithState]]'s corpus rewrite, and the one corpus-scale
+  * pass left anywhere is the initial word count (one map-side-combined
+  * aggregation). Pairs can never cross word boundaries by construction
+  * (each word is its own row), so no document fencing is needed.
+  *
+  * Scale design (100 TB):
+  *   - Round state is (word, n, syms), localCheckpoint'ed per round
+  *     (reliable checkpoints on a real cluster); each round's ONLY
+  *     shuffle is the weighted pair count over the word table —
+  *     map-side combined, exchange bounded by the realized pair vocab.
+  *   - The winner is a ONE-ROW broadcast; the merge is a row-local
+  *     greedy leftmost non-overlapping array fold with an
+  *     `array_contains` quick reject (shared shape with [[Bpe]]).
+  *   - Application is row-local per document (zero shuffles beyond the
+  *     broadcast merge artifact, streaming-safe); a corpus that wants
+  *     to amortize further materializes the word→subwords table once
+  *     (vocab-bounded) and joins, but the gate keeps the row-local
+  *     form so batch and stream twins share one expression.
+  *
+  * Oracle: the [[Bpe]] separator-framed string device verbatim, minus
+  * the space in the replacement (subword merges concatenate): one
+  * `replace(s, SEP||a||SEP||SEP||b||SEP, SEP||a||b||SEP)` per round
+  * over per-WORD framed strings, pair counts weighted by the word's
+  * corpus count. The boundary-alignment and greedy-equivalence
+  * arguments are [[Bpe]]'s own (tokens are SEP-free; both engines'
+  * replace scans left-to-right without rescanning output); merged
+  * tokens are length ≥ 2 while round-0 symbols are single characters
+  * or the marker, so a merge can never chain into itself within a
+  * round. SubwordBpeSpec pins determinism, the train/apply identity,
+  * OOV-freedom (every word reconstructs exactly from its subwords),
+  * and the crafted "aaaaa" overlap case.
+  */
+object SubwordBpe {
+
+  /** Token separator of the canonical string form (oracle + tok_hash):
+    * never a character of this corpus' words. */
+  private val SEP = "\u0001"
+
+  /** Sennrich's end-of-word marker: distinguishes word-final subwords
+    * ("e</w>" of "the") from word-internal ones ("e" of "merge"). */
+  private val EOW = "</w>"
+
+  private val defaultRounds = 8
+
+  /** Round-0 symbols of one word as a SQL fragment over lambda/column
+    * `w`: its characters plus the end-of-word marker. */
+  private def symsOf(w: String): String =
+    s"concat(split($w, ''), array('$EOW'))"
+
+  /** The word-shape table: (word, n, syms) — every distinct normalized
+    * word with its corpus frequency and round-0 symbol array. ONE
+    * corpus-scale aggregation; everything after is vocab-bounded. */
+  private[graft] def wordState(documents: DataFrame): DataFrame =
+    Bpe.tokenState(documents)
+      .select(explode(col("toks")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("syms", expr(symsOf("word")))
+
+  /** One greedy leftmost non-overlapping merge of (ma, mb) → ma||mb on
+    * `syms` — [[Bpe]]'s fold with subword concatenation. A NULL pair
+    * (exhausted vocabulary round) is the identity. */
+  private val mergeFold =
+    """IF(array_contains(syms, ma) AND array_contains(syms, mb),
+         aggregate(syms, CAST(array() AS array<string>), (acc, t) ->
+           IF(size(acc) > 0 AND element_at(acc, -1) = ma AND t = mb,
+              concat(slice(acc, 1, size(acc) - 1), array(concat(ma, mb))),
+              concat(acc, array(t)))),
+         syms)"""
+
+  /** The training loop; returns (merge table, final word state). The
+    * final state stays checkpointed — callers release or read it
+    * (SubwordBpeSpec pins apply == train on it). */
+  private[graft] def trainWithState(documents: DataFrame,
+                                    rounds: Int): (DataFrame, DataFrame) = {
+    var state = wordState(documents).localCheckpoint(false)
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    intermediates += state
+    var merges = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = state.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+      // eager 1-row checkpoint: runs this round's pair count once and
+      // cuts the lineage so the table union never recounts
+      val top = pairs.orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .localCheckpoint()
+      intermediates += top
+      merges :+= top.select(lit(r).as("round"), col("a").as("tok_a"),
+        col("b").as("tok_b"), concat(col("a"), col("b")).as("merged"),
+        col("cnt").as("pair_n"))
+      // LEFT join on TRUE (not crossJoin): an exhausted vocabulary
+      // yields an EMPTY top and the state must pass through unchanged
+      state = state
+        .join(broadcast(top.select(col("a").as("ma"), col("b").as("mb"))),
+          lit(true), "left")
+        .withColumn("syms", expr(mergeFold))
+        .select(col("word"), col("n"), col("syms"))
+        .localCheckpoint(false)
+      intermediates += state
+    }
+    val table = merges.reduce(_.unionByName(_)).orderBy("round").localCheckpoint()
+    intermediates.dropRight(1).foreach(_.unpersist())
+    (table, state)
+  }
+
+  /** The learned subword merge table: one row per round —
+    * (round, tok_a, tok_b, merged, pair_n), pair_n the weighted corpus
+    * count of the winning pair at merge time. */
+  def subwordTrain(documents: DataFrame, rounds: Int = defaultRounds): DataFrame = {
+    val (table, finalState) = trainWithState(documents, rounds)
+    finalState.unpersist()
+    table
+  }
+
+  /** Rank-ordered replay of the broadcast merge artifact over one
+    * word's round-0 symbols — the row-local fold shared by the word-
+    * table replay and the per-document apply (so batch, word-cache,
+    * and streaming paths can never drift). `ws0` is the symbol-array
+    * expression to fold. */
+  private def replayFold(ws0: String): String =
+    s"""aggregate(ms, $ws0, (acc0, m) ->
+         IF(array_contains(acc0, m.tok_a) AND array_contains(acc0, m.tok_b),
+            aggregate(acc0, CAST(array() AS array<string>), (acc, t) ->
+              IF(size(acc) > 0 AND element_at(acc, -1) = m.tok_a AND t = m.tok_b,
+                 concat(slice(acc, 1, size(acc) - 1),
+                   array(concat(m.tok_a, m.tok_b))),
+                 concat(acc, array(t)))),
+            acc0))"""
+
+  private def mergeArtifact(merges: DataFrame): DataFrame =
+    merges.agg(array_sort(collect_list(
+      struct(col("round"), col("tok_a"), col("tok_b")))).as("ms"))
+
+  /** Replay a merge table over a word table: (word, n, syms) with syms
+    * the final subword sequence — the vocab-bounded application path
+    * (and the train/apply identity's left-hand side). */
+  private[graft] def applyWords(words: DataFrame, merges: DataFrame): DataFrame =
+    words
+      .crossJoin(broadcast(mergeArtifact(merges)))
+      .withColumn("syms", expr(replayFold(symsOf("word"))))
+      .select(col("word"), col("n"), col("syms"))
+
+  /** Per-document subword tokenization mart — row-local replay of the
+    * broadcast merge artifact over each word of each document (zero
+    * shuffles, streaming-safe): original word count, total round-0
+    * symbol count (chars + markers), post-merge subword count, merges
+    * landed (their difference — conservation: concatenating each
+    * word's subwords recovers word||marker exactly, spec-pinned), and
+    * the md5 fingerprint of the document's full subword stream. */
+  private[graft] def applyMart(documents: DataFrame,
+                               merges: DataFrame): DataFrame =
+    Bpe.tokenState(documents)
+      .crossJoin(broadcast(mergeArtifact(merges)))
+      .withColumn("wtoks", expr(
+        s"transform(toks, w -> ${replayFold(symsOf("w"))})"))
+      .withColumn("flat", flatten(col("wtoks")))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        expr("aggregate(toks, 0L, (a, w) -> a + length(w) + 1L)").as("n_syms"),
+        size(col("flat")).cast("long").as("n_tokens"),
+        (expr("aggregate(toks, 0L, (a, w) -> a + length(w) + 1L)")
+          - size(col("flat"))).cast("long").as("n_merges"),
+        md5(concat_ws(SEP, col("flat")).cast("binary")).as("tok_hash"))
+
+  /** Corpus re-tokenization with a learned subword merge table — see
+    * [[applyMart]]. */
+  def subwordApply(documents: DataFrame, merges: DataFrame): DataFrame =
+    applyMart(documents, merges).orderBy("doc_id")
+
+  /** Shard-trained subword BPE vs full-corpus subword BPE — the
+    * [[Bpe.bpeSampleEval]] amortization question re-asked at the
+    * grain where it matters MORE: subword merge tables are trained
+    * once per model generation and applied to every corpus after, so
+    * the token excess of shard training is a permanent serving cost.
+    * Train on the deterministic 25% md5-digit shard (digit 2 — the
+    * same shard as the word-grain mart, so the two rows compare),
+    * replay BOTH tables over the FULL word table, report per-round
+    * agreement and the exact weighted token excess. One row:
+    * (n_rounds, n_agree, n_syms, tokens_full, tokens_sample,
+    * excess_tokens, excess_share). */
+  def subwordSampleEval(documents: DataFrame,
+                        rounds: Int = defaultRounds): DataFrame = {
+    val sample = documents.filter(graft.functions.Fns.hexDigit("doc_id", 2) < 4)
+    val fullT = subwordTrain(documents, rounds)
+    val sampT = subwordTrain(sample, rounds)
+    val agree = fullT.select(col("round"), col("merged").as("m_full"))
+      .join(sampT.select(col("round"), col("merged").as("m_sample")),
+        Seq("round"), "full_outer")
+      .agg(count(lit(1)).as("n_rounds"),
+        sum(coalesce((col("m_full") === col("m_sample")).cast("long"), lit(0L)))
+          .as("n_agree"))
+    val wf = wordState(documents).localCheckpoint(false)
+    def toks(m: DataFrame, nm: String) =
+      applyWords(wf.select(col("word"), col("n")), m)
+        .agg(sum(col("n") * size(col("syms"))).as(nm))
+    val syms = wf.agg(sum(col("n") * size(col("syms"))).as("n_syms"))
+    val out = agree.crossJoin(syms)
+      .crossJoin(toks(fullT, "tokens_full"))
+      .crossJoin(toks(sampT, "tokens_sample"))
+      .select(col("n_rounds"), col("n_agree"), col("n_syms"),
+        col("tokens_full"), col("tokens_sample"),
+        (col("tokens_sample") - col("tokens_full")).as("excess_tokens"),
+        r6(try_divide((col("tokens_sample") - col("tokens_full")).cast("double"),
+          col("tokens_full"))).as("excess_share"))
+      .localCheckpoint()
+    wf.unpersist()
+    out
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bpe_subword" -> ((s, d) => subwordTrain(Tables.documents(s, d))),
+    "q_bpe_subword_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      subwordApply(docs, subwordTrain(docs))
+    }),
+    "q_bpe_subword_sample" -> ((s, d) => subwordSampleEval(Tables.documents(s, d)))
+  )
+
+  private val normSql =
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** One training round's CTEs over the SEP-framed word table — the
+    * [[Bpe.roundCtes]] device with weighted pair counts and subword
+    * (no-space) replacement. */
+  private def roundCtes(pfx: String, k: Int): String = {
+    val prev = s"$pfx" + s"ws${k - 1}"
+    s"""${pfx}wtk$k AS (SELECT word, n, list_filter(str_split(s, chr(1)||chr(1)), x -> x <> '') AS toks FROM $prev),
+       ${pfx}wp$k AS (SELECT t.toks[CAST(i.i AS INT)] AS a, t.toks[CAST(i.i AS INT) + 1] AS b,
+           CAST(SUM(n) AS BIGINT) AS cnt
+         FROM ${pfx}wtk$k t, LATERAL (SELECT UNNEST(range(1, len(t.toks))) AS i) i
+         GROUP BY 1, 2),
+       ${pfx}wt$k AS (SELECT a, b, cnt FROM ${pfx}wp$k ORDER BY cnt DESC, a, b LIMIT 1),
+       $pfx""" + s"""ws$k AS (SELECT word, n,
+           CASE WHEN t.a IS NULL THEN p.s
+                ELSE replace(p.s, chr(1)||t.a||chr(1)||chr(1)||t.b||chr(1),
+                             chr(1)||t.a||t.b||chr(1)) END AS s
+         FROM $prev p LEFT JOIN ${pfx}wt$k t ON TRUE)"""
+  }
+
+  private val rounds = defaultRounds
+
+  /** Full training chain: word-frequency table → framed round-0 symbol
+    * strings → `rounds` merge rounds. `pfx` namespaces a chain;
+    * `where` narrows the training corpus. */
+  private def chainCtes(pfx: String, where: String): String =
+    s"""${pfx}ww AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split($normSql, ' ')) AS word
+                 FROM documents WHERE text IS NOT NULL AND $normSql <> '' $where)
+           GROUP BY 1),
+       $pfx""" + s"""ws0 AS (SELECT word, n,
+           chr(1)||chr(1) || array_to_string(list_concat(string_split(word, ''), ['</w>']), chr(1)||chr(1)) || chr(1)||chr(1) AS s
+         FROM ${pfx}ww),
+       ${(1 to rounds).map(roundCtes(pfx, _)).mkString(",\n       ")}"""
+
+  private val baseCtes = chainCtes("", "")
+
+  val oracles: Map[String, String] = Map(
+    "q_bpe_subword" ->
+      s"""WITH $baseCtes
+         SELECT * FROM (
+           ${(1 to rounds).map(k =>
+             s"SELECT $k AS round, a AS tok_a, b AS tok_b, a||b AS merged, cnt AS pair_n FROM wt$k")
+             .mkString("\n           UNION ALL ")}
+         ) ORDER BY round""",
+    "q_bpe_subword_apply" ->
+      s"""WITH $baseCtes,
+         fin AS (SELECT word, list_filter(str_split(s, chr(1)||chr(1)), x -> x <> '') AS toks FROM ws$rounds),
+         dw AS (SELECT doc_id, string_split($normSql, ' ') AS words
+           FROM documents WHERE text IS NOT NULL AND $normSql <> ''),
+         dwx AS (SELECT doc_id, CAST(i.i AS INT) AS idx, words[CAST(i.i AS INT)] AS word
+           FROM dw, LATERAL (SELECT UNNEST(range(1, len(words) + 1)) AS i) i)
+         SELECT d.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(d.word) + 1) AS BIGINT) AS n_syms,
+           CAST(SUM(len(f.toks)) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(d.word) + 1) - SUM(len(f.toks)) AS BIGINT) AS n_merges,
+           md5(string_agg(array_to_string(f.toks, chr(1)), chr(1) ORDER BY d.idx)) AS tok_hash
+         FROM dwx d JOIN fin f USING (word)
+         GROUP BY d.doc_id ORDER BY d.doc_id""",
+    // Two training chains (prefix m = the 25% md5-digit-2 shard) plus 8
+    // apply CTEs replaying the shard winners over the FULL word table.
+    "q_bpe_subword_sample" -> {
+      val sampleWhere =
+        "AND (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) < 4"
+      val applyK = (k: Int) =>
+        s"""wa$k AS (SELECT word, n,
+             CASE WHEN t.a IS NULL THEN p.s
+                  ELSE replace(p.s, chr(1)||t.a||chr(1)||chr(1)||t.b||chr(1),
+                               chr(1)||t.a||t.b||chr(1)) END AS s
+           FROM wa${k - 1} p LEFT JOIN mwt$k t ON TRUE)"""
+      def ntok(src: String) =
+        s"CAST(SUM(n * len(list_filter(str_split(s, chr(1)||chr(1)), x -> x <> ''))) AS BIGINT)"
+      s"""WITH ${chainCtes("", "")},
+         ${chainCtes("m", sampleWhere)},
+         fmg AS (${(1 to rounds).map(k => s"SELECT $k AS round, a||b AS m FROM wt$k")
+            .mkString("\n           UNION ALL ")}),
+         smg AS (${(1 to rounds).map(k => s"SELECT $k AS round, a||b AS m FROM mwt$k")
+            .mkString("\n           UNION ALL ")}),
+         ag AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rounds,
+             CAST(SUM(CASE WHEN f.m = s.m THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+           FROM fmg f FULL OUTER JOIN smg s USING (round)),
+         wa0 AS (SELECT word, n, s FROM ws0),
+         ${(1 to rounds).map(applyK).mkString(",\n         ")},
+         st AS (SELECT ${ntok("ws0")} AS n_syms FROM ws0),
+         tf AS (SELECT ${ntok(s"ws$rounds")} AS tokens_full FROM ws$rounds),
+         tsm AS (SELECT ${ntok(s"wa$rounds")} AS tokens_sample FROM wa$rounds)
+         SELECT n_rounds, n_agree, n_syms, tokens_full, tokens_sample,
+           tokens_sample - tokens_full AS excess_tokens,
+           ${sqlR("CAST(tokens_sample - tokens_full AS DOUBLE) / NULLIF(tokens_full, 0)", 6)} AS excess_share
+         FROM ag, st, tf, tsm"""
+    }
+  )
+}
