@@ -27,9 +27,11 @@ import graft.text.TextPrep
   * probe document's full token stream.
   *
   * Scale design (100 TB): chunks ≈ tokens/stride rows, all grains keyed
-  * by chunk_id = doc_id·1024 + chunk_idx (docs are corpus-bounded at
-  * 1024·48 words here; a production corpus sizes the factor to its max
-  * doc length). The lexical arm is probe-bounded exactly like
+  * by chunk_id = doc_id·factor + chunk_idx, where factor is DERIVED per
+  * corpus from the measured max doc length ([[chunkFactorFor]] — ≥1024,
+  * power of two, collision-free by construction; a fixed 1024 would
+  * silently mis-attribute chunks of any ≥49k-word document). The
+  * lexical arm is probe-bounded exactly like
   * [[Ann.hybridRrf]]: probe terms and their chunk-df are ≤
   * nProbes·kTerms broadcast artifacts, candidates one
   * (probe, chunk, term) partial agg. The vector arm is one streamed
@@ -42,20 +44,46 @@ object ChunkRetrieval {
 
   private val width = 64
   private val stride = 48
-  private val chunkFactor = 1024L
+  /** Floor of the chunk_id encoding factor: docs up to 1024 windows
+    * (~49k words) encode under it, and the gate corpus (max ~100
+    * words) always lands here — so the oracle's literal stays valid. */
+  private val minChunkFactor = 1024L
   private val dims = 64    // feature-hash buckets
   private val outDims = 16 // JL coordinates
 
+  /** The chunk_id encoding factor for THIS corpus: the smallest
+    * power-of-two multiple of [[minChunkFactor]] strictly able to hold
+    * every document's chunk index. A fixed 1024 silently collided doc
+    * attribution for any document past 1024 windows (≈49k words) —
+    * routine at 100 TB — by encoding its overflow chunks into the NEXT
+    * doc's id space; deriving the factor from the measured max doc
+    * length (one map-side-combined MAX over the corpus, the PlanStats
+    * discipline) makes the encoding collision-free by construction.
+    * Headroom: doc_id·factor stays far under Long.MaxValue for any
+    * realistic id space (10^12 docs × 2^20 factor < 2^60). */
+  private[graft] def chunkFactorFor(documents: DataFrame): Long = {
+    val maxWords = TextPrep.withWords(documents.filter(col("text").isNotNull))
+      .filter(col("norm") =!= "")
+      .agg(coalesce(max(size(col("words"))), lit(0)).as("mw"))
+      .head.getAs[Int]("mw")
+    val maxChunks = if (maxWords <= 0) 1L else maxWords.toLong / stride + 1L
+    var f = minChunkFactor
+    while (f < maxChunks) f *= 2
+    f
+  }
+
   /** Chunk grain with tokens: (doc_id, chunk_id, cwords) — the
-    * chunkDocs windows carrying their word arrays. */
-  private[ann] def chunks(documents: DataFrame): DataFrame =
+    * chunkDocs windows carrying their word arrays. `factor` comes from
+    * [[chunkFactorFor]], computed ONCE per query so every grain of one
+    * plan shares the encoding. */
+  private[graft] def chunks(documents: DataFrame, factor: Long): DataFrame =
     TextPrep.withWords(documents.filter(col("text").isNotNull))
       .filter(col("norm") =!= "")
       .withColumn("n", size(col("words")))
       .select(col("doc_id"), col("words"),
         posexplode(expr(s"sequence(0, n - 1, $stride)")).as(Seq("chunk_idx", "start")))
       .select(col("doc_id"),
-        (col("doc_id") * chunkFactor + col("chunk_idx")).cast("long").as("chunk_id"),
+        (col("doc_id") * factor + col("chunk_idx")).cast("long").as("chunk_id"),
         expr(s"slice(words, start + 1, $width)").as("cwords"))
 
   /** Feature-hash + JL projection of a token stream: one row per key
@@ -107,8 +135,9 @@ object ChunkRetrieval {
     * is additionally a persisted artifact (built once, served many) —
     * see [[graft.sources.Artifacts]] — but no checkpoint is needed for
     * planning anymore. */
-  private def vecArm(documents: DataFrame, nProbes: Int, arm: Int): DataFrame = {
-    val ce = hashEmbed(chunks(documents)
+  private def vecArm(ch: DataFrame, documents: DataFrame, nProbes: Int,
+                     arm: Int, factor: Long): DataFrame = {
+    val ce = hashEmbed(ch
       .select(col("chunk_id"), explode(col("cwords")).as("word")), "chunk_id")
     val pe = hashEmbed(TextPrep.withWords(documents.filter(col("text").isNotNull))
         .filter(col("norm") =!= "").filter(col("doc_id") < nProbes)
@@ -116,7 +145,7 @@ object ChunkRetrieval {
       .select(col("doc_id").as("probe_id"), col("p").as("q"),
         col("nsq").as("pnsq"))
     val scored = ce.crossJoin(broadcast(pe))
-      .filter(floor(col("chunk_id") / chunkFactor) =!= col("probe_id"))
+      .filter(floor(col("chunk_id") / factor) =!= col("probe_id"))
       .withColumn("dotp", expr(
         "aggregate(zip_with(p, q, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)"))
       .withColumn("cosine", r6(col("dotp").cast("double") /
@@ -128,10 +157,10 @@ object ChunkRetrieval {
   /** Lexical arm: the [[Ann.hybridRrf]] BM25 shape with chunks as the
     * retrieval unit — chunk-grain tf/dl/df/avgdl, probe terms still from
     * the probe document's own vocabulary. */
-  private def lexArm(documents: DataFrame, nProbes: Int, kTerms: Int,
-                     arm: Int): DataFrame = {
+  private def lexArm(ch: DataFrame, documents: DataFrame, nProbes: Int,
+                     kTerms: Int, arm: Int): DataFrame = {
     val docs = documents.filter(col("text").isNotNull)
-    val ctoks = chunks(docs)
+    val ctoks = ch
       .select(col("doc_id"), col("chunk_id"),
         size(col("cwords")).cast("long").as("dl"),
         explode(col("cwords")).as("word"))
@@ -147,7 +176,7 @@ object ChunkRetrieval {
       .select("probe_id", "word")
     val dfw = ctoks.join(broadcast(pt.select("word").distinct()), Seq("word"))
       .groupBy(col("word")).agg(countDistinct(col("chunk_id")).as("df"))
-    val stats = chunks(docs)
+    val stats = ch
       .agg(count(lit(1)).as("nn"),
         sum(size(col("cwords")).cast("decimal(18,0)")).cast("double").as("sdl"))
     val tfd = ctoks.join(broadcast(pt), Seq("word"))
@@ -168,12 +197,12 @@ object ChunkRetrieval {
 
   /** The fused chunk candidate frame:
     * (probe_id, chunk_id, lex_rank, vec_rank, rrf). */
-  private def fused(documents: DataFrame, nProbes: Int, kTerms: Int,
-                    arm: Int, rrfK: Int): DataFrame = {
-    val lex = lexArm(documents, nProbes, kTerms, arm)
+  private def fused(ch: DataFrame, documents: DataFrame, nProbes: Int,
+                    kTerms: Int, arm: Int, rrfK: Int, factor: Long): DataFrame = {
+    val lex = lexArm(ch, documents, nProbes, kTerms, arm)
       .select(col("probe_id").as("lp"), col("neighbor_id").as("ld"),
         col("rank").as("lex_rank"))
-    val vec = vecArm(documents, nProbes, arm)
+    val vec = vecArm(ch, documents, nProbes, arm, factor)
       .select(col("probe_id").as("vp"), col("neighbor_id").as("vd"),
         col("rank").as("vec_rank"))
     lex.join(vec,
@@ -192,13 +221,25 @@ object ChunkRetrieval {
     * no rank window over the fused frame), then the final rank. */
   def chunkRetrieval(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
                      kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    retrieveFrom(chunks(documents, factor), documents, factor,
+      nProbes, k, kTerms, arm, rrfK)
+  }
+
+  /** The retrieval tail shared by [[chunkRetrieval]] (all chunks) and
+    * [[chunkServe]] (semantic-dedup survivors only): fuse, dedup to one
+    * chunk per doc, rank, cut at k. */
+  private def retrieveFrom(ch: DataFrame, documents: DataFrame, factor: Long,
+                           nProbes: Int, k: Int, kTerms: Int,
+                           arm: Int, rrfK: Int): DataFrame = {
     // the fused frame (≤ 2·arm rows per probe) feeds BOTH the per-doc
     // best pick and the final join — pin it so the two consumers share
     // one evaluation of the arms
-    val f = fused(documents, nProbes, kTerms, arm, rrfK).localCheckpoint(false)
+    val f = fused(ch, documents, nProbes, kTerms, arm, rrfK, factor)
+      .localCheckpoint(false)
     val best = f
       .groupBy(col("probe_id").as("bp"),
-        floor(col("chunk_id") / chunkFactor).cast("long").as("doc_id"))
+        floor(col("chunk_id") / factor).cast("long").as("doc_id"))
       .agg(min(struct((col("rrf") * -1d).as("nr"), col("chunk_id").as("cid"))).as("w"))
       .select(col("bp"), col("doc_id"), col("w.cid").as("bc"))
     val wR = Window.partitionBy(col("probe_id"))
@@ -210,6 +251,116 @@ object ChunkRetrieval {
         col("doc_id"), col("chunk_id"), r6(col("rrf")).as("rrf_score"),
         col("lex_rank"), col("vec_rank"))
       .orderBy("probe_id", "rank")
+  }
+
+  /** Number of leading JL coordinates whose SIGNS form the dedup cell:
+    * the hashEmbed projection is a signed random projection, so its
+    * sign bits are exactly Charikar-2002 hyperplane LSH — cell
+    * assignment is FREE (row-local bit packing, no centroid pass, no
+    * assignment shuffle), unlike the doc-grain SemDeDup's K-centroid
+    * broadcast scoring. 8 bits → 256 cells here; a 100 TB corpus takes
+    * more bits (cells must keep Σ|cell|² sub-quadratic) at zero added
+    * cost. */
+  private val cellBits = 8
+
+  /** Chunk embeddings with their LSH cell and prototypicality fit:
+    * (chunk_id, p, nsq, cell, fit). `fit` is the chunk's cosine to its
+    * CELL CENTROID — computed against the cell's exact integer SUM
+    * vector (cosine is scale-invariant, so cos(p, mean) == cos(p, sum)
+    * and no division ever happens: both engines stay in exact integer
+    * arithmetic until the final rounded double). A cancelled cell sum
+    * (snsq = 0) pins fit to 0. */
+  private[graft] def chunkCells(ch: DataFrame): DataFrame = {
+    val ce = hashEmbed(ch
+        .select(col("chunk_id"), explode(col("cwords")).as("word")), "chunk_id")
+      .withColumn("cell", expr(
+        s"""aggregate(sequence(0, ${cellBits - 1}), 0L, (a, j) ->
+           a + IF(element_at(p, cast(j as int) + 1) >= 0,
+                  shiftleft(1L, cast(j as int)), 0L))"""))
+    val sumCols = (0 until outDims).map(j =>
+      sum(expr(s"element_at(p, ${j + 1})")).as(s"s$j"))
+    val sums = ce.groupBy(col("cell"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .withColumn("s", array((0 until outDims).map(j => col(s"s$j")): _*))
+      .select(col("cell").as("cs_cell"), col("s"),
+        expr("aggregate(s, cast(0 as bigint), (a, x) -> a + x * x)").as("snsq"))
+    ce.join(broadcast(sums), col("cell") === col("cs_cell"))
+      .withColumn("dots", expr(
+        "aggregate(zip_with(p, s, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)"))
+      .withColumn("fit", when(col("snsq") === 0L, lit(0d)).otherwise(
+        r6(col("dots").cast("double") /
+          (sqrt(col("nsq").cast("double")) * sqrt(col("snsq").cast("double"))))))
+      .select(col("chunk_id"), col("p"), col("nsq"), col("cell"), col("fit"))
+  }
+
+  /** SEMANTIC dedup at CHUNK grain — the [[Ann.semanticDedup]] device
+    * (SemDeDup, Abbas et al. 2023) over the deterministic chunk
+    * embeddings this family already serves from, closing the serving
+    * gap the doc-grain mart leaves open: near-identical chunks ACROSS
+    * documents (boilerplate, quoted passages) compete in the RRF
+    * candidate list and dilute retrieval precision. Pairs compare only
+    * within a sign-LSH cell ([[chunkCells]] — assignment is free);
+    * a pair at cosine ≥ `threshold` is a semantic duplicate and the
+    * LESS prototypical member survives (lower cell fit; ties to the
+    * smaller chunk_id — the paper's keep rule, exactly the doc-grain
+    * mart's). Output is chunk-grain: every embeddable chunk with its
+    * cell, fit, duplicate count / max duplicate cosine, and the keep
+    * verdict [[chunkServe]] serves from.
+    *
+    * Scale: the only corpus-scale shuffles are the embedding build and
+    * ONE exchange on cell for the within-cell self-join (Σ|cell|²
+    * bounded — cellBits grows with the corpus); everything else is
+    * broadcast or row-local. */
+  def chunkDedup(documents: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    val cc = chunkCells(chunks(documents, factor))
+    val other = cc.select(col("chunk_id").as("ca"), col("p").as("pa"),
+      col("nsq").as("nsqa"), col("cell").as("cella"), col("fit").as("fita"))
+    val dups = cc.join(other,
+        col("cell") === col("cella") && col("chunk_id") =!= col("ca"))
+      .withColumn("cosine", r6(expr(
+        "aggregate(zip_with(p, pa, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+        .cast("double") /
+        (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_dup_cosine"),
+        max(when(col("fita") < col("fit") ||
+            (col("fita") === col("fit") && col("ca") < col("chunk_id")), 1)
+          .otherwise(0)).as("dominated"))
+    cc.select(col("chunk_id"), col("cell"), col("fit"))
+      .join(dups, Seq("chunk_id"), "left")
+      .select(floor(col("chunk_id") / factor).cast("long").as("doc_id"),
+        col("chunk_id"), col("cell"), col("fit"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("max_dup_cosine"),
+        (coalesce(col("dominated"), lit(0)) === 0).as("keep"))
+      .orderBy("chunk_id")
+  }
+
+  /** The chunk frame minus semantically dominated chunks. Chunks with
+    * no embedding (all tokens cancelled, nsq = 0) cannot be scored for
+    * duplication and pass through — only a DOMINATED verdict removes a
+    * chunk. */
+  private def survivorChunks(documents: DataFrame, factor: Long,
+                             threshold: Double): DataFrame = {
+    val ch = chunks(documents, factor)
+    val dominated = chunkDedup(documents, threshold)
+      .filter(!col("keep")).select(col("chunk_id"))
+    ch.join(dominated, Seq("chunk_id"), "left_anti")
+  }
+
+  /** [[chunkRetrieval]] served from the semantic-dedup SURVIVORS — the
+    * production serving index: dominated near-duplicate chunks are
+    * dropped BEFORE the arms, so corpus stats (chunk count, avgdl,
+    * chunk-df) and both candidate lists reflect the deduped index.
+    * Round13Spec pins that this preserves the full list's label
+    * precision@k (the q_chunk_eval device) while serving fewer chunks. */
+  def chunkServe(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
+                 kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
+                 threshold: Double = 0.95): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    retrieveFrom(survivorChunks(documents, factor, threshold), documents,
+      factor, nProbes, k, kTerms, arm, rrfK)
   }
 
   /** Chunk-grain vs doc-grain label-relevance precision@k — the serving
@@ -244,14 +395,21 @@ object ChunkRetrieval {
   // dev-probe seams (graft.tools.Probe): the private stages, unchanged
   private[graft] def probeHeap(scored: DataFrame, k: Int): DataFrame =
     Ann.topkPerProbe(scored, k)
-  private[graft] def probeVecArm(docs: DataFrame): DataFrame = vecArm(docs, 10, 50)
-  private[graft] def probeLexArm(docs: DataFrame): DataFrame = lexArm(docs, 10, 8, 50)
-  private[graft] def probeFused(docs: DataFrame): DataFrame = fused(docs, 10, 8, 50, 60)
+  private[graft] def probeVecArm(docs: DataFrame): DataFrame = {
+    val f = chunkFactorFor(docs); vecArm(chunks(docs, f), docs, 10, 50, f)
+  }
+  private[graft] def probeLexArm(docs: DataFrame): DataFrame =
+    lexArm(chunks(docs, chunkFactorFor(docs)), docs, 10, 8, 50)
+  private[graft] def probeFused(docs: DataFrame): DataFrame = {
+    val f = chunkFactorFor(docs); fused(chunks(docs, f), docs, 10, 8, 50, 60, f)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_retrieval" -> ((s, d) => chunkRetrieval(Tables.documents(s, d))),
     "q_chunk_eval" -> ((s, d) =>
-      chunkEval(Tables.documents(s, d), Ann.loadEmb(s, d)))
+      chunkEval(Tables.documents(s, d), Ann.loadEmb(s, d))),
+    "q_chunk_dedup" -> ((s, d) => chunkDedup(Tables.documents(s, d))),
+    "q_chunk_serve" -> ((s, d) => chunkServe(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -280,7 +438,7 @@ object ChunkRetrieval {
     val dotPq = (0 until outDims).map(j => s"c.p$j * e.q$j").mkString(" + ")
     s"""kw AS (SELECT doc_id, string_split($normSql, ' ') AS words FROM documents
            WHERE text IS NOT NULL AND $normSql <> ''),
-         kch AS (SELECT doc_id, doc_id * $chunkFactor + st.s // $stride AS chunk_id,
+         kch AS (SELECT doc_id, doc_id * $minChunkFactor + st.s // $stride AS chunk_id,
              list_slice(words, CAST(st.s AS INT) + 1, CAST(st.s AS INT) + $width) AS cwords
            FROM kw, LATERAL (SELECT UNNEST(range(0, len(words), $stride)) AS s) st),
          ktok AS (SELECT doc_id, chunk_id, CAST(len(cwords) AS BIGINT) AS dl,
@@ -305,7 +463,7 @@ object ChunkRetrieval {
              FLOOR(CAST($dotPq AS DOUBLE)
                / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(e.pnsq AS DOUBLE)))
                * 1000000 + 0.5) / 1000000 AS cosine
-           FROM kce c, kpe e WHERE c.chunk_id // $chunkFactor <> e.probe_id),
+           FROM kce c, kpe e WHERE c.chunk_id // $minChunkFactor <> e.probe_id),
          kvr AS (SELECT probe_id, chunk_id, ROW_NUMBER() OVER
              (PARTITION BY probe_id ORDER BY cosine DESC, chunk_id) AS vec_rank
            FROM kvs),
@@ -344,18 +502,107 @@ object ChunkRetrieval {
            FROM klarm l FULL OUTER JOIN kvarm v
              ON l.probe_id = v.probe_id AND l.chunk_id = v.chunk_id),
          kdd AS (SELECT *, ROW_NUMBER() OVER
-             (PARTITION BY probe_id, chunk_id // $chunkFactor ORDER BY rrf DESC, chunk_id) AS dr
+             (PARTITION BY probe_id, chunk_id // $minChunkFactor ORDER BY rrf DESC, chunk_id) AS dr
            FROM kfus),
          kfin AS (SELECT probe_id, chunk_id, lex_rank, vec_rank, rrf,
              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf DESC, chunk_id) AS rank
            FROM kdd WHERE dr = 1)"""
   }
 
+  /** Dedup CTEs over `kce` (the chunk embeddings of [[chunkCtes]]):
+    * sign-LSH cell → exact integer cell-sum centroid → fit → within-
+    * cell dup pairs at the threshold → per-chunk verdict. Ends at
+    * `dmart` (the q_chunk_dedup row shape) and `ddom` (dominated
+    * chunk ids, the serve filter). */
+  private val dedupThresholdSql = "CAST(0.95 AS DOUBLE)"
+  private lazy val dedupCtes: String = {
+    val cellSql = (0 until cellBits).map(j =>
+      s"(CASE WHEN p$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    val sCols = (0 until outDims).map(j => s"CAST(SUM(p$j) AS BIGINT) AS s$j")
+      .mkString(", ")
+    val snsq = (0 until outDims).map(j => s"s$j * s$j").mkString(" + ")
+    val dotPs = (0 until outDims).map(j => s"c.p$j * m.s$j").mkString(" + ")
+    val cPs = (0 until outDims).map(j => s"c.p$j").mkString(", ")
+    val dotAb = (0 until outDims).map(j => s"a.p$j * b.p$j").mkString(" + ")
+    s"""dcell AS (SELECT chunk_id, ${(0 until outDims).map(j => s"p$j").mkString(", ")}, nsq,
+             CAST($cellSql AS BIGINT) AS cell FROM kce),
+         dsum0 AS (SELECT cell, $sCols FROM dcell GROUP BY 1),
+         dsum AS (SELECT *, CAST($snsq AS BIGINT) AS snsq FROM dsum0),
+         dfit AS (SELECT c.chunk_id, c.cell, $cPs, c.nsq,
+             CASE WHEN m.snsq = 0 THEN 0.0
+                  ELSE ${sqlR(s"CAST($dotPs AS DOUBLE) / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(m.snsq AS DOUBLE)))", 6)}
+             END AS fit
+           FROM dcell c JOIN dsum m ON c.cell = m.cell),
+         dpair AS (SELECT a.chunk_id, b.chunk_id AS cb, a.fit AS fa, b.fit AS fb,
+             ${sqlR(s"CAST($dotAb AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))", 6)} AS cosine
+           FROM dfit a JOIN dfit b ON a.cell = b.cell AND a.chunk_id <> b.chunk_id),
+         dagg AS (SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+             MAX(cosine) AS max_dup_cosine,
+             MAX(CASE WHEN fb < fa OR (fb = fa AND cb < chunk_id) THEN 1 ELSE 0 END) AS dominated
+           FROM dpair WHERE cosine >= $dedupThresholdSql GROUP BY 1),
+         ddom AS (SELECT chunk_id FROM dagg WHERE dominated = 1),
+         dmart AS (SELECT CAST(f.chunk_id // $minChunkFactor AS BIGINT) AS doc_id,
+             f.chunk_id, f.cell, f.fit,
+             COALESCE(g.n_dups, CAST(0 AS BIGINT)) AS n_dups, g.max_dup_cosine,
+             (COALESCE(g.dominated, 0) = 0) AS keep
+           FROM dfit f LEFT JOIN dagg g ON f.chunk_id = g.chunk_id)"""
+  }
+
+  /** The arm/fusion chain of [[chunkCtes]] parameterized over its chunk
+    * sources — `ch` (chunk grain) and `ce` (chunk embeddings) — so the
+    * SAME retrieval SQL can run over the full index or the dedup
+    * survivors. Shares the probe-side CTEs (kpe, kptk) of the base
+    * chain; emits `${pfx}kfin`. */
+  private def armCtes(pfx: String, ch: String, ce: String): String = {
+    val dotPq = (0 until outDims).map(j => s"c.p$j * e.q$j").mkString(" + ")
+    s"""${pfx}ktok AS (SELECT doc_id, chunk_id, CAST(len(cwords) AS BIGINT) AS dl,
+             unnest(cwords) AS word FROM $ch),
+         ${pfx}kvs AS (SELECT e.probe_id, c.chunk_id,
+             FLOOR(CAST($dotPq AS DOUBLE)
+               / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(e.pnsq AS DOUBLE)))
+               * 1000000 + 0.5) / 1000000 AS cosine
+           FROM $ce c, kpe e WHERE c.chunk_id // $minChunkFactor <> e.probe_id),
+         ${pfx}kvr AS (SELECT probe_id, chunk_id, ROW_NUMBER() OVER
+             (PARTITION BY probe_id ORDER BY cosine DESC, chunk_id) AS vec_rank
+           FROM ${pfx}kvs),
+         ${pfx}kvarm AS (SELECT * FROM ${pfx}kvr WHERE vec_rank <= 50),
+         ${pfx}kdfw AS (SELECT word, CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS df FROM ${pfx}ktok
+           WHERE word IN (SELECT DISTINCT word FROM kptk) GROUP BY 1),
+         ${pfx}kst AS (SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+             CAST(SUM(CAST(len(cwords) AS HUGEINT)) AS DOUBLE) AS sdl FROM $ch),
+         ${pfx}ktfd AS (SELECT kptk.probe_id, t.chunk_id, t.word,
+             CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
+           FROM ${pfx}ktok t JOIN kptk ON t.word = kptk.word AND t.doc_id <> kptk.probe_id
+           GROUP BY 1, 2, 3),
+         ${pfx}ksc AS (SELECT t.probe_id, t.chunk_id,
+             ${TextPrep.bm25ContribSql("t.tf", "d.df", "t.dl", s"${pfx}kst.nn", s"(${pfx}kst.sdl / ${pfx}kst.nn)")} AS contrib
+           FROM ${pfx}ktfd t JOIN ${pfx}kdfw d ON t.word = d.word, ${pfx}kst),
+         ${pfx}kls AS (SELECT probe_id, chunk_id,
+             ${sqlR("CAST(SUM(CAST(contrib AS DECIMAL(20,12))) AS DOUBLE)", 6)} AS score
+           FROM ${pfx}ksc GROUP BY 1, 2),
+         ${pfx}klr AS (SELECT probe_id, chunk_id,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY score DESC, chunk_id) AS lex_rank
+           FROM ${pfx}kls),
+         ${pfx}klarm AS (SELECT * FROM ${pfx}klr WHERE lex_rank <= 50),
+         ${pfx}kfus AS (SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
+             COALESCE(l.chunk_id, v.chunk_id) AS chunk_id, l.lex_rank, v.vec_rank,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0) +
+               COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0.0) AS rrf
+           FROM ${pfx}klarm l FULL OUTER JOIN ${pfx}kvarm v
+             ON l.probe_id = v.probe_id AND l.chunk_id = v.chunk_id),
+         ${pfx}kdd AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY probe_id, chunk_id // $minChunkFactor ORDER BY rrf DESC, chunk_id) AS dr
+           FROM ${pfx}kfus),
+         ${pfx}kfin AS (SELECT probe_id, chunk_id, lex_rank, vec_rank, rrf,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf DESC, chunk_id) AS rank
+           FROM ${pfx}kdd WHERE dr = 1)"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_chunk_retrieval" ->
       s"""WITH $chunkCtes
          SELECT probe_id, CAST(rank AS INT) AS rank,
-           CAST(chunk_id // $chunkFactor AS BIGINT) AS doc_id, chunk_id,
+           CAST(chunk_id // $minChunkFactor AS BIGINT) AS doc_id, chunk_id,
            ${sqlR("rrf", 6)} AS rrf_score,
            CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
          FROM kfin WHERE rank <= 10 ORDER BY probe_id, rank""",
@@ -364,7 +611,7 @@ object ChunkRetrieval {
          hfr AS (SELECT probe_id, doc_id, ROW_NUMBER() OVER
              (PARTITION BY probe_id ORDER BY rrf DESC, doc_id) AS rank FROM hrrf),
          dlist AS (SELECT probe_id, doc_id FROM hfr WHERE rank <= 10),
-         clist AS (SELECT probe_id, chunk_id // $chunkFactor AS doc_id
+         clist AS (SELECT probe_id, chunk_id // $minChunkFactor AS doc_id
            FROM kfin WHERE rank <= 10),
          elab AS (SELECT vec_id, label FROM embeddings),
          eplab AS (SELECT vec_id AS probe_id, label AS plabel FROM embeddings WHERE vec_id < 10),
@@ -382,6 +629,22 @@ object ChunkRetrieval {
            n_doc,
            CASE WHEN n_doc > 0 THEN ${sqlR("CAST(doc_hits AS DOUBLE) / n_doc", 6)} END AS p_doc
          FROM cstat c FULL OUTER JOIN dstat d ON c.probe_id = d.probe_id
-         ORDER BY 1"""
+         ORDER BY 1""",
+    "q_chunk_dedup" ->
+      s"""WITH $chunkCtes, $dedupCtes
+         SELECT doc_id, chunk_id, cell, fit, n_dups, max_dup_cosine, keep
+         FROM dmart ORDER BY chunk_id""",
+    "q_chunk_serve" ->
+      s"""WITH $chunkCtes, $dedupCtes,
+         skch AS (SELECT * FROM kch
+           WHERE chunk_id NOT IN (SELECT chunk_id FROM ddom)),
+         skce AS (SELECT * FROM kce
+           WHERE chunk_id NOT IN (SELECT chunk_id FROM ddom)),
+         ${armCtes("s", "skch", "skce")}
+         SELECT probe_id, CAST(rank AS INT) AS rank,
+           CAST(chunk_id // $minChunkFactor AS BIGINT) AS doc_id, chunk_id,
+           ${sqlR("rrf", 6)} AS rrf_score,
+           CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
+         FROM skfin WHERE rank <= 10 ORDER BY probe_id, rank"""
   )
 }

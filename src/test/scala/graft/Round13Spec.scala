@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.ChunkRetrieval
+
+/** Round-13 invariants: the derived chunk_id encoding (long documents
+  * can no longer collide into a neighbor's id space), the chunk-grain
+  * semantic dedup laws, and serving-from-survivors precision
+  * preservation. */
+class Round13Spec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("round13-spec").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = Tables.documents(spark, sf)
+
+  test("gate corpus derives the minimum chunk factor — the oracle literal stays valid") {
+    assert(ChunkRetrieval.chunkFactorFor(docs) == 1024L)
+  }
+
+  test("a >1024-window document gets a widened factor and keeps correct doc attribution") {
+    import spark.implicits._
+    // 52k words -> 1084 windows at stride 48: past the old fixed-1024
+    // encoding, whose chunk_ids would have spilled into doc 1's space
+    val longText = Seq.fill(52000)("w").mkString(" ")
+    val crafted = Seq((0L, longText), (1L, "a short doc here")).toDF("doc_id", "text")
+    val factor = ChunkRetrieval.chunkFactorFor(crafted)
+    assert(factor == 2048L, s"expected widened factor, got $factor")
+    val ch = ChunkRetrieval.chunks(crafted, factor)
+      .select(col("doc_id"), col("chunk_id"),
+        floor(col("chunk_id") / factor).cast("long").as("attr"))
+    assert(ch.filter(col("attr") =!= col("doc_id")).count() == 0L,
+      "a chunk decodes to the wrong document")
+    val n0 = ch.filter(col("doc_id") === 0L).count()
+    assert(n0 > 1024L, s"crafted doc must exceed the old factor, got $n0 windows")
+    // and chunk_ids are globally unique across documents
+    assert(ch.select("chunk_id").distinct().count() == ch.count())
+  }
+
+  test("chunk dedup: every cell's least-prototypical chunk survives; verdicts are deterministic") {
+    val d1 = ChunkRetrieval.chunkDedup(docs)
+    val d2 = ChunkRetrieval.chunkDedup(docs)
+    assert(d1.collect().map(_.toSeq).toSeq == d2.collect().map(_.toSeq).toSeq,
+      "dedup verdicts are not deterministic")
+    // the (fit, chunk_id)-min member of a cell has no lower-fit partner,
+    // so the keep-least-prototypical rule can never dominate it
+    val minPer = d1.groupBy(col("cell"))
+      .agg(min(struct(col("fit"), col("chunk_id"))).as("m"))
+      .select(col("m.chunk_id").as("mc"))
+    val bad = d1.join(minPer, col("chunk_id") === col("mc"))
+      .filter(!col("keep")).count()
+    assert(bad == 0L, "a cell's least-prototypical chunk was dominated")
+    // a chunk with no duplicate partner is always kept
+    assert(d1.filter(col("n_dups") === 0 && !col("keep")).count() == 0L)
+    // every max_dup_cosine that exists clears the threshold
+    assert(d1.filter(col("n_dups") > 0 && col("max_dup_cosine") < 0.95).count() == 0L)
+  }
+
+  test("serving from survivors never serves a dominated chunk and preserves label p@10") {
+    val dedup = ChunkRetrieval.chunkDedup(docs)
+    val dominated = dedup.filter(!col("keep"))
+      .select(col("chunk_id").as("dc"))
+    val full = ChunkRetrieval.chunkRetrieval(docs)
+    val served = ChunkRetrieval.chunkServe(docs)
+    assert(served.join(dominated, col("chunk_id") === col("dc")).count() == 0L,
+      "a dominated chunk reached the serve list")
+    // label precision@10 (the q_chunk_eval device) must be preserved
+    val emb = Tables.embeddings(spark, sf).select(col("vec_id"), col("label"))
+    def meanP(list: org.apache.spark.sql.DataFrame): Double =
+      list.join(broadcast(emb.select(col("vec_id").as("cand_id"), col("label"))),
+          col("doc_id") === col("cand_id"))
+        .join(broadcast(emb.select(col("vec_id").as("pl_id"), col("label").as("plabel"))),
+          col("probe_id") === col("pl_id"))
+        .groupBy(col("probe_id"))
+        .agg(avg((col("label") === col("plabel")).cast("double")).as("p"))
+        .agg(avg(col("p"))).head.getDouble(0)
+    val pFull = meanP(full)
+    val pServe = meanP(served)
+    assert(pServe >= pFull - 0.05,
+      s"dedup serving lost precision: full=$pFull served=$pServe")
+    // both lists stay contiguously ranked per probe
+    for (l <- Seq(full, served)) {
+      val badRank = l.groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n"), max(col("rank")).as("mr"))
+        .filter(col("n") =!= col("mr")).count()
+      assert(badRank == 0L)
+    }
+  }
+}
