@@ -44,12 +44,17 @@ object ChunkRetrieval {
 
   private val width = 64
   private val stride = 48
+  /** Feature-hash bucket count / JL coordinate count — shared with the
+    * streaming serving twin ([[graft.streaming.ChunkStream]]) so the
+    * row-local probe embedding can never drift from [[hashEmbed]]. */
+  private[graft] val hashDims = 64
+  private[graft] val jlDims = 16
   /** Floor of the chunk_id encoding factor: docs up to 1024 windows
     * (~49k words) encode under it, and the gate corpus (max ~100
     * words) always lands here — so the oracle's literal stays valid. */
   private val minChunkFactor = 1024L
-  private val dims = 64    // feature-hash buckets
-  private val outDims = 16 // JL coordinates
+  private val dims = hashDims    // feature-hash buckets
+  private val outDims = jlDims    // JL coordinates
 
   /** The chunk_id encoding factor for THIS corpus: the smallest
     * power-of-two multiple of [[minChunkFactor]] strictly able to hold
@@ -86,6 +91,13 @@ object ChunkRetrieval {
         (col("doc_id") * factor + col("chunk_idx")).cast("long").as("chunk_id"),
         expr(s"slice(words, start + 1, $width)").as("cwords"))
 
+  /** The 16×64 JL sign matrix as ONE SQL array literal — shared with
+    * the streaming serving twin so both engines fold through identical
+    * signs. */
+  private[graft] lazy val signsSql: String = (0 until outDims).map(j =>
+      (0 until dims).map(Embeddings.projSign(_, j)).mkString("array(", ",", ")"))
+    .mkString("array(", ",", ")")
+
   /** Feature-hash + JL projection of a token stream: one row per key
     * with the 16 integer coordinates (as ONE array column) and their
     * exact squared norm. Two-stage: signed counts per (key, bucket)
@@ -98,9 +110,7 @@ object ChunkRetrieval {
     * sums are associative, so the values are bit-identical. Zero-norm
     * keys (all tokens cancelled) drop: they cannot be cosine-scored. */
   private def hashEmbed(tokens: DataFrame, key: String): DataFrame = {
-    val signs = (0 until outDims).map(j =>
-        (0 until dims).map(Embeddings.projSign(_, j)).mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
+    val signs = signsSql
     tokens
       .withColumn("hx", md5(col("word").cast("binary")))
       .withColumn("bucket", pmod(
@@ -135,10 +145,14 @@ object ChunkRetrieval {
     * is additionally a persisted artifact (built once, served many) —
     * see [[graft.sources.Artifacts]] — but no checkpoint is needed for
     * planning anymore. */
+  /** (chunk_id, p, nsq) of a chunk frame — the embedding grain shared
+    * by the vec arm, the semantic dedup, and the streaming artifact. */
+  private[graft] def chunkEmbeds(ch: DataFrame): DataFrame =
+    hashEmbed(ch.select(col("chunk_id"), explode(col("cwords")).as("word")), "chunk_id")
+
   private def vecArm(ch: DataFrame, documents: DataFrame, nProbes: Int,
                      arm: Int, factor: Long): DataFrame = {
-    val ce = hashEmbed(ch
-      .select(col("chunk_id"), explode(col("cwords")).as("word")), "chunk_id")
+    val ce = chunkEmbeds(ch)
     val pe = hashEmbed(TextPrep.withWords(documents.filter(col("text").isNotNull))
         .filter(col("norm") =!= "").filter(col("doc_id") < nProbes)
         .select(col("doc_id"), explode(col("words")).as("word")), "doc_id")
@@ -271,8 +285,7 @@ object ChunkRetrieval {
     * arithmetic until the final rounded double). A cancelled cell sum
     * (snsq = 0) pins fit to 0. */
   private[graft] def chunkCells(ch: DataFrame): DataFrame = {
-    val ce = hashEmbed(ch
-        .select(col("chunk_id"), explode(col("cwords")).as("word")), "chunk_id")
+    val ce = chunkEmbeds(ch)
       .withColumn("cell", expr(
         s"""aggregate(sequence(0, ${cellBits - 1}), 0L, (a, j) ->
            a + IF(element_at(p, cast(j as int) + 1) >= 0,

@@ -1,0 +1,220 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ann.ChunkRetrieval
+import graft.text.TextPrep
+
+/** Streaming CHUNK-grain query serving — the RAG loop live, closing the
+  * serving stack beside [[VecStream.servedQueries]] (doc-grain PQ):
+  * probe documents ARRIVE as a stream and are answered row-locally
+  * against a FROZEN chunk artifact built once from the static corpus —
+  * per arrival the probe's top terms, its hash/JL embedding, both
+  * retrieval arms, RRF fusion, one-chunk-per-doc dedup, and the final
+  * top-k all evaluate as row expressions, so the query holds ZERO
+  * aggregation state (asserted inside the operator) and the emitted
+  * rows are BIT-EQUAL to batch [[ChunkRetrieval.chunkRetrieval]] for
+  * the same probes (Round13Spec).
+  *
+  * The artifact: chunk embeddings as one sorted entry array, the
+  * chunk-grain BM25 postings with each (word, chunk) contribution
+  * PRE-COMPUTED at build time by the exact batch expression
+  * ([[TextPrep.bm25Contrib]] + the DECIMAL(20,12) cast) — tf, df, dl,
+  * avgdl are all static-index properties, so the per-probe work is a
+  * pure lookup-and-sum — and the derived chunk_id factor. At test
+  * scale the whole index rides one broadcast row; at 100 TB the entry
+  * arrays and postings are the index shards a serving tier stores
+  * keyed by cell/term and fetches per probe (impact-ordered posting
+  * caps bound the per-term fetch) — the row-local scoring is
+  * unchanged, only the shard lookup moves out of the broadcast. The
+  * corpus-scale BATCH path stays [[ChunkRetrieval.chunkRetrieval]];
+  * this twin is the query-side serving shape.
+  *
+  * Bit-equality devices: the probe's bucket counts fold row-locally
+  * and equal the batch map-side sums (integer, associative); the BM25
+  * sum folds per-term DECIMAL(20,12) casts into a DECIMAL(30,12)
+  * accumulator (exact, order-free — the ScoreStream device), matching
+  * the batch groupBy decimal sum; every cosine/score rounds through
+  * the same FLOOR(x·1e6 + 0.5)/1e6; and every sort is an array_sort on
+  * (-score, chunk_id) structs, reproducing the batch heap and
+  * row_number tie-breaks. */
+object ChunkStream {
+
+  private val dims = ChunkRetrieval.hashDims
+
+  /** The frozen serving artifact as ONE broadcastable row:
+    * `centries` = sorted (chunk_id, p, nsq), `postings` = word →
+    * sorted (chunk_id, contrib DECIMAL(20,12)), `fct` = the derived
+    * chunk_id factor. Built from the static corpus with the SAME batch
+    * devices the gate queries run. */
+  private[graft] def chunkArtifacts(documents: DataFrame): DataFrame = {
+    val factor = ChunkRetrieval.chunkFactorFor(documents)
+    val ch = ChunkRetrieval.chunks(documents, factor)
+    val centries = ChunkRetrieval.chunkEmbeds(ch)
+      .agg(sort_array(collect_list(
+        struct(col("chunk_id"), col("p"), col("nsq")))).as("centries"))
+    val ctoks = ch.select(col("chunk_id"),
+      size(col("cwords")).cast("long").as("dl"),
+      explode(col("cwords")).as("word"))
+    val wc = ctoks.groupBy(col("word"), col("chunk_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfw = wc.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = ch.agg(count(lit(1)).as("nn"),
+      sum(size(col("cwords")).cast("decimal(18,0)")).cast("double").as("sdl"))
+    val postings = wc.join(dfw, Seq("word"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sdl") / col("nn"))
+      .withColumn("contrib", TextPrep.bm25Contrib(col("tf"), col("df"),
+        col("dl"), col("nn"), col("avgdl")).cast("decimal(20,12)"))
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(
+        struct(col("chunk_id"), col("contrib")))).as("entries"))
+      .agg(map_from_entries(collect_list(
+        struct(col("word"), col("entries")))).as("postings"))
+    centries.crossJoin(postings).withColumn("fct", lit(factor))
+  }
+
+  /** Row-local hybrid retrieval of a (possibly streaming) probe
+    * document frame against a [[chunkArtifacts]] row. Every stage is a
+    * row expression — see the object doc for the equality devices.
+    *
+    * Shared intermediate values (bucket counts, probe vector, arm
+    * lists, fused list) are LET-BOUND via single-element
+    * `transform(array(x), v -> body)` wrappers: Spark's
+    * CollapseProject inlines single-use projection columns into lambda
+    * BODIES, which re-evaluates them once per array element — the
+    * un-bound form re-computed the whole probe embedding per stored
+    * chunk (~80M interpreted ops per probe, measured as a minutes-long
+    * micro-batch with the executor pinned in ArrayAggregate.eval).
+    * With the bindings every shared value evaluates exactly once per
+    * probe row. */
+  private[graft] def serveRows(probes: DataFrame, arts: DataFrame,
+                               k: Int, kTerms: Int, arm: Int,
+                               rrfK: Int): DataFrame = {
+    val stopArr = TextPrep.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
+    def let1(value: String, v: String, body: String): String =
+      s"element_at(transform(array($value), $v -> $body), 1)"
+    // per-word (bucket, sgn) once, then a 64-bucket count fold == the
+    // batch map-side sums (integer, associative)
+    val bcE =
+      s"""aggregate(transform(words, w -> struct(
+         pmod((instr('0123456789abcdef', substr(md5(cast(w as binary)), 1, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(md5(cast(w as binary)), 2, 1)) - 1, $dims) AS bucket,
+         IF((instr('0123456789abcdef', substr(md5(cast(w as binary)), 3, 1)) - 1) % 2 = 0, 1L, -1L) AS sgn)),
+         array_repeat(0L, $dims),
+         (acc, e) -> transform(acc, (x, i) -> x + IF(i = e.bucket, e.sgn, 0L)))"""
+    val qE =
+      s"""transform(${ChunkRetrieval.signsSql}, srow ->
+         aggregate(zip_with(bcv, srow, (bca, sgv) -> bca * sgv), cast(0 as bigint), (qa, qx) -> qa + qx))"""
+    val pnsqE = "aggregate(qv, cast(0 as bigint), (na, nx) -> na + nx * nx)"
+    // vector arm: exact cosine against every stored chunk embedding,
+    // own-document chunks excluded, r6-rounded, (cos desc, id asc)
+    val vtopE =
+      s"""CASE WHEN pq > 0 THEN slice(array_sort(
+           transform(filter(centries, c -> floor(c.chunk_id / fct) <> probe_id),
+             c -> struct(
+               -(floor((cast(aggregate(zip_with(c.p, qv, (vx, vy) -> vx * vy),
+                     cast(0 as bigint), (va, vt) -> va + vt) as double)
+                   / (sqrt(cast(c.nsq as double)) * sqrt(cast(pq as double))))
+                 * 1000000D + 0.5D) / 1000000D) AS nc,
+               c.chunk_id AS cid))), 1, $arm)
+         ELSE cast(array() as array<struct<nc:double,cid:bigint>>) END"""
+    // lexical arm: pre-computed contributions fetched per term; the
+    // per-chunk sums come from ONE sorted group-boundary fold —
+    // decimal addition is exact and order-free, so the sorted-run
+    // order equals the batch shuffle order bit-for-bit
+    val lflatE =
+      s"""filter(flatten(transform(terms, t ->
+           coalesce(element_at(postings, t.word),
+             cast(array() as array<struct<chunk_id:bigint,contrib:decimal(20,12)>>)))),
+         le -> floor(le.chunk_id / fct) <> probe_id)"""
+    val lrunsE =
+      s"""aggregate(array_sort($lflatE),
+           named_struct('done', cast(array() as array<struct<ns:double,cid:bigint>>),
+                        'cur', cast(-1 as bigint), 's', cast(0 as decimal(30,12))),
+           (st, e) -> IF(st.cur = e.chunk_id,
+             named_struct('done', st.done, 'cur', st.cur,
+                          's', cast(st.s + e.contrib as decimal(30,12))),
+             named_struct(
+               'done', IF(st.cur >= 0, concat(st.done, array(named_struct(
+                 'ns', -(floor(cast(st.s as double) * 1000000D + 0.5D) / 1000000D),
+                 'cid', st.cur))), st.done),
+               'cur', e.chunk_id,
+               's', cast(e.contrib as decimal(30,12)))),
+           st -> IF(st.cur >= 0, concat(st.done, array(named_struct(
+             'ns', -(floor(cast(st.s as double) * 1000000D + 0.5D) / 1000000D),
+             'cid', st.cur))), st.done))"""
+    val ltopE = s"slice(array_sort($lrunsE), 1, $arm)"
+    // RRF fusion over the union of both arms (array_position is the
+    // 1-based rank in each sorted arm; 0 = absent)
+    val fusE =
+      """transform(array_distinct(concat(transform(lt, lx -> lx.cid),
+           transform(vt, vx -> vx.cid))), ucid ->
+         struct(ucid AS cid,
+           array_position(transform(lt, lx -> lx.cid), ucid) AS lr0,
+           array_position(transform(vt, vx -> vx.cid), ucid) AS vr0))"""
+    // one chunk per doc (min struct = the batch keep rule), then the
+    // final (rrf desc, chunk_id) rank, cut at k
+    val frE =
+      s"""slice(array_sort(transform(
+           array_distinct(transform(fu, fd -> floor(fd.cid / fct))), d ->
+             array_min(transform(filter(fu, ff -> floor(ff.cid / fct) = d), f ->
+               struct(
+                 -(IF(f.lr0 > 0, 1.0D / ($rrfK + f.lr0), 0.0D)
+                   + IF(f.vr0 > 0, 1.0D / ($rrfK + f.vr0), 0.0D)) AS nr,
+                 f.cid AS cid, cast(d as bigint) AS did,
+                 f.lr0 AS lr0, f.vr0 AS vr0))))), 1, $k)"""
+    val bound =
+      let1(bcE, "bcv",
+        let1(qE, "qv",
+          let1(pnsqE, "pq",
+            let1(vtopE, "vt",
+              let1(ltopE, "lt",
+                let1(fusE, "fu", frE))))))
+    probes
+      .filter(col("text").isNotNull)
+      .withColumn("norm", graft.functions.Fns.normText(col("text")))
+      .filter(col("norm") =!= "")
+      .withColumn("words", split(col("norm"), " "))
+      .withColumn("probe_id", col("doc_id"))
+      .crossJoin(broadcast(arts))
+      // top-kTerms probe terms by (tf desc, word) — the batch window's
+      // row_number order as an array_sort on (-tf, word)
+      .withColumn("fw", expr(s"filter(words, w -> NOT array_contains($stopArr, w))"))
+      .withColumn("terms", expr(
+        s"""slice(array_sort(transform(array_distinct(fw),
+           w -> struct(-size(filter(fw, x -> x = w)) AS nt, w AS word))), 1, $kTerms)"""))
+      .withColumn("fr", expr(bound))
+      .select(col("probe_id"), posexplode(col("fr")).as(Seq("pos", "e")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.did").as("doc_id"), col("e.cid").as("chunk_id"),
+        graft.functions.Fns.r6(-col("e.nr")).as("rrf_score"),
+        when(col("e.lr0") > 0, col("e.lr0")).cast("int").as("lex_rank"),
+        when(col("e.vr0") > 0, col("e.vr0")).cast("int").as("vec_rank"))
+  }
+
+  /** Serve a stream of arriving probe documents against the frozen
+    * chunk artifact: the fused top-k per probe per micro-batch. Pure
+    * Append, zero aggregation state — asserted inside the operator
+    * (null progress = no micro-batch = zero state). */
+  def servedChunkQueries(spark: SparkSession, dir: String, corpus: DataFrame,
+                         nProbes: Int = 10, k: Int = 10, kTerms: Int = 8,
+                         arm: Int = 50, rrfK: Int = 60,
+                         queryName: String = "stream_chunkserve"): DataFrame = {
+    val probes = DocStream.readDocuments(spark, dir)
+      .filter(col("doc_id") < nProbes)
+    val arts = chunkArtifacts(corpus)
+    val out = serveRows(probes, arts, k, kTerms, arm, rrfK)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try {
+      q.processAllAvailable()
+      val st = Option(q.lastProgress).flatMap(p => Option(p.stateOperators))
+        .getOrElse(Array.empty)
+      require(st.isEmpty,
+        s"chunk query serving must hold zero aggregation state, found ${st.length} operators")
+    } finally q.stop()
+    spark.table(queryName)
+  }
+}

@@ -94,4 +94,16 @@ class Round13Spec extends AnyFunSuite {
       assert(badRank == 0L)
     }
   }
+
+  test("streamed chunk query serving == batch chunkRetrieval bit-for-bit (and holds zero state)") {
+    val batch = ChunkRetrieval.chunkRetrieval(docs)
+      .collect().map(_.toSeq).toSet
+    val streamed = graft.streaming.ChunkStream.servedChunkQueries(spark, sf, docs)
+      .select("probe_id", "rank", "doc_id", "chunk_id",
+        "rrf_score", "lex_rank", "vec_rank")
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed serving diverged from batch: ${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
+  }
 }
