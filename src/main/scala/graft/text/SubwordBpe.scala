@@ -239,7 +239,22 @@ object SubwordBpe {
       val docs = Tables.documents(s, d)
       subwordApply(docs, subwordTrain(docs))
     }),
-    "q_bpe_subword_sample" -> ((s, d) => subwordSampleEval(Tables.documents(s, d)))
+    "q_bpe_subword_sample" -> ((s, d) => subwordSampleEval(Tables.documents(s, d))),
+    // the artifact-lifecycle gate: train ONCE, persist the merge table
+    // versioned ([[graft.sources.Artifacts]]), and serve from the
+    // LOADED artifact — the production split (build once, load
+    // forever) exercised end-to-end; the oracle is q_bpe_subword_apply's
+    // verbatim, because a persisted artifact must serve bit-equal
+    "q_bpe_subword_loaded" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-artifacts").toFile
+      tmp.deleteOnExit()
+      graft.sources.Artifacts.save(subwordTrain(docs),
+        tmp.getAbsolutePath, "subword_merges")
+      val (loaded, _) = graft.sources.Artifacts.load(s,
+        tmp.getAbsolutePath, "subword_merges")
+      subwordApply(docs, loaded)
+    })
   )
 
   private val normSql =
@@ -280,7 +295,27 @@ object SubwordBpe {
 
   private val baseCtes = chainCtes("", "")
 
+  /** The apply mart's oracle — also q_bpe_subword_loaded's: a persisted
+    * artifact must serve bit-equal to the in-memory one. */
+  private lazy val applyOracle: String =
+    s"""WITH $baseCtes,
+       fin AS (SELECT word, list_filter(str_split(s, chr(1)||chr(1)), x -> x <> '') AS toks FROM ws$rounds),
+       dw AS (SELECT doc_id, string_split($normSql, ' ') AS words
+         FROM documents WHERE text IS NOT NULL AND $normSql <> ''),
+       dwx AS (SELECT doc_id, CAST(i.i AS INT) AS idx, words[CAST(i.i AS INT)] AS word
+         FROM dw, LATERAL (SELECT UNNEST(range(1, len(words) + 1)) AS i) i)
+       SELECT d.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(d.word) + 1) AS BIGINT) AS n_syms,
+         CAST(SUM(len(f.toks)) AS BIGINT) AS n_tokens,
+         CAST(SUM(len(d.word) + 1) - SUM(len(f.toks)) AS BIGINT) AS n_merges,
+         md5(string_agg(array_to_string(f.toks, chr(1)), chr(1) ORDER BY d.idx)) AS tok_hash
+       FROM dwx d JOIN fin f USING (word)
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
+
   val oracles: Map[String, String] = Map(
+    "q_bpe_subword_apply" -> applyOracle,
+    "q_bpe_subword_loaded" -> applyOracle,
     "q_bpe_subword" ->
       s"""WITH $baseCtes
          SELECT * FROM (
@@ -288,21 +323,6 @@ object SubwordBpe {
              s"SELECT $k AS round, a AS tok_a, b AS tok_b, a||b AS merged, cnt AS pair_n FROM wt$k")
              .mkString("\n           UNION ALL ")}
          ) ORDER BY round""",
-    "q_bpe_subword_apply" ->
-      s"""WITH $baseCtes,
-         fin AS (SELECT word, list_filter(str_split(s, chr(1)||chr(1)), x -> x <> '') AS toks FROM ws$rounds),
-         dw AS (SELECT doc_id, string_split($normSql, ' ') AS words
-           FROM documents WHERE text IS NOT NULL AND $normSql <> ''),
-         dwx AS (SELECT doc_id, CAST(i.i AS INT) AS idx, words[CAST(i.i AS INT)] AS word
-           FROM dw, LATERAL (SELECT UNNEST(range(1, len(words) + 1)) AS i) i)
-         SELECT d.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_words,
-           CAST(SUM(len(d.word) + 1) AS BIGINT) AS n_syms,
-           CAST(SUM(len(f.toks)) AS BIGINT) AS n_tokens,
-           CAST(SUM(len(d.word) + 1) - SUM(len(f.toks)) AS BIGINT) AS n_merges,
-           md5(string_agg(array_to_string(f.toks, chr(1)), chr(1) ORDER BY d.idx)) AS tok_hash
-         FROM dwx d JOIN fin f USING (word)
-         GROUP BY d.doc_id ORDER BY d.doc_id""",
     // Two training chains (prefix m = the 25% md5-digit-2 shard) plus 8
     // apply CTEs replaying the shard winners over the FULL word table.
     "q_bpe_subword_sample" -> {

@@ -181,6 +181,76 @@ class StorageSpec extends AnyFunSuite {
     try walk.sorted().forEach(p => p.toFile.deleteOnExit()) finally walk.close()
   }
 
+  test("serving artifacts persist versioned and serve bit-equal after reload") {
+    import graft.sources.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifacts").toString
+    val docs = Tables.documents(spark, sf)
+    def sameRows(a: org.apache.spark.sql.DataFrame,
+                 b: org.apache.spark.sql.DataFrame): Unit = {
+      assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+      assert(a.count() == b.count())
+    }
+    // BPE merge tables (word + subword grain): deterministic artifacts
+    // version stably across REBUILDS, and apply from the loaded table
+    // is bit-equal to apply from the trained one
+    val merges = graft.text.Bpe.bpeTrain(docs)
+    assert(Artifacts.artifactVersion(merges) ==
+      Artifacts.artifactVersion(graft.text.Bpe.bpeTrain(docs)))
+    val v = Artifacts.save(merges, dir, "bpe_merges")
+    val (lm, lv) = Artifacts.load(spark, dir, "bpe_merges")
+    assert(lv == v)
+    sameRows(graft.text.Bpe.bpeApply(docs, lm),
+      graft.text.Bpe.bpeApply(docs, merges))
+    val sub = graft.text.SubwordBpe.subwordTrain(docs)
+    Artifacts.save(sub, dir, "subword_merges")
+    sameRows(graft.text.SubwordBpe.subwordApply(docs,
+      Artifacts.load(spark, dir, "subword_merges")._1),
+      graft.text.SubwordBpe.subwordApply(docs, sub))
+    // DSIR token weights: deterministic, stable version across rebuilds
+    val w = graft.text.Vocab.dsirWeights(docs)
+    assert(Artifacts.artifactVersion(w) ==
+      Artifacts.artifactVersion(graft.text.Vocab.dsirWeights(docs)))
+    Artifacts.save(w, dir, "dsir_weights")
+    sameRows(Artifacts.load(spark, dir, "dsir_weights")._1, w)
+  }
+
+  test("index artifacts (bloom bits, IVF-PQ row, chunk row) reload and serve bit-equal") {
+    import graft.sources.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft-artifacts2").toString
+    val docs = Tables.documents(spark, sf)
+    // Bloom bits: the fixed-8 KB screen artifact
+    val evalSh = graft.text.TextPrep.shingles(docs).select("shingle").distinct()
+    val bits = graft.text.Filters.bloomBits(evalSh)
+    Artifacts.save(bits, dir, "bloom_bits")
+    val (lbits, _) = Artifacts.load(spark, dir, "bloom_bits")
+    assert(lbits.collect()(0).getSeq[Long](0) == bits.collect()(0).getSeq[Long](0))
+    // IVF-PQ serving row: queries served from the LOADED artifact are
+    // bit-equal to queries served from the built one
+    val emb = Tables.embeddings(spark, sf)
+    val arts = graft.streaming.VecStream.serveArtifacts(emb, 16, 8, 8, 64)
+    Artifacts.save(arts, dir, "pq_index")
+    val (larts, _) = Artifacts.load(spark, dir, "pq_index")
+    val probes = emb.select(col("vec_id"), col("embedding")).filter(col("vec_id") < 5)
+    val a = graft.streaming.VecStream.serveRows(probes, arts, 10, 5, 8, 8)
+    val b = graft.streaming.VecStream.serveRows(probes, larts, 10, 5, 8, 8)
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+    // chunk serving row (carries a MAP column): reload serves bit-equal
+    val carts = graft.streaming.ChunkStream.chunkArtifacts(docs)
+    Artifacts.save(carts, dir, "chunk_index")
+    val (lcarts, _) = Artifacts.load(spark, dir, "chunk_index")
+    val pdocs = docs.filter(col("doc_id") < 5)
+    val ca = graft.streaming.ChunkStream.serveRows(pdocs, carts, 10, 8, 50, 60)
+    val cb = graft.streaming.ChunkStream.serveRows(pdocs, lcarts, 10, 8, 50, 60)
+    assert(ca.collect().map(_.toSeq).toSet == cb.collect().map(_.toSeq).toSet)
+    assert(ca.count() > 0)
+    // a tampered stamp fails CLOSED at load, not as wrong serving rows
+    val bad = bits.withColumn("artifact_version", lit("deadbeef"))
+    bad.coalesce(1).write.mode("overwrite").parquet(s"$dir/tampered")
+    assertThrows[IllegalArgumentException] {
+      Artifacts.load(spark, dir, "tampered")
+    }
+  }
+
   test("extensions class registers graft_dot at session build time") {
     // applying to a fresh extensions container must succeed and register
     val ext = new org.apache.spark.sql.SparkSessionExtensions
