@@ -272,10 +272,29 @@ object ChunkRetrieval {
     * sign bits are exactly Charikar-2002 hyperplane LSH — cell
     * assignment is FREE (row-local bit packing, no centroid pass, no
     * assignment shuffle), unlike the doc-grain SemDeDup's K-centroid
-    * broadcast scoring. 8 bits → 256 cells here; a 100 TB corpus takes
-    * more bits (cells must keep Σ|cell|² sub-quadratic) at zero added
-    * cost. */
-  private val cellBits = 8
+    * broadcast scoring.
+    *
+    * The bit count ADAPTS to the corpus: with a fixed bit count the
+    * within-cell pair count Σ|cell|² grows quadratically (measured: a
+    * 545 s single stage at 100× with 8 fixed bits — ~794k chunks over
+    * 256 cells is ~2.5 B pairs), while holding the MEAN OCCUPANCY at
+    * [[cellOcc]] makes it ~n·occ, linear in the corpus. The smallest
+    * b in [[[minCellBits]], [[maxCellBits]]] with n ≤ occ·2^b is
+    * derived by exact INTEGER threshold comparison — bit-identical in
+    * both engines, no log2/ceil float boundary — from one count of the
+    * (checkpointed, so already-paid) embedding frame; the oracle runs
+    * the same CASE ladder over the same count. ≤ occ·256 chunks (every
+    * gate SF) keeps the historical 8 bits. maxCellBits = outDims: only
+    * 16 signs exist — a true 100 TB corpus widens outDims with the
+    * projection, the same knob. */
+  private val minCellBits = 8
+  private val maxCellBits = outDims
+  private val cellOcc = 64L
+  private[graft] def cellBitsFor(n: Long): Int = {
+    var b = minCellBits
+    while (b < maxCellBits && n > (cellOcc << b)) b += 1
+    b
+  }
 
   /** Chunk embeddings with their LSH cell and prototypicality fit:
     * (chunk_id, p, nsq, cell, fit). `fit` is the chunk's cosine to its
@@ -285,9 +304,24 @@ object ChunkRetrieval {
     * arithmetic until the final rounded double). A cancelled cell sum
     * (snsq = 0) pins fit to 0. */
   private[graft] def chunkCells(ch: DataFrame): DataFrame = {
-    val ce = chunkEmbeds(ch)
+    // The embed shuffle below is the ONE corpus-scale stage of the dedup
+    // family, and this frame has three consumers (the cell sums, the
+    // centroid join, and — via [[chunkDedup]] — a self-join that reads it
+    // twice more). Without a boundary each consumer re-runs the shuffle:
+    // measured 6 evaluations inside q_chunk_dedup alone and 24 inside
+    // q_chunk_serve (whose survivor anti-join nests the whole chain under
+    // retrieveFrom's four reads) — 697 s at 100×. The lazy localCheckpoint
+    // pins one evaluation; values are unchanged (a checkpoint is a plan
+    // boundary, not a computation), and at cluster scale this is exactly
+    // the persisted-index boundary Artifacts.save would provide.
+    val base = chunkEmbeds(ch).localCheckpoint(false)
+    // materializes the checkpoint (paid once either way) and sizes the
+    // cell space to the measured corpus — the PlanStats device, like
+    // chunkFactorFor
+    val bits = cellBitsFor(base.count())
+    val ce = base
       .withColumn("cell", expr(
-        s"""aggregate(sequence(0, ${cellBits - 1}), 0L, (a, j) ->
+        s"""aggregate(sequence(0, ${bits - 1}), 0L, (a, j) ->
            a + IF(element_at(p, cast(j as int) + 1) >= 0,
                   shiftleft(1L, cast(j as int)), 0L))"""))
     val sumCols = (0 until outDims).map(j =>
@@ -357,8 +391,16 @@ object ChunkRetrieval {
   private def survivorChunks(documents: DataFrame, factor: Long,
                              threshold: Double): DataFrame = {
     val ch = chunks(documents, factor)
+    // retrieveFrom reads its chunk frame four times (vec-arm embeddings,
+    // chunk-df, tf, corpus stats); each read would otherwise re-run the
+    // ENTIRE dedup chain hiding under this anti-join. The dominated-id
+    // frame is the small side of the verdict (dup rate × corpus), so
+    // pinning it makes the anti-join the only repeated work — and gives
+    // AQE accurate stats to pick a broadcast anti-join when it fits
+    // (at 100 TB a huge dup set correctly falls back to shuffle).
     val dominated = chunkDedup(documents, threshold)
       .filter(!col("keep")).select(col("chunk_id"))
+      .localCheckpoint(false)
     ch.join(dominated, Seq("chunk_id"), "left_anti")
   }
 
@@ -416,6 +458,10 @@ object ChunkRetrieval {
   private[graft] def probeFused(docs: DataFrame): DataFrame = {
     val f = chunkFactorFor(docs); fused(chunks(docs, f), docs, 10, 8, 50, 60, f)
   }
+  private[graft] def probeDominated(docs: DataFrame): DataFrame =
+    chunkDedup(docs).filter(!col("keep")).select(col("chunk_id"))
+  private[graft] def probeSurvivors(docs: DataFrame): DataFrame =
+    survivorChunks(docs, chunkFactorFor(docs), 0.95)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_retrieval" -> ((s, d) => chunkRetrieval(Tables.documents(s, d))),
@@ -529,16 +575,23 @@ object ChunkRetrieval {
     * chunk ids, the serve filter). */
   private val dedupThresholdSql = "CAST(0.95 AS DOUBLE)"
   private lazy val dedupCtes: String = {
-    val cellSql = (0 until cellBits).map(j =>
-      s"(CASE WHEN p$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    // the same integer-threshold ladder as cellBitsFor — bit j
+    // participates only when j < the derived bit count
+    val bitsSql = "CASE " + (minCellBits until maxCellBits)
+      .map(b => s"WHEN n <= ${cellOcc << b} THEN $b").mkString(" ") +
+      s" ELSE $maxCellBits END"
+    val cellSql = (0 until maxCellBits).map(j =>
+      s"(CASE WHEN $j < db.b AND p$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     val sCols = (0 until outDims).map(j => s"CAST(SUM(p$j) AS BIGINT) AS s$j")
       .mkString(", ")
     val snsq = (0 until outDims).map(j => s"s$j * s$j").mkString(" + ")
     val dotPs = (0 until outDims).map(j => s"c.p$j * m.s$j").mkString(" + ")
     val cPs = (0 until outDims).map(j => s"c.p$j").mkString(", ")
     val dotAb = (0 until outDims).map(j => s"a.p$j * b.p$j").mkString(" + ")
-    s"""dcell AS (SELECT chunk_id, ${(0 until outDims).map(j => s"p$j").mkString(", ")}, nsq,
-             CAST($cellSql AS BIGINT) AS cell FROM kce),
+    s"""dbits AS (SELECT $bitsSql AS b
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kce)),
+         dcell AS (SELECT chunk_id, ${(0 until outDims).map(j => s"p$j").mkString(", ")}, nsq,
+             CAST($cellSql AS BIGINT) AS cell FROM kce, dbits db),
          dsum0 AS (SELECT cell, $sCols FROM dcell GROUP BY 1),
          dsum AS (SELECT *, CAST($snsq AS BIGINT) AS snsq FROM dsum0),
          dfit AS (SELECT c.chunk_id, c.cell, $cPs, c.nsq,

@@ -89,6 +89,14 @@ object Probe {
         t("fused")(graft.ann.ChunkRetrieval.probeFused(docs).count())
         t("retrieval")(graft.ann.ChunkRetrieval.chunkRetrieval(docs).count())
         t("retrieval warm")(graft.ann.ChunkRetrieval.chunkRetrieval(docs).count())
+      case "serve" =>
+        t("warmup")(docs.count())
+        t("dedup")(graft.ann.ChunkRetrieval.chunkDedup(docs).count())
+        t("dominated")(graft.ann.ChunkRetrieval.probeDominated(docs).count())
+        t("survivors")(graft.ann.ChunkRetrieval.probeSurvivors(docs).count())
+        t("survivors warm")(graft.ann.ChunkRetrieval.probeSurvivors(docs).count())
+        t("serve")(graft.ann.ChunkRetrieval.chunkServe(docs).count())
+        t("serve warm")(graft.ann.ChunkRetrieval.chunkServe(docs).count())
       case _ => ()
     }
     spark.stop()

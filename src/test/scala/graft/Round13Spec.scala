@@ -45,6 +45,22 @@ class Round13Spec extends AnyFunSuite {
     assert(ch.select("chunk_id").distinct().count() == ch.count())
   }
 
+  test("adaptive cell bits: exact integer thresholds, gate SFs stay at 8 bits") {
+    // the gate corpora (≤ 64·2^8 = 16384 embeddable chunks) keep the
+    // historical 8-bit cell space — r12 outputs are bit-unchanged
+    assert(ChunkRetrieval.cellBitsFor(0L) == 8)
+    assert(ChunkRetrieval.cellBitsFor(16384L) == 8)
+    // the first chunk past each occupancy threshold widens by one bit
+    assert(ChunkRetrieval.cellBitsFor(16385L) == 9)
+    assert(ChunkRetrieval.cellBitsFor(64L << 13) == 13)
+    assert(ChunkRetrieval.cellBitsFor((64L << 13) + 1) == 14)
+    // the measured 100× corpus (794,315 chunks) lands at 14 bits —
+    // mean occupancy ~48, the Σ|cell|² fix for the 545 s pair stage
+    assert(ChunkRetrieval.cellBitsFor(794315L) == 14)
+    // only outDims = 16 sign coordinates exist; the ladder caps there
+    assert(ChunkRetrieval.cellBitsFor(Long.MaxValue) == 16)
+  }
+
   test("chunk dedup: every cell's least-prototypical chunk survives; verdicts are deterministic") {
     val d1 = ChunkRetrieval.chunkDedup(docs)
     val d2 = ChunkRetrieval.chunkDedup(docs)
