@@ -91,12 +91,17 @@ object ChunkRetrieval {
         (col("doc_id") * factor + col("chunk_idx")).cast("long").as("chunk_id"),
         expr(s"slice(words, start + 1, $width)").as("cwords"))
 
+  /** The nOut×64 JL sign matrix as ONE SQL array literal (row j =
+    * projection j's 64 bucket signs). One literal, not nOut of them —
+    * the driver-planning lesson from the round-12 ladder. */
+  private def signsSqlFor(nOut: Int): String = (0 until nOut).map(j =>
+      (0 until dims).map(Embeddings.projSign(_, j)).mkString("array(", ",", ")"))
+    .mkString("array(", ",", ")")
+
   /** The 16×64 JL sign matrix as ONE SQL array literal — shared with
     * the streaming serving twin so both engines fold through identical
     * signs. */
-  private[graft] lazy val signsSql: String = (0 until outDims).map(j =>
-      (0 until dims).map(Embeddings.projSign(_, j)).mkString("array(", ",", ")"))
-    .mkString("array(", ",", ")")
+  private[graft] lazy val signsSql: String = signsSqlFor(outDims)
 
   /** Feature-hash + JL projection of a token stream: one row per key
     * with the 16 integer coordinates (as ONE array column) and their
@@ -109,8 +114,8 @@ object ChunkRetrieval {
     * task time — where this tree plans in milliseconds; the integer
     * sums are associative, so the values are bit-identical. Zero-norm
     * keys (all tokens cancelled) drop: they cannot be cosine-scored. */
-  private def hashEmbed(tokens: DataFrame, key: String): DataFrame = {
-    val signs = signsSql
+  private def hashEmbedAt(tokens: DataFrame, key: String, nOut: Int): DataFrame = {
+    val signs = signsSqlFor(nOut)
     tokens
       .withColumn("hx", md5(col("word").cast("binary")))
       .withColumn("bucket", pmod(
@@ -125,11 +130,14 @@ object ChunkRetrieval {
       .withColumn("p", expr(
         s"""transform($signs, row -> aggregate(bvs, cast(0 as bigint),
            (a, e) -> a + e.sv * element_at(row, cast(e.bucket as int) + 1)))"""))
+  }
+
+  private def hashEmbed(tokens: DataFrame, key: String): DataFrame =
+    hashEmbedAt(tokens, key, outDims)
       .withColumn("nsq",
         expr("aggregate(p, cast(0 as bigint), (a, x) -> a + x * x)"))
       .filter(col("nsq") > 0)
       .select(col(key), col("p"), col("nsq"))
-  }
 
   /** Vector arm: exact cosine of every chunk against the nProbes
     * broadcast probe vectors, top-`arm` per probe via the bounded heap.
@@ -151,8 +159,14 @@ object ChunkRetrieval {
     hashEmbed(ch.select(col("chunk_id"), explode(col("cwords")).as("word")), "chunk_id")
 
   private def vecArm(ch: DataFrame, documents: DataFrame, nProbes: Int,
-                     arm: Int, factor: Long): DataFrame = {
-    val ce = chunkEmbeds(ch)
+                     arm: Int, factor: Long): DataFrame =
+    vecArmFromCe(chunkEmbeds(ch), documents, nProbes, arm, factor)
+
+  /** [[vecArm]] from an already-built (chunk_id, p, nsq) embedding
+    * frame — the entry the delta-merge serving path uses, where `ce` is
+    * a frozen artifact unioned with a fresh delta. */
+  private def vecArmFromCe(ce: DataFrame, documents: DataFrame, nProbes: Int,
+                           arm: Int, factor: Long): DataFrame = {
     val pe = hashEmbed(TextPrep.withWords(documents.filter(col("text").isNotNull))
         .filter(col("norm") =!= "").filter(col("doc_id") < nProbes)
         .select(col("doc_id"), explode(col("words")).as("word")), "doc_id")
@@ -173,21 +187,11 @@ object ChunkRetrieval {
     * the probe document's own vocabulary. */
   private def lexArm(ch: DataFrame, documents: DataFrame, nProbes: Int,
                      kTerms: Int, arm: Int): DataFrame = {
-    val docs = documents.filter(col("text").isNotNull)
     val ctoks = ch
       .select(col("doc_id"), col("chunk_id"),
         size(col("cwords")).cast("long").as("dl"),
         explode(col("cwords")).as("word"))
-    val wP = Window.partitionBy(col("probe_id"))
-      .orderBy(col("ptf").desc, col("word"))
-    val pt = TextPrep.withWords(docs)
-      .select(col("doc_id"), explode(col("words")).as("word"))
-      .filter(col("doc_id") < nProbes && !col("word").isin(TextPrep.stopEn: _*))
-      .groupBy(col("doc_id").as("probe_id"), col("word"))
-      .agg(count(lit(1)).as("ptf"))
-      .withColumn("rn", row_number().over(wP))
-      .filter(col("rn") <= kTerms)
-      .select("probe_id", "word")
+    val pt = probeTerms(documents, nProbes, kTerms)
     val dfw = ctoks.join(broadcast(pt.select("word").distinct()), Seq("word"))
       .groupBy(col("word")).agg(countDistinct(col("chunk_id")).as("df"))
     val stats = ch
@@ -197,6 +201,32 @@ object ChunkRetrieval {
       .filter(col("doc_id") =!= col("probe_id"))
       .groupBy(col("probe_id"), col("chunk_id"), col("word"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    bm25Topk(tfd, dfw, stats, arm)
+  }
+
+  /** The probe documents' top-`kTerms` non-stopword terms —
+    * (probe_id, word), shared by the batch arm and the parts-based
+    * delta serving arm. */
+  private def probeTerms(documents: DataFrame, nProbes: Int,
+                         kTerms: Int): DataFrame = {
+    val wP = Window.partitionBy(col("probe_id"))
+      .orderBy(col("ptf").desc, col("word"))
+    TextPrep.withWords(documents.filter(col("text").isNotNull))
+      .select(col("doc_id"), explode(col("words")).as("word"))
+      .filter(col("doc_id") < nProbes && !col("word").isin(TextPrep.stopEn: _*))
+      .groupBy(col("doc_id").as("probe_id"), col("word"))
+      .agg(count(lit(1)).as("ptf"))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= kTerms)
+      .select("probe_id", "word")
+  }
+
+  /** BM25 scoring tail: per-(probe, chunk, word) tf rows × word df ×
+    * corpus stats → exact decimal sum per (probe, chunk) → top-`arm`
+    * heap. Shared by [[lexArm]] and [[lexArmFromParts]] so the frozen-
+    * artifact path can never drift from the batch arm. */
+  private def bm25Topk(tfd: DataFrame, dfw: DataFrame, stats: DataFrame,
+                       arm: Int): DataFrame = {
     val scored = tfd.join(broadcast(dfw), Seq("word"))
       .crossJoin(broadcast(stats))
       .withColumn("avgdl", col("sdl") / col("nn"))
@@ -209,14 +239,40 @@ object ChunkRetrieval {
     Ann.topkPerProbe(scored, arm)
   }
 
+  /** [[lexArm]] from pre-aggregated index parts — postings (word,
+    * chunk_id, tf, dl), the all-words df table, and the (nn, sdl0)
+    * stats row. tf per (word, chunk) is probe-independent, so the
+    * postings replay joined to the probe terms produces the batch
+    * arm's exact tfd rows; the probe's own document is excluded by
+    * decoding doc_id from the chunk_id encoding. */
+  private def lexArmFromParts(postings: DataFrame, dfAll: DataFrame,
+                              stats: DataFrame, documents: DataFrame,
+                              nProbes: Int, kTerms: Int, arm: Int,
+                              factor: Long): DataFrame = {
+    val pt = probeTerms(documents, nProbes, kTerms)
+    val dfw = dfAll.join(broadcast(pt.select("word").distinct()), Seq("word"))
+    val tfd = postings.join(broadcast(pt), Seq("word"))
+      .filter(floor(col("chunk_id") / factor).cast("long") =!= col("probe_id"))
+      .select(col("probe_id"), col("chunk_id"), col("word"),
+        col("tf"), col("dl"))
+    bm25Topk(tfd, dfw, stats.select(col("nn"),
+      col("sdl0").cast("double").as("sdl")), arm)
+  }
+
   /** The fused chunk candidate frame:
     * (probe_id, chunk_id, lex_rank, vec_rank, rrf). */
   private def fused(ch: DataFrame, documents: DataFrame, nProbes: Int,
-                    kTerms: Int, arm: Int, rrfK: Int, factor: Long): DataFrame = {
-    val lex = lexArm(ch, documents, nProbes, kTerms, arm)
+                    kTerms: Int, arm: Int, rrfK: Int, factor: Long): DataFrame =
+    fuseArms(lexArm(ch, documents, nProbes, kTerms, arm),
+      vecArm(ch, documents, nProbes, arm, factor), rrfK)
+
+  /** RRF fusion of two ranked arm frames. */
+  private def fuseArms(lex0: DataFrame, vec0: DataFrame,
+                       rrfK: Int): DataFrame = {
+    val lex = lex0
       .select(col("probe_id").as("lp"), col("neighbor_id").as("ld"),
         col("rank").as("lex_rank"))
-    val vec = vecArm(ch, documents, nProbes, arm, factor)
+    val vec = vec0
       .select(col("probe_id").as("vp"), col("neighbor_id").as("vd"),
         col("rank").as("vec_rank"))
     lex.join(vec,
@@ -245,12 +301,15 @@ object ChunkRetrieval {
     * chunk per doc, rank, cut at k. */
   private def retrieveFrom(ch: DataFrame, documents: DataFrame, factor: Long,
                            nProbes: Int, k: Int, kTerms: Int,
-                           arm: Int, rrfK: Int): DataFrame = {
+                           arm: Int, rrfK: Int): DataFrame =
+    rankServe(fused(ch, documents, nProbes, kTerms, arm, rrfK, factor),
+      factor, k)
+
+  private def rankServe(f0: DataFrame, factor: Long, k: Int): DataFrame = {
     // the fused frame (≤ 2·arm rows per probe) feeds BOTH the per-doc
     // best pick and the final join — pin it so the two consumers share
     // one evaluation of the arms
-    val f = fused(ch, documents, nProbes, kTerms, arm, rrfK, factor)
-      .localCheckpoint(false)
+    val f = f0.localCheckpoint(false)
     val best = f
       .groupBy(col("probe_id").as("bp"),
         floor(col("chunk_id") / factor).cast("long").as("doc_id"))
@@ -319,11 +378,20 @@ object ChunkRetrieval {
     // cell space to the measured corpus — the PlanStats device, like
     // chunkFactorFor
     val bits = cellBitsFor(base.count())
-    val ce = base
-      .withColumn("cell", expr(
-        s"""aggregate(sequence(0, ${bits - 1}), 0L, (a, j) ->
-           a + IF(element_at(p, cast(j as int) + 1) >= 0,
-                  shiftleft(1L, cast(j as int)), 0L))"""))
+    withCellFit(base.withColumn("cell", cellAt("p", 0, bits)))
+  }
+
+  /** Sign-LSH cell value from `bits` leading signs of array column
+    * `src`, starting at coordinate `offset` — row-local bit packing. */
+  private def cellAt(src: String, offset: Int, bits: Int) = expr(
+    s"""aggregate(sequence(0, ${bits - 1}), 0L, (a, j) ->
+       a + IF(element_at($src, $offset + cast(j as int) + 1) >= 0,
+              shiftleft(1L, cast(j as int)), 0L))""")
+
+  /** Appends the prototypicality `fit` (cosine to the cell's exact
+    * integer SUM vector) to a (chunk_id, p, nsq, cell, …) frame; extra
+    * columns named in `keep` pass through. */
+  private def withCellFit(ce: DataFrame, keep: Seq[String] = Nil): DataFrame = {
     val sumCols = (0 until outDims).map(j =>
       sum(expr(s"element_at(p, ${j + 1})")).as(s"s$j"))
     val sums = ce.groupBy(col("cell"))
@@ -337,7 +405,7 @@ object ChunkRetrieval {
       .withColumn("fit", when(col("snsq") === 0L, lit(0d)).otherwise(
         r6(col("dots").cast("double") /
           (sqrt(col("nsq").cast("double")) * sqrt(col("snsq").cast("double"))))))
-      .select(col("chunk_id"), col("p"), col("nsq"), col("cell"), col("fit"))
+      .select((Seq("chunk_id", "p", "nsq", "cell", "fit") ++ keep).map(col): _*)
   }
 
   /** SEMANTIC dedup at CHUNK grain — the [[Ann.semanticDedup]] device
@@ -384,6 +452,132 @@ object ChunkRetrieval {
       .orderBy("chunk_id")
   }
 
+  /** Bands of the multi-band LSH variant: 3 independent hyperplane
+    * sets, each `bits` wide, drawn from one 48-coordinate sign
+    * projection. */
+  private[graft] val bandCount = 3
+  private val bandDims = bandCount * outDims
+
+  /** Chunk embeddings carrying the WIDE sign projection: (chunk_id, p,
+    * nsq, pw) where p is the usual 16 JL coordinates (pw's first 16 —
+    * the same md5 signs, so band 0 is EXACTLY [[chunkCells]]'s cell)
+    * and pw adds 32 more deterministic projections whose only use is
+    * banding. Population identical to [[chunkEmbeds]]: chunks whose
+    * 16-dim norm cancels to zero drop. */
+  private def bandEmbeds(ch: DataFrame): DataFrame =
+    hashEmbedAt(ch.select(col("chunk_id"), explode(col("cwords")).as("word")),
+        "chunk_id", bandDims)
+      .withColumn("pw", col("p"))
+      .withColumn("p", expr(s"slice(pw, 1, $outDims)"))
+      .withColumn("nsq",
+        expr("aggregate(p, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .filter(col("nsq") > 0)
+      .select(col("chunk_id"), col("p"), col("nsq"), col("pw"))
+
+  /** [[chunkDedup]] with MULTI-BAND candidate generation — the
+    * MinHash-LSH banding device (OR over [[bandCount]] independent
+    * hyperplane bands) applied to the sign-LSH dedup. Motivation: the
+    * adaptive cell width that keeps pair work linear also cuts recall —
+    * P(all b signs agree | cosine 0.95) ≈ 0.90^b, i.e. ~0.43 at the
+    * 8-bit gate width but ~0.22 at the 14 bits a 100× corpus derives —
+    * and banding recovers it multiplicatively: 1-(1-0.90^b)^3 ≈ 0.81 /
+    * 0.53 at those widths, at 3× the (still linear) pair work.
+    * [[dedupRecall]] MEASURES both against brute-force truth. Verdict
+    * devices are chunkDedup's verbatim: duplicate = any shared-band
+    * pair at cosine ≥ threshold on the TRUE 16-dim embedding (bands
+    * only propose), keep-least-prototypical by band-0 cell fit, pairs
+    * deduplicated across bands before counting. Band 0 ≡ the single
+    * cell, so banded candidates are a SUPERSET: a chunk q_chunk_dedup
+    * dominates is dominated here too (spec-pinned). */
+  def chunkBandedDedup(documents: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    val base = bandEmbeds(chunks(documents, factor)).localCheckpoint(false)
+    val bits = cellBitsFor(base.count())
+    val cf = withCellFit(base.withColumn("cell", cellAt("pw", 0, bits)), Seq("pw"))
+    val bnd = cf.select(col("chunk_id"), col("p"), col("nsq"), col("fit"),
+      posexplode(array((0 until bandCount).map(k =>
+        cellAt("pw", k * outDims, bits)): _*)).as(Seq("band_k", "band_v")))
+    val other = bnd.select(col("band_k").as("bk2"), col("band_v").as("bv2"),
+      col("chunk_id").as("ca"), col("p").as("pa"),
+      col("nsq").as("nsqa"), col("fit").as("fita"))
+    val cand = bnd.join(other,
+        col("band_k") === col("bk2") && col("band_v") === col("bv2") &&
+          col("chunk_id") =!= col("ca"))
+      .withColumn("cosine", r6(expr(
+        "aggregate(zip_with(p, pa, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+        .cast("double") /
+        (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
+      .filter(col("cosine") >= threshold)
+      // a pair sharing several bands must count ONCE
+      .select(col("chunk_id"), col("ca"), col("fit"), col("fita"), col("cosine"))
+      .distinct()
+    val dups = cand.groupBy(col("chunk_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_dup_cosine"),
+        max(when(col("fita") < col("fit") ||
+            (col("fita") === col("fit") && col("ca") < col("chunk_id")), 1)
+          .otherwise(0)).as("dominated"))
+    cf.select(col("chunk_id"), col("cell"), col("fit"))
+      .join(dups, Seq("chunk_id"), "left")
+      .select(floor(col("chunk_id") / factor).cast("long").as("doc_id"),
+        col("chunk_id"), col("cell"), col("fit"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("max_dup_cosine"),
+        (coalesce(col("dominated"), lit(0)) === 0).as("keep"))
+      .orderBy("chunk_id")
+  }
+
+  /** LSH recall, MEASURED — the label-blocked-truth calibration device
+    * applied to the dedup candidate generators: brute-force ALL pairs
+    * of a deterministic chunk sample (both endpoints in the sample, so
+    * the estimate is unbiased in the pair population), keep those at
+    * cosine ≥ threshold as TRUTH, and report what fraction the
+    * single-cell and the 3-band candidate generators would have
+    * proposed. The sample modulus derives from the measured corpus
+    * (⌊n / sampleTarget⌋, floor 1 — the PlanStats ladder again,
+    * mirrored in the oracle): gate corpora sample EVERYTHING (the
+    * truth is exhaustive — measured at sf0.01: banded 0.861 vs cell
+    * 0.693), while a 100× corpus keeps ~sampleTarget chunks and the
+    * brute force stays a bounded ~2M pairs at ANY scale. One row per
+    * method: (method, true_pairs, found_pairs, recall). */
+  def dedupRecall(documents: DataFrame, threshold: Double = 0.95,
+                  sampleTarget: Long = 2000L): DataFrame = {
+    val base = bandEmbeds(chunks(documents, chunkFactorFor(documents)))
+      .localCheckpoint(false)
+    val n = base.count()
+    val bits = cellBitsFor(n)
+    val mod = math.max(1L, n / sampleTarget)
+    val feat = base.filter(col("chunk_id") % mod === 0)
+      .select(col("chunk_id"), col("p"), col("nsq"),
+        array((0 until bandCount).map(k =>
+          cellAt("pw", k * outDims, bits)): _*).as("bands"))
+    val other = feat.select(col("chunk_id").as("ca"), col("p").as("pa"),
+      col("nsq").as("nsqa"), col("bands").as("bandsa"))
+    val truth = feat.join(broadcast(other), col("chunk_id") < col("ca"))
+      .withColumn("cosine", r6(expr(
+        "aggregate(zip_with(p, pa, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+        .cast("double") /
+        (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
+      .filter(col("cosine") >= threshold)
+      .withColumn("cell_hit",
+        (col("bands")(0) === col("bandsa")(0)).cast("long"))
+      .withColumn("band_hit",
+        ((col("bands")(0) === col("bandsa")(0)) ||
+          (col("bands")(1) === col("bandsa")(1)) ||
+          (col("bands")(2) === col("bandsa")(2))).cast("long"))
+    truth.agg(count(lit(1)).as("true_pairs"),
+        coalesce(sum(col("cell_hit")), lit(0L)).as("cell_found"),
+        coalesce(sum(col("band_hit")), lit(0L)).as("band_found"))
+      .select(explode(array(
+        struct(lit("banded").as("method"), col("true_pairs"),
+          col("band_found").as("found_pairs")),
+        struct(lit("cell").as("method"), col("true_pairs"),
+          col("cell_found").as("found_pairs")))).as("r"))
+      .select(col("r.method").as("method"), col("r.true_pairs").as("true_pairs"),
+        col("r.found_pairs").as("found_pairs"),
+        r6(try_divide(col("r.found_pairs").cast("double"),
+          col("r.true_pairs").cast("double"))).as("recall"))
+      .orderBy("method")
+  }
+
   /** The chunk frame minus semantically dominated chunks. Chunks with
     * no embedding (all tokens cancelled, nsq = 0) cannot be scored for
     * duplication and pass through — only a DOMINATED verdict removes a
@@ -416,6 +610,62 @@ object ChunkRetrieval {
     val factor = chunkFactorFor(documents)
     retrieveFrom(survivorChunks(documents, factor, threshold), documents,
       factor, nProbes, k, kTerms, arm, rrfK)
+  }
+
+  /** The MERGEABLE serving-index aggregates of a chunk frame: chunk
+    * embeddings, postings (word, chunk_id, tf, dl), the all-words df
+    * table, and the (nn, sdl0) stats row. Every part is either disjoint
+    * by key across document partitions (embeddings, postings — chunking
+    * is per-document) or an associative sum (df, nn, sdl0), which is
+    * what makes exact incremental maintenance possible. */
+  private[graft] def indexParts(ch: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val ce = chunkEmbeds(ch)
+    val ctoks = ch.select(col("chunk_id"),
+      size(col("cwords")).cast("long").as("dl"),
+      explode(col("cwords")).as("word"))
+    val postings = ctoks.groupBy(col("word"), col("chunk_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfAll = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = ch.agg(count(lit(1)).as("nn"),
+      sum(size(col("cwords")).cast("decimal(18,0)")).as("sdl0"))
+    (ce, postings, dfAll, stats)
+  }
+
+  /** INCREMENTAL index maintenance — the 100 TB ingest shape: at scale
+    * the serving index is a frozen artifact and a day's arrivals are a
+    * fraction of a percent of it, so rebuilding every aggregate from
+    * raw text (what [[chunkRetrieval]] does) is the wrong plan by three
+    * orders of magnitude. This operator serves from the FROZEN base
+    * index parts ([[indexParts]] of the non-delta documents,
+    * checkpointed — in production, [[graft.sources.Artifacts]] loads)
+    * merged with the freshly-computed parts of an arriving delta
+    * (doc_id ≡ 0 mod `deltaMod`). The merge is exact, not approximate:
+    * chunk grains are disjoint (union), df/nn/sdl are associative sums
+    * — so the result is BIT-EQUAL to a full rebuild over the whole
+    * corpus, which is why the oracle is [[chunkRetrieval]]'s verbatim
+    * and the equality is the correctness gate, not a tolerance. */
+  def chunkDeltaServe(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
+                      kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
+                      deltaMod: Long = 17L): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    val isDelta = col("doc_id") % deltaMod === 0
+    val (bce, bpost, bdf, bstat) =
+      indexParts(chunks(documents.filter(!isDelta), factor))
+    val (fce, fpost, fdf, fstat) = (bce.localCheckpoint(false),
+      bpost.localCheckpoint(false), bdf.localCheckpoint(false),
+      bstat.localCheckpoint(false))
+    val (dce, dpost, ddf, dstat) =
+      indexParts(chunks(documents.filter(isDelta), factor))
+    val ce = fce.unionByName(dce)
+    val postings = fpost.unionByName(dpost)
+    val dfAll = fdf.unionByName(ddf)
+      .groupBy(col("word")).agg(sum(col("df")).as("df"))
+    val stats = fstat.unionByName(dstat)
+      .agg(sum(col("nn")).as("nn"), sum(col("sdl0")).as("sdl0"))
+    rankServe(fuseArms(
+      lexArmFromParts(postings, dfAll, stats, documents,
+        nProbes, kTerms, arm, factor),
+      vecArmFromCe(ce, documents, nProbes, arm, factor), rrfK), factor, k)
   }
 
   /** Chunk-grain vs doc-grain label-relevance precision@k — the serving
@@ -468,7 +718,10 @@ object ChunkRetrieval {
     "q_chunk_eval" -> ((s, d) =>
       chunkEval(Tables.documents(s, d), Ann.loadEmb(s, d))),
     "q_chunk_dedup" -> ((s, d) => chunkDedup(Tables.documents(s, d))),
-    "q_chunk_serve" -> ((s, d) => chunkServe(Tables.documents(s, d)))
+    "q_chunk_serve" -> ((s, d) => chunkServe(Tables.documents(s, d))),
+    "q_chunk_dedup_banded" -> ((s, d) => chunkBandedDedup(Tables.documents(s, d))),
+    "q_dedup_recall" -> ((s, d) => dedupRecall(Tables.documents(s, d))),
+    "q_chunk_delta_serve" -> ((s, d) => chunkDeltaServe(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -614,6 +867,67 @@ object ChunkRetrieval {
            FROM dfit f LEFT JOIN dagg g ON f.chunk_id = g.chunk_id)"""
   }
 
+  /** Banded-dedup CTEs over `kcb` (the per-token bucket/sign rows of
+    * [[chunkCtes]]): the 48-coordinate wide projection (first 16 ≡ kce's
+    * p), the derived band width, 3 band values per chunk, shared-band
+    * candidate pairs deduplicated across bands, and the verdict mart.
+    * Ends at `bmart`; also emits `bfit` (per-chunk p/nsq/fit + the 3
+    * band values as columns b0..b2) which the recall mart reuses. */
+  private lazy val bandedCtes: String = {
+    val pCols48 = (0 until bandDims).map(j =>
+      s"CAST(SUM(sgn * list_extract(${projArr(j)}, CAST(bucket AS INT) + 1)) AS BIGINT) AS p$j")
+      .mkString(",\n             ")
+    val nsq16 = (0 until outDims).map(j => s"p$j * p$j").mkString(" + ")
+    val bitsSql = "CASE " + (minCellBits until maxCellBits)
+      .map(b => s"WHEN n <= ${cellOcc << b} THEN $b").mkString(" ") +
+      s" ELSE $maxCellBits END"
+    def bandVal(k: Int) = (0 until maxCellBits).map(j =>
+      s"(CASE WHEN $j < db.b AND p${k * outDims + j} >= 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    val sCols = (0 until outDims).map(j => s"CAST(SUM(p$j) AS BIGINT) AS s$j")
+      .mkString(", ")
+    val snsq = (0 until outDims).map(j => s"s$j * s$j").mkString(" + ")
+    val dotPs = (0 until outDims).map(j => s"c.p$j * m.s$j").mkString(" + ")
+    val cPs = (0 until outDims).map(j => s"c.p$j").mkString(", ")
+    val dotAb = (0 until outDims).map(j => s"fx.p$j * fy.p$j").mkString(" + ")
+    s"""bce0 AS (SELECT chunk_id, $pCols48 FROM kcb GROUP BY 1),
+         bce AS (SELECT *, CAST($nsq16 AS BIGINT) AS nsq FROM bce0 WHERE $nsq16 > 0),
+         bbits AS (SELECT $bitsSql AS b
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bce)),
+         bcell AS (SELECT chunk_id,
+             ${(0 until outDims).map(j => s"p$j").mkString(", ")}, nsq,
+             CAST(${bandVal(0)} AS BIGINT) AS cell,
+             ${(0 until bandCount).map(k => s"CAST(${bandVal(k)} AS BIGINT) AS b$k").mkString(", ")}
+           FROM bce, bbits db),
+         bsum0 AS (SELECT cell, $sCols FROM bcell GROUP BY 1),
+         bsum AS (SELECT *, CAST($snsq AS BIGINT) AS snsq FROM bsum0),
+         bfit AS (SELECT c.chunk_id, c.cell, c.b0, c.b1, c.b2, $cPs, c.nsq,
+             CASE WHEN m.snsq = 0 THEN 0.0
+                  ELSE ${sqlR(s"CAST($dotPs AS DOUBLE) / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(m.snsq AS DOUBLE)))", 6)}
+             END AS fit
+           FROM bcell c JOIN bsum m ON c.cell = m.cell),
+         bband AS (${(0 until bandCount).map(k =>
+             s"SELECT chunk_id, $k AS band_k, b$k AS band_v FROM bfit")
+           .mkString(" UNION ALL ")}),
+         bpr0 AS (SELECT fx.chunk_id, fy.chunk_id AS cb, fx.fit AS fa, fy.fit AS fb,
+             ${sqlR(s"CAST($dotAb AS DOUBLE) / (sqrt(CAST(fx.nsq AS DOUBLE)) * sqrt(CAST(fy.nsq AS DOUBLE)))", 6)} AS cosine
+           FROM bband x JOIN bband y
+             ON x.band_k = y.band_k AND x.band_v = y.band_v AND x.chunk_id <> y.chunk_id
+           JOIN bfit fx ON fx.chunk_id = x.chunk_id
+           JOIN bfit fy ON fy.chunk_id = y.chunk_id),
+         bpair AS (SELECT DISTINCT chunk_id, cb, fa, fb, cosine FROM bpr0
+           WHERE cosine >= $dedupThresholdSql),
+         bagg AS (SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+             MAX(cosine) AS max_dup_cosine,
+             MAX(CASE WHEN fb < fa OR (fb = fa AND cb < chunk_id) THEN 1 ELSE 0 END) AS dominated
+           FROM bpair GROUP BY 1),
+         bmart AS (SELECT CAST(f.chunk_id // $minChunkFactor AS BIGINT) AS doc_id,
+             f.chunk_id, f.cell, f.fit,
+             COALESCE(g.n_dups, CAST(0 AS BIGINT)) AS n_dups, g.max_dup_cosine,
+             (COALESCE(g.dominated, 0) = 0) AS keep
+           FROM bfit f LEFT JOIN bagg g ON f.chunk_id = g.chunk_id)"""
+  }
+
   /** The arm/fusion chain of [[chunkCtes]] parameterized over its chunk
     * sources — `ch` (chunk grain) and `ce` (chunk embeddings) — so the
     * SAME retrieval SQL can run over the full index or the dedup
@@ -664,14 +978,52 @@ object ChunkRetrieval {
            FROM ${pfx}kdd WHERE dr = 1)"""
   }
 
+  /** The q_chunk_retrieval oracle — also q_chunk_delta_serve's
+    * VERBATIM: the delta merge is exact (disjoint unions + associative
+    * sums), so incremental serving must equal the full rebuild
+    * bit-for-bit, and sharing the string makes that the gate. */
+  private lazy val retrievalOracle: String =
+    s"""WITH $chunkCtes
+       SELECT probe_id, CAST(rank AS INT) AS rank,
+         CAST(chunk_id // $minChunkFactor AS BIGINT) AS doc_id, chunk_id,
+         ${sqlR("rrf", 6)} AS rrf_score,
+         CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
+       FROM kfin WHERE rank <= 10 ORDER BY probe_id, rank"""
+
   val oracles: Map[String, String] = Map(
-    "q_chunk_retrieval" ->
-      s"""WITH $chunkCtes
-         SELECT probe_id, CAST(rank AS INT) AS rank,
-           CAST(chunk_id // $minChunkFactor AS BIGINT) AS doc_id, chunk_id,
-           ${sqlR("rrf", 6)} AS rrf_score,
-           CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
-         FROM kfin WHERE rank <= 10 ORDER BY probe_id, rank""",
+    "q_chunk_retrieval" -> retrievalOracle,
+    "q_chunk_delta_serve" -> retrievalOracle,
+    "q_chunk_dedup_banded" ->
+      s"""WITH $chunkCtes, $bandedCtes
+         SELECT doc_id, chunk_id, cell, fit, n_dups, max_dup_cosine, keep
+         FROM bmart ORDER BY chunk_id""",
+    "q_dedup_recall" -> {
+      val dotAb = (0 until outDims).map(j => s"a.p$j * b.p$j").mkString(" + ")
+      s"""WITH $chunkCtes, $bandedCtes,
+         rmod AS (SELECT GREATEST(CAST(1 AS BIGINT), n // 2000) AS m
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bce)),
+         rs AS (SELECT f.* FROM bfit f, rmod WHERE f.chunk_id % rmod.m = 0),
+         rp AS (SELECT a.chunk_id AS ia, b.chunk_id AS ib,
+             a.b0 AS a0, a.b1 AS a1, a.b2 AS a2,
+             b.b0 AS c0, b.b1 AS c1, b.b2 AS c2,
+             ${sqlR(s"CAST($dotAb AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))", 6)} AS cosine
+           FROM rs a JOIN rs b ON a.chunk_id < b.chunk_id),
+         rt AS (SELECT * FROM rp WHERE cosine >= $dedupThresholdSql),
+         ragg AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_pairs,
+             CAST(COALESCE(SUM(CASE WHEN a0 = c0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cell_found,
+             CAST(COALESCE(SUM(CASE WHEN a0 = c0 OR a1 = c1 OR a2 = c2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS band_found
+           FROM rt)
+         SELECT 'banded' AS method, true_pairs, band_found AS found_pairs,
+           CASE WHEN true_pairs = 0 THEN NULL
+                ELSE ${sqlR("CAST(band_found AS DOUBLE) / true_pairs", 6)} END AS recall
+         FROM ragg
+         UNION ALL
+         SELECT 'cell' AS method, true_pairs, cell_found AS found_pairs,
+           CASE WHEN true_pairs = 0 THEN NULL
+                ELSE ${sqlR("CAST(cell_found AS DOUBLE) / true_pairs", 6)} END AS recall
+         FROM ragg
+         ORDER BY method"""
+    },
     "q_chunk_eval" ->
       s"""WITH ${Ann.normCte}, ${Ann.hybridCtes}, $chunkCtes,
          hfr AS (SELECT probe_id, doc_id, ROW_NUMBER() OVER

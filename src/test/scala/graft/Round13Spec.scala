@@ -111,6 +111,53 @@ class Round13Spec extends AnyFunSuite {
     }
   }
 
+  test("banded dedup: candidates are a superset — any single-cell-dominated chunk is banded-dominated") {
+    val single = ChunkRetrieval.chunkDedup(docs)
+    val banded = ChunkRetrieval.chunkBandedDedup(docs)
+    // band 0 == the single cell, so banded candidate pairs ⊇ cell pairs:
+    // domination and dup counts are monotone
+    val s = single.select(col("chunk_id"), col("keep").as("keep_s"),
+      col("n_dups").as("nd_s"))
+    val joined = banded.join(s, Seq("chunk_id"))
+    assert(joined.filter(!col("keep_s") && col("keep")).count() == 0L,
+      "a chunk the single-cell dedup dominates survived the banded dedup")
+    assert(joined.filter(col("n_dups") < col("nd_s")).count() == 0L,
+      "banded dup count fell below the single-cell count")
+    // same population and cells (band 0 ≡ the cell)
+    assert(banded.count() == single.count())
+    assert(banded.select(col("chunk_id"), col("cell")).collect().toSet ==
+      single.select(col("chunk_id"), col("cell")).collect().toSet)
+  }
+
+  test("dedup recall mart: banded recall >= cell recall, both within [0, 1]") {
+    // at the gate SF the adaptive modulus samples EVERYTHING, so the
+    // truth is the exhaustive all-pairs set — non-vacuous by construction
+    val r = ChunkRetrieval.dedupRecall(docs)
+      .collect().map(row => row.getString(0) ->
+        (row.getLong(1), row.getLong(2), Option(row.get(3)).map(_.asInstanceOf[Double])))
+      .toMap
+    assert(r.keySet == Set("banded", "cell"))
+    val (tb, fb, rb) = r("banded")
+    val (tc, fc, rc) = r("cell")
+    assert(tb == tc, "both methods must score the same truth set")
+    assert(tb > 0L, "gate corpus must contain true duplicate pairs")
+    assert(fb >= fc, "banding can only add candidate coverage")
+    for ((f, t, rec) <- Seq((fb, tb, rb), (fc, tc, rc))) {
+      assert(f <= t, "found pairs cannot exceed the truth")
+      rec.foreach(x => assert(x >= 0.0 && x <= 1.0))
+    }
+  }
+
+  test("delta-merged serving == full rebuild bit-for-bit (exact incremental maintenance)") {
+    val rebuild = ChunkRetrieval.chunkRetrieval(docs)
+      .collect().map(_.toSeq).toSet
+    val delta = ChunkRetrieval.chunkDeltaServe(docs)
+      .collect().map(_.toSeq).toSet
+    assert(delta.nonEmpty)
+    assert(delta == rebuild,
+      s"delta-merged serving diverged from the rebuild: ${(delta -- rebuild).take(3)} vs ${(rebuild -- delta).take(3)}")
+  }
+
   test("streamed chunk query serving == batch chunkRetrieval bit-for-bit (and holds zero state)") {
     val batch = ChunkRetrieval.chunkRetrieval(docs)
       .collect().map(_.toSeq).toSet
