@@ -545,7 +545,21 @@ object ChunkRetrieval {
     val n = base.count()
     val bits = cellBitsFor(n)
     val mod = math.max(1L, n / sampleTarget)
-    val feat = base.filter(col("chunk_id") % mod === 0)
+    // sample on an md5 digest of the id, NOT the raw id: chunk_ids are
+    // structured (doc_id·factor + idx), so `chunk_id % mod` inherits
+    // gcd(factor, mod) residue bias — measured 2× sample-size swings
+    // between SFs. The 4-hex-digit device (0..65535, the shared
+    // hexDigit source) is uniform regardless of id structure.
+    val hv = hexDigit("chunk_id", 1) * 4096 + hexDigit("chunk_id", 2) * 256 +
+      hexDigit("chunk_id", 3) * 16 + hexDigit("chunk_id", 4)
+    // AQE coalesces the (small-bytes) checkpointed embed shuffle to ONE
+    // partition, which would run the ~sampleTarget² brute-force cosines
+    // on a single core (measured: a 7.9 s one-task stage at sf0.1). An
+    // explicit repartition of the ~2000-row sample is respected by AQE
+    // and spreads the quadratic loop across the executor cores; the
+    // downstream aggregate is commutative, so values are unaffected.
+    val feat = base.filter(pmod(hv, lit(mod)) === 0)
+      .repartition(32)
       .select(col("chunk_id"), col("p"), col("nsq"),
         array((0 until bandCount).map(k =>
           cellAt("pw", k * outDims, bits)): _*).as("bands"))
@@ -1002,7 +1016,10 @@ object ChunkRetrieval {
       s"""WITH $chunkCtes, $bandedCtes,
          rmod AS (SELECT GREATEST(CAST(1 AS BIGINT), n // 2000) AS m
            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bce)),
-         rs AS (SELECT f.* FROM bfit f, rmod WHERE f.chunk_id % rmod.m = 0),
+         rs AS (SELECT f.* FROM bfit f, rmod
+           WHERE (${(1 to 4).map(i =>
+             s"(strpos('0123456789abcdef', substr(md5(CAST(f.chunk_id AS VARCHAR)), $i, 1)) - 1) * ${Seq(4096, 256, 16, 1)(i - 1)}")
+             .mkString(" + ")}) % rmod.m = 0),
          rp AS (SELECT a.chunk_id AS ia, b.chunk_id AS ib,
              a.b0 AS a0, a.b1 AS a1, a.b2 AS a2,
              b.b0 AS c0, b.b1 AS c1, b.b2 AS c2,

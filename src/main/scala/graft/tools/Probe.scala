@@ -89,6 +89,10 @@ object Probe {
         t("fused")(graft.ann.ChunkRetrieval.probeFused(docs).count())
         t("retrieval")(graft.ann.ChunkRetrieval.chunkRetrieval(docs).count())
         t("retrieval warm")(graft.ann.ChunkRetrieval.chunkRetrieval(docs).count())
+      case "recall" =>
+        t("warmup")(docs.count())
+        t("recall")(graft.ann.ChunkRetrieval.dedupRecall(docs).count())
+        t("recall warm")(graft.ann.ChunkRetrieval.dedupRecall(docs).count())
       case "serve" =>
         t("warmup")(docs.count())
         t("dedup")(graft.ann.ChunkRetrieval.chunkDedup(docs).count())
