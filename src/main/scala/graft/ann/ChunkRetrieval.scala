@@ -676,11 +676,24 @@ object ChunkRetrieval {
       .groupBy(col("word")).agg(sum(col("df")).as("df"))
     val stats = fstat.unionByName(dstat)
       .agg(sum(col("nn")).as("nn"), sum(col("sdl0")).as("sdl0"))
+    serveFromParts(ce, postings, dfAll, stats, documents, factor,
+      nProbes, k, kTerms, arm, rrfK)
+  }
+
+  /** Serve [[chunkRetrieval]] from pre-built index parts — the entry a
+    * session holding only PERSISTED parts (StorageSpec round-trips
+    * them through parquet) uses; bit-equal to the rebuild whenever the
+    * parts are [[indexParts]] of the same corpus. */
+  private[graft] def serveFromParts(ce: DataFrame, postings: DataFrame,
+                                    dfAll: DataFrame, stats: DataFrame,
+                                    documents: DataFrame, factor: Long,
+                                    nProbes: Int = 10, k: Int = 10,
+                                    kTerms: Int = 8, arm: Int = 50,
+                                    rrfK: Int = 60): DataFrame =
     rankServe(fuseArms(
       lexArmFromParts(postings, dfAll, stats, documents,
         nProbes, kTerms, arm, factor),
       vecArmFromCe(ce, documents, nProbes, arm, factor), rrfK), factor, k)
-  }
 
   /** Chunk-grain vs doc-grain label-relevance precision@k — the serving
     * decision beside [[Ann.hybridEval]]: does passage retrieval with

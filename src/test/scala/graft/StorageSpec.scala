@@ -251,6 +251,31 @@ class StorageSpec extends AnyFunSuite {
     }
   }
 
+  test("corpus-scale index parts round-trip through parquet and serve bit-equal") {
+    // The chunk index PARTS (embeddings, postings, df, stats) grow with
+    // the corpus, so they persist as plain parquet datasets (the
+    // day-partitioned state-mart device), NOT driver-hashed Artifacts —
+    // bounded-size is the Artifacts contract. A later session holding
+    // only the files must serve q_chunk_retrieval bit-equal.
+    import graft.ann.ChunkRetrieval
+    val dir = java.nio.file.Files.createTempDirectory("graft-parts").toString
+    val docs = Tables.documents(spark, sf)
+    val factor = ChunkRetrieval.chunkFactorFor(docs)
+    val (ce, postings, dfAll, stats) =
+      ChunkRetrieval.indexParts(ChunkRetrieval.chunks(docs, factor))
+    for ((df, name) <- Seq((ce, "ce"), (postings, "postings"),
+        (dfAll, "df"), (stats, "stats")))
+      df.write.mode("overwrite").parquet(s"$dir/$name")
+    def back(name: String) = spark.read.parquet(s"$dir/$name")
+    val served = ChunkRetrieval.serveFromParts(back("ce"), back("postings"),
+      back("df"), back("stats"), docs, factor)
+    val rebuilt = ChunkRetrieval.chunkRetrieval(docs)
+    assert(served.count() > 0)
+    assert(served.collect().map(_.toSeq).toSet ==
+      rebuilt.collect().map(_.toSeq).toSet,
+      "serving from persisted index parts diverged from the rebuild")
+  }
+
   test("extensions class registers graft_dot at session build time") {
     // applying to a fresh extensions container must succeed and register
     val ext = new org.apache.spark.sql.SparkSessionExtensions
