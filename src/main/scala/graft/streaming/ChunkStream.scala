@@ -217,4 +217,61 @@ object ChunkStream {
     } finally q.stop()
     spark.table(queryName)
   }
+
+  /** Index-side INGEST twin of [[servedChunkQueries]] — the write half
+    * of the incremental-maintenance loop
+    * ([[ChunkRetrieval.chunkDeltaServe]] is the batch shape): each
+    * arriving document expands ROW-LOCALLY into one row per chunk
+    * carrying everything the index parts need — the chunk's word
+    * length, its per-word tf list, and its hash/JL embedding (the
+    * bucket-count fold + sign-matrix fold, bit-equal to the batch
+    * [[ChunkRetrieval.chunkEmbeds]] shuffle build because the integer
+    * sums are associative). Zero aggregation state: the corpus-grain
+    * aggregates (df, nn, sdl) are ASSOCIATIVE SUMS over these rows, so
+    * they belong to the downstream merge, not the stream. `factor` is
+    * the frozen artifact's chunk_id encoding — a stream cannot derive
+    * it, exactly like the serving twin. */
+  private[graft] def ingestRows(docs: DataFrame, factor: Long): DataFrame = {
+    val bcE =
+      s"""aggregate(transform(cwords, w -> struct(
+         pmod((instr('0123456789abcdef', substr(md5(cast(w as binary)), 1, 1)) - 1) * 16
+           + instr('0123456789abcdef', substr(md5(cast(w as binary)), 2, 1)) - 1, $dims) AS bucket,
+         IF((instr('0123456789abcdef', substr(md5(cast(w as binary)), 3, 1)) - 1) % 2 = 0, 1L, -1L) AS sgn)),
+         array_repeat(0L, $dims),
+         (acc, e) -> transform(acc, (x, i) -> x + IF(i = e.bucket, e.sgn, 0L)))"""
+    val pE =
+      s"""transform(${ChunkRetrieval.signsSql}, srow ->
+         aggregate(zip_with(bcv, srow, (bca, sgv) -> bca * sgv), cast(0 as bigint), (qa, qx) -> qa + qx))"""
+    ChunkRetrieval.chunks(docs, factor)
+      .withColumn("dl", size(col("cwords")).cast("long"))
+      .withColumn("tfs", expr(
+        """transform(array_distinct(cwords), w ->
+           struct(w AS word, cast(size(filter(cwords, x -> x = w)) as bigint) AS tf))"""))
+      .withColumn("bcv", expr(bcE))
+      .withColumn("p", expr(pE))
+      .withColumn("nsq",
+        expr("aggregate(p, cast(0 as bigint), (a, x) -> a + x * x)"))
+      .select(col("doc_id"), col("chunk_id"), col("dl"), col("tfs"),
+        col("p"), col("nsq"))
+  }
+
+  /** Run [[ingestRows]] over a document file stream; asserts zero
+    * aggregation state inside the operator and returns the collected
+    * chunk-part rows. */
+  def ingestedParts(spark: SparkSession, dir: String, factor: Long,
+                    maxDocs: Int = Int.MaxValue,
+                    queryName: String = "stream_chunkparts"): DataFrame = {
+    val docs = DocStream.readDocuments(spark, dir)
+      .filter(col("doc_id") < maxDocs)
+    val q = ingestRows(docs, factor).writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try {
+      q.processAllAvailable()
+      val st = Option(q.lastProgress).flatMap(p => Option(p.stateOperators))
+        .getOrElse(Array.empty)
+      require(st.isEmpty,
+        s"index-part ingest must hold zero aggregation state, found ${st.length} operators")
+    } finally q.stop()
+    spark.table(queryName)
+  }
 }

@@ -158,6 +158,38 @@ class Round13Spec extends AnyFunSuite {
       s"delta-merged serving diverged from the rebuild: ${(delta -- rebuild).take(3)} vs ${(rebuild -- delta).take(3)}")
   }
 
+  test("streamed index-part ingest == batch parts; serving from stream-derived parts == rebuild") {
+    val factor = ChunkRetrieval.chunkFactorFor(docs)
+    val raw = graft.streaming.ChunkStream.ingestedParts(spark, sf, factor)
+    // memory-sink frames hit the conflicting-reference resolver when a
+    // downstream device reads them twice — re-materialize first
+    val rows = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(raw.collect(): _*)),
+      raw.schema)
+    val ce = rows.filter(col("nsq") > 0).select("chunk_id", "p", "nsq")
+    val postings = rows
+      .select(col("chunk_id"), col("dl"), explode(col("tfs")).as("t"))
+      .select(col("t.word").as("word"), col("chunk_id"),
+        col("t.tf").as("tf"), col("dl"))
+    val dfAll = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = rows.agg(count(lit(1)).as("nn"),
+      sum(col("dl").cast("decimal(18,0)")).as("sdl0"))
+    // each part equals its batch build bit-for-bit (associative sums)
+    val (bce, bpost, _, _) =
+      ChunkRetrieval.indexParts(ChunkRetrieval.chunks(docs, factor))
+    assert(ce.collect().map(_.toSeq).toSet == bce.collect().map(_.toSeq).toSet,
+      "streamed chunk embeddings diverged from the batch build")
+    assert(postings.collect().map(_.toSeq).toSet ==
+      bpost.collect().map(_.toSeq).toSet,
+      "streamed postings diverged from the batch build")
+    // and the parts SERVE bit-equal to the full rebuild
+    val served = ChunkRetrieval.serveFromParts(ce, postings, dfAll, stats,
+      docs, factor)
+    assert(served.collect().map(_.toSeq).toSet ==
+      ChunkRetrieval.chunkRetrieval(docs).collect().map(_.toSeq).toSet,
+      "serving from stream-ingested parts diverged from the rebuild")
+  }
+
   test("streamed chunk query serving == batch chunkRetrieval bit-for-bit (and holds zero state)") {
     val batch = ChunkRetrieval.chunkRetrieval(docs)
       .collect().map(_.toSeq).toSet
