@@ -592,6 +592,68 @@ object ChunkRetrieval {
       .orderBy("method")
   }
 
+  /** The LSH-ACCELERATED chunk vector arm, evaluated against the exact
+    * arm — the scale path for the one brute-force stage left in the
+    * chunk stack: [[vecArm]] scans EVERY chunk per probe (right at
+    * gate scale, wrong at 10^10 chunks). The same sign-LSH cells the
+    * dedup derives (free bit packing, adaptive width) give a
+    * multi-probe candidate route: only chunks within `hamming` sign
+    * bits of the probe's cell are scored. On a cell-keyed shard store
+    * that is a bounded fetch of Σ C(bits, i≤hamming) cells; this mart
+    * MEASURES both sides of the tradeoff per probe — candidates
+    * actually scanned (n_cand vs the full corpus) and top-k recall
+    * against the exact arm — the ann_eval calibration device at chunk
+    * grain. */
+  def chunkAnnEval(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
+                   hamming: Int = 2): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    val base = chunkEmbeds(chunks(documents, factor)).localCheckpoint(false)
+    val bits = cellBitsFor(base.count())
+    val ce = base.withColumn("cell", cellAt("p", 0, bits))
+    val pe = hashEmbed(TextPrep.withWords(documents.filter(col("text").isNotNull))
+        .filter(col("norm") =!= "").filter(col("doc_id") < nProbes)
+        .select(col("doc_id"), explode(col("words")).as("word")), "doc_id")
+      .withColumn("pcell", cellAt("p", 0, bits))
+      .select(col("doc_id").as("probe_id"), col("p").as("q"),
+        col("nsq").as("pnsq"), col("pcell"))
+      .localCheckpoint(false)
+    def cos = r6(expr(
+      "aggregate(zip_with(p, q, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+      .cast("double") /
+      (sqrt(col("nsq").cast("double")) * sqrt(col("pnsq").cast("double"))))
+    val exact = Ann.topkPerProbe(base.crossJoin(broadcast(pe.drop("pcell")))
+      .filter(floor(col("chunk_id") / factor) =!= col("probe_id"))
+      .withColumn("cosine", cos)
+      .select(col("probe_id"), col("chunk_id").as("vec_id"), col("cosine")), k)
+      .localCheckpoint(false)
+    val cand = ce.crossJoin(broadcast(pe))
+      .filter(expr(s"bit_count(cell ^ pcell) <= $hamming"))
+      .filter(floor(col("chunk_id") / factor) =!= col("probe_id"))
+      .withColumn("cosine", cos)
+      .select(col("probe_id"), col("chunk_id").as("vec_id"), col("cosine"))
+      .localCheckpoint(false)
+    val lsh = Ann.topkPerProbe(cand, k)
+    val nc = cand.groupBy(col("probe_id")).agg(count(lit(1)).as("n_cand"))
+    val nex = exact.groupBy(col("probe_id").as("xp"))
+      .agg(count(lit(1)).as("n_exact"))
+    val hits = lsh.select(col("probe_id").as("hp"), col("neighbor_id"))
+      .join(exact.select(col("probe_id").as("ep"),
+        col("neighbor_id").as("en")),
+        col("hp") === col("ep") && col("neighbor_id") === col("en"))
+      .groupBy(col("hp")).agg(count(lit(1)).as("n_hits"))
+    pe.select(col("probe_id"))
+      .join(nc, Seq("probe_id"), "left")
+      .join(nex, col("probe_id") === col("xp"), "left")
+      .join(hits, col("probe_id") === col("hp"), "left")
+      .select(col("probe_id"),
+        coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        r6(try_divide(coalesce(col("n_hits"), lit(0L)).cast("double"),
+          coalesce(col("n_exact"), lit(0L)).cast("double"))).as("recall"))
+      .orderBy("probe_id")
+  }
+
   /** The chunk frame minus semantically dominated chunks. Chunks with
     * no embedding (all tokens cancelled, nsq = 0) cannot be scored for
     * duplication and pass through — only a DOMINATED verdict removes a
@@ -748,7 +810,8 @@ object ChunkRetrieval {
     "q_chunk_serve" -> ((s, d) => chunkServe(Tables.documents(s, d))),
     "q_chunk_dedup_banded" -> ((s, d) => chunkBandedDedup(Tables.documents(s, d))),
     "q_dedup_recall" -> ((s, d) => dedupRecall(Tables.documents(s, d))),
-    "q_chunk_delta_serve" -> ((s, d) => chunkDeltaServe(Tables.documents(s, d)))
+    "q_chunk_delta_serve" -> ((s, d) => chunkDeltaServe(Tables.documents(s, d))),
+    "q_chunk_ann_eval" -> ((s, d) => chunkAnnEval(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -854,12 +917,21 @@ object ChunkRetrieval {
     * `dmart` (the q_chunk_dedup row shape) and `ddom` (dominated
     * chunk ids, the serve filter). */
   private val dedupThresholdSql = "CAST(0.95 AS DOUBLE)"
+
+  /** The cellBitsFor integer-threshold ladder as SQL over a column `n`
+    * — shared by every oracle that derives the adaptive cell width. */
+  private def bitsLadderSql: String = "CASE " + (minCellBits until maxCellBits)
+    .map(b => s"WHEN n <= ${cellOcc << b} THEN $b").mkString(" ") +
+    s" ELSE $maxCellBits END"
+
+  /** Sign-LSH cell SQL from columns `${src}0..` gated by the derived
+    * width `db.b` — bit j participates only when j < b. */
+  private def cellLadderSql(src: String): String = (0 until maxCellBits)
+    .map(j => s"(CASE WHEN $j < db.b AND $src$j >= 0 THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+
   private lazy val dedupCtes: String = {
-    // the same integer-threshold ladder as cellBitsFor — bit j
-    // participates only when j < the derived bit count
-    val bitsSql = "CASE " + (minCellBits until maxCellBits)
-      .map(b => s"WHEN n <= ${cellOcc << b} THEN $b").mkString(" ") +
-      s" ELSE $maxCellBits END"
+    val bitsSql = bitsLadderSql
     val cellSql = (0 until maxCellBits).map(j =>
       s"(CASE WHEN $j < db.b AND p$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     val sCols = (0 until outDims).map(j => s"CAST(SUM(p$j) AS BIGINT) AS s$j")
@@ -905,9 +977,7 @@ object ChunkRetrieval {
       s"CAST(SUM(sgn * list_extract(${projArr(j)}, CAST(bucket AS INT) + 1)) AS BIGINT) AS p$j")
       .mkString(",\n             ")
     val nsq16 = (0 until outDims).map(j => s"p$j * p$j").mkString(" + ")
-    val bitsSql = "CASE " + (minCellBits until maxCellBits)
-      .map(b => s"WHEN n <= ${cellOcc << b} THEN $b").mkString(" ") +
-      s" ELSE $maxCellBits END"
+    val bitsSql = bitsLadderSql
     def bandVal(k: Int) = (0 until maxCellBits).map(j =>
       s"(CASE WHEN $j < db.b AND p${k * outDims + j} >= 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
@@ -1024,6 +1094,43 @@ object ChunkRetrieval {
       s"""WITH $chunkCtes, $bandedCtes
          SELECT doc_id, chunk_id, cell, fit, n_dups, max_dup_cosine, keep
          FROM bmart ORDER BY chunk_id""",
+    "q_chunk_ann_eval" ->
+      s"""WITH $chunkCtes,
+         abit AS (SELECT $bitsLadderSql AS b
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kce)),
+         acc AS (SELECT chunk_id, CAST(${cellLadderSql("p")} AS BIGINT) AS cell
+           FROM kce, abit db),
+         apc AS (SELECT probe_id, CAST(${cellLadderSql("q")} AS BIGINT) AS pcell
+           FROM kpe, abit db),
+         acand AS (SELECT v.probe_id, v.chunk_id, v.cosine
+           FROM kvs v JOIN acc c ON c.chunk_id = v.chunk_id
+             JOIN apc p ON p.probe_id = v.probe_id
+           WHERE bit_count(xor(c.cell, p.pcell)) <= 2),
+         alr AS (SELECT probe_id, chunk_id, ROW_NUMBER() OVER
+             (PARTITION BY probe_id ORDER BY cosine DESC, chunk_id) AS rn
+           FROM acand),
+         alsh AS (SELECT probe_id, chunk_id FROM alr WHERE rn <= 10),
+         aex AS (SELECT probe_id, chunk_id FROM kvr WHERE vec_rank <= 10),
+         anc AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_cand
+           FROM acand GROUP BY 1),
+         anx AS (SELECT probe_id, CAST(COUNT(*) AS BIGINT) AS n_exact
+           FROM aex GROUP BY 1),
+         anh AS (SELECT l.probe_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           FROM alsh l JOIN aex e
+             ON e.probe_id = l.probe_id AND e.chunk_id = l.chunk_id
+           GROUP BY 1)
+         SELECT kp.probe_id,
+           COALESCE(anc.n_cand, CAST(0 AS BIGINT)) AS n_cand,
+           COALESCE(anx.n_exact, CAST(0 AS BIGINT)) AS n_exact,
+           COALESCE(anh.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           CASE WHEN COALESCE(anx.n_exact, 0) = 0 THEN NULL
+                ELSE ${sqlR("CAST(COALESCE(anh.n_hits, 0) AS DOUBLE) / anx.n_exact", 6)}
+           END AS recall
+         FROM (SELECT DISTINCT probe_id FROM kpe) kp
+           LEFT JOIN anc ON anc.probe_id = kp.probe_id
+           LEFT JOIN anx ON anx.probe_id = kp.probe_id
+           LEFT JOIN anh ON anh.probe_id = kp.probe_id
+         ORDER BY kp.probe_id""",
     "q_dedup_recall" -> {
       val dotAb = (0 until outDims).map(j => s"a.p$j * b.p$j").mkString(" + ")
       s"""WITH $chunkCtes, $bandedCtes,

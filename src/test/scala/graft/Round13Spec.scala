@@ -158,6 +158,25 @@ class Round13Spec extends AnyFunSuite {
       s"delta-merged serving diverged from the rebuild: ${(delta -- rebuild).take(3)} vs ${(rebuild -- delta).take(3)}")
   }
 
+  test("LSH-accelerated vector arm: bounded candidates, laws hold, gate recall stays high") {
+    val total = ChunkRetrieval.chunks(docs, ChunkRetrieval.chunkFactorFor(docs)).count()
+    val rows = ChunkRetrieval.chunkAnnEval(docs).collect()
+    assert(rows.length == 10)
+    for (r <- rows) {
+      val (nc, nx, nh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nc < total, "the cell filter must exclude part of the corpus")
+      assert(nh <= nx && nh <= math.min(nc, 10L),
+        "hits cannot exceed either list")
+      Option(r.get(4)).foreach(x =>
+        assert(x.asInstanceOf[Double] >= 0.0 && x.asInstanceOf[Double] <= 1.0))
+    }
+    // deterministic at the gate corpus: the multi-probe route keeps the
+    // exact top-10 (measured 1.0 per probe; floor guards drift)
+    val meanRecall = rows.flatMap(r => Option(r.get(4)))
+      .map(_.asInstanceOf[Double]).sum / rows.length
+    assert(meanRecall >= 0.9, s"gate recall degraded: $meanRecall")
+  }
+
   test("streamed index-part ingest == batch parts; serving from stream-derived parts == rebuild") {
     val factor = ChunkRetrieval.chunkFactorFor(docs)
     val raw = graft.streaming.ChunkStream.ingestedParts(spark, sf, factor)
