@@ -182,6 +182,69 @@ object ChunkRetrieval {
       col("chunk_id").as("vec_id"), col("cosine")), arm)
   }
 
+  /** XOR masks enumerating the Hamming-≤`hamming` ball over `bits` sign
+    * bits — the multi-probe cell list. |masks| = Σ C(bits, i≤hamming):
+    * 137 at 16 bits / hamming 2, a bounded literal. */
+  private def hammingMasks(bits: Int, hamming: Int): Seq[Long] =
+    (0 to hamming).flatMap(h =>
+      (0 until bits).combinations(h).map(_.map(i => 1L << i).sum).toSeq)
+
+  /** The PRODUCTION cell-route vector arm — [[vecArmFromCe]]'s scale
+    * replacement, promoted from the [[chunkAnnEval]] measurement
+    * (~1.1% of chunks scanned per probe at recall 0.80 at 100×; 1.0 at
+    * gate SFs): instead of scoring EVERY chunk against every probe
+    * (the brute-force cross — right at gate scale, corpus-linear per
+    * probe at 10^10 chunks), each probe explodes to its Hamming-≤
+    * `hamming` multi-probe CELL list (the [[hammingMasks]] ball over
+    * the adaptive sign-LSH cell width) and EQUI-JOINS the cell-keyed
+    * chunk store: a broadcast hash join on cell, so each chunk row
+    * hash-probes a ≤ nProbes·|ball| table once — and on a production
+    * index bucketed by cell the join is a partition-pruned FETCH of
+    * ~|ball| cells per probe (the q_pq_refine pattern at chunk grain).
+    * Exact cosine re-ranks only the fetched candidates. */
+  private def vecArmCellFromCe(base0: DataFrame, documents: DataFrame,
+                               nProbes: Int, arm: Int, factor: Long,
+                               hamming: Int): DataFrame = {
+    // one evaluation of the embed shuffle serves both the width count
+    // and the celled store (the chunkCells boundary discipline)
+    val base = base0.localCheckpoint(false)
+    val bits = cellBitsFor(base.count())
+    val ce = base.withColumn("cell", cellAt("p", 0, bits))
+    val masks = hammingMasks(bits, hamming)
+    val pe = hashEmbed(TextPrep.withWords(documents.filter(col("text").isNotNull))
+        .filter(col("norm") =!= "").filter(col("doc_id") < nProbes)
+        .select(col("doc_id"), explode(col("words")).as("word")), "doc_id")
+      .withColumn("pcell", cellAt("p", 0, bits))
+      .select(col("doc_id").as("probe_id"), col("p").as("q"),
+        col("nsq").as("pnsq"),
+        explode(expr(s"transform(array(${masks.mkString(",")}), " +
+          "m -> pcell ^ cast(m as bigint))")).as("cand_cell"))
+    val cand = ce.join(broadcast(pe), col("cell") === col("cand_cell"))
+      .filter(floor(col("chunk_id") / factor) =!= col("probe_id"))
+      .withColumn("cosine", r6(expr(
+        "aggregate(zip_with(p, q, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+        .cast("double") /
+        (sqrt(col("nsq").cast("double")) * sqrt(col("pnsq").cast("double")))))
+    Ann.topkPerProbe(cand.select(col("probe_id"),
+      col("chunk_id").as("vec_id"), col("cosine")), arm)
+  }
+
+  /** [[chunkRetrieval]] with the cell-route vector arm — the production
+    * serving shape at corpus scale. Its own oracle mirrors the cell
+    * route exactly (candidates = Hamming-≤2 cells, re-ranked), so the
+    * key gates the PROMOTED plan, while Round14Spec pins that the
+    * served lists preserve the brute-force arm's label precision (the
+    * [[chunkEval]] device). */
+  def chunkRetrievalAnn(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
+                        kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
+                        hamming: Int = 2): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    val ch = chunks(documents, factor)
+    rankServe(fuseArms(lexArm(ch, documents, nProbes, kTerms, arm),
+      vecArmCellFromCe(chunkEmbeds(ch), documents, nProbes, arm, factor,
+        hamming), rrfK), factor, k)
+  }
+
   /** Lexical arm: the [[Ann.hybridRrf]] BM25 shape with chunks as the
     * retrieval unit — chunk-grain tf/dl/df/avgdl, probe terms still from
     * the probe document's own vocabulary. */
@@ -797,6 +860,10 @@ object ChunkRetrieval {
   private[graft] def probeFused(docs: DataFrame): DataFrame = {
     val f = chunkFactorFor(docs); fused(chunks(docs, f), docs, 10, 8, 50, 60, f)
   }
+  private[graft] def probeVecArmCell(docs: DataFrame): DataFrame = {
+    val f = chunkFactorFor(docs)
+    vecArmCellFromCe(chunkEmbeds(chunks(docs, f)), docs, 10, 50, f, 2)
+  }
   private[graft] def probeDominated(docs: DataFrame): DataFrame =
     chunkDedup(docs).filter(!col("keep")).select(col("chunk_id"))
   private[graft] def probeSurvivors(docs: DataFrame): DataFrame =
@@ -811,7 +878,8 @@ object ChunkRetrieval {
     "q_chunk_dedup_banded" -> ((s, d) => chunkBandedDedup(Tables.documents(s, d))),
     "q_dedup_recall" -> ((s, d) => dedupRecall(Tables.documents(s, d))),
     "q_chunk_delta_serve" -> ((s, d) => chunkDeltaServe(Tables.documents(s, d))),
-    "q_chunk_ann_eval" -> ((s, d) => chunkAnnEval(Tables.documents(s, d)))
+    "q_chunk_ann_eval" -> ((s, d) => chunkAnnEval(Tables.documents(s, d))),
+    "q_chunk_retrieval_ann" -> ((s, d) => chunkRetrievalAnn(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -1090,6 +1158,43 @@ object ChunkRetrieval {
   val oracles: Map[String, String] = Map(
     "q_chunk_retrieval" -> retrievalOracle,
     "q_chunk_delta_serve" -> retrievalOracle,
+    // the PROMOTED cell-route arm: candidates = chunks whose adaptive
+    // sign-LSH cell is within Hamming-2 of the probe's, exact cosine
+    // re-rank, then the verbatim fusion/dedup/rank tail over the same
+    // lexical arm
+    "q_chunk_retrieval_ann" ->
+      s"""WITH $chunkCtes,
+         nbit AS (SELECT $bitsLadderSql AS b
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kce)),
+         ncc AS (SELECT chunk_id, CAST(${cellLadderSql("p")} AS BIGINT) AS cell
+           FROM kce, nbit db),
+         npc AS (SELECT probe_id, CAST(${cellLadderSql("q")} AS BIGINT) AS pcell
+           FROM kpe, nbit db),
+         ncand AS (SELECT v.probe_id, v.chunk_id, v.cosine
+           FROM kvs v JOIN ncc c ON c.chunk_id = v.chunk_id
+             JOIN npc p ON p.probe_id = v.probe_id
+           WHERE bit_count(xor(c.cell, p.pcell)) <= 2),
+         nvr AS (SELECT probe_id, chunk_id, ROW_NUMBER() OVER
+             (PARTITION BY probe_id ORDER BY cosine DESC, chunk_id) AS vec_rank
+           FROM ncand),
+         nvarm AS (SELECT * FROM nvr WHERE vec_rank <= 50),
+         nfus AS (SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
+             COALESCE(l.chunk_id, v.chunk_id) AS chunk_id, l.lex_rank, v.vec_rank,
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0) +
+               COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0.0) AS rrf
+           FROM klarm l FULL OUTER JOIN nvarm v
+             ON l.probe_id = v.probe_id AND l.chunk_id = v.chunk_id),
+         ndd AS (SELECT *, ROW_NUMBER() OVER
+             (PARTITION BY probe_id, chunk_id // $minChunkFactor ORDER BY rrf DESC, chunk_id) AS dr
+           FROM nfus),
+         nfin AS (SELECT probe_id, chunk_id, lex_rank, vec_rank, rrf,
+             ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf DESC, chunk_id) AS rank
+           FROM ndd WHERE dr = 1)
+         SELECT probe_id, CAST(rank AS INT) AS rank,
+           CAST(chunk_id // $minChunkFactor AS BIGINT) AS doc_id, chunk_id,
+           ${sqlR("rrf", 6)} AS rrf_score,
+           CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
+         FROM nfin WHERE rank <= 10 ORDER BY probe_id, rank""",
     "q_chunk_dedup_banded" ->
       s"""WITH $chunkCtes, $bandedCtes
          SELECT doc_id, chunk_id, cell, fit, n_dups, max_dup_cosine, keep

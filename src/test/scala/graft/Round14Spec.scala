@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ann.ChunkRetrieval
+
+/** Round-14 invariants: the PROMOTED cell-route chunk vector arm — the
+  * production replacement for the corpus-scan brute-force arm — serves
+  * with the brute arm's label precision, recalls its exact top-k at
+  * gate scale, and carries the equi-join plan shape (a cell-keyed
+  * fetch, not a per-probe corpus scan). */
+class Round14Spec extends AnyFunSuite {
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .appName("round14-spec").getOrCreate()
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val docs = Tables.documents(spark, sf)
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("cell-route retrieval preserves the brute-force arm's label p@10") {
+    val labels = emb.select(col("vec_id").as("doc_id"), col("label"))
+    val probeLab = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("pl_id"), col("label").as("plabel"))
+    def meanP(list: org.apache.spark.sql.DataFrame): Double =
+      list.join(broadcast(labels), Seq("doc_id"))
+        .join(broadcast(probeLab), col("probe_id") === col("pl_id"))
+        .groupBy(col("probe_id"))
+        .agg(avg((col("label") === col("plabel")).cast("double")).as("p"))
+        .agg(avg(col("p"))).head.getDouble(0)
+    val pBrute = meanP(ChunkRetrieval.chunkRetrieval(docs))
+    val pAnn = meanP(ChunkRetrieval.chunkRetrievalAnn(docs))
+    assert(pAnn >= pBrute - 0.05,
+      s"cell-route arm lost label precision: ann $pAnn vs brute $pBrute")
+  }
+
+  test("cell-route arm recalls the exact arm's full top-k at gate scale") {
+    val ev = ChunkRetrieval.chunkAnnEval(docs).collect()
+    assert(ev.nonEmpty)
+    ev.foreach { r =>
+      assert(r.getAs[Long]("n_exact") > 0L)
+      assert(r.getAs[Double]("recall") == 1.0,
+        s"probe ${r.getAs[Long]("probe_id")} recall ${r.getAs[Double]("recall")}")
+    }
+  }
+
+  test("cell arm plan: a broadcast equi-join on cell, no per-probe corpus scan") {
+    val arm = ChunkRetrieval.probeVecArmCell(docs)
+    arm.collect()
+    val plan = arm.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("BroadcastHashJoin"),
+      "candidate fetch is not a broadcast hash join on cell")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the cell-route arm still scans the corpus per probe")
+  }
+
+  test("cell-route retrieval is deterministic and keeps the serving contract") {
+    val a = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
+    val b = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    // ≤ k rows per probe, ranks contiguous from 1, ≤ 1 chunk per doc
+    val byProbe = a.groupBy(_.getAs[Long]("probe_id"))
+    byProbe.foreach { case (_, rows) =>
+      assert(rows.length <= 10)
+      assert(rows.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rows.length))
+      val docsOf = rows.map(_.getAs[Long]("doc_id"))
+      assert(docsOf.distinct.length == docsOf.length, "two chunks of one doc served")
+    }
+  }
+}
