@@ -820,6 +820,35 @@ object ChunkRetrieval {
         nProbes, kTerms, arm, factor),
       vecArmFromCe(ce, documents, nProbes, arm, factor), rrfK), factor, k)
 
+  /** The artifact-lifecycle gate at INDEX scale — the q_bpe_subword_loaded
+    * pattern applied to the corpus-sized index parts: build
+    * [[indexParts]] once, persist every part STAMPED with its
+    * [[graft.sources.Artifacts.distributedVersion]] (the
+    * order-insensitive xxhash64 aggregate — no driver collect, so it
+    * works on frames that grow with the corpus, which
+    * [[graft.sources.Artifacts.artifactVersion]] by design cannot),
+    * reload with the stamp re-verified (corruption fails closed,
+    * StorageSpec), and serve retrieval from the LOADED parts. The
+    * oracle is [[chunkRetrieval]]'s VERBATIM: a persisted index must
+    * serve bit-equal to the rebuild. */
+  def chunkPartsLoaded(spark: SparkSession, documents: DataFrame,
+                       nProbes: Int = 10, k: Int = 10, kTerms: Int = 8,
+                       arm: Int = 50, rrfK: Int = 60): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    val (ce, postings, dfAll, stats) = indexParts(chunks(documents, factor))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-index-parts").toFile
+    tmp.deleteOnExit()
+    val dir = tmp.getAbsolutePath
+    Seq("ce" -> ce, "postings" -> postings, "df" -> dfAll, "stats" -> stats)
+      .foreach { case (n, f) => graft.sources.Artifacts.saveLarge(f, dir, n) }
+    val (lce, _) = graft.sources.Artifacts.loadLarge(spark, dir, "ce")
+    val (lpost, _) = graft.sources.Artifacts.loadLarge(spark, dir, "postings")
+    val (ldf, _) = graft.sources.Artifacts.loadLarge(spark, dir, "df")
+    val (lstat, _) = graft.sources.Artifacts.loadLarge(spark, dir, "stats")
+    serveFromParts(lce, lpost, ldf, lstat, documents, factor,
+      nProbes, k, kTerms, arm, rrfK)
+  }
+
   /** Chunk-grain vs doc-grain label-relevance precision@k — the serving
     * decision beside [[Ann.hybridEval]]: does passage retrieval with
     * doc dedup preserve the doc-grain hybrid list's precision? Per
@@ -879,7 +908,8 @@ object ChunkRetrieval {
     "q_dedup_recall" -> ((s, d) => dedupRecall(Tables.documents(s, d))),
     "q_chunk_delta_serve" -> ((s, d) => chunkDeltaServe(Tables.documents(s, d))),
     "q_chunk_ann_eval" -> ((s, d) => chunkAnnEval(Tables.documents(s, d))),
-    "q_chunk_retrieval_ann" -> ((s, d) => chunkRetrievalAnn(Tables.documents(s, d)))
+    "q_chunk_retrieval_ann" -> ((s, d) => chunkRetrievalAnn(Tables.documents(s, d))),
+    "q_chunk_parts_loaded" -> ((s, d) => chunkPartsLoaded(s, Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -1158,6 +1188,9 @@ object ChunkRetrieval {
   val oracles: Map[String, String] = Map(
     "q_chunk_retrieval" -> retrievalOracle,
     "q_chunk_delta_serve" -> retrievalOracle,
+    // a persisted, stamp-verified index must serve bit-equal to the
+    // rebuild — the verbatim oracle IS the gate
+    "q_chunk_parts_loaded" -> retrievalOracle,
     // the PROMOTED cell-route arm: candidates = chunks whose adaptive
     // sign-LSH cell is within Hamming-2 of the probe's, exact cosine
     // re-rank, then the verbatim fusion/dedup/rank tail over the same

@@ -44,6 +44,66 @@ object Artifacts {
       .map("%02x".format(_)).mkString.take(8)
   }
 
+  /** Content version of a CORPUS-SIZED frame — the distributed twin of
+    * [[artifactVersion]] for frames that GROW with the corpus (chunk
+    * index parts: embeddings, postings, df, stats) and therefore can
+    * never be collected: an order-insensitive aggregate over per-row
+    * xxhash64 — exact decimal SUM (wrap-free at any row count), XOR,
+    * and COUNT of the row hashes — folded with the schema line into
+    * the same 8-hex md5 stamp. One map-side-combined pass, no driver
+    * materialization; partition order and count cannot move it, so two
+    * builds (or a build and its parquet round-trip) of the same logical
+    * content version identically. */
+  def distributedVersion(df: DataFrame): String = {
+    val schema = df.schema.map(f => s"${f.name}:${f.dataType.simpleString}")
+      .mkString(",")
+    val agg = df
+      .select(xxhash64(df.columns.map(col): _*).as("h"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(col("h").cast("decimal(38,0)")), lit(0)).cast("string").as("hs"),
+        coalesce(expr("bit_xor(h)"), lit(0L)).cast("string").as("hx"))
+      .head
+    val content = s"$schema\n${agg.getAs[Long]("n")}|${agg.getAs[String]("hs")}|${agg.getAs[String]("hx")}"
+    MessageDigest.getInstance("MD5")
+      .digest(content.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+  }
+
+  /** Write a CORPUS-SIZED frame to `dir/name` stamped with its
+    * [[distributedVersion]] (the stamp column is a constant — parquet
+    * dictionary-encodes it to nothing); keeps the frame's own
+    * partitioning, unlike the bounded-artifact [[save]]. */
+  def saveLarge(df: DataFrame, dir: String, name: String): String = {
+    require(!df.columns.contains(stampCol),
+      s"artifact already carries a $stampCol column")
+    val v = distributedVersion(df)
+    df.withColumn(stampCol, lit(v))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    v
+  }
+
+  /** Reload a corpus-sized frame and VERIFY its stamp against the
+    * recomputed [[distributedVersion]] — corruption (a lost file, a
+    * flipped value, an injected row) fails HERE, not as silently-wrong
+    * serving results. No collect, no checkpoint: the returned frame
+    * stays parquet-backed. */
+  def loadLarge(spark: SparkSession, dir: String, name: String): (DataFrame, String) = {
+    val raw = spark.read.parquet(s"$dir/$name")
+    require(raw.columns.contains(stampCol),
+      s"$dir/$name is not a stamped artifact")
+    val mm = raw.agg(min(col(stampCol)).as("lo"), max(col(stampCol)).as("hi")).head
+    require(mm.getAs[String]("lo") == mm.getAs[String]("hi"),
+      s"artifact $name carries multiple distinct version stamps")
+    val df = raw.drop(stampCol)
+    val recomputed = distributedVersion(df)
+    // a legitimately EMPTY part (e.g. a delta with no arrivals) has no
+    // rows to carry the stamp; the schema-bearing recomputed version is
+    // all there is to verify
+    require(mm.getAs[String]("lo") == null || recomputed == mm.getAs[String]("lo"),
+      s"artifact $name corrupt: stamped ${mm.getAs[String]("lo")}, content $recomputed")
+    (df, recomputed)
+  }
+
   /** Write `df` to `dir/name` stamped with its content version; returns
     * the version. One file — an artifact is bounded by construction. */
   def save(df: DataFrame, dir: String, name: String): String = {

@@ -276,6 +276,41 @@ class StorageSpec extends AnyFunSuite {
       "serving from persisted index parts diverged from the rebuild")
   }
 
+  test("corpus-sized parts persist stamped with a DISTRIBUTED version; corruption fails closed") {
+    // the gap the plain-parquet round-trip above leaves open: index
+    // parts GROW with the corpus, so Artifacts.artifactVersion (a
+    // driver collect, bounded by design) cannot stamp them — the
+    // distributed stamp (order-insensitive xxhash64 aggregate) can
+    import graft.ann.ChunkRetrieval
+    import graft.sources.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft-parts-v").toString
+    val docs = Tables.documents(spark, sf)
+    val factor = ChunkRetrieval.chunkFactorFor(docs)
+    val (_, postings, _, _) =
+      ChunkRetrieval.indexParts(ChunkRetrieval.chunks(docs, factor))
+    // order-insensitive: a repartitioned build versions identically...
+    assert(Artifacts.distributedVersion(postings) ==
+      Artifacts.distributedVersion(postings.repartition(7)))
+    // ...but any VALUE change moves the version
+    assert(Artifacts.distributedVersion(postings) !=
+      Artifacts.distributedVersion(
+        postings.withColumn("tf", col("tf") + 1L)))
+    // save/load round-trip: stamp re-verified, content preserved
+    val v = Artifacts.saveLarge(postings, dir, "postings")
+    val (lp, lv) = Artifacts.loadLarge(spark, dir, "postings")
+    assert(lv == v)
+    assert(lp.exceptAll(postings).count() == 0 &&
+      postings.exceptAll(lp).count() == 0)
+    // an injected row carrying the CORRECT stamp still fails closed:
+    // the recomputed content version no longer matches
+    lp.limit(1).withColumn("tf", col("tf") + 1L)
+      .withColumn("artifact_version", lit(v))
+      .write.mode("append").parquet(s"$dir/postings")
+    assertThrows[IllegalArgumentException] {
+      Artifacts.loadLarge(spark, dir, "postings")
+    }
+  }
+
   test("extensions class registers graft_dot at session build time") {
     // applying to a fresh extensions container must succeed and register
     val ext = new org.apache.spark.sql.SparkSessionExtensions
