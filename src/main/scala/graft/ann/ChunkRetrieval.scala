@@ -552,7 +552,27 @@ object ChunkRetrieval {
     * deduplicated across bands before counting. Band 0 ≡ the single
     * cell, so banded candidates are a SUPERSET: a chunk q_chunk_dedup
     * dominates is dominated here too (spec-pinned). */
-  def chunkBandedDedup(documents: DataFrame, threshold: Double = 0.95): DataFrame = {
+  def chunkBandedDedup(documents: DataFrame, threshold: Double = 0.95): DataFrame =
+    bandedDedupWith(documents, threshold, hamming = 0)
+
+  /** [[chunkBandedDedup]] with Hamming-≤1 MULTI-PROBE within each band —
+    * the [[chunkAnnEval]] device applied to dedup candidate generation:
+    * at the 14-bit width a 100× corpus derives, 3-band OR still misses
+    * ~1 in 7 true near-dup pairs ([[dedupRecall]]: banded 0.861 at the
+    * 8-bit gate width, lower as bits grow), and proposing pairs whose
+    * band values differ by ≤1 sign recovers it — per band
+    * P(≤1 of b signs flips | cosine 0.95) ≈ 0.9^b + b·0.9^(b-1)·0.1,
+    * so the 3-band OR clears 0.9 even at 14 bits. One side of the
+    * candidate self-join explodes to its (bits+1)-variant Hamming-1
+    * ball, keeping pair work LINEAR at (bits+1)× the banded cost;
+    * verdicts (true-cosine threshold, keep-least-prototypical) are
+    * [[chunkDedup]]'s verbatim, and candidates are a SUPERSET of the
+    * banded generator's (spec-pinned). */
+  def chunkMpDedup(documents: DataFrame, threshold: Double = 0.95): DataFrame =
+    bandedDedupWith(documents, threshold, hamming = 1)
+
+  private def bandedDedupWith(documents: DataFrame, threshold: Double,
+                              hamming: Int): DataFrame = {
     val factor = chunkFactorFor(documents)
     val base = bandEmbeds(chunks(documents, factor)).localCheckpoint(false)
     val bits = cellBitsFor(base.count())
@@ -560,7 +580,13 @@ object ChunkRetrieval {
     val bnd = cf.select(col("chunk_id"), col("p"), col("nsq"), col("fit"),
       posexplode(array((0 until bandCount).map(k =>
         cellAt("pw", k * outDims, bits)): _*)).as(Seq("band_k", "band_v")))
-    val other = bnd.select(col("band_k").as("bk2"), col("band_v").as("bv2"),
+    // the probe side of the self-join explodes to its Hamming-≤hamming
+    // variant ball: a pair at band distance d ≤ hamming matches on
+    // exactly one variant (the mask flipping the d differing bits)
+    val masks = hammingMasks(bits, hamming)
+    val other = bnd.select(col("band_k").as("bk2"),
+      explode(expr(s"transform(array(${masks.mkString(",")}), " +
+        "m -> band_v ^ cast(m as bigint))")).as("bv2"),
       col("chunk_id").as("ca"), col("p").as("pa"),
       col("nsq").as("nsqa"), col("fit").as("fita"))
     val cand = bnd.join(other,
@@ -634,20 +660,27 @@ object ChunkRetrieval {
         .cast("double") /
         (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
       .filter(col("cosine") >= threshold)
+      // hit disjunctions GENERATED from bandCount (band 0 ≡ the single
+      // cell); multiprobe = any band within Hamming 1 — the
+      // chunkMpDedup candidate rule
       .withColumn("cell_hit",
         (col("bands")(0) === col("bandsa")(0)).cast("long"))
-      .withColumn("band_hit",
-        ((col("bands")(0) === col("bandsa")(0)) ||
-          (col("bands")(1) === col("bandsa")(1)) ||
-          (col("bands")(2) === col("bandsa")(2))).cast("long"))
+      .withColumn("band_hit", (0 until bandCount).map(k =>
+        col("bands")(k) === col("bandsa")(k)).reduce(_ || _).cast("long"))
+      .withColumn("mp_hit", (0 until bandCount).map(k => expr(
+        s"bit_count(element_at(bands, ${k + 1}) ^ element_at(bandsa, ${k + 1})) <= 1"))
+        .reduce(_ || _).cast("long"))
     truth.agg(count(lit(1)).as("true_pairs"),
         coalesce(sum(col("cell_hit")), lit(0L)).as("cell_found"),
-        coalesce(sum(col("band_hit")), lit(0L)).as("band_found"))
+        coalesce(sum(col("band_hit")), lit(0L)).as("band_found"),
+        coalesce(sum(col("mp_hit")), lit(0L)).as("mp_found"))
       .select(explode(array(
         struct(lit("banded").as("method"), col("true_pairs"),
           col("band_found").as("found_pairs")),
         struct(lit("cell").as("method"), col("true_pairs"),
-          col("cell_found").as("found_pairs")))).as("r"))
+          col("cell_found").as("found_pairs")),
+        struct(lit("multiprobe").as("method"), col("true_pairs"),
+          col("mp_found").as("found_pairs")))).as("r"))
       .select(col("r.method").as("method"), col("r.true_pairs").as("true_pairs"),
         col("r.found_pairs").as("found_pairs"),
         r6(try_divide(col("r.found_pairs").cast("double"),
@@ -909,7 +942,8 @@ object ChunkRetrieval {
     "q_chunk_delta_serve" -> ((s, d) => chunkDeltaServe(Tables.documents(s, d))),
     "q_chunk_ann_eval" -> ((s, d) => chunkAnnEval(Tables.documents(s, d))),
     "q_chunk_retrieval_ann" -> ((s, d) => chunkRetrievalAnn(Tables.documents(s, d))),
-    "q_chunk_parts_loaded" -> ((s, d) => chunkPartsLoaded(s, Tables.documents(s, d)))
+    "q_chunk_parts_loaded" -> ((s, d) => chunkPartsLoaded(s, Tables.documents(s, d))),
+    "q_chunk_dedup_mp" -> ((s, d) => chunkMpDedup(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -1123,6 +1157,31 @@ object ChunkRetrieval {
            FROM bfit f LEFT JOIN bagg g ON f.chunk_id = g.chunk_id)"""
   }
 
+  /** Multi-probe dedup tail over [[bandedCtes]]' `bband`/`bfit`:
+    * candidate pairs = any shared band WITHIN HAMMING 1 (the
+    * [[chunkMpDedup]] rule), verdicts verbatim. Ends at `mmart`. */
+  private lazy val mpCtes: String = {
+    val dotAb = (0 until outDims).map(j => s"fx.p$j * fy.p$j").mkString(" + ")
+    s"""mpr0 AS (SELECT fx.chunk_id, fy.chunk_id AS cb, fx.fit AS fa, fy.fit AS fb,
+           ${sqlR(s"CAST($dotAb AS DOUBLE) / (sqrt(CAST(fx.nsq AS DOUBLE)) * sqrt(CAST(fy.nsq AS DOUBLE)))", 6)} AS cosine
+         FROM bband x JOIN bband y
+           ON x.band_k = y.band_k AND bit_count(xor(x.band_v, y.band_v)) <= 1
+             AND x.chunk_id <> y.chunk_id
+         JOIN bfit fx ON fx.chunk_id = x.chunk_id
+         JOIN bfit fy ON fy.chunk_id = y.chunk_id),
+       mpair AS (SELECT DISTINCT chunk_id, cb, fa, fb, cosine FROM mpr0
+         WHERE cosine >= $dedupThresholdSql),
+       magg AS (SELECT chunk_id, CAST(COUNT(*) AS BIGINT) AS n_dups,
+           MAX(cosine) AS max_dup_cosine,
+           MAX(CASE WHEN fb < fa OR (fb = fa AND cb < chunk_id) THEN 1 ELSE 0 END) AS dominated
+         FROM mpair GROUP BY 1),
+       mmart AS (SELECT CAST(f.chunk_id // $minChunkFactor AS BIGINT) AS doc_id,
+           f.chunk_id, f.cell, f.fit,
+           COALESCE(g.n_dups, CAST(0 AS BIGINT)) AS n_dups, g.max_dup_cosine,
+           (COALESCE(g.dominated, 0) = 0) AS keep
+         FROM bfit f LEFT JOIN magg g ON f.chunk_id = g.chunk_id)"""
+  }
+
   /** The arm/fusion chain of [[chunkCtes]] parameterized over its chunk
     * sources — `ch` (chunk grain) and `ce` (chunk embeddings) — so the
     * SAME retrieval SQL can run over the full index or the dedup
@@ -1232,6 +1291,10 @@ object ChunkRetrieval {
       s"""WITH $chunkCtes, $bandedCtes
          SELECT doc_id, chunk_id, cell, fit, n_dups, max_dup_cosine, keep
          FROM bmart ORDER BY chunk_id""",
+    "q_chunk_dedup_mp" ->
+      s"""WITH $chunkCtes, $bandedCtes, $mpCtes
+         SELECT doc_id, chunk_id, cell, fit, n_dups, max_dup_cosine, keep
+         FROM mmart ORDER BY chunk_id""",
     "q_chunk_ann_eval" ->
       s"""WITH $chunkCtes,
          abit AS (SELECT $bitsLadderSql AS b
@@ -1271,6 +1334,14 @@ object ChunkRetrieval {
          ORDER BY kp.probe_id""",
     "q_dedup_recall" -> {
       val dotAb = (0 until outDims).map(j => s"a.p$j * b.p$j").mkString(" + ")
+      // hit predicates generated from bandCount, mirroring the Spark
+      // side: cell = band 0 exact, banded = any-band exact, multiprobe
+      // = any band within Hamming 1
+      val bandSel = (0 until bandCount).map(k => s"a.b$k AS a$k, b.b$k AS c$k")
+        .mkString(", ")
+      val bandOr = (0 until bandCount).map(k => s"a$k = c$k").mkString(" OR ")
+      val mpOr = (0 until bandCount).map(k => s"bit_count(xor(a$k, c$k)) <= 1")
+        .mkString(" OR ")
       s"""WITH $chunkCtes, $bandedCtes,
          rmod AS (SELECT GREATEST(CAST(1 AS BIGINT), n // 2000) AS m
            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bce)),
@@ -1279,14 +1350,14 @@ object ChunkRetrieval {
              s"(strpos('0123456789abcdef', substr(md5(CAST(f.chunk_id AS VARCHAR)), $i, 1)) - 1) * ${Seq(4096, 256, 16, 1)(i - 1)}")
              .mkString(" + ")}) % rmod.m = 0),
          rp AS (SELECT a.chunk_id AS ia, b.chunk_id AS ib,
-             a.b0 AS a0, a.b1 AS a1, a.b2 AS a2,
-             b.b0 AS c0, b.b1 AS c1, b.b2 AS c2,
+             $bandSel,
              ${sqlR(s"CAST($dotAb AS DOUBLE) / (sqrt(CAST(a.nsq AS DOUBLE)) * sqrt(CAST(b.nsq AS DOUBLE)))", 6)} AS cosine
            FROM rs a JOIN rs b ON a.chunk_id < b.chunk_id),
          rt AS (SELECT * FROM rp WHERE cosine >= $dedupThresholdSql),
          ragg AS (SELECT CAST(COUNT(*) AS BIGINT) AS true_pairs,
              CAST(COALESCE(SUM(CASE WHEN a0 = c0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS cell_found,
-             CAST(COALESCE(SUM(CASE WHEN a0 = c0 OR a1 = c1 OR a2 = c2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS band_found
+             CAST(COALESCE(SUM(CASE WHEN $bandOr THEN 1 ELSE 0 END), 0) AS BIGINT) AS band_found,
+             CAST(COALESCE(SUM(CASE WHEN $mpOr THEN 1 ELSE 0 END), 0) AS BIGINT) AS mp_found
            FROM rt)
          SELECT 'banded' AS method, true_pairs, band_found AS found_pairs,
            CASE WHEN true_pairs = 0 THEN NULL
@@ -1296,6 +1367,11 @@ object ChunkRetrieval {
          SELECT 'cell' AS method, true_pairs, cell_found AS found_pairs,
            CASE WHEN true_pairs = 0 THEN NULL
                 ELSE ${sqlR("CAST(cell_found AS DOUBLE) / true_pairs", 6)} END AS recall
+         FROM ragg
+         UNION ALL
+         SELECT 'multiprobe' AS method, true_pairs, mp_found AS found_pairs,
+           CASE WHEN true_pairs = 0 THEN NULL
+                ELSE ${sqlR("CAST(mp_found AS DOUBLE) / true_pairs", 6)} END AS recall
          FROM ragg
          ORDER BY method"""
     },

@@ -62,6 +62,28 @@ class Round14Spec extends AnyFunSuite {
       "the cell-route arm still scans the corpus per probe")
   }
 
+  test("multiprobe dedup candidates are a superset: banded-dominated stays dominated") {
+    val banded = ChunkRetrieval.chunkBandedDedup(docs)
+      .select(col("chunk_id"), col("keep").as("keep_b"))
+    val mp = ChunkRetrieval.chunkMpDedup(docs)
+      .select(col("chunk_id"), col("keep").as("keep_m"))
+    // every chunk the banded generator dominates, multiprobe dominates
+    // too (Hamming-1 candidates ⊇ exact-band candidates; verdicts are
+    // the same true-cosine rule)
+    val regressed = banded.join(mp, Seq("chunk_id"))
+      .filter(!col("keep_b") && col("keep_m")).count()
+    assert(regressed == 0L, s"$regressed banded-dominated chunks kept by multiprobe")
+    assert(mp.count() == banded.count(), "chunk populations diverged")
+  }
+
+  test("measured recall orders: multiprobe >= banded >= cell") {
+    val r = ChunkRetrieval.dedupRecall(docs).collect()
+      .map(x => x.getAs[String]("method") -> x.getAs[Double]("recall")).toMap
+    assert(r.keySet == Set("banded", "cell", "multiprobe"))
+    assert(r("multiprobe") >= r("banded") && r("banded") >= r("cell"),
+      s"recall ordering violated: $r")
+  }
+
   test("cell-route retrieval is deterministic and keeps the serving contract") {
     val a = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
     val b = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
