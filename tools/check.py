@@ -35,10 +35,34 @@ def norm(df):
             df[c] = df[c].astype("int64")
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
+def survey_keys():
+    """SURVEY.md §2 table keys — the coverage contract."""
+    import re
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SURVEY.md")
+    if not os.path.exists(path):
+        return None
+    return set(re.findall(r"^\| \d+ \| `(q_\w+)` \|", open(path).read(), re.M))
+
 def main():
     outdir, sfdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Key-set drift gate (full runs only): SURVEY §2 == registered
+    # queries (the dumped dirs) == oracle entries. Any mismatch is a
+    # hard fail so the three inventories can never drift apart.
+    if not only:
+        sv = survey_keys()
+        dumped = {os.path.basename(d) for d in glob.glob(os.path.join(outdir, "q_*")) if os.path.isdir(d)}
+        oracle_keys = set(json.load(open(os.path.join(outdir, "oracle_sql.json"))).keys())
+        if sv is not None:
+            drift = [("SURVEY-only", sv - dumped), ("queries-only", dumped - sv),
+                     ("oracle-only", oracle_keys - dumped), ("queries-without-oracle", dumped - oracle_keys)]
+            bad = {k: sorted(v) for k, v in drift if v}
+            if bad:
+                brief = {k: (len(v), v[:5]) for k, v in bad.items()}
+                print(f"FAIL key-set drift (count, first 5): {brief}")
+                sys.exit(1)
+            print(f"key sets consistent: {len(sv)} keys in SURVEY == queries == oracles")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.exists(p):
