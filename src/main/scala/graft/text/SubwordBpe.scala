@@ -138,6 +138,82 @@ object SubwordBpe {
     table
   }
 
+  /** BATCHED subword training — the driver-latency fix for production
+    * merge counts: the sequential loop pays one driver round-trip +
+    * checkpoint PER MERGE, which binds a ~30k-merge production
+    * vocabulary on the driver long before any executor is busy. Each
+    * batched round instead selects the LOCALLY-MAXIMAL pair set — a
+    * pair survives iff it beats (count desc, then (a, b) asc) every
+    * pair sharing a token with it — which is pairwise token-disjoint by
+    * construction (two overlapping survivors would have to beat each
+    * other), ranks it, keeps ≤ `cap`, and applies the whole batch in
+    * rank order in ONE pass over the vocab-bounded word table: merges
+    * per round-trip goes from 1 to cap. The global max always survives
+    * selection and ranks first, so cap = 1 reproduces the sequential
+    * trainer EXACTLY (spec-pinned on the real corpus); counts are
+    * measured at round start for every merge of a batch, the standard
+    * batched-BPE approximation. Selection work is one equi-join of the
+    * pair table against itself on the shared token — vocab-bounded,
+    * like everything after the initial word count.
+    * Output: (round, batch_rank, tok_a, tok_b, merged, pair_n). */
+  def subwordTrainBatched(documents: DataFrame, rounds: Int = 4,
+                          cap: Int = 4): DataFrame = {
+    var state = wordState(documents).localCheckpoint(false)
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    intermediates += state
+    var merges = Vector.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val pairs = state.filter(size(col("syms")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), i -> struct(syms[i] AS a, syms[i+1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .localCheckpoint(false)
+      // locally-maximal selection: explode each pair to its tokens and
+      // equi-join on the shared token; a pair any overlapping rival
+      // beats is out
+      val toks = pairs.select(col("a"), col("b"), col("cnt"),
+        explode(array(col("a"), col("b"))).as("t"))
+      val rival = toks.select(col("t"), col("a").as("qa"), col("b").as("qb"),
+        col("cnt").as("qcnt"))
+      val beaten = toks.join(rival, Seq("t"))
+        .filter(!(col("a") === col("qa") && col("b") === col("qb")))
+        .filter(col("qcnt") > col("cnt") ||
+          (col("qcnt") === col("cnt") &&
+            (col("qa") < col("a") ||
+              (col("qa") === col("a") && col("qb") < col("b")))))
+        .select(col("a"), col("b")).distinct()
+      // eager ≤cap-row checkpoint: one driver round-trip per ROUND
+      val sel = pairs.join(beaten, Seq("a", "b"), "left_anti")
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(cap)
+        .withColumn("batch_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(graft.functions.Fns.onePart(col("a")))
+            .orderBy(col("cnt").desc, col("a"), col("b"))))
+        .localCheckpoint()
+      intermediates += sel
+      pairs.unpersist()
+      merges :+= sel.select(lit(r).as("round"), col("batch_rank"),
+        col("a").as("tok_a"), col("b").as("tok_b"),
+        concat(col("a"), col("b")).as("merged"), col("cnt").as("pair_n"))
+      // replay the batch in rank order — the replayFold device over a
+      // (batch_rank, tok_a, tok_b)-sorted one-row artifact; an empty
+      // batch (exhausted vocabulary) folds as the identity
+      val art = sel.agg(array_sort(collect_list(
+        struct(col("batch_rank"), col("a").as("tok_a"), col("b").as("tok_b")))).as("ms"))
+      state = state
+        .join(broadcast(art), lit(true), "left")
+        .withColumn("syms", expr(replayFold("syms")))
+        .select(col("word"), col("n"), col("syms"))
+        .localCheckpoint(false)
+      intermediates += state
+    }
+    val table = merges.reduce(_.unionByName(_))
+      .orderBy("round", "batch_rank").localCheckpoint()
+    intermediates.foreach(_.unpersist())
+    table
+  }
+
   /** Rank-ordered replay of the broadcast merge artifact over one
     * word's round-0 symbols — the row-local fold shared by the word-
     * table replay and the per-document apply (so batch, word-cache,
@@ -240,6 +316,7 @@ object SubwordBpe {
       subwordApply(docs, subwordTrain(docs))
     }),
     "q_bpe_subword_sample" -> ((s, d) => subwordSampleEval(Tables.documents(s, d))),
+    "q_bpe_subword_batched" -> ((s, d) => subwordTrainBatched(Tables.documents(s, d))),
     // the artifact-lifecycle gate: train ONCE, persist the merge table
     // versioned ([[graft.sources.Artifacts]]), and serve from the
     // LOADED artifact — the production split (build once, load
@@ -313,9 +390,64 @@ object SubwordBpe {
        FROM dwx d JOIN fin f USING (word)
        GROUP BY d.doc_id ORDER BY d.doc_id"""
 
+  /** The batched-training oracle: per round, the locally-maximal pair
+    * set via per-token rank windows (a pair survives iff it is rank 1
+    * in EVERY token group it belongs to — exactly "beats all
+    * token-overlapping rivals", with one reference to the pair table,
+    * not a per-row NOT EXISTS), ranked and capped, then applied as
+    * nested rank-ordered framed replaces against a PIVOTED one-row
+    * merge frame LEFT JOINed ON TRUE (the sequential roundCtes device —
+    * scalar subqueries re-evaluated the whole upstream chain per row);
+    * a missing rank folds as the identity via a never-occurring chr(2)
+    * pattern. */
+  private lazy val batchedOracle: String = {
+    val bcap = 4
+    val brounds = 4
+    def roundB(k: Int): String = {
+      val prev = s"bws${k - 1}"
+      val pivots = (1 to bcap).map(j =>
+        s"""MAX(CASE WHEN rk = $j THEN chr(1)||a||chr(1)||chr(1)||b||chr(1) END) AS p$j,
+           MAX(CASE WHEN rk = $j THEN chr(1)||a||b||chr(1) END) AS r$j""")
+        .mkString(",\n             ")
+      val repl = (1 to bcap).foldLeft("p.s")((acc, j) =>
+        s"replace($acc, COALESCE(m.p$j, chr(2)), COALESCE(m.r$j, ''))")
+      s"""bwtk$k AS (SELECT word, n, list_filter(str_split(s, chr(1)||chr(1)), x -> x <> '') AS toks FROM $prev),
+         bwp$k AS (SELECT t.toks[CAST(i.i AS INT)] AS a, t.toks[CAST(i.i AS INT) + 1] AS b,
+             CAST(SUM(n) AS BIGINT) AS cnt
+           FROM bwtk$k t, LATERAL (SELECT UNNEST(range(1, len(t.toks))) AS i) i
+           GROUP BY 1, 2),
+         btk$k AS (SELECT DISTINCT a, b, cnt, t
+           FROM (SELECT a, b, cnt, unnest([a, b]) AS t FROM bwp$k)),
+         brk$k AS (SELECT a, b, cnt,
+             ROW_NUMBER() OVER (PARTITION BY t ORDER BY cnt DESC, a, b) AS tr
+           FROM btk$k),
+         bsel$k AS (SELECT a, b, cnt,
+             CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, a, b) AS INT) AS rk
+           FROM (SELECT a, b, cnt FROM brk$k GROUP BY a, b, cnt HAVING MAX(tr) = 1)),
+         bwt$k AS (SELECT * FROM bsel$k WHERE rk <= $bcap),
+         bmg$k AS (SELECT $pivots FROM bwt$k),
+         bws$k AS (SELECT word, n, $repl AS s
+           FROM $prev p LEFT JOIN bmg$k m ON TRUE)"""
+    }
+    s"""WITH bww AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+           FROM (SELECT unnest(string_split($normSql, ' ')) AS word
+                 FROM documents WHERE text IS NOT NULL AND $normSql <> '')
+           GROUP BY 1),
+       bws0 AS (SELECT word, n,
+           chr(1)||chr(1) || array_to_string(list_concat(string_split(word, ''), ['</w>']), chr(1)||chr(1)) || chr(1)||chr(1) AS s
+         FROM bww),
+       ${(1 to brounds).map(roundB).mkString(",\n       ")}
+       SELECT * FROM (
+         ${(1 to brounds).map(k =>
+           s"SELECT $k AS round, rk AS batch_rank, a AS tok_a, b AS tok_b, a||b AS merged, cnt AS pair_n FROM bwt$k")
+           .mkString("\n         UNION ALL ")}
+       ) ORDER BY round, batch_rank"""
+  }
+
   val oracles: Map[String, String] = Map(
     "q_bpe_subword_apply" -> applyOracle,
     "q_bpe_subword_loaded" -> applyOracle,
+    "q_bpe_subword_batched" -> batchedOracle,
     "q_bpe_subword" ->
       s"""WITH $baseCtes
          SELECT * FROM (

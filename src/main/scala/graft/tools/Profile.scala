@@ -227,6 +227,47 @@ object Profile {
         spark.catalog.clearCache()
       }
     }
+    if (sys.env.contains("SPARK_GRAFT_R14")) {
+      // round-14 ladder: the promoted cell-route arm vs the brute arm,
+      // the stamped-parts loaded serve, multiprobe dedup, and the
+      // measured recall of all three candidate generators at this scale
+      import graft.ann.ChunkRetrieval
+      docs.count()
+      for (round <- 1 to 2) {
+        t(s"chunk_retrieval_ann_$round") {
+          ChunkRetrieval.chunkRetrievalAnn(docs).collect().length.toLong }
+        spark.catalog.clearCache()
+        t(s"chunk_retrieval_brute_$round") {
+          ChunkRetrieval.chunkRetrieval(docs).collect().length.toLong }
+        spark.catalog.clearCache()
+        t(s"chunk_parts_loaded_$round") {
+          ChunkRetrieval.chunkPartsLoaded(spark, docs).collect().length.toLong }
+        spark.catalog.clearCache()
+        t(s"chunk_dedup_mp_$round") {
+          ChunkRetrieval.chunkMpDedup(docs).count() }
+        spark.catalog.clearCache()
+        t(s"dedup_recall_$round") {
+          val rows = ChunkRetrieval.dedupRecall(docs).collect()
+          rows.foreach(r => println(s"RECALL ${r.getAs[String]("method")} " +
+            f"${r.getAs[Double]("recall")}%.4f of ${r.getAs[Long]("true_pairs")} pairs"))
+          rows.length.toLong }
+        spark.catalog.clearCache()
+      }
+    }
+    if (sys.env.contains("SPARK_GRAFT_BPEB")) {
+      // batched-vs-sequential subword training: wall time at matched
+      // merge budgets (sequential = 1 merge/round-trip, batched = up to
+      // cap per round-trip); rows = merges actually landed
+      import graft.text.SubwordBpe
+      docs.count()
+      for (m <- Seq(8, 64, 256)) {
+        t(s"seq_${m}_merges") { SubwordBpe.subwordTrain(docs, m).count() }
+        spark.catalog.clearCache()
+        t(s"batched_${m}_budget") {
+          SubwordBpe.subwordTrainBatched(docs, rounds = m / 4, cap = 4).count() }
+        spark.catalog.clearCache()
+      }
+    }
     if (sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
       val q = graft.text.Vocab.tfidf(docs)
       q.collect()

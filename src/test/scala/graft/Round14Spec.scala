@@ -84,6 +84,32 @@ class Round14Spec extends AnyFunSuite {
       s"recall ordering violated: $r")
   }
 
+  test("batched subword BPE at cap 1 reproduces the sequential trainer exactly") {
+    // the global max is always locally maximal and ranks first, so a
+    // 1-capped batch IS the sequential winner — the equivalence that
+    // makes batching an optimization, not a different algorithm
+    import graft.text.SubwordBpe
+    val seq = SubwordBpe.subwordTrain(docs, rounds = 6)
+      .select("round", "tok_a", "tok_b", "merged", "pair_n").collect()
+    val bat = SubwordBpe.subwordTrainBatched(docs, rounds = 6, cap = 1)
+      .select("round", "tok_a", "tok_b", "merged", "pair_n").collect()
+    assert(bat.map(_.toSeq).toSeq == seq.map(_.toSeq).toSeq,
+      "cap-1 batched training diverged from the sequential loop")
+  }
+
+  test("batched subword BPE: each round's selected pairs are pairwise token-disjoint") {
+    import graft.text.SubwordBpe
+    val t = SubwordBpe.subwordTrainBatched(docs, rounds = 4, cap = 4).collect()
+    assert(t.nonEmpty)
+    t.groupBy(_.getAs[Int]("round")).foreach { case (r, rows) =>
+      val pairs = rows.map(x =>
+        Set(x.getAs[String]("tok_a"), x.getAs[String]("tok_b")))
+      for (i <- pairs.indices; j <- i + 1 until pairs.length)
+        assert(pairs(i).intersect(pairs(j)).isEmpty,
+          s"round $r: overlapping merges ${pairs(i)} and ${pairs(j)} in one batch")
+    }
+  }
+
   test("cell-route retrieval is deterministic and keeps the serving contract") {
     val a = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
     val b = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
