@@ -445,8 +445,11 @@ object ChunkRetrieval {
   }
 
   /** Sign-LSH cell value from `bits` leading signs of array column
-    * `src`, starting at coordinate `offset` — row-local bit packing. */
-  private def cellAt(src: String, offset: Int, bits: Int) = expr(
+    * `src`, starting at coordinate `offset` — row-local bit packing.
+    * Shared with the streaming admission twin
+    * ([[graft.streaming.ChunkStream.admitRows]]) so the arrival-side
+    * cell can never drift from the stored index's. */
+  private[graft] def cellAt(src: String, offset: Int, bits: Int) = expr(
     s"""aggregate(sequence(0, ${bits - 1}), 0L, (a, j) ->
        a + IF(element_at($src, $offset + cast(j as int) + 1) >= 0,
               shiftleft(1L, cast(j as int)), 0L))""")

@@ -255,6 +255,122 @@ object ChunkStream {
         col("p"), col("nsq"))
   }
 
+  /** The frozen DEDUP-admission artifact as one broadcastable row: the
+    * stored SURVIVOR embeddings keyed by their sign-LSH cell (`cells`
+    * map), the derived chunk_id factor, and the adaptive cell width the
+    * static corpus derived — everything an arriving chunk needs to be
+    * celled and compared ROW-LOCALLY. Survivors, cells, and width all
+    * come from the batch [[ChunkRetrieval.chunkDedup]] devices, so the
+    * stream can never drift from the stored index. */
+  private[graft] def dedupArtifacts(documents: DataFrame,
+                                    threshold: Double = 0.95): DataFrame = {
+    val factor = ChunkRetrieval.chunkFactorFor(documents)
+    val base = ChunkRetrieval
+      .chunkEmbeds(ChunkRetrieval.chunks(documents, factor))
+      .localCheckpoint(false)
+    val bits = ChunkRetrieval.cellBitsFor(base.count())
+    val keep = ChunkRetrieval.chunkDedup(documents, threshold)
+      .filter(col("keep")).select(col("chunk_id"))
+    val cells = base.withColumn("cell", ChunkRetrieval.cellAt("p", 0, bits))
+      .join(keep, Seq("chunk_id"))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("chunk_id"), col("p"), col("nsq")))).as("entries"))
+      .agg(map_from_entries(collect_list(
+        struct(col("cell"), col("entries")))).as("cells"))
+    cells.withColumn("fct", lit(factor)).withColumn("bits", lit(bits))
+  }
+
+  /** STREAMING chunk-dedup admission — the lshIncrement /
+    * semantic_incremental asymmetry at chunk grain: arriving documents
+    * chunk and embed row-locally ([[ingestRows]]), each chunk is celled
+    * against the FROZEN artifact width and compared to the stored
+    * survivors of ITS OWN CELL only (a bounded map fetch); an arrival
+    * near any stored survivor (r6 cosine ≥ threshold) is REJECTED —
+    * stored members always win, history is never re-signed. An
+    * unembeddable chunk (all tokens cancelled, nsq = 0) cannot be
+    * scored and ADMITS, the batch pass-through rule. Zero aggregation
+    * state: everything is a row expression against one broadcast row.
+    * Per chunk: (doc_id, chunk_id, cell, n_near, max_cosine, admit). */
+  private[graft] def admitRows(docs: DataFrame, arts: DataFrame,
+                               factor: Long, threshold: Double): DataFrame =
+    ingestRows(docs, factor)
+      .crossJoin(broadcast(arts))
+      .withColumn("cell", expr(
+        """IF(nsq = 0, cast(null as bigint),
+           aggregate(sequence(0, bits - 1), 0L, (a, j) ->
+             a + IF(element_at(p, cast(j as int) + 1) >= 0,
+                    shiftleft(1L, cast(j as int)), 0L)))"""))
+      .withColumn("near", expr(
+        s"""IF(nsq = 0,
+             cast(array() as array<double>),
+             filter(transform(
+               coalesce(element_at(cells, cell),
+                 cast(array() as array<struct<chunk_id:bigint,p:array<bigint>,nsq:bigint>>)),
+               c -> floor(cast(aggregate(zip_with(p, c.p, (x, y) -> x * y),
+                       cast(0 as bigint), (a, t) -> a + t) as double)
+                     / (sqrt(cast(nsq as double)) * sqrt(cast(c.nsq as double)))
+                     * 1000000D + 0.5D) / 1000000D),
+               cx -> cx >= $threshold))"""))
+      .select(col("doc_id"), col("chunk_id"), col("cell"),
+        size(col("near")).cast("long").as("n_near"),
+        expr("array_max(near)").as("max_cosine"),
+        (size(col("near")) === 0).as("admit"))
+
+  /** The BATCH twin of [[admitRows]] — same arrivals, same frozen
+    * survivor set, computed with joins instead of row-local map
+    * fetches; the spec gate is bit-equality. */
+  private[graft] def admitBatch(docs: DataFrame, corpus: DataFrame,
+                                factor: Long,
+                                threshold: Double = 0.95): DataFrame = {
+    val base = ChunkRetrieval
+      .chunkEmbeds(ChunkRetrieval.chunks(corpus, factor))
+      .localCheckpoint(false)
+    val bits = ChunkRetrieval.cellBitsFor(base.count())
+    val surv = base.withColumn("cell", ChunkRetrieval.cellAt("p", 0, bits))
+      .join(ChunkRetrieval.chunkDedup(corpus, threshold)
+        .filter(col("keep")).select(col("chunk_id")), Seq("chunk_id"))
+      .select(col("cell").as("scell"), col("p").as("sp"), col("nsq").as("snsq"))
+    val ach = ChunkRetrieval.chunks(docs, factor)
+      .select(col("doc_id"), col("chunk_id"))
+    val ace = ChunkRetrieval.chunkEmbeds(ChunkRetrieval.chunks(docs, factor))
+      .withColumn("cell", ChunkRetrieval.cellAt("p", 0, bits))
+    val near = ace.join(surv, col("cell") === col("scell"))
+      .withColumn("cosine", graft.functions.Fns.r6(expr(
+        "aggregate(zip_with(p, sp, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+        .cast("double") /
+        (sqrt(col("nsq").cast("double")) * sqrt(col("snsq").cast("double")))))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col("chunk_id").as("nc"))
+      .agg(count(lit(1)).as("n_near0"), max(col("cosine")).as("max_cosine"))
+    ach.join(ace.select(col("chunk_id"), col("cell")), Seq("chunk_id"), "left")
+      .join(near, col("chunk_id") === col("nc"), "left")
+      .select(col("doc_id"), col("chunk_id"), col("cell"),
+        coalesce(col("n_near0"), lit(0L)).as("n_near"), col("max_cosine"),
+        (coalesce(col("n_near0"), lit(0L)) === 0L).as("admit"))
+  }
+
+  /** Run [[admitRows]] over a document file stream; asserts zero
+    * aggregation state inside the operator and returns the admission
+    * verdicts. */
+  def admittedChunks(spark: SparkSession, dir: String, corpus: DataFrame,
+                     threshold: Double = 0.95,
+                     queryName: String = "stream_chunkadmit"): DataFrame = {
+    val arts = dedupArtifacts(corpus, threshold)
+    val factor = arts.select(col("fct")).head.getLong(0)
+    val q = admitRows(DocStream.readDocuments(spark, dir), arts, factor, threshold)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try {
+      q.processAllAvailable()
+      val st = Option(q.lastProgress).flatMap(p => Option(p.stateOperators))
+        .getOrElse(Array.empty)
+      require(st.isEmpty,
+        s"chunk admission must hold zero aggregation state, found ${st.length} operators")
+    } finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Run [[ingestRows]] over a document file stream; asserts zero
     * aggregation state inside the operator and returns the collected
     * chunk-part rows. */

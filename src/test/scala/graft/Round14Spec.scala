@@ -110,6 +110,30 @@ class Round14Spec extends AnyFunSuite {
     }
   }
 
+  test("streaming chunk admission == batch twin; stored survivors reject their own re-arrival") {
+    import graft.streaming.ChunkStream
+    val arts = ChunkStream.dedupArtifacts(docs)
+    val factor = arts.select(col("fct")).head.getLong(0)
+    // stream the corpus back at the gate: every stored survivor
+    // re-arrives and must be REJECTED by its own stored copy
+    val streamed = ChunkStream.admittedChunks(spark, sf, docs)
+      .collect().map(_.toSeq).toSet
+    val batch = ChunkStream.admitBatch(docs, docs, factor)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      "streamed admission verdicts diverged from the batch twin")
+    val adm = ChunkStream.admitBatch(docs, docs, factor)
+    val survivors = graft.ann.ChunkRetrieval.chunkDedup(docs)
+      .filter(col("keep")).select(col("chunk_id"))
+    // an embeddable arrival already stored as a survivor self-matches at
+    // cosine 1 ≥ threshold — zero admitted
+    assert(adm.join(survivors, Seq("chunk_id")).filter(col("admit")).count() == 0L,
+      "a stored survivor's re-arrival was admitted")
+    // unembeddable chunks (no cell) cannot be scored and pass through
+    assert(adm.filter(col("cell").isNull && !col("admit")).count() == 0L)
+  }
+
   test("cell-route retrieval is deterministic and keeps the serving contract") {
     val a = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
     val b = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
