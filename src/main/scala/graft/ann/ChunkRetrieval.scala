@@ -519,16 +519,22 @@ object ChunkRetrieval {
   }
 
   /** Bands of the multi-band LSH variant: 3 independent hyperplane
-    * sets, each `bits` wide, drawn from one 48-coordinate sign
-    * projection. */
+    * sets, each `bits` wide, drawn from one wide sign projection. The
+    * Hamming-1 MULTI-PROBE generator uses [[mpBandCount]] = 5 bands —
+    * at the 14-bit width a 100× corpus derives, 3 bands at Hamming 1
+    * measured 0.81 recall and 2 more bands buy back the rest at 5/3 the
+    * (still linear) pair cost; band values are PREFIX-STABLE (row j of
+    * the sign matrix is independent of the projection width), so the
+    * 3-band keys are bit-unchanged by the widening. */
   private[graft] val bandCount = 3
-  private val bandDims = bandCount * outDims
+  private[graft] val mpBandCount = 5
+  private val bandDims = mpBandCount * outDims
 
   /** Chunk embeddings carrying the WIDE sign projection: (chunk_id, p,
     * nsq, pw) where p is the usual 16 JL coordinates (pw's first 16 —
     * the same md5 signs, so band 0 is EXACTLY [[chunkCells]]'s cell)
-    * and pw adds 32 more deterministic projections whose only use is
-    * banding. Population identical to [[chunkEmbeds]]: chunks whose
+    * and pw adds the remaining deterministic projections whose only use
+    * is banding. Population identical to [[chunkEmbeds]]: chunks whose
     * 16-dim norm cancels to zero drop. */
   private def bandEmbeds(ch: DataFrame): DataFrame =
     hashEmbedAt(ch.select(col("chunk_id"), explode(col("cwords")).as("word")),
@@ -556,32 +562,34 @@ object ChunkRetrieval {
     * cell, so banded candidates are a SUPERSET: a chunk q_chunk_dedup
     * dominates is dominated here too (spec-pinned). */
   def chunkBandedDedup(documents: DataFrame, threshold: Double = 0.95): DataFrame =
-    bandedDedupWith(documents, threshold, hamming = 0)
+    bandedDedupWith(documents, threshold, hamming = 0, nBands = bandCount)
 
-  /** [[chunkBandedDedup]] with Hamming-≤1 MULTI-PROBE within each band —
-    * the [[chunkAnnEval]] device applied to dedup candidate generation:
-    * at the 14-bit width a 100× corpus derives, 3-band OR still misses
-    * ~1 in 7 true near-dup pairs ([[dedupRecall]]: banded 0.861 at the
-    * 8-bit gate width, lower as bits grow), and proposing pairs whose
-    * band values differ by ≤1 sign recovers it — per band
-    * P(≤1 of b signs flips | cosine 0.95) ≈ 0.9^b + b·0.9^(b-1)·0.1,
-    * so the 3-band OR clears 0.9 even at 14 bits. One side of the
-    * candidate self-join explodes to its (bits+1)-variant Hamming-1
-    * ball, keeping pair work LINEAR at (bits+1)× the banded cost;
+  /** [[chunkBandedDedup]] with Hamming-≤1 MULTI-PROBE within each of
+    * [[mpBandCount]] = 5 bands — the [[chunkAnnEval]] device applied to
+    * dedup candidate generation: at the 14-bit width a 100× corpus
+    * derives, 3-band exact-OR recall collapses ([[dedupRecall]]
+    * measured 0.25 at 100×) and proposing pairs whose band values
+    * differ by ≤1 sign recovers it — per band
+    * P(≤1 of b signs flips | cosine ≥ 0.95) ≈ p^b + b·p^(b-1)(1-p),
+    * and 5 bands OR the per-band recall up to ≥0.9 at 14 measured-p
+    * bits where 3 read 0.81. One side of the candidate self-join
+    * explodes to its (bits+1)-variant Hamming-1 ball, keeping pair
+    * work LINEAR at mpBandCount·(bits+1)× the single-cell cost;
     * verdicts (true-cosine threshold, keep-least-prototypical) are
     * [[chunkDedup]]'s verbatim, and candidates are a SUPERSET of the
-    * banded generator's (spec-pinned). */
+    * banded generator's (the first 3 mp bands ARE the banded bands —
+    * spec-pinned). */
   def chunkMpDedup(documents: DataFrame, threshold: Double = 0.95): DataFrame =
-    bandedDedupWith(documents, threshold, hamming = 1)
+    bandedDedupWith(documents, threshold, hamming = 1, nBands = mpBandCount)
 
   private def bandedDedupWith(documents: DataFrame, threshold: Double,
-                              hamming: Int): DataFrame = {
+                              hamming: Int, nBands: Int): DataFrame = {
     val factor = chunkFactorFor(documents)
     val base = bandEmbeds(chunks(documents, factor)).localCheckpoint(false)
     val bits = cellBitsFor(base.count())
     val cf = withCellFit(base.withColumn("cell", cellAt("pw", 0, bits)), Seq("pw"))
     val bnd = cf.select(col("chunk_id"), col("p"), col("nsq"), col("fit"),
-      posexplode(array((0 until bandCount).map(k =>
+      posexplode(array((0 until nBands).map(k =>
         cellAt("pw", k * outDims, bits)): _*)).as(Seq("band_k", "band_v")))
     // the probe side of the self-join explodes to its Hamming-≤hamming
     // variant ball: a pair at band distance d ≤ hamming matches on
@@ -622,16 +630,19 @@ object ChunkRetrieval {
     * of a deterministic chunk sample (both endpoints in the sample, so
     * the estimate is unbiased in the pair population), keep those at
     * cosine ≥ threshold as TRUTH, and report what fraction the
-    * single-cell and the 3-band candidate generators would have
-    * proposed. The sample modulus derives from the measured corpus
-    * (⌊n / sampleTarget⌋, floor 1 — the PlanStats ladder again,
-    * mirrored in the oracle): gate corpora sample EVERYTHING (the
-    * truth is exhaustive — measured at sf0.01: banded 0.861 vs cell
-    * 0.693), while a 100× corpus keeps ~sampleTarget chunks and the
-    * brute force stays a bounded ~2M pairs at ANY scale. One row per
-    * method: (method, true_pairs, found_pairs, recall). */
+    * single-cell, the 3-band, and the 5-band Hamming-1 multiprobe
+    * candidate generators would have proposed. The sample modulus
+    * derives from the measured corpus (⌊n / sampleTarget⌋, floor 1 —
+    * the PlanStats ladder again, mirrored in the oracle): gate corpora
+    * sample EVERYTHING (the truth is exhaustive — measured at sf0.01:
+    * multiprobe 0.990 vs banded 0.861 vs cell 0.693), while a 100×
+    * corpus keeps ~sampleTarget chunks and the brute force stays a
+    * bounded ~64M-dot budget at ANY scale (a 2000-chunk sample put
+    * only 16 true pairs in the 100× estimate — too thin to read a
+    * recall to one decimal). One row per method:
+    * (method, true_pairs, found_pairs, recall). */
   def dedupRecall(documents: DataFrame, threshold: Double = 0.95,
-                  sampleTarget: Long = 2000L): DataFrame = {
+                  sampleTarget: Long = 8000L): DataFrame = {
     val base = bandEmbeds(chunks(documents, chunkFactorFor(documents)))
       .localCheckpoint(false)
     val n = base.count()
@@ -653,7 +664,7 @@ object ChunkRetrieval {
     val feat = base.filter(pmod(hv, lit(mod)) === 0)
       .repartition(32)
       .select(col("chunk_id"), col("p"), col("nsq"),
-        array((0 until bandCount).map(k =>
+        array((0 until mpBandCount).map(k =>
           cellAt("pw", k * outDims, bits)): _*).as("bands"))
     val other = feat.select(col("chunk_id").as("ca"), col("p").as("pa"),
       col("nsq").as("nsqa"), col("bands").as("bandsa"))
@@ -663,14 +674,14 @@ object ChunkRetrieval {
         .cast("double") /
         (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
       .filter(col("cosine") >= threshold)
-      // hit disjunctions GENERATED from bandCount (band 0 ≡ the single
-      // cell); multiprobe = any band within Hamming 1 — the
-      // chunkMpDedup candidate rule
+      // hit disjunctions GENERATED from the band constants (band 0 ≡
+      // the single cell, banded = the 3 exact bands, multiprobe = any
+      // of the 5 mp bands within Hamming 1 — the chunkMpDedup rule)
       .withColumn("cell_hit",
         (col("bands")(0) === col("bandsa")(0)).cast("long"))
       .withColumn("band_hit", (0 until bandCount).map(k =>
         col("bands")(k) === col("bandsa")(k)).reduce(_ || _).cast("long"))
-      .withColumn("mp_hit", (0 until bandCount).map(k => expr(
+      .withColumn("mp_hit", (0 until mpBandCount).map(k => expr(
         s"bit_count(element_at(bands, ${k + 1}) ^ element_at(bandsa, ${k + 1})) <= 1"))
         .reduce(_ || _).cast("long"))
     truth.agg(count(lit(1)).as("true_pairs"),
@@ -1129,11 +1140,12 @@ object ChunkRetrieval {
          bcell AS (SELECT chunk_id,
              ${(0 until outDims).map(j => s"p$j").mkString(", ")}, nsq,
              CAST(${bandVal(0)} AS BIGINT) AS cell,
-             ${(0 until bandCount).map(k => s"CAST(${bandVal(k)} AS BIGINT) AS b$k").mkString(", ")}
+             ${(0 until mpBandCount).map(k => s"CAST(${bandVal(k)} AS BIGINT) AS b$k").mkString(", ")}
            FROM bce, bbits db),
          bsum0 AS (SELECT cell, $sCols FROM bcell GROUP BY 1),
          bsum AS (SELECT *, CAST($snsq AS BIGINT) AS snsq FROM bsum0),
-         bfit AS (SELECT c.chunk_id, c.cell, c.b0, c.b1, c.b2, $cPs, c.nsq,
+         bfit AS (SELECT c.chunk_id, c.cell,
+             ${(0 until mpBandCount).map(k => s"c.b$k").mkString(", ")}, $cPs, c.nsq,
              CASE WHEN m.snsq = 0 THEN 0.0
                   ELSE ${sqlR(s"CAST($dotPs AS DOUBLE) / (sqrt(CAST(c.nsq AS DOUBLE)) * sqrt(CAST(m.snsq AS DOUBLE)))", 6)}
              END AS fit
@@ -1165,9 +1177,12 @@ object ChunkRetrieval {
     * [[chunkMpDedup]] rule), verdicts verbatim. Ends at `mmart`. */
   private lazy val mpCtes: String = {
     val dotAb = (0 until outDims).map(j => s"fx.p$j * fy.p$j").mkString(" + ")
-    s"""mpr0 AS (SELECT fx.chunk_id, fy.chunk_id AS cb, fx.fit AS fa, fy.fit AS fb,
+    s"""mpband AS (${(0 until mpBandCount).map(k =>
+             s"SELECT chunk_id, $k AS band_k, b$k AS band_v FROM bfit")
+           .mkString(" UNION ALL ")}),
+       mpr0 AS (SELECT fx.chunk_id, fy.chunk_id AS cb, fx.fit AS fa, fy.fit AS fb,
            ${sqlR(s"CAST($dotAb AS DOUBLE) / (sqrt(CAST(fx.nsq AS DOUBLE)) * sqrt(CAST(fy.nsq AS DOUBLE)))", 6)} AS cosine
-         FROM bband x JOIN bband y
+         FROM mpband x JOIN mpband y
            ON x.band_k = y.band_k AND bit_count(xor(x.band_v, y.band_v)) <= 1
              AND x.chunk_id <> y.chunk_id
          JOIN bfit fx ON fx.chunk_id = x.chunk_id
@@ -1247,6 +1262,12 @@ object ChunkRetrieval {
          CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
        FROM kfin WHERE rank <= 10 ORDER BY probe_id, rank"""
 
+  // NOTE: every oracle below pins the REGISTERED defaults of its Scala
+  // twin (k = 10, arm = 50, rrfK = 60, kTerms = 8, hamming = 2,
+  // threshold = 0.95, bandCount = 3); a non-default call is a dev-seam
+  // exercise, not a gated surface. Structural constants that derive
+  // from code (bandCount, the bits ladder) are INTERPOLATED, not
+  // hardcoded, so changing them cannot desync mart and oracle.
   val oracles: Map[String, String] = Map(
     "q_chunk_retrieval" -> retrievalOracle,
     "q_chunk_delta_serve" -> retrievalOracle,
@@ -1337,16 +1358,16 @@ object ChunkRetrieval {
          ORDER BY kp.probe_id""",
     "q_dedup_recall" -> {
       val dotAb = (0 until outDims).map(j => s"a.p$j * b.p$j").mkString(" + ")
-      // hit predicates generated from bandCount, mirroring the Spark
-      // side: cell = band 0 exact, banded = any-band exact, multiprobe
-      // = any band within Hamming 1
-      val bandSel = (0 until bandCount).map(k => s"a.b$k AS a$k, b.b$k AS c$k")
+      // hit predicates generated from the band constants, mirroring the
+      // Spark side: cell = band 0 exact, banded = any of the 3 exact
+      // bands, multiprobe = any of the 5 mp bands within Hamming 1
+      val bandSel = (0 until mpBandCount).map(k => s"a.b$k AS a$k, b.b$k AS c$k")
         .mkString(", ")
       val bandOr = (0 until bandCount).map(k => s"a$k = c$k").mkString(" OR ")
-      val mpOr = (0 until bandCount).map(k => s"bit_count(xor(a$k, c$k)) <= 1")
+      val mpOr = (0 until mpBandCount).map(k => s"bit_count(xor(a$k, c$k)) <= 1")
         .mkString(" OR ")
       s"""WITH $chunkCtes, $bandedCtes,
-         rmod AS (SELECT GREATEST(CAST(1 AS BIGINT), n // 2000) AS m
+         rmod AS (SELECT GREATEST(CAST(1 AS BIGINT), n // 8000) AS m
            FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM bce)),
          rs AS (SELECT f.* FROM bfit f, rmod
            WHERE (${(1 to 4).map(i =>

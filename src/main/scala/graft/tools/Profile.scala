@@ -254,6 +254,20 @@ object Profile {
         spark.catalog.clearCache()
       }
     }
+    if (sys.env.contains("SPARK_GRAFT_RECALL")) {
+      import graft.ann.ChunkRetrieval
+      docs.count()
+      for (round <- 1 to 2) {
+        t(s"chunk_dedup_mp_$round") { ChunkRetrieval.chunkMpDedup(docs).count() }
+        spark.catalog.clearCache()
+        t(s"dedup_recall_$round") {
+          val rows = ChunkRetrieval.dedupRecall(docs).collect()
+          rows.foreach(r => println(s"RECALL ${r.getAs[String]("method")} " +
+            f"${r.getAs[Double]("recall")}%.4f of ${r.getAs[Long]("true_pairs")} pairs"))
+          rows.length.toLong }
+        spark.catalog.clearCache()
+      }
+    }
     if (sys.env.contains("SPARK_GRAFT_BPEB")) {
       // batched-vs-sequential subword training: wall time at matched
       // merge budgets (sequential = 1 merge/round-trip, batched = up to
