@@ -520,14 +520,16 @@ object ChunkRetrieval {
 
   /** Bands of the multi-band LSH variant: 3 independent hyperplane
     * sets, each `bits` wide, drawn from one wide sign projection. The
-    * Hamming-1 MULTI-PROBE generator uses [[mpBandCount]] = 5 bands —
+    * Hamming-1 MULTI-PROBE generator uses [[mpBandCount]] = 6 bands —
     * at the 14-bit width a 100× corpus derives, 3 bands at Hamming 1
-    * measured 0.81 recall and 2 more bands buy back the rest at 5/3 the
-    * (still linear) pair cost; band values are PREFIX-STABLE (row j of
-    * the sign matrix is independent of the projection width), so the
+    * measured 0.885 recall over 235 brute-forced true pairs at 5 bands
+    * and each further band multiplies the miss rate by the measured
+    * per-band miss (0.649): 6 bands clear 0.9 at 6/5 the (still
+    * linear) pair cost; band values are PREFIX-STABLE (row j of the
+    * sign matrix is independent of the projection width), so the
     * 3-band keys are bit-unchanged by the widening. */
   private[graft] val bandCount = 3
-  private[graft] val mpBandCount = 5
+  private[graft] val mpBandCount = 6
   private val bandDims = mpBandCount * outDims
 
   /** Chunk embeddings carrying the WIDE sign projection: (chunk_id, p,
@@ -568,10 +570,10 @@ object ChunkRetrieval {
     * [[mpBandCount]] = 5 bands — the [[chunkAnnEval]] device applied to
     * dedup candidate generation: at the 14-bit width a 100× corpus
     * derives, 3-band exact-OR recall collapses ([[dedupRecall]]
-    * measured 0.25 at 100×) and proposing pairs whose band values
+    * measured 0.49 at 100×) and proposing pairs whose band values
     * differ by ≤1 sign recovers it — per band
     * P(≤1 of b signs flips | cosine ≥ 0.95) ≈ p^b + b·p^(b-1)(1-p),
-    * and 5 bands OR the per-band recall up to ≥0.9 at 14 measured-p
+    * and 6 bands OR the per-band recall past 0.9 at 14 measured-p
     * bits where 3 read 0.81. One side of the candidate self-join
     * explodes to its (bits+1)-variant Hamming-1 ball, keeping pair
     * work LINEAR at mpBandCount·(bits+1)× the single-cell cost;
