@@ -34,4 +34,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Deep iterative plans (a few hundred chained per-round checkpoints,
+  // e.g. BPE at production merge counts) overflow the default thread
+  // stack during task deserialization in local mode; measured fine at
+  // 32m. A real cluster sets spark.executor.extraJavaOptions instead.
+  "-Xss32m",
 )

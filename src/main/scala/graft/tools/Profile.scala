@@ -274,10 +274,15 @@ object Profile {
       // cap per round-trip); rows = merges actually landed
       import graft.text.SubwordBpe
       docs.count()
+      def guarded(name: String)(f: => Long): Unit =
+        try t(name)(f) catch { case e: Throwable =>
+          println(s"PHASE $name FAILED: ${e.getClass.getSimpleName}")
+          spark.catalog.clearCache()
+        }
       for (m <- Seq(8, 64, 256)) {
-        t(s"seq_${m}_merges") { SubwordBpe.subwordTrain(docs, m).count() }
+        guarded(s"seq_${m}_merges") { SubwordBpe.subwordTrain(docs, m).count() }
         spark.catalog.clearCache()
-        t(s"batched_${m}_budget") {
+        guarded(s"batched_${m}_budget") {
           SubwordBpe.subwordTrainBatched(docs, rounds = m / 4, cap = 4).count() }
         spark.catalog.clearCache()
       }
