@@ -800,6 +800,21 @@ object ChunkRetrieval {
       factor, nProbes, k, kTerms, arm, rrfK)
   }
 
+  /** [[chunkServe]] with the cell-route arm — the production DEDUPED
+    * serving index behind the promoted candidate fetch: dominated
+    * chunks drop before the arms, the adaptive cell width derives from
+    * the SURVIVOR count (the index that exists at serving time), and
+    * only Hamming-≤`hamming` cells are fetched and re-ranked. */
+  def chunkServeAnn(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
+                    kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
+                    threshold: Double = 0.95, hamming: Int = 2): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    val sch = survivorChunks(documents, factor, threshold)
+    rankServe(fuseArms(lexArm(sch, documents, nProbes, kTerms, arm),
+      vecArmCellFromCe(chunkEmbeds(sch), documents, nProbes, arm, factor,
+        hamming), rrfK), factor, k)
+  }
+
   /** The MERGEABLE serving-index aggregates of a chunk frame: chunk
     * embeddings, postings (word, chunk_id, tf, dl), the all-words df
     * table, and the (nn, sdl0) stats row. Every part is either disjoint
@@ -868,6 +883,52 @@ object ChunkRetrieval {
       lexArmFromParts(postings, dfAll, stats, documents,
         nProbes, kTerms, arm, factor),
       vecArmFromCe(ce, documents, nProbes, arm, factor), rrfK), factor, k)
+
+  /** [[serveFromParts]] with the PROMOTED cell-route vector arm — the
+    * full production combination: frozen index parts AND the cell-keyed
+    * candidate fetch. The ce part carries exactly [[chunkEmbeds]]'
+    * values, so the derived width, cells, and candidates are identical
+    * to the rebuild's. */
+  private[graft] def serveFromPartsAnn(ce: DataFrame, postings: DataFrame,
+                                       dfAll: DataFrame, stats: DataFrame,
+                                       documents: DataFrame, factor: Long,
+                                       nProbes: Int = 10, k: Int = 10,
+                                       kTerms: Int = 8, arm: Int = 50,
+                                       rrfK: Int = 60,
+                                       hamming: Int = 2): DataFrame =
+    rankServe(fuseArms(
+      lexArmFromParts(postings, dfAll, stats, documents,
+        nProbes, kTerms, arm, factor),
+      vecArmCellFromCe(ce, documents, nProbes, arm, factor, hamming),
+      rrfK), factor, k)
+
+  /** [[chunkDeltaServe]] with the cell-route arm — exact incremental
+    * maintenance AND the promoted candidate fetch in one serving shape.
+    * The parts merge is exact (disjoint unions + associative sums), so
+    * the merged ce is value-identical to the full rebuild's embeddings
+    * and the oracle is [[chunkRetrievalAnn]]'s VERBATIM — bit-equality
+    * to the from-scratch ANN retrieval is the gate. */
+  def chunkDeltaServeAnn(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
+                         kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
+                         deltaMod: Long = 17L, hamming: Int = 2): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    val isDelta = col("doc_id") % deltaMod === 0
+    val (bce, bpost, bdf, bstat) =
+      indexParts(chunks(documents.filter(!isDelta), factor))
+    val (fce, fpost, fdf, fstat) = (bce.localCheckpoint(false),
+      bpost.localCheckpoint(false), bdf.localCheckpoint(false),
+      bstat.localCheckpoint(false))
+    val (dce, dpost, ddf, dstat) =
+      indexParts(chunks(documents.filter(isDelta), factor))
+    val ce = fce.unionByName(dce)
+    val postings = fpost.unionByName(dpost)
+    val dfAll = fdf.unionByName(ddf)
+      .groupBy(col("word")).agg(sum(col("df")).as("df"))
+    val stats = fstat.unionByName(dstat)
+      .agg(sum(col("nn")).as("nn"), sum(col("sdl0")).as("sdl0"))
+    serveFromPartsAnn(ce, postings, dfAll, stats, documents, factor,
+      nProbes, k, kTerms, arm, rrfK, hamming)
+  }
 
   /** The artifact-lifecycle gate at INDEX scale — the q_bpe_subword_loaded
     * pattern applied to the corpus-sized index parts: build
@@ -959,7 +1020,9 @@ object ChunkRetrieval {
     "q_chunk_ann_eval" -> ((s, d) => chunkAnnEval(Tables.documents(s, d))),
     "q_chunk_retrieval_ann" -> ((s, d) => chunkRetrievalAnn(Tables.documents(s, d))),
     "q_chunk_parts_loaded" -> ((s, d) => chunkPartsLoaded(s, Tables.documents(s, d))),
-    "q_chunk_dedup_mp" -> ((s, d) => chunkMpDedup(Tables.documents(s, d)))
+    "q_chunk_dedup_mp" -> ((s, d) => chunkMpDedup(Tables.documents(s, d))),
+    "q_chunk_serve_ann" -> ((s, d) => chunkServeAnn(Tables.documents(s, d))),
+    "q_chunk_delta_serve_ann" -> ((s, d) => chunkDeltaServeAnn(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -1264,6 +1327,45 @@ object ChunkRetrieval {
          CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
        FROM kfin WHERE rank <= 10 ORDER BY probe_id, rank"""
 
+  /** The q_chunk_retrieval_ann oracle — also q_chunk_delta_serve_ann's
+    * VERBATIM (the parts merge is exact, so incremental ANN serving
+    * must equal the from-scratch ANN retrieval bit-for-bit): the
+    * Hamming-2 cell candidates re-ranked, then the verbatim
+    * fusion/dedup/rank tail over the same lexical arm. */
+  private lazy val retrievalAnnOracle: String =
+    s"""WITH $chunkCtes,
+       nbit AS (SELECT $bitsLadderSql AS b
+         FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kce)),
+       ncc AS (SELECT chunk_id, CAST(${cellLadderSql("p")} AS BIGINT) AS cell
+         FROM kce, nbit db),
+       npc AS (SELECT probe_id, CAST(${cellLadderSql("q")} AS BIGINT) AS pcell
+         FROM kpe, nbit db),
+       ncand AS (SELECT v.probe_id, v.chunk_id, v.cosine
+         FROM kvs v JOIN ncc c ON c.chunk_id = v.chunk_id
+           JOIN npc p ON p.probe_id = v.probe_id
+         WHERE bit_count(xor(c.cell, p.pcell)) <= 2),
+       nvr AS (SELECT probe_id, chunk_id, ROW_NUMBER() OVER
+           (PARTITION BY probe_id ORDER BY cosine DESC, chunk_id) AS vec_rank
+         FROM ncand),
+       nvarm AS (SELECT * FROM nvr WHERE vec_rank <= 50),
+       nfus AS (SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
+           COALESCE(l.chunk_id, v.chunk_id) AS chunk_id, l.lex_rank, v.vec_rank,
+           COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0) +
+             COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0.0) AS rrf
+         FROM klarm l FULL OUTER JOIN nvarm v
+           ON l.probe_id = v.probe_id AND l.chunk_id = v.chunk_id),
+       ndd AS (SELECT *, ROW_NUMBER() OVER
+           (PARTITION BY probe_id, chunk_id // $minChunkFactor ORDER BY rrf DESC, chunk_id) AS dr
+         FROM nfus),
+       nfin AS (SELECT probe_id, chunk_id, lex_rank, vec_rank, rrf,
+           ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf DESC, chunk_id) AS rank
+         FROM ndd WHERE dr = 1)
+       SELECT probe_id, CAST(rank AS INT) AS rank,
+         CAST(chunk_id // $minChunkFactor AS BIGINT) AS doc_id, chunk_id,
+         ${sqlR("rrf", 6)} AS rrf_score,
+         CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
+       FROM nfin WHERE rank <= 10 ORDER BY probe_id, rank"""
+
   // NOTE: every oracle below pins the REGISTERED defaults of its Scala
   // twin (k = 10, arm = 50, rrfK = 60, kTerms = 8, hamming = 2,
   // threshold = 0.95, bandCount = 3); a non-default call is a dev-seam
@@ -1279,40 +1381,51 @@ object ChunkRetrieval {
     // the PROMOTED cell-route arm: candidates = chunks whose adaptive
     // sign-LSH cell is within Hamming-2 of the probe's, exact cosine
     // re-rank, then the verbatim fusion/dedup/rank tail over the same
-    // lexical arm
-    "q_chunk_retrieval_ann" ->
-      s"""WITH $chunkCtes,
-         nbit AS (SELECT $bitsLadderSql AS b
-           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM kce)),
-         ncc AS (SELECT chunk_id, CAST(${cellLadderSql("p")} AS BIGINT) AS cell
-           FROM kce, nbit db),
-         npc AS (SELECT probe_id, CAST(${cellLadderSql("q")} AS BIGINT) AS pcell
-           FROM kpe, nbit db),
-         ncand AS (SELECT v.probe_id, v.chunk_id, v.cosine
-           FROM kvs v JOIN ncc c ON c.chunk_id = v.chunk_id
-             JOIN npc p ON p.probe_id = v.probe_id
+    // lexical arm; ALSO q_chunk_delta_serve_ann's VERBATIM — the parts
+    // merge is exact, so incremental ANN serving must equal the
+    // from-scratch ANN retrieval bit-for-bit
+    "q_chunk_retrieval_ann" -> retrievalAnnOracle,
+    "q_chunk_delta_serve_ann" -> retrievalAnnOracle,
+    // the deduped serving index behind the cell-route arm: survivors
+    // feed BOTH arms, the width derives from the survivor count
+    "q_chunk_serve_ann" ->
+      s"""WITH $chunkCtes, $dedupCtes,
+         skch AS (SELECT * FROM kch
+           WHERE chunk_id NOT IN (SELECT chunk_id FROM ddom)),
+         skce AS (SELECT * FROM kce
+           WHERE chunk_id NOT IN (SELECT chunk_id FROM ddom)),
+         ${armCtes("s", "skch", "skce")},
+         snbit AS (SELECT $bitsLadderSql AS b
+           FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM skce)),
+         sncc AS (SELECT chunk_id, CAST(${cellLadderSql("p")} AS BIGINT) AS cell
+           FROM skce, snbit db),
+         snpc AS (SELECT probe_id, CAST(${cellLadderSql("q")} AS BIGINT) AS pcell
+           FROM kpe, snbit db),
+         sncand AS (SELECT v.probe_id, v.chunk_id, v.cosine
+           FROM skvs v JOIN sncc c ON c.chunk_id = v.chunk_id
+             JOIN snpc p ON p.probe_id = v.probe_id
            WHERE bit_count(xor(c.cell, p.pcell)) <= 2),
-         nvr AS (SELECT probe_id, chunk_id, ROW_NUMBER() OVER
+         snvr AS (SELECT probe_id, chunk_id, ROW_NUMBER() OVER
              (PARTITION BY probe_id ORDER BY cosine DESC, chunk_id) AS vec_rank
-           FROM ncand),
-         nvarm AS (SELECT * FROM nvr WHERE vec_rank <= 50),
-         nfus AS (SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
+           FROM sncand),
+         snvarm AS (SELECT * FROM snvr WHERE vec_rank <= 50),
+         snfus AS (SELECT COALESCE(l.probe_id, v.probe_id) AS probe_id,
              COALESCE(l.chunk_id, v.chunk_id) AS chunk_id, l.lex_rank, v.vec_rank,
              COALESCE(CAST(1.0 AS DOUBLE) / (60 + l.lex_rank), 0.0) +
                COALESCE(CAST(1.0 AS DOUBLE) / (60 + v.vec_rank), 0.0) AS rrf
-           FROM klarm l FULL OUTER JOIN nvarm v
+           FROM sklarm l FULL OUTER JOIN snvarm v
              ON l.probe_id = v.probe_id AND l.chunk_id = v.chunk_id),
-         ndd AS (SELECT *, ROW_NUMBER() OVER
+         sndd AS (SELECT *, ROW_NUMBER() OVER
              (PARTITION BY probe_id, chunk_id // $minChunkFactor ORDER BY rrf DESC, chunk_id) AS dr
-           FROM nfus),
-         nfin AS (SELECT probe_id, chunk_id, lex_rank, vec_rank, rrf,
+           FROM snfus),
+         snfin AS (SELECT probe_id, chunk_id, lex_rank, vec_rank, rrf,
              ROW_NUMBER() OVER (PARTITION BY probe_id ORDER BY rrf DESC, chunk_id) AS rank
-           FROM ndd WHERE dr = 1)
+           FROM sndd WHERE dr = 1)
          SELECT probe_id, CAST(rank AS INT) AS rank,
            CAST(chunk_id // $minChunkFactor AS BIGINT) AS doc_id, chunk_id,
            ${sqlR("rrf", 6)} AS rrf_score,
            CAST(lex_rank AS INT) AS lex_rank, CAST(vec_rank AS INT) AS vec_rank
-         FROM nfin WHERE rank <= 10 ORDER BY probe_id, rank""",
+         FROM snfin WHERE rank <= 10 ORDER BY probe_id, rank""",
     "q_chunk_dedup_banded" ->
       s"""WITH $chunkCtes, $bandedCtes
          SELECT doc_id, chunk_id, cell, fit, n_dups, max_dup_cosine, keep

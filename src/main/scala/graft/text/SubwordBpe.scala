@@ -251,8 +251,15 @@ object SubwordBpe {
     * the md5 fingerprint of the document's full subword stream. */
   private[graft] def applyMart(documents: DataFrame,
                                merges: DataFrame): DataFrame =
+    applyMartWith(documents, mergeArtifact(merges))
+
+  /** [[applyMart]] against an already-ordered one-row merge artifact —
+    * the seam the rank-ordered batched replay shares with the
+    * (round, tok_a, tok_b)-ordered sequential one. */
+  private def applyMartWith(documents: DataFrame,
+                            artifact: DataFrame): DataFrame =
     Bpe.tokenState(documents)
-      .crossJoin(broadcast(mergeArtifact(merges)))
+      .crossJoin(broadcast(artifact))
       .withColumn("wtoks", expr(
         s"transform(toks, w -> ${replayFold(symsOf("w"))})"))
       .withColumn("flat", flatten(col("wtoks")))
@@ -268,6 +275,19 @@ object SubwordBpe {
     * [[applyMart]]. */
   def subwordApply(documents: DataFrame, merges: DataFrame): DataFrame =
     applyMart(documents, merges).orderBy("doc_id")
+
+  /** Per-document tokenization with a BATCHED merge table
+    * ([[subwordTrainBatched]]'s output): the same row-local replay, but
+    * the broadcast artifact sorts by (round, batch_rank) — within a
+    * round the rank order IS the application order, and since a
+    * round's merges are token-disjoint the fold is exactly the
+    * trainer's. Train/apply identity and OOV-freedom carry over
+    * unchanged (Round14Spec). */
+  def subwordApplyBatched(documents: DataFrame, merges: DataFrame): DataFrame =
+    applyMartWith(documents,
+      merges.agg(array_sort(collect_list(struct(col("round"),
+        col("batch_rank"), col("tok_a"), col("tok_b")))).as("ms")))
+      .orderBy("doc_id")
 
   /** Shard-trained subword BPE vs full-corpus subword BPE — the
     * [[Bpe.bpeSampleEval]] amortization question re-asked at the
@@ -317,6 +337,10 @@ object SubwordBpe {
     }),
     "q_bpe_subword_sample" -> ((s, d) => subwordSampleEval(Tables.documents(s, d))),
     "q_bpe_subword_batched" -> ((s, d) => subwordTrainBatched(Tables.documents(s, d))),
+    "q_bpe_subword_batched_apply" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      subwordApplyBatched(docs, subwordTrainBatched(docs))
+    }),
     // the artifact-lifecycle gate: train ONCE, persist the merge table
     // versioned ([[graft.sources.Artifacts]]), and serve from the
     // LOADED artifact — the production split (build once, load
@@ -400,9 +424,10 @@ object SubwordBpe {
     * scalar subqueries re-evaluated the whole upstream chain per row);
     * a missing rank folds as the identity via a never-occurring chr(2)
     * pattern. */
-  private lazy val batchedOracle: String = {
-    val bcap = 4
-    val brounds = 4
+  private val bcap = 4
+  private val brounds = 4
+
+  private lazy val batchedChain: String = {
     def roundB(k: Int): String = {
       val prev = s"bws${k - 1}"
       val pivots = (1 to bcap).map(j =>
@@ -429,25 +454,47 @@ object SubwordBpe {
          bws$k AS (SELECT word, n, $repl AS s
            FROM $prev p LEFT JOIN bmg$k m ON TRUE)"""
     }
-    s"""WITH bww AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    s"""bww AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
            FROM (SELECT unnest(string_split($normSql, ' ')) AS word
                  FROM documents WHERE text IS NOT NULL AND $normSql <> '')
            GROUP BY 1),
        bws0 AS (SELECT word, n,
            chr(1)||chr(1) || array_to_string(list_concat(string_split(word, ''), ['</w>']), chr(1)||chr(1)) || chr(1)||chr(1) AS s
          FROM bww),
-       ${(1 to brounds).map(roundB).mkString(",\n       ")}
+       ${(1 to brounds).map(roundB).mkString(",\n       ")}"""
+  }
+
+  private lazy val batchedOracle: String =
+    s"""WITH $batchedChain
        SELECT * FROM (
          ${(1 to brounds).map(k =>
            s"SELECT $k AS round, rk AS batch_rank, a AS tok_a, b AS tok_b, a||b AS merged, cnt AS pair_n FROM bwt$k")
            .mkString("\n         UNION ALL ")}
        ) ORDER BY round, batch_rank"""
-  }
+
+  /** The batched APPLY oracle — the [[applyOracle]] device over the
+    * batched chain's final word-symbol table. */
+  private lazy val batchedApplyOracle: String =
+    s"""WITH $batchedChain,
+       bfin AS (SELECT word, list_filter(str_split(s, chr(1)||chr(1)), x -> x <> '') AS toks FROM bws$brounds),
+       bdw AS (SELECT doc_id, string_split($normSql, ' ') AS words
+         FROM documents WHERE text IS NOT NULL AND $normSql <> ''),
+       bdwx AS (SELECT doc_id, CAST(i.i AS INT) AS idx, words[CAST(i.i AS INT)] AS word
+         FROM bdw, LATERAL (SELECT UNNEST(range(1, len(words) + 1)) AS i) i)
+       SELECT d.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_words,
+         CAST(SUM(len(d.word) + 1) AS BIGINT) AS n_syms,
+         CAST(SUM(len(f.toks)) AS BIGINT) AS n_tokens,
+         CAST(SUM(len(d.word) + 1) - SUM(len(f.toks)) AS BIGINT) AS n_merges,
+         md5(string_agg(array_to_string(f.toks, chr(1)), chr(1) ORDER BY d.idx)) AS tok_hash
+       FROM bdwx d JOIN bfin f USING (word)
+       GROUP BY d.doc_id ORDER BY d.doc_id"""
 
   val oracles: Map[String, String] = Map(
     "q_bpe_subword_apply" -> applyOracle,
     "q_bpe_subword_loaded" -> applyOracle,
     "q_bpe_subword_batched" -> batchedOracle,
+    "q_bpe_subword_batched_apply" -> batchedApplyOracle,
     "q_bpe_subword" ->
       s"""WITH $baseCtes
          SELECT * FROM (

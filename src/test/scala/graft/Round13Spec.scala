@@ -136,13 +136,16 @@ class Round13Spec extends AnyFunSuite {
       .collect().map(row => row.getString(0) ->
         (row.getLong(1), row.getLong(2), Option(row.get(3)).map(_.asInstanceOf[Double])))
       .toMap
-    assert(r.keySet == Set("banded", "cell"))
+    // round 14 added the multiprobe generator as a third measured method
+    assert(r.keySet == Set("banded", "cell", "multiprobe"))
     val (tb, fb, rb) = r("banded")
     val (tc, fc, rc) = r("cell")
-    assert(tb == tc, "both methods must score the same truth set")
+    val (tm, fm, rm) = r("multiprobe")
+    assert(tb == tc && tb == tm, "all methods must score the same truth set")
     assert(tb > 0L, "gate corpus must contain true duplicate pairs")
     assert(fb >= fc, "banding can only add candidate coverage")
-    for ((f, t, rec) <- Seq((fb, tb, rb), (fc, tc, rc))) {
+    assert(fm >= fb, "multiprobe can only add coverage over exact bands")
+    for ((f, t, rec) <- Seq((fb, tb, rb), (fc, tc, rc), (fm, tm, rm))) {
       assert(f <= t, "found pairs cannot exceed the truth")
       rec.foreach(x => assert(x >= 0.0 && x <= 1.0))
     }

@@ -134,6 +134,16 @@ class Round14Spec extends AnyFunSuite {
     assert(adm.filter(col("cell").isNull && !col("admit")).count() == 0L)
   }
 
+  test("incremental ANN serving == from-scratch ANN retrieval bit-for-bit") {
+    // the parts merge is exact, so the promoted arm served from frozen
+    // base + fresh delta must reproduce chunkRetrievalAnn exactly —
+    // the Scala twin of the shared-oracle gate
+    val a = ChunkRetrieval.chunkRetrievalAnn(docs).collect().map(_.toSeq).toSet
+    val b = ChunkRetrieval.chunkDeltaServeAnn(docs).collect().map(_.toSeq).toSet
+    assert(a.nonEmpty && a == b,
+      "delta-merged ANN serving diverged from the from-scratch ANN retrieval")
+  }
+
   test("cell-route retrieval is deterministic and keeps the serving contract") {
     val a = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
     val b = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
