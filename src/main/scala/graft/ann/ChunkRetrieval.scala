@@ -185,7 +185,7 @@ object ChunkRetrieval {
   /** XOR masks enumerating the Hamming-≤`hamming` ball over `bits` sign
     * bits — the multi-probe cell list. |masks| = Σ C(bits, i≤hamming):
     * 137 at 16 bits / hamming 2, a bounded literal. */
-  private def hammingMasks(bits: Int, hamming: Int): Seq[Long] =
+  private[graft] def hammingMasks(bits: Int, hamming: Int): Seq[Long] =
     (0 to hamming).flatMap(h =>
       (0 until bits).combinations(h).map(_.map(i => 1L << i).sum).toSeq)
 

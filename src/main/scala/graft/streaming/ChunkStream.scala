@@ -91,7 +91,26 @@ object ChunkStream {
     * probe row. */
   private[graft] def serveRows(probes: DataFrame, arts: DataFrame,
                                k: Int, kTerms: Int, arm: Int,
-                               rrfK: Int): DataFrame = {
+                               rrfK: Int): DataFrame =
+    serveCore(probes, arts, k, kTerms, arm, rrfK, ann = false)
+
+  /** [[serveRows]] with the PROMOTED cell-route vector arm — the
+    * streaming twin of [[ChunkRetrieval.chunkRetrievalAnn]]: the probe
+    * cell folds row-locally from its own JL signs at the artifact's
+    * frozen width, the Hamming-≤2 ball enumerates via the artifact's
+    * precomputed mask array, and only the fetched cells' entries are
+    * scored — the per-probe work drops from |corpus| to the ball's
+    * occupancy, which is the entire point of the promotion at a
+    * serving tier (the cell map is the shard key a store fetches by).
+    * Requires a [[chunkArtifactsAnn]] row. */
+  private[graft] def serveRowsAnn(probes: DataFrame, arts: DataFrame,
+                                  k: Int, kTerms: Int, arm: Int,
+                                  rrfK: Int): DataFrame =
+    serveCore(probes, arts, k, kTerms, arm, rrfK, ann = true)
+
+  private def serveCore(probes: DataFrame, arts: DataFrame,
+                        k: Int, kTerms: Int, arm: Int,
+                        rrfK: Int, ann: Boolean): DataFrame = {
     val stopArr = TextPrep.stopEn.map(w => s"'$w'").mkString("array(", ", ", ")")
     def let1(value: String, v: String, body: String): String =
       s"element_at(transform(array($value), $v -> $body), 1)"
@@ -108,11 +127,15 @@ object ChunkStream {
       s"""transform(${ChunkRetrieval.signsSql}, srow ->
          aggregate(zip_with(bcv, srow, (bca, sgv) -> bca * sgv), cast(0 as bigint), (qa, qx) -> qa + qx))"""
     val pnsqE = "aggregate(qv, cast(0 as bigint), (na, nx) -> na + nx * nx)"
-    // vector arm: exact cosine against every stored chunk embedding,
-    // own-document chunks excluded, r6-rounded, (cos desc, id asc)
+    // vector arm: exact cosine, own-document chunks excluded,
+    // r6-rounded, (cos desc, id asc). The brute arm scans every stored
+    // entry; the ANN arm scores only the Hamming-ball fetch bound to
+    // `cande` below.
+    val entryArr = "array<struct<chunk_id:bigint,p:array<bigint>,nsq:bigint>>"
+    val vecSrc = if (ann) "cande" else "centries"
     val vtopE =
       s"""CASE WHEN pq > 0 THEN slice(array_sort(
-           transform(filter(centries, c -> floor(c.chunk_id / fct) <> probe_id),
+           transform(filter($vecSrc, c -> floor(c.chunk_id / fct) <> probe_id),
              c -> struct(
                -(floor((cast(aggregate(zip_with(c.p, qv, (vx, vy) -> vx * vy),
                      cast(0 as bigint), (va, vt) -> va + vt) as double)
@@ -120,6 +143,16 @@ object ChunkStream {
                  * 1000000D + 0.5D) / 1000000D) AS nc,
                c.chunk_id AS cid))), 1, $arm)
          ELSE cast(array() as array<struct<nc:double,cid:bigint>>) END"""
+    // the probe's sign-LSH cell at the artifact's frozen width, and the
+    // Hamming-ball candidate fetch from the cell-keyed entry map
+    val pcellE =
+      """IF(pq > 0, aggregate(sequence(0, bits - 1), 0L, (a, j) ->
+         a + IF(element_at(qv, cast(j as int) + 1) >= 0,
+                shiftleft(1L, cast(j as int)), 0L)), cast(null as bigint))"""
+    val candE =
+      s"""IF(pcell IS NULL, cast(array() as $entryArr),
+         flatten(transform(masks, m ->
+           coalesce(element_at(cells, pcell ^ m), cast(array() as $entryArr)))))"""
     // lexical arm: pre-computed contributions fetched per term; the
     // per-chunk sums come from ONE sorted group-boundary fold —
     // decimal addition is exact and order-free, so the sorted-run
@@ -165,13 +198,16 @@ object ChunkStream {
                    + IF(f.vr0 > 0, 1.0D / ($rrfK + f.vr0), 0.0D)) AS nr,
                  f.cid AS cid, cast(d as bigint) AS did,
                  f.lr0 AS lr0, f.vr0 AS vr0))))), 1, $k)"""
+    val tail =
+      let1(vtopE, "vt",
+        let1(ltopE, "lt",
+          let1(fusE, "fu", frE)))
     val bound =
       let1(bcE, "bcv",
         let1(qE, "qv",
           let1(pnsqE, "pq",
-            let1(vtopE, "vt",
-              let1(ltopE, "lt",
-                let1(fusE, "fu", frE))))))
+            if (ann) let1(pcellE, "pcell", let1(candE, "cande", tail))
+            else tail)))
     probes
       .filter(col("text").isNotNull)
       .withColumn("norm", graft.functions.Fns.normText(col("text")))
@@ -192,6 +228,55 @@ object ChunkStream {
         graft.functions.Fns.r6(-col("e.nr")).as("rrf_score"),
         when(col("e.lr0") > 0, col("e.lr0")).cast("int").as("lex_rank"),
         when(col("e.vr0") > 0, col("e.vr0")).cast("int").as("vec_rank"))
+  }
+
+  /** [[chunkArtifacts]] plus the cell-route serving columns: the
+    * stored entries RE-KEYED by their adaptive sign-LSH cell (`cells`
+    * map — the shard key a serving store fetches by), the frozen cell
+    * width, and the precomputed Hamming-≤2 mask ball. Width, cells,
+    * and masks all come from the batch [[ChunkRetrieval]] devices. */
+  private[graft] def chunkArtifactsAnn(documents: DataFrame): DataFrame = {
+    val factor = ChunkRetrieval.chunkFactorFor(documents)
+    val base = ChunkRetrieval
+      .chunkEmbeds(ChunkRetrieval.chunks(documents, factor))
+      .localCheckpoint(false)
+    val bits = ChunkRetrieval.cellBitsFor(base.count())
+    val masks = ChunkRetrieval.hammingMasks(bits, 2)
+    val cellMap = base.withColumn("cell", ChunkRetrieval.cellAt("p", 0, bits))
+      .groupBy(col("cell"))
+      .agg(sort_array(collect_list(
+        struct(col("chunk_id"), col("p"), col("nsq")))).as("entries"))
+      .agg(map_from_entries(collect_list(
+        struct(col("cell"), col("entries")))).as("cells"))
+    chunkArtifacts(documents)
+      .crossJoin(broadcast(cellMap))
+      .withColumn("bits", lit(bits))
+      .withColumn("masks", expr(s"array(${masks.mkString(",")})"))
+  }
+
+  /** Serve a stream of arriving probe documents against the frozen
+    * CELL-KEYED chunk artifact with the promoted ANN arm — bit-equal to
+    * batch [[ChunkRetrieval.chunkRetrievalAnn]] for the same probes
+    * (Round14Spec); zero aggregation state asserted inside the
+    * operator. */
+  def servedChunkQueriesAnn(spark: SparkSession, dir: String, corpus: DataFrame,
+                            nProbes: Int = 10, k: Int = 10, kTerms: Int = 8,
+                            arm: Int = 50, rrfK: Int = 60,
+                            queryName: String = "stream_chunkserve_ann"): DataFrame = {
+    val probes = DocStream.readDocuments(spark, dir)
+      .filter(col("doc_id") < nProbes)
+    val arts = chunkArtifactsAnn(corpus)
+    val out = serveRowsAnn(probes, arts, k, kTerms, arm, rrfK)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try {
+      q.processAllAvailable()
+      val st = Option(q.lastProgress).flatMap(p => Option(p.stateOperators))
+        .getOrElse(Array.empty)
+      require(st.isEmpty,
+        s"ANN chunk query serving must hold zero aggregation state, found ${st.length} operators")
+    } finally q.stop()
+    spark.table(queryName)
   }
 
   /** Serve a stream of arriving probe documents against the frozen

@@ -134,6 +134,19 @@ class Round14Spec extends AnyFunSuite {
     assert(adm.filter(col("cell").isNull && !col("admit")).count() == 0L)
   }
 
+  test("streamed ANN chunk serving == batch chunkRetrievalAnn bit-for-bit, zero state") {
+    // the last brute-arm consumer promoted: the streaming twin fetches
+    // only the Hamming-ball cells from the cell-keyed artifact map and
+    // must reproduce the batch promoted retrieval exactly
+    val streamed = graft.streaming.ChunkStream
+      .servedChunkQueriesAnn(spark, sf, docs)
+      .collect().map(_.toSeq).toSet
+    val batch = ChunkRetrieval.chunkRetrievalAnn(docs)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed ANN serving diverged from batch chunkRetrievalAnn")
+  }
+
   test("incremental ANN serving == from-scratch ANN retrieval bit-for-bit") {
     // the parts merge is exact, so the promoted arm served from frozen
     // base + fresh delta must reproduce chunkRetrievalAnn exactly —
