@@ -131,6 +131,34 @@ class EdgeCasesSpec extends AnyFunSuite {
     assert(ChunkRetrieval.chunkRetrieval(oneDoc).count() == 0)
   }
 
+  test("round-13/14 chunk and subword operators are well-defined on empty and tiny corpora") {
+    import graft.ann.ChunkRetrieval
+    import graft.text.SubwordBpe
+    assert(ChunkRetrieval.chunkDedup(emptyDocs).count() == 0)
+    assert(ChunkRetrieval.chunkBandedDedup(emptyDocs).count() == 0)
+    assert(ChunkRetrieval.chunkMpDedup(emptyDocs).count() == 0)
+    // the recall mart always reports its three methods; an empty truth
+    // set yields zero pairs and NULL recalls, not zero rows
+    val rec = ChunkRetrieval.dedupRecall(emptyDocs).collect()
+    assert(rec.length == 3 && rec.forall(_.getAs[Long]("true_pairs") == 0L))
+    assert(ChunkRetrieval.chunkRetrievalAnn(emptyDocs).count() == 0)
+    assert(ChunkRetrieval.chunkServe(emptyDocs).count() == 0)
+    assert(ChunkRetrieval.chunkServeAnn(emptyDocs).count() == 0)
+    assert(ChunkRetrieval.chunkDeltaServe(emptyDocs).count() == 0)
+    assert(ChunkRetrieval.chunkDeltaServeAnn(emptyDocs).count() == 0)
+    assert(ChunkRetrieval.chunkPartsLoaded(spark, emptyDocs).count() == 0)
+    assert(ChunkRetrieval.chunkAnnEval(emptyDocs).count() == 0)
+    assert(SubwordBpe.subwordTrain(emptyDocs).count() == 0)
+    assert(SubwordBpe.subwordTrainBatched(emptyDocs).count() == 0)
+    assert(SubwordBpe.subwordApplyBatched(emptyDocs,
+      SubwordBpe.subwordTrainBatched(emptyDocs)).count() == 0)
+    // one doc: subword training still learns; ANN retrieval has no
+    // candidates (a probe never retrieves its own document)
+    assert(SubwordBpe.subwordApplyBatched(oneDoc,
+      SubwordBpe.subwordTrainBatched(oneDoc)).count() == 1)
+    assert(ChunkRetrieval.chunkRetrievalAnn(oneDoc).count() == 0)
+  }
+
   test("ann family returns empty on an empty embedding table") {
     assert(Ann.bruteForceTopK(emptyEmb).count() == 0)
     assert(Ann.ivfAssign(emptyEmb).count() == 0)
