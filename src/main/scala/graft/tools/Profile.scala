@@ -254,6 +254,25 @@ object Profile {
         spark.catalog.clearCache()
       }
     }
+    if (sys.env.contains("SPARK_GRAFT_R14B")) {
+      // second round-14 wave: serve/delta-serve behind the promoted arm
+      // and the batched tokenizer's apply path
+      import graft.ann.ChunkRetrieval
+      import graft.text.SubwordBpe
+      docs.count()
+      for (round <- 1 to 2) {
+        t(s"chunk_serve_ann_$round") {
+          ChunkRetrieval.chunkServeAnn(docs).collect().length.toLong }
+        spark.catalog.clearCache()
+        t(s"chunk_delta_serve_ann_$round") {
+          ChunkRetrieval.chunkDeltaServeAnn(docs).collect().length.toLong }
+        spark.catalog.clearCache()
+        t(s"bpe_subword_batched_apply_$round") {
+          SubwordBpe.subwordApplyBatched(docs,
+            SubwordBpe.subwordTrainBatched(docs)).count() }
+        spark.catalog.clearCache()
+      }
+    }
     if (sys.env.contains("SPARK_GRAFT_RECALL")) {
       import graft.ann.ChunkRetrieval
       docs.count()
