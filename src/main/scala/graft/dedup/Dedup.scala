@@ -598,7 +598,49 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** EXACT duplicated-SPAN detection — the "Deduplicating Training Data
+    * Makes Language Models Better" device (Lee et al. 2022,
+    * arXiv:2107.06499) at bounded window grain: training corpora carry
+    * exact repeated SPANS (boilerplate, licenses, quoted passages)
+    * inside otherwise-unique documents, which document-grain dedup
+    * cannot see and the paper shows measurably hurt models. Suffix
+    * arrays find arbitrary-length repeats; the Spark-shaped bounded
+    * form is `k`-token rolling windows (stride 1) hashed and counted
+    * ACROSS documents — a window whose hash occurs in more than one
+    * distinct document is a duplicated span (within-document repeats
+    * are q_rep_filter's domain and do not count). Per document with
+    * ≥ k tokens: window count, cross-doc-duplicated window occurrences,
+    * their share, and the distinct repeated-span count.
+    *
+    * Scale: tokens×1 window rows, one md5 each; ONE hash-keyed shuffle
+    * for the distinct-doc count and one co-partitioned join back — both
+    * linear, the postings cost class. A 100 TB corpus runs the same
+    * plan with the window stream salted across executors; no stage
+    * holds more than its hash partition. */
+  def spanDedup(documents: DataFrame, k: Int = 16): DataFrame = {
+    val win = TextPrep.withWords(documents.filter(col("text").isNotNull))
+      .filter(col("norm") =!= "")
+      .withColumn("n", size(col("words")))
+      .filter(col("n") >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, n - $k), i -> concat_ws(' ', slice(words, i + 1, $k)))"))
+        .as("span"))
+      .withColumn("h", md5(col("span").cast("binary")))
+      .select("doc_id", "h")
+    val byHash = win.distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
+    win.join(byHash, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        coalesce(sum((col("ndocs") > 1).cast("long")), lit(0L)).as("dup_windows"),
+        countDistinct(when(col("ndocs") > 1, col("h"))).as("dup_spans"))
+      .withColumn("dup_share", r6(try_divide(
+        col("dup_windows").cast("double"), col("n_windows").cast("double"))))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_span_dedup" -> ((s, d) => spanDedup(Tables.documents(s, d))),
     "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
     "q_dedup_survivors" -> ((s, d) => survivors(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
@@ -651,6 +693,23 @@ object Dedup {
          JOIN kept b ON a.band_idx = b.band_idx AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
 
   val oracles: Map[String, String] = Map(
+    "q_span_dedup" ->
+      s"""WITH sn AS (SELECT doc_id, $normSql AS norm FROM documents
+           WHERE text IS NOT NULL AND $normSql <> ''),
+         sw AS (SELECT doc_id, string_split(norm, ' ') AS words FROM sn),
+         sw2 AS (SELECT * FROM sw WHERE len(words) >= 16),
+         sp AS (SELECT doc_id,
+             md5(array_to_string(list_slice(words, CAST(i.i AS INT) + 1, CAST(i.i AS INT) + 16), ' ')) AS h
+           FROM sw2, LATERAL (SELECT UNNEST(range(0, len(words) - 15)) AS i) i),
+         sbh AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs
+           FROM sp GROUP BY 1)
+         SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(COALESCE(SUM(CASE WHEN b.ndocs > 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS dup_windows,
+           CAST(COUNT(DISTINCT CASE WHEN b.ndocs > 1 THEN s.h END) AS BIGINT) AS dup_spans,
+           ${sqlR("CAST(SUM(CASE WHEN b.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(COUNT(*), 0)", 6)} AS dup_share
+         FROM sp s JOIN sbh b USING (h)
+         GROUP BY s.doc_id ORDER BY s.doc_id""",
     "q_dedup_exact" ->
       s"""WITH n AS (SELECT doc_id, md5($normSql) AS norm_hash FROM documents)
          SELECT doc_id, norm_hash,

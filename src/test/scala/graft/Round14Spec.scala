@@ -157,6 +157,26 @@ class Round14Spec extends AnyFunSuite {
       "delta-merged ANN serving diverged from the from-scratch ANN retrieval")
   }
 
+  test("span dedup: exact copies are fully covered, unique text is untouched, within-doc repeats don't count") {
+    import spark.implicits._
+    val w = (1 to 40).map(i => s"w$i").mkString(" ")   // 40 unique tokens
+    val unique = (101 to 140).map(i => s"u$i").mkString(" ")
+    // doc 2 repeats ITS OWN 16-gram (the text twice) but shares nothing
+    // cross-doc; docs 0 and 1 are exact copies
+    val crafted = Seq(
+      (0L, w), (1L, w), (2L, s"$unique $unique"),
+      (3L, (201 to 240).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val r = graft.dedup.Dedup.spanDedup(crafted).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_windows"), x.getAs[Long]("dup_windows"))).toMap
+    // exact copies: every window of each twin occurs in the other
+    assert(r(0L) == (25L, 25L) && r(1L) == (25L, 25L))
+    // a document repeating its own span is NOT cross-doc duplicated
+    assert(r(2L)._2 == 0L, s"within-doc repeat counted as duplication: ${r(2L)}")
+    // unique text is untouched
+    assert(r(3L) == (25L, 0L))
+  }
+
   test("cell-route retrieval is deterministic and keeps the serving contract") {
     val a = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
     val b = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
