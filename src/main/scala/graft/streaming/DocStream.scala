@@ -106,6 +106,31 @@ object DocStream {
     spark.table(queryName)
   }
 
+  /** Stream arriving documents through a FROZEN SUBWORD merge table
+    * (the [[graft.text.SubwordBpe.subwordTrain]] artifact — the
+    * production tokenizer grain): every arriving document re-tokenizes
+    * ROW-LOCALLY with the rank-ordered replay fold over the one-row
+    * broadcast artifact. Emits the subwordApply columns per arrival;
+    * zero aggregation state asserted inside the operator, bit-equal to
+    * batch [[graft.text.SubwordBpe.subwordApply]] (Round14Spec). */
+  def subwordArrivals(spark: SparkSession, dir: String, merges: DataFrame,
+                      newDocFilter: Option[Column] = None,
+                      queryName: String = "stream_subword"): DataFrame = {
+    val base = readDocuments(spark, dir)
+    val docs = newDocFilter.map(base.filter).getOrElse(base)
+    val out = graft.text.SubwordBpe.applyMart(docs, merges)
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName(queryName).start()
+    try {
+      q.processAllAvailable()
+      val st = Option(q.lastProgress).flatMap(p => Option(p.stateOperators))
+        .getOrElse(Array.empty)
+      require(st.isEmpty,
+        s"subword tokenization must hold zero aggregation state, found ${st.length} operators")
+    } finally q.stop()
+    spark.table(queryName)
+  }
+
   /** Stream arriving documents through the fixed-width Bloom
     * decontamination screen (the [[graft.text.Filters.bloomBits]]
     * artifact — 8 KB regardless of eval-set size, which is what makes

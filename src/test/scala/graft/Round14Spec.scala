@@ -177,6 +177,18 @@ class Round14Spec extends AnyFunSuite {
     assert(r(3L) == (25L, 0L))
   }
 
+  test("streamed subword tokenization == batch subwordApply bit-for-bit, zero state") {
+    import graft.text.SubwordBpe
+    val merges = SubwordBpe.subwordTrain(docs)
+    val streamed = graft.streaming.DocStream
+      .subwordArrivals(spark, sf, merges)
+      .collect().map(_.toSeq).toSet
+    val batch = SubwordBpe.subwordApply(docs, merges)
+      .collect().map(_.toSeq).toSet
+    assert(streamed.nonEmpty && streamed == batch,
+      "streamed subword tokenization diverged from the batch apply")
+  }
+
   test("cell-route retrieval is deterministic and keeps the serving contract") {
     val a = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
     val b = ChunkRetrieval.chunkRetrievalAnn(docs).collect()
