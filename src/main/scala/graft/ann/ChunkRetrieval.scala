@@ -627,6 +627,45 @@ object ChunkRetrieval {
       .orderBy("chunk_id")
   }
 
+  /** CONNECTED COMPONENTS of the chunk near-dup graph — the
+    * [[graft.dedup.Dedup.propagate]] pointer-jumping engine over the
+    * multiprobe-verified pairs: pairwise verdicts
+    * ([[chunkMpDedup]]) answer "is this chunk dominated", but corpus
+    * curation also needs the TRANSITIVE view (boilerplate chains of
+    * hundreds of pairwise-near chunks are one duplication event, not
+    * hundreds) — every chunk in the pair graph gets its component's
+    * minimum chunk_id as cluster_id, exactly the doc-grain
+    * q_dedup_clusters contract at chunk grain. Covers only chunks with
+    * at least one verified near-dup (the doc-grain convention);
+    * convergence is O(log diameter) via the pointer-jumping shortcut. */
+  def chunkDupClusters(documents: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val factor = chunkFactorFor(documents)
+    val base = bandEmbeds(chunks(documents, factor)).localCheckpoint(false)
+    val bits = cellBitsFor(base.count())
+    val masks = hammingMasks(bits, 1)
+    val bnd = base.select(col("chunk_id"), col("p"), col("nsq"),
+      posexplode(array((0 until mpBandCount).map(k =>
+        cellAt("pw", k * outDims, bits)): _*)).as(Seq("band_k", "band_v")))
+    val other = bnd.select(col("band_k").as("bk2"),
+      explode(expr(s"transform(array(${masks.mkString(",")}), " +
+        "m -> band_v ^ cast(m as bigint))")).as("bv2"),
+      col("chunk_id").as("ca"), col("p").as("pa"), col("nsq").as("nsqa"))
+    val pairs = bnd.join(other,
+        col("band_k") === col("bk2") && col("band_v") === col("bv2") &&
+          col("chunk_id") =!= col("ca"))
+      .withColumn("cosine", r6(expr(
+        "aggregate(zip_with(p, pa, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+        .cast("double") /
+        (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
+      .filter(col("cosine") >= threshold)
+      .select(col("chunk_id").as("doc_a"), col("ca").as("doc_b"))
+      .distinct()
+    graft.dedup.Dedup.propagate(pairs)
+      .select(col("id").as("chunk_id"), col("label").as("cluster_id"),
+        (col("id") =!= col("label")).as("is_duplicate"))
+      .orderBy("chunk_id")
+  }
+
   /** LSH recall, MEASURED — the label-blocked-truth calibration device
     * applied to the dedup candidate generators: brute-force ALL pairs
     * of a deterministic chunk sample (both endpoints in the sample, so
@@ -1022,7 +1061,8 @@ object ChunkRetrieval {
     "q_chunk_parts_loaded" -> ((s, d) => chunkPartsLoaded(s, Tables.documents(s, d))),
     "q_chunk_dedup_mp" -> ((s, d) => chunkMpDedup(Tables.documents(s, d))),
     "q_chunk_serve_ann" -> ((s, d) => chunkServeAnn(Tables.documents(s, d))),
-    "q_chunk_delta_serve_ann" -> ((s, d) => chunkDeltaServeAnn(Tables.documents(s, d)))
+    "q_chunk_delta_serve_ann" -> ((s, d) => chunkDeltaServeAnn(Tables.documents(s, d))),
+    "q_chunk_dup_clusters" -> ((s, d) => chunkDupClusters(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -1434,6 +1474,21 @@ object ChunkRetrieval {
       s"""WITH $chunkCtes, $bandedCtes, $mpCtes
          SELECT doc_id, chunk_id, cell, fit, n_dups, max_dup_cosine, keep
          FROM mmart ORDER BY chunk_id""",
+    // transitive closure of the multiprobe-verified pair graph: the
+    // doc-grain q_dedup_clusters recursive-reachability device over
+    // mpair (which already carries both orientations)
+    "q_chunk_dup_clusters" ->
+      s"""WITH RECURSIVE $chunkCtes, $bandedCtes, $mpCtes,
+         ce2 AS (SELECT chunk_id AS s, cb AS d FROM mpair
+                 UNION SELECT cb, chunk_id FROM mpair),
+         cnodes AS (SELECT DISTINCT s AS id FROM ce2),
+         creach(id, label) AS (
+           SELECT id, id FROM cnodes
+           UNION
+           SELECT ce2.s, r.label FROM ce2 JOIN creach r ON ce2.d = r.id)
+         SELECT id AS chunk_id, CAST(MIN(label) AS BIGINT) AS cluster_id,
+           MIN(label) <> id AS is_duplicate
+         FROM creach GROUP BY id ORDER BY chunk_id""",
     "q_chunk_ann_eval" ->
       s"""WITH $chunkCtes,
          abit AS (SELECT $bitsLadderSql AS b
