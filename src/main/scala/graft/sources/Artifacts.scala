@@ -69,6 +69,36 @@ object Artifacts {
       .map("%02x".format(_)).mkString.take(8)
   }
 
+  /** The out-of-band version record for corpus-sized parts. The in-row
+    * stamp alone has a hole for TOTAL truncation — a part whose
+    * row-bearing files are ALL lost carries no stamp rows at all and
+    * would verify as a legitimately-empty artifact. The sidecar (an
+    * `_`-prefixed file, invisible to parquet readers like _SUCCESS)
+    * records the expected content version at save time, so an
+    * emptied-out part fails loudly at load. */
+  private val sidecarName = "_VERSION"
+
+  private def sidecarPath(dir: String, name: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/$name/$sidecarName")
+
+  private def writeSidecar(df: DataFrame, dir: String, name: String,
+                           v: String): Unit = {
+    val p = sidecarPath(dir, name)
+    val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(v.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readSidecar(spark: SparkSession, dir: String, name: String): String = {
+    val p = sidecarPath(dir, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"$dir/$name has no $sidecarName sidecar — incomplete or pre-sidecar save")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
   /** Write a CORPUS-SIZED frame to `dir/name` stamped with its
     * [[distributedVersion]] (the stamp column is a constant — parquet
     * dictionary-encodes it to nothing); keeps the frame's own
@@ -79,6 +109,9 @@ object Artifacts {
     val v = distributedVersion(df)
     df.withColumn(stampCol, lit(v))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    // sidecar written AFTER the data: a crash between the two leaves a
+    // part without _VERSION, which loadLarge fails closed on
+    writeSidecar(df, dir, name, v)
     v
   }
 
@@ -96,11 +129,17 @@ object Artifacts {
       s"artifact $name carries multiple distinct version stamps")
     val df = raw.drop(stampCol)
     val recomputed = distributedVersion(df)
-    // a legitimately EMPTY part (e.g. a delta with no arrivals) has no
-    // rows to carry the stamp; the schema-bearing recomputed version is
-    // all there is to verify
-    require(mm.getAs[String]("lo") == null || recomputed == mm.getAs[String]("lo"),
-      s"artifact $name corrupt: stamped ${mm.getAs[String]("lo")}, content $recomputed")
+    // the sidecar closes the total-truncation hole the in-row stamp
+    // alone leaves: a part that lost ALL its row-bearing files has a
+    // null min/max stamp (nothing to compare), but the save-time
+    // sidecar still names the expected content version — a
+    // legitimately EMPTY part (e.g. a delta with no arrivals) recorded
+    // its empty-frame version at save and still matches
+    val expected = readSidecar(spark, dir, name)
+    require(recomputed == expected,
+      s"artifact $name corrupt: sidecar $expected, content $recomputed")
+    require(mm.getAs[String]("lo") == null || mm.getAs[String]("lo") == expected,
+      s"artifact $name corrupt: stamped ${mm.getAs[String]("lo")}, sidecar $expected")
     (df, recomputed)
   }
 
