@@ -132,6 +132,18 @@ object ChunkRetrieval {
            (a, e) -> a + e.sv * element_at(row, cast(e.bucket as int) + 1)))"""))
   }
 
+
+  /** Exact integer dot of two bigint-array columns via the codegen'd
+    * [[graft.functions.DotLong]] expression — bit-identical to the
+    * row-local `aggregate(zip_with(...))` fold it replaces, but a tight
+    * Java loop instead of an interpreted-per-element HOF: inside a join
+    * condition the fold cost ~10 µs per 16-dim candidate (measured: a
+    * 170 s single-core multiprobe candidate stage at sf0.1). */
+  private[graft] def dotLong(a: String, b: String) = {
+    graft.functions.DotLong.register(SparkSession.active)
+    expr(s"graft_dot_long($a, $b)")
+  }
+
   private def hashEmbed(tokens: DataFrame, key: String): DataFrame =
     hashEmbedAt(tokens, key, outDims)
       .withColumn("nsq",
@@ -174,8 +186,7 @@ object ChunkRetrieval {
         col("nsq").as("pnsq"))
     val scored = ce.crossJoin(broadcast(pe))
       .filter(floor(col("chunk_id") / factor) =!= col("probe_id"))
-      .withColumn("dotp", expr(
-        "aggregate(zip_with(p, q, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)"))
+      .withColumn("dotp", dotLong("p", "q"))
       .withColumn("cosine", r6(col("dotp").cast("double") /
         (sqrt(col("nsq").cast("double")) * sqrt(col("pnsq").cast("double")))))
     Ann.topkPerProbe(scored.select(col("probe_id"),
@@ -221,8 +232,7 @@ object ChunkRetrieval {
           "m -> pcell ^ cast(m as bigint))")).as("cand_cell"))
     val cand = ce.join(broadcast(pe), col("cell") === col("cand_cell"))
       .filter(floor(col("chunk_id") / factor) =!= col("probe_id"))
-      .withColumn("cosine", r6(expr(
-        "aggregate(zip_with(p, q, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+      .withColumn("cosine", r6(dotLong("p", "q")
         .cast("double") /
         (sqrt(col("nsq").cast("double")) * sqrt(col("pnsq").cast("double")))))
     Ann.topkPerProbe(cand.select(col("probe_id"),
@@ -466,8 +476,7 @@ object ChunkRetrieval {
       .select(col("cell").as("cs_cell"), col("s"),
         expr("aggregate(s, cast(0 as bigint), (a, x) -> a + x * x)").as("snsq"))
     ce.join(broadcast(sums), col("cell") === col("cs_cell"))
-      .withColumn("dots", expr(
-        "aggregate(zip_with(p, s, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)"))
+      .withColumn("dots", dotLong("p", "s"))
       .withColumn("fit", when(col("snsq") === 0L, lit(0d)).otherwise(
         r6(col("dots").cast("double") /
           (sqrt(col("nsq").cast("double")) * sqrt(col("snsq").cast("double"))))))
@@ -499,8 +508,7 @@ object ChunkRetrieval {
       col("nsq").as("nsqa"), col("cell").as("cella"), col("fit").as("fita"))
     val dups = cc.join(other,
         col("cell") === col("cella") && col("chunk_id") =!= col("ca"))
-      .withColumn("cosine", r6(expr(
-        "aggregate(zip_with(p, pa, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+      .withColumn("cosine", r6(dotLong("p", "pa")
         .cast("double") /
         (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
       .filter(col("cosine") >= threshold)
@@ -522,7 +530,7 @@ object ChunkRetrieval {
     * sets, each `bits` wide, drawn from one wide sign projection. The
     * Hamming-1 MULTI-PROBE generator uses [[mpBandCount]] = 6 bands —
     * at the 14-bit width a 100× corpus derives, 3 bands at Hamming 1
-    * measured 0.885 recall over 235 brute-forced true pairs at 5 bands
+    * measured 0.885 recall over 235 brute-forced true pairs at 5 bands (0.9106 at the promoted mpBandCount)
     * and each further band multiplies the miss rate by the measured
     * per-band miss (0.649): 6 bands clear 0.9 at 6/5 the (still
     * linear) pair cost; band values are PREFIX-STABLE (row j of the
@@ -567,7 +575,7 @@ object ChunkRetrieval {
     bandedDedupWith(documents, threshold, hamming = 0, nBands = bandCount)
 
   /** [[chunkBandedDedup]] with Hamming-≤1 MULTI-PROBE within each of
-    * [[mpBandCount]] = 5 bands — the [[chunkAnnEval]] device applied to
+    * [[mpBandCount]] bands — the [[chunkAnnEval]] device applied to
     * dedup candidate generation: at the 14-bit width a 100× corpus
     * derives, 3-band exact-OR recall collapses ([[dedupRecall]]
     * measured 0.49 at 100×) and proposing pairs whose band values
@@ -584,12 +592,17 @@ object ChunkRetrieval {
   def chunkMpDedup(documents: DataFrame, threshold: Double = 0.95): DataFrame =
     bandedDedupWith(documents, threshold, hamming = 1, nBands = mpBandCount)
 
-  private def bandedDedupWith(documents: DataFrame, threshold: Double,
+  /** The SHARED banded/multiprobe VERIFIED-pair generator — band
+    * explode, Hamming-≤h variant ball, cosine verify at the true
+    * 16-dim embedding, cross-band pair dedup — consumed by
+    * [[bandedDedupWith]] (dominance aggregation) and
+    * [[chunkDupClusters]] (transitive closure). One body: a future
+    * band/threshold change cannot desync the cluster view from the
+    * dedup verdicts. `cf` is the withCellFit frame carrying (chunk_id,
+    * p, nsq, fit, pw); returns one row per verified UNORDERED pair
+    * seen from each endpoint: (chunk_id, ca, fit, fita, cosine). */
+  private[graft] def mpVerifiedPairs(cf: DataFrame, bits: Int, threshold: Double,
                               hamming: Int, nBands: Int): DataFrame = {
-    val factor = chunkFactorFor(documents)
-    val base = bandEmbeds(chunks(documents, factor)).localCheckpoint(false)
-    val bits = cellBitsFor(base.count())
-    val cf = withCellFit(base.withColumn("cell", cellAt("pw", 0, bits)), Seq("pw"))
     val bnd = cf.select(col("chunk_id"), col("p"), col("nsq"), col("fit"),
       posexplode(array((0 until nBands).map(k =>
         cellAt("pw", k * outDims, bits)): _*)).as(Seq("band_k", "band_v")))
@@ -602,17 +615,41 @@ object ChunkRetrieval {
         "m -> band_v ^ cast(m as bigint))")).as("bv2"),
       col("chunk_id").as("ca"), col("p").as("pa"),
       col("nsq").as("nsqa"), col("fit").as("fita"))
-    val cand = bnd.join(other,
+    // EXPLICIT co-partitioning on the band keys, pinned to the session's
+    // shuffle parallelism: the join's real cost is per-candidate cosine
+    // verification, which is invisible to AQE's byte-based stats — left
+    // to itself AQE coalesced the (small-bytes) stream side to ONE
+    // partition and the whole verify ran on one core (measured 170 s at
+    // sf0.1). Co-partitioned sides also keep the exploded ball frame
+    // off the driver (no broadcast build of a corpus-derived side).
+    val nPart = bnd.sparkSession.sessionState.conf.numShufflePartitions
+    bnd.repartition(nPart, col("band_k"), col("band_v"))
+      .join(other.repartition(nPart, col("bk2"), col("bv2")),
         col("band_k") === col("bk2") && col("band_v") === col("bv2") &&
           col("chunk_id") =!= col("ca"))
-      .withColumn("cosine", r6(expr(
-        "aggregate(zip_with(p, pa, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+      .withColumn("cosine", r6(dotLong("p", "pa")
         .cast("double") /
         (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
       .filter(col("cosine") >= threshold)
       // a pair sharing several bands must count ONCE
       .select(col("chunk_id"), col("ca"), col("fit"), col("fita"), col("cosine"))
       .distinct()
+  }
+
+  /** [[bandEmbeds]] with cell + fit, the frame [[mpVerifiedPairs]]
+    * consumes; bits derived from the measured corpus. */
+  private[graft] def bandFitFrame(documents: DataFrame): (DataFrame, Int, Long) = {
+    val factor = chunkFactorFor(documents)
+    val base = bandEmbeds(chunks(documents, factor)).localCheckpoint(false)
+    val bits = cellBitsFor(base.count())
+    (withCellFit(base.withColumn("cell", cellAt("pw", 0, bits)), Seq("pw")),
+      bits, factor)
+  }
+
+  private def bandedDedupWith(documents: DataFrame, threshold: Double,
+                              hamming: Int, nBands: Int): DataFrame = {
+    val (cf, bits, factor) = bandFitFrame(documents)
+    val cand = mpVerifiedPairs(cf, bits, threshold, hamming, nBands)
     val dups = cand.groupBy(col("chunk_id"))
       .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_dup_cosine"),
         max(when(col("fita") < col("fit") ||
@@ -639,30 +676,44 @@ object ChunkRetrieval {
     * at least one verified near-dup (the doc-grain convention);
     * convergence is O(log diameter) via the pointer-jumping shortcut. */
   def chunkDupClusters(documents: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val factor = chunkFactorFor(documents)
-    val base = bandEmbeds(chunks(documents, factor)).localCheckpoint(false)
-    val bits = cellBitsFor(base.count())
-    val masks = hammingMasks(bits, 1)
-    val bnd = base.select(col("chunk_id"), col("p"), col("nsq"),
-      posexplode(array((0 until mpBandCount).map(k =>
-        cellAt("pw", k * outDims, bits)): _*)).as(Seq("band_k", "band_v")))
-    val other = bnd.select(col("band_k").as("bk2"),
-      explode(expr(s"transform(array(${masks.mkString(",")}), " +
-        "m -> band_v ^ cast(m as bigint))")).as("bv2"),
-      col("chunk_id").as("ca"), col("p").as("pa"), col("nsq").as("nsqa"))
-    val pairs = bnd.join(other,
-        col("band_k") === col("bk2") && col("band_v") === col("bv2") &&
-          col("chunk_id") =!= col("ca"))
-      .withColumn("cosine", r6(expr(
-        "aggregate(zip_with(p, pa, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
-        .cast("double") /
-        (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
-      .filter(col("cosine") >= threshold)
+    val (cf, bits, _) = bandFitFrame(documents)
+    val pairs = mpVerifiedPairs(cf, bits, threshold, hamming = 1,
+        nBands = mpBandCount)
+      .filter(col("chunk_id") < col("ca"))
       .select(col("chunk_id").as("doc_a"), col("ca").as("doc_b"))
-      .distinct()
     graft.dedup.Dedup.propagate(pairs)
       .select(col("id").as("chunk_id"), col("label").as("cluster_id"),
         (col("id") =!= col("label")).as("is_duplicate"))
+      .orderBy("chunk_id")
+  }
+
+  /** The ACTION twin of [[chunkDupClusters]] — the
+    * [[graft.dedup.Dedup.survivors]] device at CHUNK grain: every
+    * embeddable chunk tagged with its transitive near-dup cluster (its
+    * own id when unclustered), the cluster size, and the keep decision
+    * (the cluster's minimum chunk_id survives). This is what a serving
+    * index writes: ONE chunk per transitive duplication EVENT, where
+    * the pairwise verdict mart ([[chunkMpDedup]]) can keep several
+    * "least-prototypical" members of one boilerplate chain because
+    * each cell only sees its own pairs. Conservation law (spec-pinned):
+    * kept chunks == cluster count + unclustered count. One window on
+    * cluster_id beyond the propagation itself. */
+  def chunkSurvivors(documents: DataFrame, threshold: Double = 0.95): DataFrame = {
+    val (cf, bits, factor) = bandFitFrame(documents)
+    val pairs = mpVerifiedPairs(cf, bits, threshold, hamming = 1,
+        nBands = mpBandCount)
+      .filter(col("chunk_id") < col("ca"))
+      .select(col("chunk_id").as("doc_a"), col("ca").as("doc_b"))
+    val cl = graft.dedup.Dedup.propagate(pairs)
+      .select(col("id").as("chunk_id"), col("label").as("cl_id"))
+    val wC = Window.partitionBy(col("cluster_id"))
+    cf.select(col("chunk_id"))
+      .join(cl, Seq("chunk_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cl_id"), col("chunk_id")))
+      .withColumn("cluster_size", count(lit(1)).over(wC))
+      .select(floor(col("chunk_id") / factor).cast("long").as("doc_id"),
+        col("chunk_id"), col("cluster_id"), col("cluster_size"),
+        (col("chunk_id") === col("cluster_id")).as("keep"))
       .orderBy("chunk_id")
   }
 
@@ -671,7 +722,7 @@ object ChunkRetrieval {
     * of a deterministic chunk sample (both endpoints in the sample, so
     * the estimate is unbiased in the pair population), keep those at
     * cosine ≥ threshold as TRUTH, and report what fraction the
-    * single-cell, the 3-band, and the 5-band Hamming-1 multiprobe
+    * single-cell, the [[bandCount]]-band, and the [[mpBandCount]]-band Hamming-1 multiprobe
     * candidate generators would have proposed. The sample modulus
     * derives from the measured corpus (⌊n / sampleTarget⌋, floor 1 —
     * the PlanStats ladder again, mirrored in the oracle): gate corpora
@@ -710,14 +761,13 @@ object ChunkRetrieval {
     val other = feat.select(col("chunk_id").as("ca"), col("p").as("pa"),
       col("nsq").as("nsqa"), col("bands").as("bandsa"))
     val truth = feat.join(broadcast(other), col("chunk_id") < col("ca"))
-      .withColumn("cosine", r6(expr(
-        "aggregate(zip_with(p, pa, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+      .withColumn("cosine", r6(dotLong("p", "pa")
         .cast("double") /
         (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
       .filter(col("cosine") >= threshold)
       // hit disjunctions GENERATED from the band constants (band 0 ≡
       // the single cell, banded = the 3 exact bands, multiprobe = any
-      // of the 5 mp bands within Hamming 1 — the chunkMpDedup rule)
+      // of the mpBandCount mp bands within Hamming 1 — the chunkMpDedup rule)
       .withColumn("cell_hit",
         (col("bands")(0) === col("bandsa")(0)).cast("long"))
       .withColumn("band_hit", (0 until bandCount).map(k =>
@@ -768,8 +818,7 @@ object ChunkRetrieval {
       .select(col("doc_id").as("probe_id"), col("p").as("q"),
         col("nsq").as("pnsq"), col("pcell"))
       .localCheckpoint(false)
-    def cos = r6(expr(
-      "aggregate(zip_with(p, q, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+    def cos = r6(dotLong("p", "q")
       .cast("double") /
       (sqrt(col("nsq").cast("double")) * sqrt(col("pnsq").cast("double"))))
     val exact = Ann.topkPerProbe(base.crossJoin(broadcast(pe.drop("pcell")))
@@ -985,9 +1034,19 @@ object ChunkRetrieval {
                        arm: Int = 50, rrfK: Int = 60): DataFrame = {
     val factor = chunkFactorFor(documents)
     val (ce, postings, dfAll, stats) = indexParts(chunks(documents, factor))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-index-parts").toFile
-    tmp.deleteOnExit()
-    val dir = tmp.getAbsolutePath
+    val tmp = java.nio.file.Files.createTempDirectory("graft-index-parts")
+    // a shutdown hook that WALKS the tree, not File.deleteOnExit:
+    // deleteOnExit removes only empty directories, so every run leaked
+    // four corpus-sized parquet trees under /tmp. Deletion can't happen
+    // eagerly — the returned frame stays parquet-backed until the
+    // caller's action
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        java.nio.file.Files.walk(tmp)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }))
+    val dir = tmp.toFile.getAbsolutePath
     Seq("ce" -> ce, "postings" -> postings, "df" -> dfAll, "stats" -> stats)
       .foreach { case (n, f) => graft.sources.Artifacts.saveLarge(f, dir, n) }
     val (lce, _) = graft.sources.Artifacts.loadLarge(spark, dir, "ce")
@@ -1042,6 +1101,12 @@ object ChunkRetrieval {
     val f = chunkFactorFor(docs)
     vecArmCellFromCe(chunkEmbeds(chunks(docs, f)), docs, 10, 50, f, 2)
   }
+  private[graft] def probeMpPairs(docs: DataFrame): DataFrame = {
+    val (cf, bits, _) = bandFitFrame(docs)
+    mpVerifiedPairs(cf, bits, 0.95, hamming = 1, nBands = mpBandCount)
+      .filter(col("chunk_id") < col("ca"))
+      .select(col("chunk_id").as("doc_a"), col("ca").as("doc_b"))
+  }
   private[graft] def probeDominated(docs: DataFrame): DataFrame =
     chunkDedup(docs).filter(!col("keep")).select(col("chunk_id"))
   private[graft] def probeSurvivors(docs: DataFrame): DataFrame =
@@ -1062,7 +1127,8 @@ object ChunkRetrieval {
     "q_chunk_dedup_mp" -> ((s, d) => chunkMpDedup(Tables.documents(s, d))),
     "q_chunk_serve_ann" -> ((s, d) => chunkServeAnn(Tables.documents(s, d))),
     "q_chunk_delta_serve_ann" -> ((s, d) => chunkDeltaServeAnn(Tables.documents(s, d))),
-    "q_chunk_dup_clusters" -> ((s, d) => chunkDupClusters(Tables.documents(s, d)))
+    "q_chunk_dup_clusters" -> ((s, d) => chunkDupClusters(Tables.documents(s, d))),
+    "q_chunk_survivors" -> ((s, d) => chunkSurvivors(Tables.documents(s, d)))
   )
 
   private val normSql =
@@ -1218,11 +1284,11 @@ object ChunkRetrieval {
   }
 
   /** Banded-dedup CTEs over `kcb` (the per-token bucket/sign rows of
-    * [[chunkCtes]]): the 48-coordinate wide projection (first 16 ≡ kce's
+    * [[chunkCtes]]): the mpBandCount·16-coordinate wide projection (first 16 ≡ kce's
     * p), the derived band width, 3 band values per chunk, shared-band
     * candidate pairs deduplicated across bands, and the verdict mart.
     * Ends at `bmart`; also emits `bfit` (per-chunk p/nsq/fit + the 3
-    * band values as columns b0..b2) which the recall mart reuses. */
+    * band values as columns b0..b{mpBandCount-1}) which the recall mart reuses. */
   private lazy val bandedCtes: String = {
     val pCols48 = (0 until bandDims).map(j =>
       s"CAST(SUM(sgn * list_extract(${projArr(j)}, CAST(bucket AS INT) + 1)) AS BIGINT) AS p$j")
@@ -1489,6 +1555,30 @@ object ChunkRetrieval {
          SELECT id AS chunk_id, CAST(MIN(label) AS BIGINT) AS cluster_id,
            MIN(label) <> id AS is_duplicate
          FROM creach GROUP BY id ORDER BY chunk_id""",
+    // survivors = the cluster labels LEFT-joined back onto every
+    // embeddable chunk (bfit), singletons defaulting to their own id —
+    // the q_dedup_survivors device over the mpair closure
+    "q_chunk_survivors" ->
+      s"""WITH RECURSIVE $chunkCtes, $bandedCtes, $mpCtes,
+         ce2 AS (SELECT chunk_id AS s, cb AS d FROM mpair
+                 UNION SELECT cb, chunk_id FROM mpair),
+         cnodes AS (SELECT DISTINCT s AS id FROM ce2),
+         creach(id, label) AS (
+           SELECT id, id FROM cnodes
+           UNION
+           SELECT ce2.s, r.label FROM ce2 JOIN creach r ON ce2.d = r.id),
+         clab AS (SELECT id, CAST(MIN(label) AS BIGINT) AS cl_id
+           FROM creach GROUP BY id),
+         call AS (SELECT f.chunk_id,
+             COALESCE(c.cl_id, f.chunk_id) AS cluster_id
+           FROM bfit f LEFT JOIN clab c ON c.id = f.chunk_id),
+         csz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+           FROM call GROUP BY 1)
+         SELECT CAST(a.chunk_id // $minChunkFactor AS BIGINT) AS doc_id,
+           a.chunk_id, a.cluster_id, z.cluster_size,
+           a.chunk_id = a.cluster_id AS keep
+         FROM call a JOIN csz z ON a.cluster_id = z.cluster_id
+         ORDER BY a.chunk_id""",
     "q_chunk_ann_eval" ->
       s"""WITH $chunkCtes,
          abit AS (SELECT $bitsLadderSql AS b
@@ -1530,7 +1620,7 @@ object ChunkRetrieval {
       val dotAb = (0 until outDims).map(j => s"a.p$j * b.p$j").mkString(" + ")
       // hit predicates generated from the band constants, mirroring the
       // Spark side: cell = band 0 exact, banded = any of the 3 exact
-      // bands, multiprobe = any of the 5 mp bands within Hamming 1
+      // bands, multiprobe = any of the mpBandCount mp bands within Hamming 1
       val bandSel = (0 until mpBandCount).map(k => s"a.b$k AS a$k, b.b$k AS c$k")
         .mkString(", ")
       val bandOr = (0 until bandCount).map(k => s"a$k = c$k").mkString(" OR ")

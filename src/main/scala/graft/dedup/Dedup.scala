@@ -639,8 +639,62 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** The ACTION twin of [[spanDedup]] — Lee et al. 2022's actual
+    * intervention (arXiv:2107.06499 §4): duplicated spans are REMOVED
+    * from every document except the span's first holder, and the
+    * trimmed text is what the corpus writer ships. A word position is
+    * masked when it lies inside any k-token window whose hash occurs
+    * in >1 distinct document AND this document is not the hash's
+    * minimum-doc_id holder (the deterministic "first" — one canonical
+    * copy of every span survives corpus-wide). Within-document repeats
+    * never mask (the [[spanDedup]] cross-doc contract), and documents
+    * under k tokens pass through untouched. Conservation law
+    * (spec-pinned): kept_tokens + masked_tokens == n_tokens, and an
+    * exact-copy pair keeps the lower doc_id whole while masking the
+    * higher one completely.
+    *
+    * Scale: the window/hash stream is [[spanDedup]]'s (one md5 per
+    * window, ONE hash-keyed shuffle carrying ndocs + first holder);
+    * masking explodes only DUPLICATED windows to their k positions
+    * (k× the duplicated token mass, not the corpus) and distincts them
+    * per doc; reassembly is an ordered collect over the doc's own
+    * tokens — bounded by document length, never corpus size. */
+  def spanTrim(documents: DataFrame, k: Int = 16): DataFrame = {
+    val base = TextPrep.withWords(documents.filter(col("text").isNotNull))
+      .filter(col("norm") =!= "")
+      .withColumn("n", size(col("words")))
+    val win = base.filter(col("n") >= k)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, n - $k), i -> md5(cast(concat_ws(' ', slice(words, i + 1, $k)) as binary)))"))
+        .as(Seq("i", "h")))
+    val byHash = win.select(col("doc_id"), col("h")).distinct()
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("ndocs"), min(col("doc_id")).as("first_doc"))
+    val masked = win.join(byHash, Seq("h"))
+      .filter(col("ndocs") > 1 && col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"), explode(expr(s"sequence(i, i + ${k - 1})")).as("pos"))
+      .distinct()
+    val toks = base.select(col("doc_id"),
+      posexplode(col("words")).as(Seq("pos", "word")))
+    toks.join(masked.withColumn("m", lit(1)), Seq("doc_id", "pos"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        coalesce(sum(col("m").cast("long")), lit(0L)).as("masked_tokens"),
+        sum(when(col("m").isNull, 1L).otherwise(0L)).as("kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(when(col("m").isNull,
+            struct(col("pos"), col("word"))))),
+          x => x.getField("word")), " ").as("text_kept"))
+      .withColumn("masked_share", r6(col("masked_tokens").cast("double") /
+        col("n_tokens").cast("double")))
+      .select("doc_id", "n_tokens", "masked_tokens", "kept_tokens",
+        "masked_share", "text_kept")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_span_dedup" -> ((s, d) => spanDedup(Tables.documents(s, d))),
+    "q_span_trim" -> ((s, d) => spanTrim(Tables.documents(s, d))),
     "q_dedup_exact" -> ((s, d) => exact(Tables.documents(s, d))),
     "q_dedup_survivors" -> ((s, d) => survivors(Tables.documents(s, d))),
     "q_dedup_minhash" -> ((s, d) => minhashLsh(Tables.documents(s, d))),
@@ -710,6 +764,34 @@ object Dedup {
            ${sqlR("CAST(SUM(CASE WHEN b.ndocs > 1 THEN 1 ELSE 0 END) AS DOUBLE) / NULLIF(COUNT(*), 0)", 6)} AS dup_share
          FROM sp s JOIN sbh b USING (h)
          GROUP BY s.doc_id ORDER BY s.doc_id""",
+    // trim twin: positions covered by a cross-doc-duplicated window in
+    // a non-first-holder doc are masked; kept words re-join in order
+    "q_span_trim" ->
+      s"""WITH sn AS (SELECT doc_id, $normSql AS norm FROM documents
+           WHERE text IS NOT NULL AND $normSql <> ''),
+         sw AS (SELECT doc_id, string_split(norm, ' ') AS words FROM sn),
+         sw2 AS (SELECT * FROM sw WHERE len(words) >= 16),
+         spw AS (SELECT doc_id, CAST(i.i AS BIGINT) AS i,
+             md5(array_to_string(list_slice(words, CAST(i.i AS INT) + 1, CAST(i.i AS INT) + 16), ' ')) AS h
+           FROM sw2, LATERAL (SELECT UNNEST(range(0, len(words) - 15)) AS i) i),
+         sbh AS (SELECT h, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS ndocs,
+             MIN(doc_id) AS first_doc
+           FROM spw GROUP BY 1),
+         smask AS (SELECT DISTINCT s.doc_id, s.i + p.p AS pos
+           FROM spw s JOIN sbh b USING (h),
+             LATERAL (SELECT UNNEST(range(0, 16)) AS p) p
+           WHERE b.ndocs > 1 AND s.doc_id <> b.first_doc),
+         stok AS (SELECT doc_id, CAST(t.i AS BIGINT) AS pos,
+             words[CAST(t.i AS INT) + 1] AS word
+           FROM sw, LATERAL (SELECT UNNEST(range(0, len(words))) AS i) t)
+         SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS masked_tokens,
+           CAST(SUM(CASE WHEN m.pos IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept_tokens,
+           ${sqlR("CAST(SUM(CASE WHEN m.pos IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS masked_share,
+           COALESCE(string_agg(CASE WHEN m.pos IS NULL THEN s.word END, ' ' ORDER BY s.pos), '') AS text_kept
+         FROM stok s LEFT JOIN smask m ON m.doc_id = s.doc_id AND m.pos = s.pos
+         GROUP BY 1 ORDER BY 1""",
     "q_dedup_exact" ->
       s"""WITH n AS (SELECT doc_id, md5($normSql) AS norm_hash FROM documents)
          SELECT doc_id, norm_hash,

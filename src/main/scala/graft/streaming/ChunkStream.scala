@@ -421,8 +421,7 @@ object ChunkStream {
     val ace = ChunkRetrieval.chunkEmbeds(ChunkRetrieval.chunks(docs, factor))
       .withColumn("cell", ChunkRetrieval.cellAt("p", 0, bits))
     val near = ace.join(surv, col("cell") === col("scell"))
-      .withColumn("cosine", graft.functions.Fns.r6(expr(
-        "aggregate(zip_with(p, sp, (x, y) -> x * y), cast(0 as bigint), (a, t) -> a + t)")
+      .withColumn("cosine", graft.functions.Fns.r6(ChunkRetrieval.dotLong("p", "sp")
         .cast("double") /
         (sqrt(col("nsq").cast("double")) * sqrt(col("snsq").cast("double")))))
       .filter(col("cosine") >= threshold)

@@ -89,6 +89,46 @@ object Probe {
         t("fused")(graft.ann.ChunkRetrieval.probeFused(docs).count())
         t("retrieval")(graft.ann.ChunkRetrieval.chunkRetrieval(docs).count())
         t("retrieval warm")(graft.ann.ChunkRetrieval.chunkRetrieval(docs).count())
+      case "clusters" =>
+        t("warmup")(docs.count())
+        t("mpdedup")(graft.ann.ChunkRetrieval.chunkMpDedup(docs).count())
+        t("pairs")(graft.ann.ChunkRetrieval.probeMpPairs(docs).count())
+        t("clusters")(graft.ann.ChunkRetrieval.chunkDupClusters(docs).count())
+        t("clusters warm")(graft.ann.ChunkRetrieval.chunkDupClusters(docs).count())
+      case "clfinal" =>
+        import graft.ann.ChunkRetrieval._
+        t("warmup")(docs.count())
+        val md = chunkMpDedup(docs)
+        t("mpdedup")(md.count())
+        val pw = new java.io.PrintWriter("/tmp/clfinal_mpdedup.txt")
+        pw.println(md.queryExecution.executedPlan.toString)
+        pw.close()
+        val (cf, bits, _) = bandFitFrame(docs)
+        val c5 = mpVerifiedPairs(cf, bits, 0.95, 1, 6)
+          .groupBy(col("chunk_id")).agg(count(lit(1)).as("n"))
+        t("cand5+groupBy")(c5.count())
+        val pw2 = new java.io.PrintWriter("/tmp/clfinal_cand5.txt")
+        pw2.println(c5.queryExecution.executedPlan.toString)
+        pw2.close()
+      case "clvar" =>
+        import graft.ann.ChunkRetrieval._
+        t("warmup")(docs.count())
+        val (cf, bits, _) = bandFitFrame(docs)
+        t("cand5 no filter")(mpVerifiedPairs(cf, bits, 0.95, 1, 6).count())
+        val (cf2, bits2, _) = bandFitFrame(docs)
+        t("pairs < filter")(mpVerifiedPairs(cf2, bits2, 0.95, 1, 6)
+          .filter(col("chunk_id") < col("ca")).count())
+        val (cf3, bits3, _) = bandFitFrame(docs)
+        t("pairs proj only")(mpVerifiedPairs(cf3, bits3, 0.95, 1, 6)
+          .select(col("chunk_id").as("doc_a"), col("ca").as("doc_b")).count())
+      case "clplan" =>
+        docs.count()
+        val p1 = graft.ann.ChunkRetrieval.chunkMpDedup(docs)
+        println("=== mpdedup static plan ===")
+        p1.explain("formatted")
+        val p2 = graft.ann.ChunkRetrieval.probeMpPairs(docs)
+        println("=== pairs static plan ===")
+        p2.explain("formatted")
       case "recall" =>
         t("warmup")(docs.count())
         t("recall")(graft.ann.ChunkRetrieval.dedupRecall(docs).count())
