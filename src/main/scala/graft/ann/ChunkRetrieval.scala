@@ -116,6 +116,7 @@ object ChunkRetrieval {
     * keys (all tokens cancelled) drop: they cannot be cosine-scored. */
   private def hashEmbedAt(tokens: DataFrame, key: String, nOut: Int): DataFrame = {
     val signs = signsSqlFor(nOut)
+    graft.functions.JlProject.register(SparkSession.active)
     tokens
       .withColumn("hx", md5(col("word").cast("binary")))
       .withColumn("bucket", pmod(
@@ -127,9 +128,13 @@ object ChunkRetrieval {
       .groupBy(col(key), col("bucket")).agg(sum(col("sgn")).as("sv"))
       .groupBy(col(key))
       .agg(collect_list(struct(col("bucket"), col("sv"))).as("bvs"))
+      // codegen'd sparse projection ([[graft.functions.JlProject]]) —
+      // bit-identical to the transform/aggregate fold it replaces
+      // (exact long multiply-adds), but a tight Java loop instead of an
+      // interpreted-per-element HOF: the 96-row band fold cost ~410 µs
+      // per chunk and dominated every dedup/band query's embed stage
       .withColumn("p", expr(
-        s"""transform($signs, row -> aggregate(bvs, cast(0 as bigint),
-           (a, e) -> a + e.sv * element_at(row, cast(e.bucket as int) + 1)))"""))
+        s"graft_jl_project(bvs, cast($signs as array<array<bigint>>))"))
   }
 
 
@@ -249,7 +254,8 @@ object ChunkRetrieval {
                         kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
                         hamming: Int = 2): DataFrame = {
     val factor = chunkFactorFor(documents)
-    val ch = chunks(documents, factor)
+    // pinned for the same four consumers as [[retrieveFrom]]
+    val ch = chunks(documents, factor).localCheckpoint(false)
     rankServe(fuseArms(lexArm(ch, documents, nProbes, kTerms, arm),
       vecArmCellFromCe(chunkEmbeds(ch), documents, nProbes, arm, factor,
         hamming), rrfK), factor, k)
@@ -372,11 +378,17 @@ object ChunkRetrieval {
   /** The retrieval tail shared by [[chunkRetrieval]] (all chunks) and
     * [[chunkServe]] (semantic-dedup survivors only): fuse, dedup to one
     * chunk per doc, rank, cut at k. */
-  private def retrieveFrom(ch: DataFrame, documents: DataFrame, factor: Long,
+  private def retrieveFrom(ch0: DataFrame, documents: DataFrame, factor: Long,
                            nProbes: Int, k: Int, kTerms: Int,
-                           arm: Int, rrfK: Int): DataFrame =
+                           arm: Int, rrfK: Int): DataFrame = {
+    // the chunk frame has FOUR consumers downstream (lex-arm tf rows,
+    // probe-term df, corpus stats, vec-arm embeddings); without a
+    // boundary each re-runs the text scan + chunking (and, under
+    // chunkServe, the whole dedup anti-join) from raw parquet
+    val ch = ch0.localCheckpoint(false)
     rankServe(fused(ch, documents, nProbes, kTerms, arm, rrfK, factor),
       factor, k)
+  }
 
   private def rankServe(f0: DataFrame, factor: Long, k: Int): DataFrame = {
     // the fused frame (≤ 2·arm rows per probe) feeds BOTH the per-doc
@@ -897,7 +909,10 @@ object ChunkRetrieval {
                     kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
                     threshold: Double = 0.95, hamming: Int = 2): DataFrame = {
     val factor = chunkFactorFor(documents)
+    // pinned: the survivor frame hides the whole dedup anti-join, which
+    // the four arm consumers would otherwise each re-run
     val sch = survivorChunks(documents, factor, threshold)
+      .localCheckpoint(false)
     rankServe(fuseArms(lexArm(sch, documents, nProbes, kTerms, arm),
       vecArmCellFromCe(chunkEmbeds(sch), documents, nProbes, arm, factor,
         hamming), rrfK), factor, k)
@@ -922,6 +937,31 @@ object ChunkRetrieval {
     (ce, postings, dfAll, stats)
   }
 
+  /** [[indexParts]] PINNED at the expensive boundaries — the entry for
+    * callers that evaluate each part more than once (artifact stamping
+    * reads a part once for its content version and once for the write;
+    * the delta merge materializes the frozen side once per part). The
+    * chunk frame is checkpointed so the four parts share ONE text
+    * scan + chunking, ce and postings (the two corpus-scale parts, each
+    * behind its own shuffle) are checkpointed themselves, and df/stats
+    * are re-derived as cheap aggregates OVER the pinned postings/chunks
+    * rather than from raw text. Values are identical — a checkpoint is
+    * a plan boundary, not a computation. */
+  private[graft] def pinnedIndexParts(ch0: DataFrame): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val ch = ch0.localCheckpoint(false)
+    val ce = chunkEmbeds(ch).localCheckpoint(false)
+    val ctoks = ch.select(col("chunk_id"),
+      size(col("cwords")).cast("long").as("dl"),
+      explode(col("cwords")).as("word"))
+    val postings = ctoks.groupBy(col("word"), col("chunk_id"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+      .localCheckpoint(false)
+    val dfAll = postings.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val stats = ch.agg(count(lit(1)).as("nn"),
+      sum(size(col("cwords")).cast("decimal(18,0)")).as("sdl0"))
+    (ce, postings, dfAll, stats)
+  }
+
   /** INCREMENTAL index maintenance — the 100 TB ingest shape: at scale
     * the serving index is a frozen artifact and a day's arrivals are a
     * fraction of a percent of it, so rebuilding every aggregate from
@@ -940,13 +980,13 @@ object ChunkRetrieval {
                       deltaMod: Long = 17L): DataFrame = {
     val factor = chunkFactorFor(documents)
     val isDelta = col("doc_id") % deltaMod === 0
-    val (bce, bpost, bdf, bstat) =
-      indexParts(chunks(documents.filter(!isDelta), factor))
-    val (fce, fpost, fdf, fstat) = (bce.localCheckpoint(false),
-      bpost.localCheckpoint(false), bdf.localCheckpoint(false),
-      bstat.localCheckpoint(false))
+    // pinnedIndexParts replaces the four per-part checkpoints that each
+    // re-ran the base text scan + chunking from raw parquet (df and
+    // stats now aggregate the pinned postings/chunks instead)
+    val (fce, fpost, fdf, fstat) =
+      pinnedIndexParts(chunks(documents.filter(!isDelta), factor))
     val (dce, dpost, ddf, dstat) =
-      indexParts(chunks(documents.filter(isDelta), factor))
+      pinnedIndexParts(chunks(documents.filter(isDelta), factor))
     val ce = fce.unionByName(dce)
     val postings = fpost.unionByName(dpost)
     val dfAll = fdf.unionByName(ddf)
@@ -1001,13 +1041,11 @@ object ChunkRetrieval {
                          deltaMod: Long = 17L, hamming: Int = 2): DataFrame = {
     val factor = chunkFactorFor(documents)
     val isDelta = col("doc_id") % deltaMod === 0
-    val (bce, bpost, bdf, bstat) =
-      indexParts(chunks(documents.filter(!isDelta), factor))
-    val (fce, fpost, fdf, fstat) = (bce.localCheckpoint(false),
-      bpost.localCheckpoint(false), bdf.localCheckpoint(false),
-      bstat.localCheckpoint(false))
+    // pinned parts — see [[chunkDeltaServe]]
+    val (fce, fpost, fdf, fstat) =
+      pinnedIndexParts(chunks(documents.filter(!isDelta), factor))
     val (dce, dpost, ddf, dstat) =
-      indexParts(chunks(documents.filter(isDelta), factor))
+      pinnedIndexParts(chunks(documents.filter(isDelta), factor))
     val ce = fce.unionByName(dce)
     val postings = fpost.unionByName(dpost)
     val dfAll = fdf.unionByName(ddf)
@@ -1033,7 +1071,10 @@ object ChunkRetrieval {
                        nProbes: Int = 10, k: Int = 10, kTerms: Int = 8,
                        arm: Int = 50, rrfK: Int = 60): DataFrame = {
     val factor = chunkFactorFor(documents)
-    val (ce, postings, dfAll, stats) = indexParts(chunks(documents, factor))
+    // pinned parts: saveLarge evaluates each part TWICE (content stamp,
+    // then the write) and the four parts share one chunking — without
+    // the boundary this gate re-ran the raw-text lineage eight times
+    val (ce, postings, dfAll, stats) = pinnedIndexParts(chunks(documents, factor))
     val tmp = java.nio.file.Files.createTempDirectory("graft-index-parts")
     // a shutdown hook that WALKS the tree, not File.deleteOnExit:
     // deleteOnExit removes only empty directories, so every run leaked

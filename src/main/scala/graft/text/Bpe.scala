@@ -70,22 +70,43 @@ object Bpe {
       .select(col("doc_id"), col("words").as("toks"))
 
   /** One greedy leftmost non-overlapping merge of (ma, mb) → "ma mb"
-    * applied to `toks` — the row-local fold shared by train and apply.
-    * A NULL pair (empty-corpus round) is the identity. */
+    * applied to `toks` — the ORACLE's separator-framed string-replace
+    * device run on the Spark side too: frame the token array with
+    * chr(1)||chr(1) between tokens and at both ends, replace
+    * SEP·a·SEP·SEP·b·SEP with SEP·a·' '·b·SEP (the pattern eats one
+    * frame char per side and the replacement restores it, so adjacent
+    * disjoint occurrences stay matchable), split back. Both engines'
+    * replace scans left-to-right without rescanning its own output —
+    * exactly the greedy fold's semantics (BpeSpec pins fold == replace
+    * on crafted chains). The earlier array `aggregate(...)` fold built
+    * the accumulator with per-element `concat` — O(n²) per document per
+    * round, interpreted (HOFs are CodegenFallback) — where `replace` /
+    * `split` are codegen'd O(n) string scans. A NULL pair
+    * (empty-corpus round) is the identity. */
+  private val SEP2 = SEP + SEP
+  private def framedSql(src: String): String =
+    s"concat('$SEP2', concat_ws('$SEP2', $src), '$SEP2')"
+  private def unframeSql(src: String): String =
+    s"filter(split($src, '$SEP2'), x -> x <> '')"
   private val mergeFold =
-    """IF(array_contains(toks, ma) AND array_contains(toks, mb),
-         aggregate(toks, CAST(array() AS array<string>), (acc, t) ->
-           IF(size(acc) > 0 AND element_at(acc, -1) = ma AND t = mb,
-              concat(slice(acc, 1, size(acc) - 1), array(concat(ma, ' ', mb))),
-              concat(acc, array(t)))),
-         toks)"""
+    s"""IF(ma IS NULL, toks,
+        ${unframeSql(s"""replace(${framedSql("toks")},
+           concat('$SEP', ma, '$SEP2', mb, '$SEP'),
+           concat('$SEP', ma, ' ', mb, '$SEP'))""")})"""
 
   /** The training loop; returns (merge table, final token state). The
     * final state stays checkpointed — [[bpeTrain]] releases it, BpeSpec
     * reads it to pin apply == train. */
   private[graft] def trainWithState(documents: DataFrame,
                                     rounds: Int): (DataFrame, DataFrame) = {
-    var state = tokenState(documents).localCheckpoint(false)
+    // The round-0 checkpoint inherits the SCAN's split count (3 tasks at
+    // sf0.1's file sizes), and every round's pair-count + merge stage
+    // replays at that width for the whole loop. One hash repartition at
+    // the session's shuffle parallelism (scale-adaptive, deterministic
+    // key) spreads all `rounds` corpus passes across the executor cores.
+    val nPart = documents.sparkSession.sessionState.conf.numShufflePartitions
+    var state = tokenState(documents)
+      .repartition(nPart, col("doc_id")).localCheckpoint(false)
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     intermediates += state
     var merges = Vector.empty[DataFrame]
@@ -142,16 +163,14 @@ object Bpe {
     * train/apply identity, spec-pinned). */
   /** The rank-ordered replay fold over the broadcast merge artifact —
     * row-local, so it runs identically over a batch corpus and a
-    * document STREAM (stateless; the artifact is stream-static). */
-  private val applyFold =
-    """aggregate(ms, toks, (acc0, m) ->
-         IF(array_contains(acc0, m.tok_a) AND array_contains(acc0, m.tok_b),
-            aggregate(acc0, CAST(array() AS array<string>), (acc, t) ->
-              IF(size(acc) > 0 AND element_at(acc, -1) = m.tok_a AND t = m.tok_b,
-                 concat(slice(acc, 1, size(acc) - 1),
-                   array(concat(m.tok_a, ' ', m.tok_b))),
-                 concat(acc, array(t)))),
-            acc0))"""
+    * document STREAM (stateless; the artifact is stream-static). The
+    * replay folds over the separator-FRAMED string (one codegen'd
+    * `replace` per merge — the [[mergeFold]] device), splitting back to
+    * tokens once at the end instead of rebuilding an array per merge. */
+  private val applyFold = unframeSql(
+    s"""aggregate(ms, ${framedSql("toks")}, (acc, m) ->
+         replace(acc, concat('$SEP', m.tok_a, '$SEP2', m.tok_b, '$SEP'),
+                 concat('$SEP', m.tok_a, ' ', m.tok_b, '$SEP')))""")
 
   private def mergeArtifact(merges: DataFrame): DataFrame =
     merges.agg(array_sort(collect_list(

@@ -133,6 +133,52 @@ object Probe {
         t("warmup")(docs.count())
         t("recall")(graft.ann.ChunkRetrieval.dedupRecall(docs).count())
         t("recall warm")(graft.ann.ChunkRetrieval.dedupRecall(docs).count())
+      case "parts" =>
+        t("warmup")(docs.count())
+        t("parts_loaded")(graft.ann.ChunkRetrieval.chunkPartsLoaded(spark, docs).count())
+        t("parts_loaded warm")(graft.ann.ChunkRetrieval.chunkPartsLoaded(spark, docs).count())
+      case "delta" =>
+        t("warmup")(docs.count())
+        t("delta_serve")(graft.ann.ChunkRetrieval.chunkDeltaServe(docs).count())
+        t("delta_serve_ann")(graft.ann.ChunkRetrieval.chunkDeltaServeAnn(docs).count())
+      case "surv" =>
+        t("warmup")(docs.count())
+        t("bandfit")({
+          val (cf, _, _) = graft.ann.ChunkRetrieval.bandFitFrame(docs); cf.count()
+        })
+        t("pairs")(graft.ann.ChunkRetrieval.probeMpPairs(docs).count())
+        t("clusters")(graft.ann.ChunkRetrieval.chunkDupClusters(docs).count())
+        t("survivors")(graft.ann.ChunkRetrieval.chunkSurvivors(docs).count())
+      case "bpe" =>
+        t("warmup")(docs.count())
+        t("train")(graft.text.Bpe.bpeTrain(docs).count())
+        t("apply")({
+          val m = graft.text.Bpe.bpeTrain(docs)
+          graft.text.Bpe.bpeApply(docs, m).count()
+        })
+        t("sample")(graft.text.Bpe.bpeSampleEval(docs).count())
+      case "pr" =>
+        val li = graft.Tables.lineitem(spark, sfDir)
+        val or = graft.Tables.orders(spark, sfDir)
+        t("warmup")(li.count() + or.count())
+        t("pagerank")(graft.operators.Graph.pageRank(li, or).count())
+        t("pagerank warm")(graft.operators.Graph.pageRank(li, or).count())
+      case "eval" =>
+        t("warmup")(docs.count())
+        graft.functions.DotScaled.register(spark)
+        val emb = graft.Tables.embeddings(spark, sfDir)
+        t("retrieval")(graft.ann.ChunkRetrieval.chunkRetrieval(docs).count())
+        t("hybridRrf")(graft.ann.Ann.hybridRrf(docs, emb).count())
+        t("chunk_eval")(graft.ann.ChunkRetrieval.chunkEval(docs, emb).count())
+      case "embed" =>
+        t("warmup")(docs.count())
+        import graft.ann.ChunkRetrieval._
+        val f = chunkFactorFor(docs)
+        t("chunks")(chunks(docs, f).count())
+        t("chunkEmbeds16")(chunkEmbeds(chunks(docs, f)).count())
+        t("bandfit96")({
+          val (cf, _, _) = bandFitFrame(docs); cf.count()
+        })
       case "serve" =>
         t("warmup")(docs.count())
         t("dedup")(graft.ann.ChunkRetrieval.chunkDedup(docs).count())

@@ -87,6 +87,46 @@ class BpeSpec extends AnyFunSuite {
     assert(toks(2) == List("q"))
   }
 
+  test("string-replace merge device == reference greedy array fold on adversarial chains") {
+    // reference: greedy leftmost non-overlapping merge over the token
+    // array — the semantics the separator-framed replace must reproduce
+    def greedy(toks: Vector[String], a: String, b: String): Vector[String] = {
+      val buf = Vector.newBuilder[String]
+      var i = 0
+      while (i < toks.length) {
+        if (i + 1 < toks.length && toks(i) == a && toks(i + 1) == b) {
+          buf += s"$a $b"; i += 2
+        } else { buf += toks(i); i += 1 }
+      }
+      buf.result()
+    }
+    import spark.implicits._
+    // chains that stress the replace framing: odd runs, overlapping
+    // candidates, merged-token re-merges across rounds, singletons
+    val crafted = Seq(
+      (0L, "x x x x x x x"),
+      (1L, "x x x x x x x x"),
+      (2L, "y x x y x x x y"),
+      (3L, "x y x y x y"),
+      (4L, "zzz"),
+      (5L, "x x")).toDF("doc_id", "text")
+    val rounds = 4
+    val table = Bpe.bpeTrain(crafted, rounds).orderBy("round").collect()
+    val applied = Bpe.applyTokens(crafted, Bpe.bpeTrain(crafted, rounds))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("toks").toVector).toMap
+    val orig = Bpe.tokenState(crafted).collect().map(r =>
+      r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("toks").toVector).toMap
+    orig.foreach { case (id, toks0) =>
+      val expected = table.foldLeft(toks0) { (acc, m) =>
+        greedy(acc, m.getAs[String]("tok_a"), m.getAs[String]("tok_b"))
+      }
+      assert(applied(id) == expected,
+        s"doc $id: replace device ${applied(id)} != reference fold $expected")
+    }
+  }
+
   test("empty corpus: train emits no merges and apply passes tokens through") {
     import spark.implicits._
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
