@@ -417,7 +417,11 @@ object Ann {
   def hybridRrf(documents: DataFrame, embeddings: DataFrame,
                 nProbes: Int = 10, k: Int = 10, kTerms: Int = 8,
                 arm: Int = 50, rrfK: Int = 60): DataFrame = {
+    // the fused frame (≤ 2·arm rows per probe) feeds BOTH the top-k heap
+    // and the rank-recovery join — pinned so the two consumers share one
+    // evaluation of the arms (the rankServe device at doc grain)
     val fused = hybridFused(documents, embeddings, nProbes, kTerms, arm, rrfK)
+      .localCheckpoint(false)
     val top = topkPerProbe(
         fused.select(col("probe_id"), col("vec_id"), col("rrf").as("cosine")), k)
       .withColumnRenamed("cosine", "rrf_score")
@@ -439,9 +443,13 @@ object Ann {
     import graft.text.TextPrep
     val stopEn = TextPrep.stopEn
     val docs = documents.filter(col("text").isNotNull)
+    // pinned: the exploded token frame has THREE consumers (probe terms,
+    // probe-term df, per-(probe,doc,word) tf) that would each re-run the
+    // text scan + normalization + explode
     val toks = TextPrep.withWords(docs)
       .select(col("doc_id"), size(col("words")).cast("long").as("dl"),
         explode(col("words")).as("word"))
+      .localCheckpoint(false)
     // probe query terms: top-kTerms by in-probe tf (window bounded by
     // one document's vocabulary, never the corpus)
     val wP = Window.partitionBy(col("probe_id"))
@@ -497,7 +505,10 @@ object Ann {
   def hybridEval(documents: DataFrame, embeddings: DataFrame,
                  nProbes: Int = 10, k: Int = 10, kTerms: Int = 8,
                  arm: Int = 50, rrfK: Int = 60): DataFrame = {
+    // pinned for the same two consumers as [[hybridRrf]] (rrf top-k +
+    // the per-arm top-k union)
     val fused = hybridFused(documents, embeddings, nProbes, kTerms, arm, rrfK)
+      .localCheckpoint(false)
     val labels = embeddings.select(col("vec_id"), col("label"))
     val probeLab = labels.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("pl_id"), col("label").as("plabel"))

@@ -331,7 +331,9 @@ object Dedup {
     * the [[ngramJaccard]] pair stream to the candidates. */
   def minhashAccuracy(documents: DataFrame, bucketLimit: Int = 100,
                       dfLimit: Int = 100): DataFrame = {
-    val sig = signatures(documents)
+    // pinned: sa and sb below are two consumers of the signature frame
+    // and would each re-run the shingle->minhash lineage
+    val sig = signatures(documents).localCheckpoint(false)
     // The candidate frame feeds TWO consumers (the final estimate join and
     // the candidate-doc semi-join below); without truncation each consumer
     // re-runs the whole shingle→minhash→band self-join lineage. Eager
@@ -365,6 +367,8 @@ object Dedup {
       .filter(col("df") <= dfLimit)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select("doc_id", "sh")
+      // pinned: three consumers (sizes and both exact-join sides)
+      .localCheckpoint(false)
     val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val exact = shp.as("x")
       .join(shp.as("y"), col("x.sh") === col("y.sh") &&
@@ -486,10 +490,15 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .distinct()
     val wS = Window.partitionBy(col("sh"))
+    // pinned: the df-capped 8-byte-key frame has THREE consumers (the
+    // per-doc sizes and both self-join sides); ReuseExchange only covers
+    // the two identically-partitioned join sides, so the sizes aggregate
+    // re-ran the shingle explode + distinct from raw text
     val shp = sh
       .withColumn("df", count(lit(1)).over(wS))
       .filter(col("df") <= dfLimit)
       .select("doc_id", "sh")
+      .localCheckpoint(false)
     val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shp.as("a")
       .join(shp.as("b"), col("a.sh") === col("b.sh") &&
@@ -529,10 +538,15 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("shingle")).as("sh"))
       .distinct()
     val wS = Window.partitionBy(col("sh"))
+    // pinned: the df-capped 8-byte-key frame has THREE consumers (the
+    // per-doc sizes and both self-join sides); ReuseExchange only covers
+    // the two identically-partitioned join sides, so the sizes aggregate
+    // re-ran the shingle explode + distinct from raw text
     val shp = sh
       .withColumn("df", count(lit(1)).over(wS))
       .filter(col("df") <= dfLimit)
       .select("doc_id", "sh")
+      .localCheckpoint(false)
     val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = shp.as("a")
       .join(shp.as("b"), col("a.sh") === col("b.sh") &&
@@ -627,6 +641,10 @@ object Dedup {
         .as("span"))
       .withColumn("h", md5(col("span").cast("binary")))
       .select("doc_id", "h")
+      // pinned: the window stream (one md5 per k-token window, the
+      // query's heavy pass) has TWO consumers (the distinct-doc count
+      // and the join back)
+      .localCheckpoint(false)
     val byHash = win.distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("ndocs"))
     win.join(byHash, Seq("h"))
@@ -667,6 +685,9 @@ object Dedup {
       .select(col("doc_id"), posexplode(expr(
         s"transform(sequence(0, n - $k), i -> md5(cast(concat_ws(' ', slice(words, i + 1, $k)) as binary)))"))
         .as(Seq("i", "h")))
+      // pinned: two consumers (first-holder count and the mask join) of
+      // the md5-per-window stream
+      .localCheckpoint(false)
     val byHash = win.select(col("doc_id"), col("h")).distinct()
       .groupBy(col("h"))
       .agg(count(lit(1)).as("ndocs"), min(col("doc_id")).as("first_doc"))

@@ -220,8 +220,19 @@ object Bpe {
     * the train/apply devices; all counts are exact longs. */
   def bpeSampleEval(documents: DataFrame, rounds: Int = 8): DataFrame = {
     val sample = documents.filter(graft.functions.Fns.hexDigit("doc_id", 2) < 4)
-    val fullT = bpeTrain(documents, rounds)
-    val sampT = bpeTrain(sample, rounds)
+    // the two trainings are INDEPENDENT eager driver loops (one
+    // round-trip per round each, executors mostly idle at gate scale) —
+    // submit them from two driver threads so each loop's tail back-fills
+    // the other's idle capacity; results are unchanged (disjoint
+    // lineages, deterministic winners)
+    val (fullT, sampT) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val f = Future(bpeTrain(documents, rounds))
+      val g = Future(bpeTrain(sample, rounds))
+      (Await.result(f, Duration.Inf), Await.result(g, Duration.Inf))
+    }
     val agree = fullT.select(col("round"), col("merged").as("m_full"))
       .join(sampT.select(col("round"), col("merged").as("m_sample")),
         Seq("round"), "full_outer")

@@ -303,8 +303,16 @@ object SubwordBpe {
   def subwordSampleEval(documents: DataFrame,
                         rounds: Int = defaultRounds): DataFrame = {
     val sample = documents.filter(graft.functions.Fns.hexDigit("doc_id", 2) < 4)
-    val fullT = subwordTrain(documents, rounds)
-    val sampT = subwordTrain(sample, rounds)
+    // two independent eager training loops overlapped from two driver
+    // threads — the [[Bpe.bpeSampleEval]] device; values unchanged
+    val (fullT, sampT) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val f = Future(subwordTrain(documents, rounds))
+      val g = Future(subwordTrain(sample, rounds))
+      (Await.result(f, Duration.Inf), Await.result(g, Duration.Inf))
+    }
     val agree = fullT.select(col("round"), col("merged").as("m_full"))
       .join(sampT.select(col("round"), col("merged").as("m_sample")),
         Seq("round"), "full_outer")
