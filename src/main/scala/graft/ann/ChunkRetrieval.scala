@@ -66,9 +66,30 @@ object ChunkRetrieval {
     * discipline) makes the encoding collision-free by construction.
     * Headroom: doc_id·factor stays far under Long.MaxValue for any
     * realistic id space (10^12 docs × 2^20 factor < 2^60). */
-  private[graft] def chunkFactorFor(documents: DataFrame): Long = {
-    val maxWords = TextPrep.withWords(documents.filter(col("text").isNotNull))
+  private[graft] def chunkFactorFor(documents: DataFrame): Long =
+    factorFrom(wordsPlain(documents))
+
+  /** The normalized (doc_id, words) frame every chunk grain derives
+    * from — NOT pinned; [[wordsFrame]] is the pinned query-entry form. */
+  private def wordsPlain(documents: DataFrame): DataFrame =
+    TextPrep.withWords(documents.filter(col("text").isNotNull))
       .filter(col("norm") =!= "")
+      .select(col("doc_id"), col("words"))
+
+  /** [[wordsPlain]] PINNED — the boundary every declared chunk query
+    * starts from: the factor probe (one max aggregate, which also
+    * materializes the pin) and every downstream chunk/embed/postings
+    * build otherwise each re-run the text normalize + split from raw
+    * parquet — measured 2-4 redundant normalize passes per serving
+    * query, and chunkServe additionally re-derived the factor inside
+    * its dedup. */
+  private def wordsFrame(documents: DataFrame): DataFrame =
+    wordsPlain(documents).localCheckpoint(false)
+
+  /** The chunk_id encoding factor derived from a words frame — see
+    * [[chunkFactorFor]]'s doc for the contract. */
+  private def factorFrom(ww: DataFrame): Long = {
+    val maxWords = ww
       .agg(coalesce(max(size(col("words"))), lit(0)).as("mw"))
       .head.getAs[Int]("mw")
     val maxChunks = if (maxWords <= 0) 1L else maxWords.toLong / stride + 1L
@@ -82,9 +103,13 @@ object ChunkRetrieval {
     * [[chunkFactorFor]], computed ONCE per query so every grain of one
     * plan shares the encoding. */
   private[graft] def chunks(documents: DataFrame, factor: Long): DataFrame =
-    TextPrep.withWords(documents.filter(col("text").isNotNull))
-      .filter(col("norm") =!= "")
-      .withColumn("n", size(col("words")))
+    chunksFrom(wordsPlain(documents), factor)
+
+  /** [[chunks]] over an already-built (doc_id, words) frame — the form
+    * the declared queries use so the chunk grain explodes from the
+    * PINNED words rather than re-normalizing raw text. */
+  private def chunksFrom(ww: DataFrame, factor: Long): DataFrame =
+    ww.withColumn("n", size(col("words")))
       .select(col("doc_id"), col("words"),
         posexplode(expr(s"sequence(0, n - 1, $stride)")).as(Seq("chunk_idx", "start")))
       .select(col("doc_id"),
@@ -253,9 +278,10 @@ object ChunkRetrieval {
   def chunkRetrievalAnn(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
                         kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
                         hamming: Int = 2): DataFrame = {
-    val factor = chunkFactorFor(documents)
+    val ww = wordsFrame(documents)
+    val factor = factorFrom(ww)
     // pinned for the same four consumers as [[retrieveFrom]]
-    val ch = chunks(documents, factor).localCheckpoint(false)
+    val ch = chunksFrom(ww, factor).localCheckpoint(false)
     rankServe(fuseArms(lexArm(ch, documents, nProbes, kTerms, arm),
       vecArmCellFromCe(chunkEmbeds(ch), documents, nProbes, arm, factor,
         hamming), rrfK), factor, k)
@@ -370,8 +396,9 @@ object ChunkRetrieval {
     * no rank window over the fused frame), then the final rank. */
   def chunkRetrieval(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
                      kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60): DataFrame = {
-    val factor = chunkFactorFor(documents)
-    retrieveFrom(chunks(documents, factor), documents, factor,
+    val ww = wordsFrame(documents)
+    val factor = factorFrom(ww)
+    retrieveFrom(chunksFrom(ww, factor), documents, factor,
       nProbes, k, kTerms, arm, rrfK)
   }
 
@@ -514,8 +541,17 @@ object ChunkRetrieval {
     * bounded — cellBits grows with the corpus); everything else is
     * broadcast or row-local. */
   def chunkDedup(documents: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val factor = chunkFactorFor(documents)
-    val cc = chunkCells(chunks(documents, factor))
+    val ww = wordsFrame(documents)
+    val factor = factorFrom(ww)
+    chunkDedupFrom(chunksFrom(ww, factor), factor, threshold)
+  }
+
+  /** [[chunkDedup]] over an already-built chunk frame — the entry
+    * [[survivorChunks]] uses so the serve gates share ONE chunk build
+    * (and one factor probe) with the dedup hiding under them. */
+  private def chunkDedupFrom(ch: DataFrame, factor: Long,
+                             threshold: Double): DataFrame = {
+    val cc = chunkCells(ch)
     val other = cc.select(col("chunk_id").as("ca"), col("p").as("pa"),
       col("nsq").as("nsqa"), col("cell").as("cella"), col("fit").as("fita"))
     val dups = cc.join(other,
@@ -651,8 +687,9 @@ object ChunkRetrieval {
   /** [[bandEmbeds]] with cell + fit, the frame [[mpVerifiedPairs]]
     * consumes; bits derived from the measured corpus. */
   private[graft] def bandFitFrame(documents: DataFrame): (DataFrame, Int, Long) = {
-    val factor = chunkFactorFor(documents)
-    val base = bandEmbeds(chunks(documents, factor)).localCheckpoint(false)
+    val ww = wordsFrame(documents)
+    val factor = factorFrom(ww)
+    val base = bandEmbeds(chunksFrom(ww, factor)).localCheckpoint(false)
     val bits = cellBitsFor(base.count())
     (withCellFit(base.withColumn("cell", cellAt("pw", 0, bits)), Seq("pw")),
       bits, factor)
@@ -747,7 +784,8 @@ object ChunkRetrieval {
     * (method, true_pairs, found_pairs, recall). */
   def dedupRecall(documents: DataFrame, threshold: Double = 0.95,
                   sampleTarget: Long = 8000L): DataFrame = {
-    val base = bandEmbeds(chunks(documents, chunkFactorFor(documents)))
+    val ww = wordsFrame(documents)
+    val base = bandEmbeds(chunksFrom(ww, factorFrom(ww)))
       .localCheckpoint(false)
     val n = base.count()
     val bits = cellBitsFor(n)
@@ -819,8 +857,9 @@ object ChunkRetrieval {
     * grain. */
   def chunkAnnEval(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
                    hamming: Int = 2): DataFrame = {
-    val factor = chunkFactorFor(documents)
-    val base = chunkEmbeds(chunks(documents, factor)).localCheckpoint(false)
+    val ww = wordsFrame(documents)
+    val factor = factorFrom(ww)
+    val base = chunkEmbeds(chunksFrom(ww, factor)).localCheckpoint(false)
     val bits = cellBitsFor(base.count())
     val ce = base.withColumn("cell", cellAt("p", 0, bits))
     val pe = hashEmbed(TextPrep.withWords(documents.filter(col("text").isNotNull))
@@ -870,9 +909,9 @@ object ChunkRetrieval {
     * no embedding (all tokens cancelled, nsq = 0) cannot be scored for
     * duplication and pass through — only a DOMINATED verdict removes a
     * chunk. */
-  private def survivorChunks(documents: DataFrame, factor: Long,
+  private def survivorChunks(ww: DataFrame, factor: Long,
                              threshold: Double): DataFrame = {
-    val ch = chunks(documents, factor)
+    val ch = chunksFrom(ww, factor)
     // retrieveFrom reads its chunk frame four times (vec-arm embeddings,
     // chunk-df, tf, corpus stats); each read would otherwise re-run the
     // ENTIRE dedup chain hiding under this anti-join. The dominated-id
@@ -880,7 +919,7 @@ object ChunkRetrieval {
     // pinning it makes the anti-join the only repeated work — and gives
     // AQE accurate stats to pick a broadcast anti-join when it fits
     // (at 100 TB a huge dup set correctly falls back to shuffle).
-    val dominated = chunkDedup(documents, threshold)
+    val dominated = chunkDedupFrom(ch, factor, threshold)
       .filter(!col("keep")).select(col("chunk_id"))
       .localCheckpoint(false)
     ch.join(dominated, Seq("chunk_id"), "left_anti")
@@ -895,8 +934,9 @@ object ChunkRetrieval {
   def chunkServe(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
                  kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
                  threshold: Double = 0.95): DataFrame = {
-    val factor = chunkFactorFor(documents)
-    retrieveFrom(survivorChunks(documents, factor, threshold), documents,
+    val ww = wordsFrame(documents)
+    val factor = factorFrom(ww)
+    retrieveFrom(survivorChunks(ww, factor, threshold), documents,
       factor, nProbes, k, kTerms, arm, rrfK)
   }
 
@@ -908,10 +948,11 @@ object ChunkRetrieval {
   def chunkServeAnn(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
                     kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
                     threshold: Double = 0.95, hamming: Int = 2): DataFrame = {
-    val factor = chunkFactorFor(documents)
+    val ww = wordsFrame(documents)
+    val factor = factorFrom(ww)
     // pinned: the survivor frame hides the whole dedup anti-join, which
     // the four arm consumers would otherwise each re-run
-    val sch = survivorChunks(documents, factor, threshold)
+    val sch = survivorChunks(ww, factor, threshold)
       .localCheckpoint(false)
     rankServe(fuseArms(lexArm(sch, documents, nProbes, kTerms, arm),
       vecArmCellFromCe(chunkEmbeds(sch), documents, nProbes, arm, factor,
@@ -978,15 +1019,17 @@ object ChunkRetrieval {
   def chunkDeltaServe(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
                       kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
                       deltaMod: Long = 17L): DataFrame = {
-    val factor = chunkFactorFor(documents)
+    val ww = wordsFrame(documents)
+    val factor = factorFrom(ww)
     val isDelta = col("doc_id") % deltaMod === 0
     // pinnedIndexParts replaces the four per-part checkpoints that each
     // re-ran the base text scan + chunking from raw parquet (df and
-    // stats now aggregate the pinned postings/chunks instead)
+    // stats now aggregate the pinned postings/chunks instead); both
+    // sides split the ONE pinned words frame on the doc_id predicate
     val (fce, fpost, fdf, fstat) =
-      pinnedIndexParts(chunks(documents.filter(!isDelta), factor))
+      pinnedIndexParts(chunksFrom(ww.filter(!isDelta), factor))
     val (dce, dpost, ddf, dstat) =
-      pinnedIndexParts(chunks(documents.filter(isDelta), factor))
+      pinnedIndexParts(chunksFrom(ww.filter(isDelta), factor))
     val ce = fce.unionByName(dce)
     val postings = fpost.unionByName(dpost)
     val dfAll = fdf.unionByName(ddf)
@@ -1039,13 +1082,14 @@ object ChunkRetrieval {
   def chunkDeltaServeAnn(documents: DataFrame, nProbes: Int = 10, k: Int = 10,
                          kTerms: Int = 8, arm: Int = 50, rrfK: Int = 60,
                          deltaMod: Long = 17L, hamming: Int = 2): DataFrame = {
-    val factor = chunkFactorFor(documents)
+    val ww = wordsFrame(documents)
+    val factor = factorFrom(ww)
     val isDelta = col("doc_id") % deltaMod === 0
     // pinned parts — see [[chunkDeltaServe]]
     val (fce, fpost, fdf, fstat) =
-      pinnedIndexParts(chunks(documents.filter(!isDelta), factor))
+      pinnedIndexParts(chunksFrom(ww.filter(!isDelta), factor))
     val (dce, dpost, ddf, dstat) =
-      pinnedIndexParts(chunks(documents.filter(isDelta), factor))
+      pinnedIndexParts(chunksFrom(ww.filter(isDelta), factor))
     val ce = fce.unionByName(dce)
     val postings = fpost.unionByName(dpost)
     val dfAll = fdf.unionByName(ddf)
@@ -1070,11 +1114,12 @@ object ChunkRetrieval {
   def chunkPartsLoaded(spark: SparkSession, documents: DataFrame,
                        nProbes: Int = 10, k: Int = 10, kTerms: Int = 8,
                        arm: Int = 50, rrfK: Int = 60): DataFrame = {
-    val factor = chunkFactorFor(documents)
+    val ww = wordsFrame(documents)
+    val factor = factorFrom(ww)
     // pinned parts: saveLarge evaluates each part TWICE (content stamp,
     // then the write) and the four parts share one chunking — without
     // the boundary this gate re-ran the raw-text lineage eight times
-    val (ce, postings, dfAll, stats) = pinnedIndexParts(chunks(documents, factor))
+    val (ce, postings, dfAll, stats) = pinnedIndexParts(chunksFrom(ww, factor))
     val tmp = java.nio.file.Files.createTempDirectory("graft-index-parts")
     // a shutdown hook that WALKS the tree, not File.deleteOnExit:
     // deleteOnExit removes only empty directories, so every run leaked
@@ -1150,8 +1195,10 @@ object ChunkRetrieval {
   }
   private[graft] def probeDominated(docs: DataFrame): DataFrame =
     chunkDedup(docs).filter(!col("keep")).select(col("chunk_id"))
-  private[graft] def probeSurvivors(docs: DataFrame): DataFrame =
-    survivorChunks(docs, chunkFactorFor(docs), 0.95)
+  private[graft] def probeSurvivors(docs: DataFrame): DataFrame = {
+    val ww = wordsFrame(docs)
+    survivorChunks(ww, factorFrom(ww), 0.95)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chunk_retrieval" -> ((s, d) => chunkRetrieval(Tables.documents(s, d))),
