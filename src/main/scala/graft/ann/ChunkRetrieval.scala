@@ -650,7 +650,8 @@ object ChunkRetrieval {
     * p, nsq, fit, pw); returns one row per verified UNORDERED pair
     * seen from each endpoint: (chunk_id, ca, fit, fita, cosine). */
   private[graft] def mpVerifiedPairs(cf: DataFrame, bits: Int, threshold: Double,
-                              hamming: Int, nBands: Int): DataFrame = {
+                              hamming: Int, nBands: Int,
+                              nRows: Long = -1L): DataFrame = {
     val bnd = cf.select(col("chunk_id"), col("p"), col("nsq"), col("fit"),
       posexplode(array((0 until nBands).map(k =>
         cellAt("pw", k * outDims, bits)): _*)).as(Seq("band_k", "band_v")))
@@ -663,14 +664,23 @@ object ChunkRetrieval {
         "m -> band_v ^ cast(m as bigint))")).as("bv2"),
       col("chunk_id").as("ca"), col("p").as("pa"),
       col("nsq").as("nsqa"), col("fit").as("fita"))
-    // EXPLICIT co-partitioning on the band keys, pinned to the session's
-    // shuffle parallelism: the join's real cost is per-candidate cosine
-    // verification, which is invisible to AQE's byte-based stats — left
-    // to itself AQE coalesced the (small-bytes) stream side to ONE
-    // partition and the whole verify ran on one core (measured 170 s at
-    // sf0.1). Co-partitioned sides also keep the exploded ball frame
-    // off the driver (no broadcast build of a corpus-derived side).
-    val nPart = bnd.sparkSession.sessionState.conf.numShufflePartitions
+    // EXPLICIT co-partitioning on the band keys: the join's real cost is
+    // per-candidate cosine verification, which is invisible to AQE's
+    // byte-based stats — left to itself AQE coalesced the (small-bytes)
+    // stream side to ONE partition and the whole verify ran on one core
+    // (measured 170 s at sf0.1). Co-partitioned sides also keep the
+    // exploded ball frame off the driver (no broadcast build of a
+    // corpus-derived side). The WIDTH is sized to the exploded-ball row
+    // count when the caller already measured the chunk count (~8k ball
+    // rows per task), capped at the session's shuffle parallelism —
+    // r15's flat numShufflePartitions made 32 sub-MB tasks at sf0.1 and
+    // the family ran SLOWER on 32 cores than 8 (BENCH_r15 scaling
+    // 0.66-0.75); a caller without a count keeps the session width.
+    val maxPart = bnd.sparkSession.sessionState.conf.numShufflePartitions
+    val nPart =
+      if (nRows < 0) maxPart
+      else math.max(1, math.min(maxPart.toLong,
+        nRows * nBands * masks.size / 8192L + 1L)).toInt
     bnd.repartition(nPart, col("band_k"), col("band_v"))
       .join(other.repartition(nPart, col("bk2"), col("bv2")),
         col("band_k") === col("bk2") && col("band_v") === col("bv2") &&
@@ -685,20 +695,22 @@ object ChunkRetrieval {
   }
 
   /** [[bandEmbeds]] with cell + fit, the frame [[mpVerifiedPairs]]
-    * consumes; bits derived from the measured corpus. */
-  private[graft] def bandFitFrame(documents: DataFrame): (DataFrame, Int, Long) = {
+    * consumes; bits derived from the measured corpus, whose count is
+    * returned too so candidate-join widths can size to the data. */
+  private[graft] def bandFitFrame(documents: DataFrame): (DataFrame, Int, Long, Long) = {
     val ww = wordsFrame(documents)
     val factor = factorFrom(ww)
     val base = bandEmbeds(chunksFrom(ww, factor)).localCheckpoint(false)
-    val bits = cellBitsFor(base.count())
+    val n = base.count()
+    val bits = cellBitsFor(n)
     (withCellFit(base.withColumn("cell", cellAt("pw", 0, bits)), Seq("pw")),
-      bits, factor)
+      bits, factor, n)
   }
 
   private def bandedDedupWith(documents: DataFrame, threshold: Double,
                               hamming: Int, nBands: Int): DataFrame = {
-    val (cf, bits, factor) = bandFitFrame(documents)
-    val cand = mpVerifiedPairs(cf, bits, threshold, hamming, nBands)
+    val (cf, bits, factor, n) = bandFitFrame(documents)
+    val cand = mpVerifiedPairs(cf, bits, threshold, hamming, nBands, n)
     val dups = cand.groupBy(col("chunk_id"))
       .agg(count(lit(1)).as("n_dups"), max(col("cosine")).as("max_dup_cosine"),
         max(when(col("fita") < col("fit") ||
@@ -725,9 +737,9 @@ object ChunkRetrieval {
     * at least one verified near-dup (the doc-grain convention);
     * convergence is O(log diameter) via the pointer-jumping shortcut. */
   def chunkDupClusters(documents: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val (cf, bits, _) = bandFitFrame(documents)
+    val (cf, bits, _, n) = bandFitFrame(documents)
     val pairs = mpVerifiedPairs(cf, bits, threshold, hamming = 1,
-        nBands = mpBandCount)
+        nBands = mpBandCount, nRows = n)
       .filter(col("chunk_id") < col("ca"))
       .select(col("chunk_id").as("doc_a"), col("ca").as("doc_b"))
     graft.dedup.Dedup.propagate(pairs)
@@ -748,9 +760,9 @@ object ChunkRetrieval {
     * kept chunks == cluster count + unclustered count. One window on
     * cluster_id beyond the propagation itself. */
   def chunkSurvivors(documents: DataFrame, threshold: Double = 0.95): DataFrame = {
-    val (cf, bits, factor) = bandFitFrame(documents)
+    val (cf, bits, factor, n) = bandFitFrame(documents)
     val pairs = mpVerifiedPairs(cf, bits, threshold, hamming = 1,
-        nBands = mpBandCount)
+        nBands = mpBandCount, nRows = n)
       .filter(col("chunk_id") < col("ca"))
       .select(col("chunk_id").as("doc_a"), col("ca").as("doc_b"))
     val cl = graft.dedup.Dedup.propagate(pairs)
@@ -1188,8 +1200,8 @@ object ChunkRetrieval {
     vecArmCellFromCe(chunkEmbeds(chunks(docs, f)), docs, 10, 50, f, 2)
   }
   private[graft] def probeMpPairs(docs: DataFrame): DataFrame = {
-    val (cf, bits, _) = bandFitFrame(docs)
-    mpVerifiedPairs(cf, bits, 0.95, hamming = 1, nBands = mpBandCount)
+    val (cf, bits, _, n) = bandFitFrame(docs)
+    mpVerifiedPairs(cf, bits, 0.95, hamming = 1, nBands = mpBandCount, nRows = n)
       .filter(col("chunk_id") < col("ca"))
       .select(col("chunk_id").as("doc_a"), col("ca").as("doc_b"))
   }

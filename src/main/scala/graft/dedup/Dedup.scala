@@ -61,7 +61,13 @@ object Dedup {
     * This is exactly what a production pipeline PERSISTS between
     * increments (see [[bandStore]] / [[minhashIncrement]]). */
   private[dedup] def lshBands(documents: DataFrame): DataFrame =
-    signatures(documents).select(col("doc_id"), explode(array(
+    lshBandsFromSig(signatures(documents))
+
+  /** [[lshBands]] over an already-built signature frame — the entry
+    * [[minhashAccuracy]] uses so its pinned signatures feed the band
+    * build too, not just the agreement join's two sides. */
+  private def lshBandsFromSig(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"), explode(array(
       (0 to 3).map(b => struct(lit(b).as("band_idx"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}")).cast("binary")).as("bh"))): _*)).as("s"))
       .select(col("doc_id"), col("s.band_idx").as("band_idx"), col("s.bh").as("bh"))
@@ -126,8 +132,10 @@ object Dedup {
   /** [[minhashLsh]] without the presentation sort — the form internal
     * consumers (cluster propagation) build on, where a global orderBy
     * would only add an exchange. */
-  private[dedup] def minhashPairs(documents: DataFrame, bucketLimit: Int): DataFrame = {
-    val bands = lshBands(documents)
+  private[dedup] def minhashPairs(documents: DataFrame, bucketLimit: Int): DataFrame =
+    minhashPairsFromBands(lshBands(documents), bucketLimit)
+
+  private def minhashPairsFromBands(bands: DataFrame, bucketLimit: Int): DataFrame = {
     // Bucket sizing as a window count over the SAME (band_idx, bh)
     // partitioning the self-join shuffles on: one exchange serves the
     // count, the filter, and both join sides (Catalyst's ReuseExchange
@@ -312,14 +320,14 @@ object Dedup {
     // multiple 'keep' rows per true cluster.
     require(converged,
       s"propagate: not converged after $maxIters double-step+shortcut rounds")
-    // Materialize the (small) final labeling via an eager localCheckpoint,
-    // then drop every cached frame: nothing this operator persisted leaks
-    // into the caller's session (checkpoint blocks are context-cleaned
-    // once the returned frame is garbage-collected).
-    val result = labels.select(col("id"), col("label")).localCheckpoint()
-    labels.unpersist()
+    // The final labeling is ALREADY checkpoint-backed (the loop's last
+    // lazy localCheckpoint, materialized by its convergence sum) — return
+    // a select over it instead of paying one more full materialization
+    // job per consumer query. Only the edge cache is released eagerly;
+    // the label blocks are context-cleaned once the caller's frame is
+    // garbage-collected (the same lifecycle the old eager copy had).
     edges.unpersist()
-    result
+    labels.select(col("id"), col("label"))
   }
 
   /** MinHash sketch-accuracy mart — the QA frame a dedup pipeline tunes
@@ -331,8 +339,12 @@ object Dedup {
     * the [[ngramJaccard]] pair stream to the candidates. */
   def minhashAccuracy(documents: DataFrame, bucketLimit: Int = 100,
                       dfLimit: Int = 100): DataFrame = {
-    // pinned: sa and sb below are two consumers of the signature frame
-    // and would each re-run the shingle->minhash lineage
+    // pinned: the signature frame has THREE consumers — the band build
+    // feeding the candidate join (threaded below) plus the agreement
+    // join's two sides (sa/sb); r15 pinned it but left minhashPairs
+    // rebuilding its own signature lineage, so the pin paid a full
+    // materialization barrier for only half its consumers (the one
+    // measured bench regression of that round)
     val sig = signatures(documents).localCheckpoint(false)
     // The candidate frame feeds TWO consumers (the final estimate join and
     // the candidate-doc semi-join below); without truncation each consumer
@@ -340,7 +352,7 @@ object Dedup {
     // localCheckpoint: candidates are df-capped (≤ bucketLimit²·bands
     // pairs per bucket), a tiny frame relative to the corpus — the same
     // device as the cluster-propagation loop.
-    val cand = minhashPairs(documents, bucketLimit)
+    val cand = minhashPairsFromBands(lshBandsFromSig(sig), bucketLimit)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
     val sa = sig.select(col("doc_id").as("doc_a") +: (0 to 7).map(k => col(s"h$k").as(s"a$k")): _*)
     val sb = sig.select(col("doc_id").as("doc_b") +: (0 to 7).map(k => col(s"h$k").as(s"b$k")): _*)

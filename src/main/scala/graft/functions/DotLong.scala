@@ -34,7 +34,14 @@ case class DotLong(left: Expression, right: Expression)
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    // fail loud on a length mismatch: every caller dots fixed-dim
+    // embeddings from one builder, so unequal lengths mean an upstream
+    // dim bug — a silent min()-truncated dot would return a plausible
+    // wrong number where the fold this replaced null-propagated
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"graft_dot_long: length mismatch ($n vs ${b.numElements()})")
     var s = 0L
     var i = 0
     while (i < n) {
@@ -52,7 +59,11 @@ case class DotLong(left: Expression, right: Expression)
       val s = ctx.freshName("dlS")
       val i = ctx.freshName("dlI")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot_long: length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getLong($i) * $b.getLong($i);
@@ -75,8 +86,14 @@ object DotLong {
   }
 
   /** Register `graft_dot_long(arr, arr) -> bigint` in the session's
-    * function registry so it is usable from `expr(...)`. Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot_long", exprs => fromArgs(exprs), "built-in")
+    * function registry so it is usable from `expr(...)`. Idempotent, and
+    * a no-op when already registered (re-registration per call flooded
+    * the log with SimpleFunctionRegistry WARNs). */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot_long")))
+      reg.createOrReplaceTempFunction(
+        "graft_dot_long", exprs => fromArgs(exprs), "built-in")
+  }
 }

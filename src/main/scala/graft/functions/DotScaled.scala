@@ -87,7 +87,11 @@ object DotScaled {
 
   /** Register `graft_dot(arr, arr) -> bigint` in the session's function
     * registry so it is usable from `expr(...)` and SQL. Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => fromArgs(exprs), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_dot")))
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => fromArgs(exprs), "built-in")
+  }
 }

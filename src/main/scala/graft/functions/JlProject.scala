@@ -124,7 +124,11 @@ object JlProject {
 
   /** Register `graft_jl_project(bvs, signs) -> array<bigint>` for use
     * from `expr(...)`. Idempotent. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_jl_project", exprs => fromArgs(exprs), "built-in")
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_jl_project")))
+      reg.createOrReplaceTempFunction(
+        "graft_jl_project", exprs => fromArgs(exprs), "built-in")
+  }
 }

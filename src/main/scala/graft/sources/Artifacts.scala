@@ -99,47 +99,49 @@ object Artifacts {
     finally in.close()
   }
 
-  /** Write a CORPUS-SIZED frame to `dir/name` stamped with its
-    * [[distributedVersion]] (the stamp column is a constant — parquet
-    * dictionary-encodes it to nothing); keeps the frame's own
-    * partitioning, unlike the bounded-artifact [[save]]. */
+  /** Write a CORPUS-SIZED frame to `dir/name` with its
+    * [[distributedVersion]] recorded in the `_VERSION` sidecar; keeps
+    * the frame's own partitioning, unlike the bounded-artifact [[save]].
+    *
+    * The part is written FIRST and the stamp is computed from the
+    * WRITTEN parquet — ONE evaluation of `df` where the r15 form
+    * evaluated each corpus-sized part twice (stamp pass, then write
+    * pass; the verdict-flagged half of q_chunk_parts_loaded's cost).
+    * The version-of-what-was-written is definitionally what load must
+    * verify, and every artifact column type round-trips parquet exactly
+    * (long / string / array<bigint> / decimal), so the stamp value is
+    * unchanged. No in-row stamp column anymore: the load-time
+    * recompute-vs-sidecar comparison covers every corruption class the
+    * in-row stamp did (lost file, flipped value, injected row, total
+    * truncation), and a crash between write and sidecar still leaves a
+    * part without _VERSION, which [[loadLarge]] fails closed on. */
   def saveLarge(df: DataFrame, dir: String, name: String): String = {
     require(!df.columns.contains(stampCol),
       s"artifact already carries a $stampCol column")
-    val v = distributedVersion(df)
-    df.withColumn(stampCol, lit(v))
-      .write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
-    // sidecar written AFTER the data: a crash between the two leaves a
-    // part without _VERSION, which loadLarge fails closed on
+    df.write.mode(SaveMode.Overwrite).parquet(s"$dir/$name")
+    val v = distributedVersion(df.sparkSession.read.parquet(s"$dir/$name"))
     writeSidecar(df, dir, name, v)
     v
   }
 
-  /** Reload a corpus-sized frame and VERIFY its stamp against the
-    * recomputed [[distributedVersion]] — corruption (a lost file, a
-    * flipped value, an injected row) fails HERE, not as silently-wrong
-    * serving results. No collect, no checkpoint: the returned frame
-    * stays parquet-backed. */
+  /** Reload a corpus-sized frame and VERIFY its recomputed
+    * [[distributedVersion]] against the `_VERSION` sidecar — corruption
+    * (a lost file, a flipped value, an injected row, a fully-truncated
+    * part) fails HERE, not as silently-wrong serving results; a
+    * legitimately EMPTY part (e.g. a delta with no arrivals) recorded
+    * its empty-frame version at save and still matches. ONE pass over
+    * the part (the r15 form paid a min/max stamp pass plus the
+    * recompute). No collect, no checkpoint: the returned frame stays
+    * parquet-backed. */
   def loadLarge(spark: SparkSession, dir: String, name: String): (DataFrame, String) = {
     val raw = spark.read.parquet(s"$dir/$name")
-    require(raw.columns.contains(stampCol),
-      s"$dir/$name is not a stamped artifact")
-    val mm = raw.agg(min(col(stampCol)).as("lo"), max(col(stampCol)).as("hi")).head
-    require(mm.getAs[String]("lo") == mm.getAs[String]("hi"),
-      s"artifact $name carries multiple distinct version stamps")
-    val df = raw.drop(stampCol)
+    // pre-r16 parts carried an in-row stamp column; drop it so their
+    // content still verifies against their sidecar
+    val df = if (raw.columns.contains(stampCol)) raw.drop(stampCol) else raw
     val recomputed = distributedVersion(df)
-    // the sidecar closes the total-truncation hole the in-row stamp
-    // alone leaves: a part that lost ALL its row-bearing files has a
-    // null min/max stamp (nothing to compare), but the save-time
-    // sidecar still names the expected content version — a
-    // legitimately EMPTY part (e.g. a delta with no arrivals) recorded
-    // its empty-frame version at save and still matches
     val expected = readSidecar(spark, dir, name)
     require(recomputed == expected,
       s"artifact $name corrupt: sidecar $expected, content $recomputed")
-    require(mm.getAs[String]("lo") == null || mm.getAs[String]("lo") == expected,
-      s"artifact $name corrupt: stamped ${mm.getAs[String]("lo")}, sidecar $expected")
     (df, recomputed)
   }
 

@@ -101,12 +101,20 @@ object Bpe {
                                     rounds: Int): (DataFrame, DataFrame) = {
     // The round-0 checkpoint inherits the SCAN's split count (3 tasks at
     // sf0.1's file sizes), and every round's pair-count + merge stage
-    // replays at that width for the whole loop. One hash repartition at
-    // the session's shuffle parallelism (scale-adaptive, deterministic
-    // key) spreads all `rounds` corpus passes across the executor cores.
-    val nPart = documents.sparkSession.sessionState.conf.numShufflePartitions
-    var state = tokenState(documents)
-      .repartition(nPart, col("doc_id")).localCheckpoint(false)
+    // replays at that width for the whole loop, so one hash repartition
+    // (deterministic key) spreads all `rounds` corpus passes. The WIDTH
+    // is derived from the corpus, not pinned to the core count: r15's
+    // `repartition(numShufflePartitions)` made 32 sub-MB tasks per round
+    // at sf0.1 and the 8-round loop ran 2.3× SLOWER on 32 cores than on
+    // 8 (BENCH_r15 scaling 0.43) — pure per-task scheduling overhead.
+    // The scan's split count is the bytes proxy (corpus bytes / split
+    // size), ×2 for the fold work per byte, capped at the session's
+    // shuffle parallelism so a real cluster still fans out.
+    val ts = tokenState(documents)
+    val nPart = math.max(1, math.min(
+      documents.sparkSession.sessionState.conf.numShufflePartitions,
+      ts.rdd.getNumPartitions * 2))
+    var state = ts.repartition(nPart, col("doc_id")).localCheckpoint(false)
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     intermediates += state
     var merges = Vector.empty[DataFrame]

@@ -103,7 +103,7 @@ object Probe {
         val pw = new java.io.PrintWriter("/tmp/clfinal_mpdedup.txt")
         pw.println(md.queryExecution.executedPlan.toString)
         pw.close()
-        val (cf, bits, _) = bandFitFrame(docs)
+        val (cf, bits, _, _) = bandFitFrame(docs)
         val c5 = mpVerifiedPairs(cf, bits, 0.95, 1, 6)
           .groupBy(col("chunk_id")).agg(count(lit(1)).as("n"))
         t("cand5+groupBy")(c5.count())
@@ -113,12 +113,12 @@ object Probe {
       case "clvar" =>
         import graft.ann.ChunkRetrieval._
         t("warmup")(docs.count())
-        val (cf, bits, _) = bandFitFrame(docs)
+        val (cf, bits, _, _) = bandFitFrame(docs)
         t("cand5 no filter")(mpVerifiedPairs(cf, bits, 0.95, 1, 6).count())
-        val (cf2, bits2, _) = bandFitFrame(docs)
+        val (cf2, bits2, _, _) = bandFitFrame(docs)
         t("pairs < filter")(mpVerifiedPairs(cf2, bits2, 0.95, 1, 6)
           .filter(col("chunk_id") < col("ca")).count())
-        val (cf3, bits3, _) = bandFitFrame(docs)
+        val (cf3, bits3, _, _) = bandFitFrame(docs)
         t("pairs proj only")(mpVerifiedPairs(cf3, bits3, 0.95, 1, 6)
           .select(col("chunk_id").as("doc_a"), col("ca").as("doc_b")).count())
       case "clplan" =>
@@ -144,7 +144,7 @@ object Probe {
       case "surv" =>
         t("warmup")(docs.count())
         t("bandfit")({
-          val (cf, _, _) = graft.ann.ChunkRetrieval.bandFitFrame(docs); cf.count()
+          val (cf, _, _, _) = graft.ann.ChunkRetrieval.bandFitFrame(docs); cf.count()
         })
         t("pairs")(graft.ann.ChunkRetrieval.probeMpPairs(docs).count())
         t("clusters")(graft.ann.ChunkRetrieval.chunkDupClusters(docs).count())
@@ -177,7 +177,7 @@ object Probe {
         t("chunks")(chunks(docs, f).count())
         t("chunkEmbeds16")(chunkEmbeds(chunks(docs, f)).count())
         t("bandfit96")({
-          val (cf, _, _) = bandFitFrame(docs); cf.count()
+          val (cf, _, _, _) = bandFitFrame(docs); cf.count()
         })
       case "serve" =>
         t("warmup")(docs.count())

@@ -301,10 +301,9 @@ class StorageSpec extends AnyFunSuite {
     assert(lv == v)
     assert(lp.exceptAll(postings).count() == 0 &&
       postings.exceptAll(lp).count() == 0)
-    // an injected row carrying the CORRECT stamp still fails closed:
-    // the recomputed content version no longer matches
+    // an injected schema-identical row still fails closed: the
+    // recomputed content version no longer matches the sidecar
     lp.limit(1).withColumn("tf", col("tf") + 1L)
-      .withColumn("artifact_version", lit(v))
       .write.mode("append").parquet(s"$dir/postings")
     assertThrows[IllegalArgumentException] {
       Artifacts.loadLarge(spark, dir, "postings")
