@@ -937,6 +937,44 @@ object ChunkRetrieval {
     ch.join(dominated, Seq("chunk_id"), "left_anti")
   }
 
+  /** [[survivorChunks]] AND the survivors' embedding frame — the serve
+    * entries' seam: the dedup chain under the survivor verdict already
+    * embedded EVERY chunk (the chunkCells pinned base), so re-embedding
+    * the survivor chunks from their words for the vector arm paid the
+    * corpus-scale md5+JL pass twice per serve query (measured ~2 s of
+    * chunkServe's 7.5 s at sf0.1). The embedding of a chunk depends on
+    * nothing but its own tokens, so `base minus dominated` is
+    * value-identical to `chunkEmbeds(ch minus dominated)` — including
+    * the population rule (nsq = 0 chunks never embed, dominated ids are
+    * always embeddable). Returns (survivor chunks, survivor embeds). */
+  private def survivorChunksAndCe(ww: DataFrame, factor: Long,
+                                  threshold: Double): (DataFrame, DataFrame) = {
+    val ch = chunksFrom(ww, factor)
+    // the chunkCells boundary, inlined so the pinned embed base stays
+    // in reach of the serving arms
+    val base = chunkEmbeds(ch).localCheckpoint(false)
+    val bits = cellBitsFor(base.count())
+    val cc = withCellFit(base.withColumn("cell", cellAt("p", 0, bits)))
+    val other = cc.select(col("chunk_id").as("ca"), col("p").as("pa"),
+      col("nsq").as("nsqa"), col("cell").as("cella"), col("fit").as("fita"))
+    // dominated = EXISTS a same-cell pair at cosine ≥ threshold whose
+    // other side is more prototypical — exactly chunkDedupFrom's
+    // keep = false set (max(dominated flag) > 0 ⇔ at least one
+    // dominating pair), without the n_dups/max_cosine mart columns
+    val dominated = cc.join(other,
+        col("cell") === col("cella") && col("chunk_id") =!= col("ca"))
+      .withColumn("cosine", r6(dotLong("p", "pa")
+        .cast("double") /
+        (sqrt(col("nsq").cast("double")) * sqrt(col("nsqa").cast("double")))))
+      .filter(col("cosine") >= threshold)
+      .filter(col("fita") < col("fit") ||
+        (col("fita") === col("fit") && col("ca") < col("chunk_id")))
+      .select(col("chunk_id")).distinct()
+      .localCheckpoint(false)
+    (ch.join(dominated, Seq("chunk_id"), "left_anti"),
+      base.join(dominated, Seq("chunk_id"), "left_anti"))
+  }
+
   /** [[chunkRetrieval]] served from the semantic-dedup SURVIVORS — the
     * production serving index: dominated near-duplicate chunks are
     * dropped BEFORE the arms, so corpus stats (chunk count, avgdl,
@@ -948,8 +986,13 @@ object ChunkRetrieval {
                  threshold: Double = 0.95): DataFrame = {
     val ww = wordsFrame(documents)
     val factor = factorFrom(ww)
-    retrieveFrom(survivorChunks(ww, factor, threshold), documents,
-      factor, nProbes, k, kTerms, arm, rrfK)
+    // survivor embeds come from the dedup chain's own pinned embed base
+    // (anti-joined, not re-embedded); the survivor chunk frame is pinned
+    // for the lex arm's three consumers
+    val (sch0, sce) = survivorChunksAndCe(ww, factor, threshold)
+    val sch = sch0.localCheckpoint(false)
+    rankServe(fuseArms(lexArm(sch, documents, nProbes, kTerms, arm),
+      vecArmFromCe(sce, documents, nProbes, arm, factor), rrfK), factor, k)
   }
 
   /** [[chunkServe]] with the cell-route arm — the production DEDUPED
@@ -962,12 +1005,14 @@ object ChunkRetrieval {
                     threshold: Double = 0.95, hamming: Int = 2): DataFrame = {
     val ww = wordsFrame(documents)
     val factor = factorFrom(ww)
-    // pinned: the survivor frame hides the whole dedup anti-join, which
-    // the four arm consumers would otherwise each re-run
-    val sch = survivorChunks(ww, factor, threshold)
-      .localCheckpoint(false)
+    // survivor embeds from the dedup chain's pinned base (see
+    // [[survivorChunksAndCe]]); the cell width still derives from the
+    // SURVIVOR count inside vecArmCellFromCe — the index that exists at
+    // serving time — exactly as before
+    val (sch0, sce) = survivorChunksAndCe(ww, factor, threshold)
+    val sch = sch0.localCheckpoint(false)
     rankServe(fuseArms(lexArm(sch, documents, nProbes, kTerms, arm),
-      vecArmCellFromCe(chunkEmbeds(sch), documents, nProbes, arm, factor,
+      vecArmCellFromCe(sce, documents, nProbes, arm, factor,
         hamming), rrfK), factor, k)
   }
 
@@ -1177,10 +1222,22 @@ object ChunkRetrieval {
         .select(col("probe_id"), col(s"n_$nm"),
           r6(try_divide(col(s"${nm}_hits").cast("double"), col(s"n_$nm")))
             .as(s"p_$nm"))
-    val c = prec(chunkRetrieval(documents, nProbes, k, kTerms, arm, rrfK),
-      "doc_id", "chunk")
-    val d = prec(Ann.hybridRrf(documents, embeddings, nProbes, k, kTerms,
-      arm, rrfK), "doc_id", "doc")
+    // the two retrieval lists are INDEPENDENT pipelines (chunk-grain
+    // retrieval vs doc-grain hybrid) that previously ran back to back;
+    // materialize both from two driver threads so each one's stage tail
+    // back-fills the other's idle capacity (the bpeSampleEval overlap
+    // device — disjoint lineages, deterministic values). The eager
+    // checkpoints are ≤ nProbes rows each.
+    val (c, d) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val f = Future(prec(chunkRetrieval(documents, nProbes, k, kTerms, arm,
+        rrfK), "doc_id", "chunk").localCheckpoint())
+      val g = Future(prec(Ann.hybridRrf(documents, embeddings, nProbes, k,
+        kTerms, arm, rrfK), "doc_id", "doc").localCheckpoint())
+      (Await.result(f, Duration.Inf), Await.result(g, Duration.Inf))
+    }
     c.join(d, Seq("probe_id"), "full_outer").orderBy("probe_id")
   }
 
