@@ -304,6 +304,11 @@ object Dedup {
       // Lazy checkpoint every round: truncation materializes inside the
       // same job as the convergence sum (no separate eager pass) and keeps
       // every round's plan flat.
+      // MEASURED, r16: doubling the block to four steps + two shortcuts
+      // per check (the "check convergence every second round" proposal)
+      // made every propagate consumer 1.5-2× SLOWER at sf0.1 AND 10× —
+      // the measured corpora converge in ~one block, so a heavier block
+      // doubles the join work without saving a single barrier. Reverted.
       val doubled = shortcut(step(step(labels)))
       val updated = doubled.localCheckpoint(false)
       val newSum = updated.agg(coalesce(sum(col("label")), lit(0L)))
