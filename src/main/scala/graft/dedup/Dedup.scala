@@ -384,8 +384,14 @@ object Dedup {
       .filter(col("df") <= dfLimit)
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select("doc_id", "sh")
-      // pinned: three consumers (sizes and both exact-join sides)
-      .localCheckpoint(false)
+      // NOT pinned — measured both ways (r16): the r15 pin here cost
+      // 3.31 vs 2.66 s at sf0.1 and 6.74 vs 3.16 s at 10×. Unlike the
+      // corpus-wide shingle frames in ngramJaccard/containment (whose
+      // pins PAY at 10× — A/B'd the same day), this frame is already
+      // semi-join-restricted to candidate docs, so its recompute is
+      // bounded by the candidate set while the pin's materialization
+      // barrier serializes the query's tail; ReuseExchange still
+      // covers the two identically-partitioned self-join sides.
     val sizes = shp.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val exact = shp.as("x")
       .join(shp.as("y"), col("x.sh") === col("y.sh") &&
